@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline catalog queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is timed end-to-end (plan + execute + collect-to-count).
+A warmup query first absorbs JVM/codegen startup so per-query numbers
+reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from news_graph_rag_spark.queries import registry  # noqa: E402
+from news_graph_rag_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: covers joins, wide agg, windows, retrieval, dedup
+HEADLINE = [
+    "pricing_summary",
+    "graph_2hop_filter_in",
+    "graph_3hop_count_distinct",
+    "composite_key_join",
+    "window_topk_per_group",
+    "sessionize",
+    "tumbling_hourly",
+    "topk_orders",
+    "explode_tokens",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "vector_topk_cosine",
+    "hybrid_search_rrf",
+    "knn_classify",
+    "fuzzy_entity_lookup",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    reg = registry()
+    # warmup: JVM + codegen + parquet footer caches
+    reg["graph_1hop_count"].fn(spark, SF_DIR).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = reg[name].fn(spark, SF_DIR).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Property-graph-on-DataFrames store.
+
+Replaces the reference's Neo4j ``GraphDatabase`` wrapper (graph.py:16-240)
+with typed node/edge DataFrames backed by parquet, registered as temp
+views so LLM-generated Spark SQL (the analog of LLM-generated Cypher,
+chat.py:47-66) runs directly against the graph.
+
+Scale notes
+-----------
+- Node/edge tables are plain parquet directories → predicate pushdown and
+  column pruning replace Neo4j's uid/name point-lookup indexes
+  (graph.py:173-195). At 100 TB, partition ``chunk`` by a date or
+  category column and let partition pruning take over (I2).
+- Edge tables are (src_uid, dst_uid) pairs; multi-hop traversals are
+  equi-join chains (SURVEY §2.c). Entity/source/topic dimension tables
+  are small relative to chunks → broadcast them in joins.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import EDGE_SCHEMAS, NATURAL_KEYS, NODE_SCHEMAS
+
+ALL_TABLES = {**NODE_SCHEMAS, **EDGE_SCHEMAS}
+
+# Node-label rendering for the LLM schema prompt (S6, chat.py:64
+# ``db.graph.schema``): table name -> Cypher-style label.
+_LABELS = {
+    "article": "Article",
+    "chunk": "Chunk",
+    "person": "Person",
+    "organization": "Organization",
+    "location": "Location",
+    "source": "Source",
+    "topic": "Topic",
+}
+_EDGE_ENDPOINTS = {
+    "contains": ("Article", "CONTAINS", "Chunk"),
+    "mentions": ("Chunk", "MENTIONS", "Person|Organization|Location"),
+    "authored": ("Person", "AUTHORED", "Article"),
+    "has_topic": ("Article", "HAS_TOPIC", "Topic"),
+    "published": ("Source", "PUBLISHED", "Article"),
+}
+
+
+def content_uid(label: str, *cols) -> F.Column:
+    """Deterministic content-hash uid: ``'<Label>:' + sha2(...)[:12]``.
+
+    The reference generates ``'<Label>:' + urlsafe_b64(uuid4())[:12]``
+    (utils.py:10-11, config.py:5); we use a content hash of the natural
+    key instead so ingestion is idempotent and goldens are stable
+    (SURVEY §7 risks). Same shape: label prefix + 12 chars.
+    """
+    return F.concat(
+        F.lit(label), F.lit(":"), F.substring(F.sha2(F.concat_ws("\x1f", *cols), 256), 1, 12)
+    )
+
+
+class GraphStore:
+    """Typed node/edge DataFrames + view registration + schema rendering."""
+
+    def __init__(self, spark: SparkSession, tables: dict[str, DataFrame] | None = None):
+        self.spark = spark
+        self.tables: dict[str, DataFrame] = dict(tables or {})
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def empty(cls, spark: SparkSession) -> "GraphStore":
+        tables = {
+            name: spark.createDataFrame([], schema) for name, schema in ALL_TABLES.items()
+        }
+        return cls(spark, tables)
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "GraphStore":
+        """Load every table that exists under ``root/<name>.parquet``."""
+        store = cls.empty(spark)
+        for name in ALL_TABLES:
+            path = os.path.join(root, f"{name}.parquet")
+            if os.path.exists(path):
+                store.tables[name] = spark.read.parquet(path)
+        return store
+
+    def save(self, root: str, mode: str = "overwrite") -> None:
+        for name, df in self.tables.items():
+            df.write.mode(mode).parquet(os.path.join(root, f"{name}.parquet"))
+
+    # -- access -----------------------------------------------------------
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return self.tables[name]
+
+    def __setitem__(self, name: str, df: DataFrame) -> None:
+        if name not in ALL_TABLES:
+            raise KeyError(f"unknown graph table: {name}")
+        self.tables[name] = df
+
+    def register_views(self, prefix: str = "") -> None:
+        """Register every table as a temp view — the SQL query surface."""
+        for name, df in self.tables.items():
+            df.createOrReplaceTempView(prefix + name)
+
+    # -- S6: schema introspection (chat.py:64) ----------------------------
+
+    def schema_string(self) -> str:
+        """Render the graph schema for an LLM prompt.
+
+        Analog of Neo4j's ``db.graph.schema`` used at chat.py:64: node
+        labels with properties + relationship triples, but with Spark SQL
+        types since generated queries target ``spark.sql``.
+        """
+        lines = ["Node tables:"]
+        for name, label in _LABELS.items():
+            df = self.tables.get(name)
+            if df is None:
+                continue
+            cols = ", ".join(f"{f.name}: {f.dataType.simpleString()}" for f in df.schema)
+            lines.append(f"  {name} (:{label}) {{{cols}}}")
+        lines.append("Relationship tables (src_uid, dst_uid):")
+        for name, (src, rel, dst) in _EDGE_ENDPOINTS.items():
+            lines.append(f"  {name}: (:{src})-[:{rel}]->(:{dst})")
+        return "\n".join(lines)
+
+    # -- I1: uniqueness enforcement (graph.py:173-195) --------------------
+
+    def assert_unique(self, table: str, keys: tuple[str, ...] | None = None) -> None:
+        """Ingest-time stand-in for Neo4j uniqueness constraints."""
+        keys = keys or NATURAL_KEYS[table]
+        df = self.tables[table]
+        total, distinct = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(k) for k in keys]).alias("d"),
+        ).first()
+        if total != distinct:
+            raise ValueError(
+                f"uniqueness violated on {table}{keys}: {total} rows, {distinct} distinct"
+            )

@@ -1,0 +1,417 @@
+"""Training-data pipeline catalog: deduplication + text analysis over the
+``documents`` table (the capabilities a 100 TB pretraining-data pipeline
+needs, built on the same engine).
+
+Portability notes for the DuckDB oracle:
+- The shared hash primitive is ``md5`` (identical hex output in both
+  engines). MinHash takes lexicographic minima of salted md5 hex strings;
+  SimHash derives a 32-bit integer via hex→int conversion
+  (Spark ``conv(hex,16,10)``, DuckDB ``('0x'||hex)::BIGINT``).
+- Ratio thresholds use cross-multiplied integer comparisons (exact).
+
+Scale notes:
+- Exact dedup: one shuffle on the content hash; partial aggregation
+  applies. At 100 TB hash first (64-bit prefix) so the shuffle carries
+  16 bytes per row, not the document text.
+- MinHash-LSH: shingle explode → per-(doc, seed) min aggregation → band
+  bucket join. The band join is self-equi-join on (band, band_hash);
+  bucket sizes are bounded by using r=2 rows per band, which keeps
+  false-positive buckets rare, and a per-bucket size cap would be added
+  for adversarial data.
+- Pairwise n-gram Jaccard is quadratic → only ever run it inside LSH
+  buckets or on a bounded candidate subset (here: doc_id bound).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load, register
+
+NUM_MINHASHES = 8
+BAND_ROWS = 2  # r=2, b=4
+
+# ---------------------------------------------------------------------------
+# Exact deduplication — hash-groupBy on normalized content
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="dedup: exact content-hash groupBy, min-id canonical",
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return (
+        docs.select(F.md5(norm).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling helper (3-word shingles) — shared by MinHash + Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles_df(spark: SparkSession, sf: str, max_doc_id: int | None = None) -> DataFrame:
+    """(doc_id, shingle) distinct 3-word shingles per document."""
+    docs = load(spark, sf, "documents")
+    if max_doc_id is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc_id)
+    toks = F.split(F.col("text"), " ")
+    # 1-based window start i ∈ [1, size-2]; 3 consecutive tokens per shingle
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array(F.col("text")))
+    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+_SHINGLE_SQL = """
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN [array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, len(toks) - 1)]
+                  ELSE [text] END AS shs
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+            FROM documents {where})
+    ) t, unnest(t.shs) AS u(shingle)
+"""
+
+
+@register(
+    "dedup_minhash_signature",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLE_SQL.format(where="")}),
+    seeds AS (SELECT unnest(range(0, {NUM_MINHASHES})) AS seed)
+    SELECT doc_id, CAST(seed AS INT) AS seed,
+           min(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS minhash
+    FROM shingles CROSS JOIN seeds
+    GROUP BY doc_id, seed
+    """,
+    doc="dedup: MinHash signatures (8 salted-md5 minima over 3-shingles)",
+)
+def dedup_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
+    sh = shingles_df(spark, sf)
+    seeds = spark.range(NUM_MINHASHES).select(F.col("id").cast("int").alias("seed"))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("seed").cast("string")))
+            ).alias("minhash")
+        )
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLE_SQL.format(where="")}),
+    seeds AS (SELECT unnest(range(0, {NUM_MINHASHES})) AS seed),
+    sig AS (
+      SELECT doc_id, seed,
+             min(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS minhash
+      FROM shingles CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // {BAND_ROWS} AS INT) AS band,
+             md5(string_agg(minhash, '|' ORDER BY seed)) AS band_hash
+      FROM sig GROUP BY doc_id, seed // {BAND_ROWS}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """,
+    doc="dedup: MinHash-LSH candidate pairs (b=4 bands, r=2 rows)",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    sig = dedup_minhash_signature(spark, sf)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            # identical bytes to the oracle's string_agg(minhash,'|' ORDER BY
+            # seed): sort (seed, minhash) structs, project minhash, join
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"],
+                    ),
+                    "|",
+                )
+            ).alias("band_hash")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (bounded candidate subset; exact integer filter)
+# ---------------------------------------------------------------------------
+
+_JACCARD_BOUND = 100
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLE_SQL.format(where=f"WHERE doc_id < {_JACCARD_BOUND}")}),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM shingles GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared, sa.sz AS size_a, sb.sz AS size_b
+    FROM shared
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_shared * 10 >= (sa.sz + sb.sz - n_shared)
+    """,
+    doc="dedup: pairwise 3-gram Jaccard >= 0.1 on bounded subset (exact int filter)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    sh = shingles_df(spark, sf, max_doc_id=_JACCARD_BOUND)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+        .filter(F.col("n_shared") * 10 >= (F.col("size_a") + F.col("size_b") - F.col("n_shared")))
+        .select("doc_a", "doc_b", "n_shared", "size_a", "size_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprint — 32-bit, md5-derived per-token hashes, bit votes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS w
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents) t
+      WHERE token <> ''
+      GROUP BY doc_id, token
+    ),
+    bits AS (
+      SELECT doc_id, w,
+             ('0x' || substr(md5(token), 1, 8))::BIGINT AS h,
+             unnest(range(0, 32)) AS bit
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN (h >> bit) & 1 = 1 THEN w ELSE -w END) AS vote
+      FROM bits GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    doc="dedup: 32-bit SimHash fingerprint (weighted bit votes, md5-derived)",
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
+    bits = toks.withColumn("h", h).select(
+        "doc_id", "w", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.expr("(shiftright(h, bit) & 1) = 1"), F.col("w")).otherwise(
+                -F.col("w")
+            )
+        ).alias("vote")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(cast(1 as bigint), bit)"))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language ID, quality score, token count, fingerprint
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "fr": ("le", "la", "les", "et", "de"),
+    "es": ("el", "la", "los", "y", "de"),
+}
+
+
+def _stop_count(lang: str) -> F.Column:
+    toks = F.split(F.lower(F.col("text")), " ")
+    arr = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def _stop_count_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(lower(text), ' '),"
+        f" t -> list_contains([{words}], t)))"
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+      CASE
+        WHEN {_stop_count_sql('de')} > {_stop_count_sql('en')}
+         AND {_stop_count_sql('de')} > {_stop_count_sql('fr')}
+         AND {_stop_count_sql('de')} > {_stop_count_sql('es')} THEN 'de'
+        WHEN {_stop_count_sql('fr')} > {_stop_count_sql('en')}
+         AND {_stop_count_sql('fr')} > {_stop_count_sql('es')} THEN 'fr'
+        WHEN {_stop_count_sql('es')} > {_stop_count_sql('en')} THEN 'es'
+        ELSE 'en'
+      END AS pred_lang
+    FROM documents
+    """,
+    doc="text: n-gram/stopword-heuristic language ID",
+)
+def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    de, en, fr, es = (_stop_count(x) for x in ("de", "en", "fr", "es"))
+    pred = (
+        F.when((de > en) & (de > fr) & (de > es), "de")
+        .when((fr > en) & (fr > es), "fr")
+        .when(es > en, "es")
+        .otherwise("en")
+    )
+    return docs.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+           length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+             AS n_punct,
+           CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1 ELSE 0 END
+             AS len_ok
+    FROM documents
+    """,
+    doc="text: quality signals — length, tokens, punctuation, length gate",
+)
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chars = F.length(F.col("text")).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        F.size(F.filter(toks, lambda t: t != "")).cast("bigint").alias("n_tokens"),
+        (n_chars - F.length(F.regexp_replace(F.col("text"), "[.,;:!?]", ""))).alias(
+            "n_punct"
+        ),
+        F.when((n_chars >= 100) & (n_chars <= 2000), 1).otherwise(0).cast("int").alias("len_ok"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\W+'),
+                                    t -> t <> ''))) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    doc="text: regex (BPE-ish word-boundary) token counting per language",
+)
+def text_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    toks = F.split(F.col("text"), r"\W+")
+    n = F.size(F.filter(toks, lambda t: t != "")).cast("bigint")
+    return docs.groupBy("lang").agg(
+        F.sum(n).cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+           substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 8)
+             AS fp_prefix
+    FROM documents
+    """,
+    doc="text: normalized content fingerprint (md5 of whitespace-collapsed)",
+)
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("fp_prefix")
+    )

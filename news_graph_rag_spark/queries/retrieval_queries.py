@@ -1,0 +1,316 @@
+"""Retrieval operator catalog: fuzzy entity linking (R1), exact cosine
+top-k (R2), hybrid rank fusion (R3), kNN classify, embedding near-dup.
+
+Reference semantics:
+- R1: Lucene fuzzy fulltext `word~0.8 AND ...` entity lookup
+  (graph.py:140-166, utils.py:51-61) → here: levenshtein candidate match
+  with edit budget floor(0.2·len) (Lucene ~0.8 similarity ≈ ≤20% edits),
+  ranked by edit distance, top-10 per probe (per_entity_limit=10,
+  graph.py:140).
+- R2: cosine vector top-k (graph.py:211-219 index; k=5..10,
+  vector_index.ipynb) → exact brute-force scan + distributed TakeOrdered.
+- R3: hybrid = keyword + vector (vector_index.ipynb raw 88-97). The
+  reference max-normalizes scores; we use reciprocal-rank fusion, which
+  is deterministic across engines (pure function of integer ranks).
+
+Determinism: outputs are integer ranks/ids; cosine scores are only used
+for ORDER BY (top-k gaps in this corpus are ~1e-4, far above the ~1e-7
+float noise between engines).
+
+Scale: the probe set and query vector are broadcast; the scored scan is
+embarrassingly parallel; top-k uses Spark's TakeOrdered (per-partition
+heap + driver merge), no full sort. At 10^9+ vectors switch to the LSH /
+IVF path in ``pipeline.similarity``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load, register
+
+# ---------------------------------------------------------------------------
+# R1 — fuzzy entity lookup over nation names
+# ---------------------------------------------------------------------------
+
+_PROBES = ("NATOIN_3", "NATION_12", "EUROPE", "EUROPA", "AMERCIA", "natoin_7")
+_PER_ENTITY_LIMIT = 10  # reference graph.py:140
+
+
+@register(
+    "fuzzy_entity_lookup",
+    oracle=f"""
+    WITH probes(probe) AS (VALUES {", ".join(f"('{p}')" for p in _PROBES)}),
+    names AS (
+      SELECT n_name AS name, 'Nation' AS label FROM nation
+      UNION ALL
+      SELECT r_name AS name, 'Region' AS label FROM region
+    ),
+    cand AS (
+      SELECT probe, name, label,
+             levenshtein(lower(probe), lower(name)) AS edit_dist
+      FROM probes CROSS JOIN names
+    ),
+    filtered AS (
+      SELECT * FROM cand
+      WHERE edit_dist * 5 <= length(probe)
+    )
+    SELECT probe, name, label, CAST(edit_dist AS BIGINT) AS edit_dist,
+           CAST(row_number() OVER (PARTITION BY probe
+                                   ORDER BY edit_dist, name) AS INT) AS rnk
+    FROM filtered
+    QUALIFY rnk <= {_PER_ENTITY_LIMIT}
+    """,
+    doc="R1: fuzzy (levenshtein ≤20%) entity linking, top-10 per probe "
+    "(graph.py:140-166, utils.py:51-61)",
+)
+def fuzzy_entity_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    probes = spark.createDataFrame([(p,) for p in _PROBES], "probe string")
+    names = (
+        load(spark, sf, "nation")
+        .select(F.col("n_name").alias("name"), F.lit("Nation").alias("label"))
+        .union(
+            load(spark, sf, "region").select(
+                F.col("r_name").alias("name"), F.lit("Region").alias("label")
+            )
+        )
+    )
+    cand = (
+        F.broadcast(probes)
+        .crossJoin(names)
+        .withColumn(
+            "edit_dist", F.levenshtein(F.lower(F.col("probe")), F.lower(F.col("name")))
+        )
+        # Lucene ~0.8: edit budget ≤ 20% of probe length (exact int compare)
+        .filter(F.col("edit_dist") * 5 <= F.length(F.col("probe")))
+    )
+    w = Window.partitionBy("probe").orderBy("edit_dist", "name")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PER_ENTITY_LIMIT)
+        .select(
+            "probe",
+            "name",
+            "label",
+            F.col("edit_dist").cast("bigint").alias("edit_dist"),
+            "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R2 — exact cosine top-k (query vector = vec_id 0, broadcast)
+# ---------------------------------------------------------------------------
+
+
+def cosine_col(a: F.Column, b: F.Column) -> F.Column:
+    """Cosine similarity between two float-array columns (JVM-side only:
+    zip_with product + double-accumulator aggregate — no Python UDF)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+@register(
+    "vector_topk_cosine",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id, list_cosine_similarity(embedding, qv) AS score
+      FROM embeddings CROSS JOIN q
+      WHERE vec_id <> 0
+    )
+    SELECT vec_id, CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INT)
+             AS rnk
+    FROM scored
+    QUALIFY rnk <= 10
+    """,
+    doc="R2: exact brute-force cosine top-10 (graph.py:211-219, "
+    "vector_index.ipynb raw 34-65)",
+)
+def vector_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine_col(F.col("embedding"), F.col("qv")).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("vec_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R3 — hybrid search: keyword overlap + vector rank, RRF fusion
+# ---------------------------------------------------------------------------
+
+_KEYWORDS = ("spark", "join", "stream")
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH kw AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> list_contains([{", ".join(f"'{k}'" for k in _KEYWORDS)}], t)))
+               AS BIGINT) AS kw_hits
+      FROM documents
+    ),
+    kw_ranked AS (
+      SELECT doc_id, kw_hits,
+             CAST(row_number() OVER (ORDER BY kw_hits DESC, doc_id) AS INT)
+               AS kw_rank
+      FROM kw
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    vec_ranked AS (
+      SELECT vec_id AS doc_id,
+             CAST(row_number() OVER (
+               ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id)
+               AS INT) AS vec_rank
+      FROM embeddings CROSS JOIN q
+    )
+    SELECT k.doc_id, k.kw_hits, k.kw_rank, v.vec_rank,
+           CAST(1 AS DOUBLE) / (60 + k.kw_rank) + CAST(1 AS DOUBLE) / (60 + v.vec_rank) AS rrf,
+           CAST(row_number() OVER (
+             ORDER BY CAST(1 AS DOUBLE) / (60 + k.kw_rank) + CAST(1 AS DOUBLE) / (60 + v.vec_rank) DESC,
+                      k.doc_id) AS INT) AS rnk
+    FROM kw_ranked k JOIN vec_ranked v USING (doc_id)
+    QUALIFY rnk <= 20
+    """,
+    doc="R3: hybrid keyword+vector retrieval via reciprocal-rank fusion "
+    "(vector_index.ipynb raw 88-97)",
+)
+def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    kw_arr = F.array(*[F.lit(k) for k in _KEYWORDS])
+    kw = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: F.array_contains(kw_arr, t))
+        )
+        .cast("bigint")
+        .alias("kw_hits"),
+    )
+    kw_ranked = kw.withColumn(
+        "kw_rank", F.row_number().over(Window.orderBy(F.desc("kw_hits"), F.asc("doc_id")))
+    )
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    vec_ranked = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_col(F.col("embedding"), F.col("qv")).alias("score"),
+        )
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+        )
+        .drop("score")
+    )
+    rrf = 1.0 / (60 + F.col("kw_rank")) + 1.0 / (60 + F.col("vec_rank"))
+    return (
+        kw_ranked.join(vec_ranked, "doc_id")
+        .withColumn("rrf", rrf)
+        .withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.desc("rrf"), F.asc("doc_id")))
+        )
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", "kw_hits", "kw_rank", "vec_rank", "rrf", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN majority-vote classification (similarity-search application)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_classify",
+    oracle="""
+    WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv
+                    FROM embeddings WHERE vec_id < 20),
+    base AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 20),
+    scored AS (
+      SELECT probe_id, vec_id, label,
+             list_cosine_similarity(embedding, pv) AS score
+      FROM probes CROSS JOIN base
+    ),
+    nn AS (
+      SELECT probe_id, label FROM (
+        SELECT probe_id, label,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY score DESC, vec_id) AS rn
+        FROM scored) t
+      WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT probe_id, label, CAST(count(*) AS BIGINT) AS n_votes
+      FROM nn GROUP BY probe_id, label
+    )
+    SELECT probe_id, label AS pred_label, n_votes FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY n_votes DESC, label) AS rn
+      FROM votes) t
+    WHERE rn = 1
+    """,
+    doc="similarity-search: 5-NN cosine majority-vote classification",
+)
+def knn_classify(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+    )
+    base = emb.filter(F.col("vec_id") >= 20).select("vec_id", "embedding", "label")
+    scored = base.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        "vec_id",
+        "label",
+        cosine_col(F.col("embedding"), F.col("pv")).alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    nn = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    votes = nn.groupBy("probe_id", "label").agg(F.count(F.lit(1)).alias("n_votes"))
+    wv = Window.partitionBy("probe_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (bounded subset)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "near_dup_embedding",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.35
+    """,
+    doc="dedup: embedding-cosine near-dup pairs (threshold 0.35, bounded set)",
+)
+def near_dup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine_col(F.col("ea"), F.col("eb")) > 0.35)
+        .select("vec_a", "vec_b")
+    )
