@@ -68,6 +68,21 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input up to full parallelism for CPU-heavy
+    map stages.
+
+    Small parquet files arrive as one split, which would serialize
+    per-row compute (hashing, shingling) on a single core. The shuffle
+    this adds is tiny (it carries the raw rows once); on big inputs
+    (≥ default parallelism splits) it's a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all TESTDATA tables as temp views (for spark.sql paths)."""
     for t in TABLES:

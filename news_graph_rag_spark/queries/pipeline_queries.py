@@ -13,11 +13,12 @@ Scale notes:
 - Exact dedup: one shuffle on the content hash; partial aggregation
   applies. At 100 TB hash first (64-bit prefix) so the shuffle carries
   16 bytes per row, not the document text.
-- MinHash-LSH: shingle explode → per-(doc, seed) min aggregation → band
-  bucket join. The band join is self-equi-join on (band, band_hash);
-  bucket sizes are bounded by using r=2 rows per band, which keeps
-  false-positive buckets rare, and a per-bucket size cap would be added
-  for adversarial data.
+- MinHash-LSH: signatures are computed map-side (min over the per-row
+  shingle array — no explode, no shuffle), then one small shuffle groups
+  8 rows/doc into band hashes and another groups bucket members; pairs
+  are emitted per bucket, so bucket size bounds the quadratic blowup
+  (r=2 rows/band keeps false-positive buckets rare; a per-bucket cap
+  would be added for adversarial data).
 - Pairwise n-gram Jaccard is quadratic → only ever run it inside LSH
   buckets or on a bounded candidate subset (here: doc_id bound).
 """
@@ -27,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import load, register
+from .catalog import load, register, spread
 
 NUM_MINHASHES = 8
 BAND_ROWS = 2  # r=2, b=4
@@ -49,7 +50,7 @@ BAND_ROWS = 2  # r=2, b=4
     doc="dedup: exact content-hash groupBy, min-id canonical",
 )
 def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
+    docs = spread(load(spark, sf, "documents"))
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     return (
         docs.select(F.md5(norm).alias("content_hash"), "doc_id")
@@ -68,7 +69,7 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 def shingles_df(spark: SparkSession, sf: str, max_doc_id: int | None = None) -> DataFrame:
     """(doc_id, shingle) distinct 3-word shingles per document."""
-    docs = load(spark, sf, "documents")
+    docs = spread(load(spark, sf, "documents"))
     if max_doc_id is not None:
         docs = docs.filter(F.col("doc_id") < max_doc_id)
     toks = F.split(F.col("text"), " ")
@@ -88,8 +89,24 @@ def shingles_df(spark: SparkSession, sf: str, max_doc_id: int | None = None) -> 
     return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
-_SHINGLE_SQL = """
-    SELECT DISTINCT doc_id, shingle FROM (
+def shingle_array(text_col: F.Column) -> F.Column:
+    """3-word shingle ARRAY per row (map-side only, no explode)."""
+    toks = F.split(text_col, " ")
+    return F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array(text_col))
+
+
+_SHINGLE_ARR_SQL = """
       SELECT doc_id,
              CASE WHEN len(toks) >= 3
                   THEN [array_to_string(toks[i:i+2], ' ')
@@ -97,45 +114,55 @@ _SHINGLE_SQL = """
                   ELSE [text] END AS shs
       FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
             FROM documents {where})
-    ) t, unnest(t.shs) AS u(shingle)
+"""
+
+_SHINGLE_SQL = f"""
+    SELECT DISTINCT doc_id, shingle
+    FROM ({_SHINGLE_ARR_SQL}) t, unnest(t.shs) AS u(shingle)
 """
 
 
 @register(
     "dedup_minhash_signature",
     oracle=f"""
-    WITH shingles AS ({_SHINGLE_SQL.format(where="")}),
+    WITH shdocs AS ({_SHINGLE_ARR_SQL.format(where="")}),
     seeds AS (SELECT unnest(range(0, {NUM_MINHASHES})) AS seed)
     SELECT doc_id, CAST(seed AS INT) AS seed,
-           min(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS minhash
-    FROM shingles CROSS JOIN seeds
-    GROUP BY doc_id, seed
+           list_min([md5(s || '#' || CAST(seed AS VARCHAR)) FOR s IN shs])
+             AS minhash
+    FROM shdocs CROSS JOIN seeds
     """,
-    doc="dedup: MinHash signatures (8 salted-md5 minima over 3-shingles)",
+    doc="dedup: MinHash signatures (8 salted-md5 minima over 3-shingles); "
+    "map-side only — min over the shingle array, no explode/shuffle",
 )
 def dedup_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
-    sh = shingles_df(spark, sf)
+    docs = spread(load(spark, sf, "documents"))
+    shdocs = docs.select("doc_id", shingle_array(F.col("text")).alias("shs"))
     seeds = spark.range(NUM_MINHASHES).select(F.col("id").cast("int").alias("seed"))
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("seed").cast("string")))
-            ).alias("minhash")
-        )
+    return shdocs.crossJoin(F.broadcast(seeds)).select(
+        "doc_id",
+        "seed",
+        F.array_min(
+            F.transform(
+                F.col("shs"),
+                lambda s: F.md5(
+                    F.concat(s, F.lit("#"), F.col("seed").cast("string"))
+                ),
+            )
+        ).alias("minhash"),
     )
 
 
 @register(
     "dedup_minhash_lsh_pairs",
     oracle=f"""
-    WITH shingles AS ({_SHINGLE_SQL.format(where="")}),
+    WITH shdocs AS ({_SHINGLE_ARR_SQL.format(where="")}),
     seeds AS (SELECT unnest(range(0, {NUM_MINHASHES})) AS seed),
     sig AS (
       SELECT doc_id, seed,
-             min(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS minhash
-      FROM shingles CROSS JOIN seeds GROUP BY doc_id, seed
+             list_min([md5(s || '#' || CAST(seed AS VARCHAR)) FOR s IN shs])
+               AS minhash
+      FROM shdocs CROSS JOIN seeds
     ),
     bands AS (
       SELECT doc_id, CAST(seed // {BAND_ROWS} AS INT) AS band,
@@ -147,7 +174,9 @@ def dedup_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
       ON a.band = b.band AND a.band_hash = b.band_hash
      AND a.doc_id < b.doc_id
     """,
-    doc="dedup: MinHash-LSH candidate pairs (b=4 bands, r=2 rows)",
+    doc="dedup: MinHash-LSH candidate pairs (b=4 bands, r=2 rows); "
+    "signatures map-side; pairs emitted per bucket (no self-join, so the "
+    "signature subtree is evaluated once and bucket size bounds the blowup)",
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     sig = dedup_minhash_signature(spark, sf)
@@ -155,8 +184,8 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
         sig.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
-            # identical bytes to the oracle's string_agg(minhash,'|' ORDER BY
-            # seed): sort (seed, minhash) structs, project minhash, join
+            # identical bytes to the oracle's string_agg(minhash,'|' ORDER
+            # BY seed): sort (seed, minhash) structs, project minhash, join
             F.md5(
                 F.array_join(
                     F.transform(
@@ -168,16 +197,28 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("band_hash")
         )
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # bucket members → all ordered pairs within the bucket; members are
+    # sorted so doc_a < doc_b by construction
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("members") - 2),
+            lambda i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size("members")),
+                lambda m: F.struct(
+                    F.element_at(F.col("members"), i + 1).alias("doc_a"),
+                    m.alias("doc_b"),
+                ),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -186,7 +227,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 # n-gram Jaccard near-dup (bounded candidate subset; exact integer filter)
 # ---------------------------------------------------------------------------
 
-_JACCARD_BOUND = 100
+_JACCARD_BOUND = 500
 
 
 @register(
@@ -265,7 +306,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     doc="dedup: 32-bit SimHash fingerprint (weighted bit votes, md5-derived)",
 )
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
+    docs = spread(load(spark, sf, "documents"))
     toks = (
         docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
         .filter(F.col("token") != "")
