@@ -144,17 +144,22 @@ def chunk_articles(raw_articles: DataFrame) -> DataFrame:
     """
     cols = raw_articles.select("url", "summary", "sections")
 
+    def _aslist(v) -> list:
+        # Arrow hands array columns to pandas as numpy arrays; a bare
+        # truthiness check on those raises — test for None explicitly
+        return [] if v is None else list(v)
+
     def per_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         rows: list[dict] = []
         for _, r in pdf.iterrows():
             sections = [
                 {
-                    "headline": list(s["headline"] or []),
-                    "paragraphs": list(s["paragraphs"] or []),
+                    "headline": _aslist(s["headline"]),
+                    "paragraphs": _aslist(s["paragraphs"]),
                 }
-                for s in (r["sections"] if r["sections"] is not None else [])
+                for s in _aslist(r["sections"])
             ]
-            for c in get_chunks_from_body(list(r["summary"] or []), sections):
+            for c in get_chunks_from_body(_aslist(r["summary"]), sections):
                 rows.append(
                     {
                         "article_url": r["url"],

@@ -1,0 +1,168 @@
+"""LLM operators (M1-M3, SURVEY §2.m): NL question → Spark SQL → answer.
+
+The reference generates **Cypher** with Snowflake Cortex (chat.py:17-66,
+llm.py:17-41) and composes the final answer from query results
+(chat.py:36-44, 69-80). Here the target language is **Spark SQL over
+the graph temp views**, with the same prompt structure: schema string +
+linked entities + few-shot examples. The LLM client is a single
+``complete(prompt) -> str`` callable — pluggable (any endpoint), with a
+deterministic ``FakeLLM`` for tests; LLM generation is deliberately
+outside the correctness boundary (SURVEY §7 risks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from .graph_store import GraphStore
+from .ingest.ner import EntityFinder
+from .retrieval.fulltext import lookup_entities
+
+CompleteFn = Callable[[str], str]
+
+# Few-shot examples mirroring chat.py:20-34, retargeted to Spark SQL
+# over the node/edge views.
+SQL_EXAMPLES = """
+Example 1: Which articles mention Ursula von der Leyen?
+SELECT DISTINCT a.title
+FROM article a
+JOIN contains c ON a.uid = c.src_uid
+JOIN mentions m ON c.dst_uid = m.src_uid
+JOIN person p ON m.dst_uid = p.uid
+WHERE p.name IN ('Ursula von der Leyen', 'Ursula v. d. Leyn')
+LIMIT 10
+
+Example 2: How many different sources have articles mentioning the EU?
+SELECT COUNT(DISTINCT s.uid) AS n_sources
+FROM source s
+JOIN published pb ON s.uid = pb.src_uid
+JOIN contains c ON pb.dst_uid = c.src_uid
+JOIN mentions m ON c.dst_uid = m.src_uid
+JOIN organization o ON m.dst_uid = o.uid
+WHERE o.name = 'EU'
+
+Example 3: What is being said about France and Macron?
+SELECT ch.text FROM chunk ch
+JOIN mentions m ON ch.uid = m.src_uid
+JOIN location l ON m.dst_uid = l.uid
+WHERE l.name = 'France'
+UNION
+SELECT ch.text FROM chunk ch
+JOIN mentions m ON ch.uid = m.src_uid
+JOIN person p ON m.dst_uid = p.uid
+WHERE p.name = 'Emmanuel Macron'
+LIMIT 10
+""".strip()
+
+QUERY_PROMPT = """You are an expert Spark SQL developer. Generate ONE Spark SQL
+query answering the user question against this news-graph schema:
+
+{schema}
+
+Relevant entities found in the question (uid, name, label, score):
+{entities}
+
+Follow the style of these examples:
+{examples}
+
+Question: {question}
+Return only the SQL, no explanation.
+""".strip()
+
+ANSWER_PROMPT = """Answer the question using only the query results below.
+
+Question: {question}
+SQL used: {query}
+Results:
+{context}
+
+Answer concisely.
+""".strip()
+
+
+class FakeLLM:
+    """Deterministic test double: replays canned completions by
+    substring match, else echoes a fallback."""
+
+    def __init__(self, canned: dict[str, str] | None = None, fallback: str = ""):
+        self.canned = canned or {}
+        self.fallback = fallback
+        self.prompts: list[str] = []
+
+    def __call__(self, prompt: str) -> str:
+        self.prompts.append(prompt)
+        for key, completion in self.canned.items():
+            if key in prompt:
+                return completion
+        return self.fallback
+
+
+def strip_sql_fences(text: str) -> str:
+    """LLMs wrap SQL in ``` fences; strip them (chat.py does the same
+    for Cypher via prompt discipline)."""
+    t = text.strip()
+    if t.startswith("```"):
+        t = t.split("\n", 1)[1] if "\n" in t else t[3:]
+        if t.rstrip().endswith("```"):
+            t = t.rstrip()[:-3]
+    return t.strip().rstrip(";")
+
+
+def map_candidates_to_context(cands: list[dict]) -> str:
+    """chat.py:85-90 analog: candidate dicts → prompt fragment."""
+    return "\n".join(
+        f"- {c['name']} ({c['label']}, uid={c['uid']}, score={c['score']:.3f})"
+        for c in cands
+    )
+
+
+def map_records_to_context(records: list[dict], max_rows: int = 50) -> str:
+    """chat.py:93-98 analog (A4 string aggregation of query results)."""
+    return "\n".join(str(r) for r in records[:max_rows])
+
+
+@dataclass
+class GraphChat:
+    """E1 lifecycle (SURVEY §3): question → entities → linked candidates
+    → LLM SQL → spark.sql → LLM answer."""
+
+    store: GraphStore
+    llm: CompleteFn
+    entity_finder: EntityFinder | None = None
+    view_prefix: str = ""
+    last: dict = field(default_factory=dict)
+
+    def generate_sql(self, question: str) -> str:
+        entities: list[str] = []
+        if self.entity_finder is not None:
+            entities = [name for name, _ in self.entity_finder.find(question)]
+        cands: list[dict] = []
+        if entities:
+            cands = [r.asDict() for r in lookup_entities(self.store, entities).collect()]
+        prompt = QUERY_PROMPT.format(
+            schema=self.store.schema_string(),
+            entities=map_candidates_to_context(cands) or "(none)",
+            examples=SQL_EXAMPLES,
+            question=question,
+        )
+        sql = strip_sql_fences(self.llm(prompt))
+        self.last = {"entities": entities, "candidates": cands, "sql": sql}
+        return sql
+
+    def execute(self, sql: str) -> DataFrame:
+        self.store.register_views(self.view_prefix)
+        return self.store.spark.sql(sql)
+
+    def answer(self, question: str) -> str:
+        sql = self.generate_sql(question)
+        records = [r.asDict() for r in self.execute(sql).collect()]
+        prompt = ANSWER_PROMPT.format(
+            question=question,
+            query=sql,
+            context=map_records_to_context(records) or "(no rows)",
+        )
+        self.last["records"] = records
+        return self.llm(prompt)

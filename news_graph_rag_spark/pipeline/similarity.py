@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, by corpus size:
+- ``brute_force_top_k``: exact cosine scan + distributed TakeOrdered.
+  O(n·d) per query — the baseline and the correctness oracle.
+- ``lsh_bucket_top_k``: random-hyperplane (sign) LSH — deterministic
+  hyperplanes derived from md5 so plans are reproducible; probes only
+  the query's bucket ring. Approximate, tunable via n_planes.
+- ``ivf_build`` / ``ivf_search``: IVF coarse quantizer via k-means-lite
+  (seeded initial centroids + a few Lloyd iterations, all DataFrame
+  ops), then search probes the ``nprobe`` nearest centroids' inverted
+  lists. This is the 10^9+-vector scale path: the scan shrinks by
+  ~n_centroids/nprobe ×.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..retrieval.vector import cosine
+
+
+def _qv_lit(query_vector: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<float>")
+
+
+def brute_force_top_k(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    scored = df.withColumn("score", cosine(F.col(embedding_col), _qv_lit(query_vector)))
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH: deterministic hyperplanes from md5 (reproducible plans)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    planes = []
+    for p in range(n_planes):
+        vals: list[float] = []
+        i = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"plane:{p}:{i}".encode()).digest()
+            vals.extend(b / 127.5 - 1.0 for b in h)
+            i += 1
+        planes.append(vals[:dim])
+    return planes
+
+
+def _sign_key(emb: F.Column, planes: list[list[float]]) -> F.Column:
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    emb,
+                    F.array(*[F.lit(w) for w in plane]).cast("array<float>"),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucket_top_k(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: scan only rows whose sign-LSH key is within
+    hamming distance 1 of the query's key (bucket ring)."""
+    dim = len(query_vector)
+    planes = _hyperplanes(dim, n_planes)
+    qkey = "".join(
+        "1" if sum(w * x for w, x in zip(plane, query_vector)) >= 0 else "0"
+        for plane in planes
+    )
+    ring = [qkey] + [
+        qkey[:i] + ("0" if qkey[i] == "1" else "1") + qkey[i + 1 :]
+        for i in range(n_planes)
+    ]
+    keyed = df.withColumn("_lsh", _sign_key(F.col(embedding_col), planes))
+    cand = keyed.filter(F.col("_lsh").isin(ring))
+    return (
+        cand.withColumn("score", cosine(F.col(embedding_col), _qv_lit(query_vector)))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .drop("_lsh")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: coarse quantizer + inverted lists
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (assignments, centroids).
+
+    centroids: (centroid_id, centroid array<float>) — k-means with
+    deterministic seeding (first n ids as initial centers, a few Lloyd
+    rounds, all DataFrame ops; centroids table stays driver-small and
+    is broadcast each round).
+    assignments: df + centroid_id.
+    """
+    centers = (
+        df.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+            F.col(embedding_col).alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign(df, centers, embedding_col, id_col)
+        exploded = assigned.select(
+            "centroid_id", F.posexplode(F.col(embedding_col)).alias("pos", "val")
+        )
+        centers = (
+            exploded.groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("mean_val"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+                    lambda s: s["mean_val"].cast("float"),
+                ).alias("centroid")
+            )
+        )
+    assignments = _assign(df, centers, embedding_col, id_col)
+    return assignments, centers
+
+
+def _assign(
+    df: DataFrame, centers: DataFrame, embedding_col: str, id_col: str
+) -> DataFrame:
+    scored = df.crossJoin(F.broadcast(centers)).withColumn(
+        "_sim", cosine(F.col(embedding_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_sim", "_rn", "centroid")
+    )
+
+
+def ivf_search(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the nprobe nearest centroids' lists, exact-rank inside."""
+    qv = _qv_lit(query_vector)
+    probe_ids = [
+        r["centroid_id"]
+        for r in centroids.withColumn("_sim", cosine(F.col("centroid"), qv))
+        .orderBy(F.desc("_sim"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .collect()
+    ]
+    cand = assignments.filter(F.col("centroid_id").isin(probe_ids))
+    return (
+        cand.withColumn("score", cosine(F.col(embedding_col), qv))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,132 @@
+"""R3 hybrid search + R4 retrieval-with-graph-expansion.
+
+R3 (vector_index.ipynb raw 88-97): the reference's langchain
+``search_type='hybrid'`` unions a vector top-k and a keyword
+(fulltext) top-k over chunks, max-normalizing each signal's score and
+keeping the best. We implement exactly that fusion (score/max(score)
+per signal, greatest across signals), over:
+- vector signal: cosine to the query vector (R2)
+- keyword signal: fuzzy-token overlap of the question against chunk
+  text (same scorer family as R1)
+
+R4 (vector_index.ipynb raw 121-138): join the hit chunks back through
+CONTAINS⁻¹ to Article and PUBLISHED⁻¹ to Source, and project the
+reference's ``retrieval_query`` shape: text = 'Title: '+title+
+'\\nText: '+chunk_text, plus a metadata struct {position, section,
+category, date, url, source}.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..graph_store import GraphStore
+from .fulltext import LUCENE_SPECIAL
+from .vector import cosine
+
+
+def _keyword_score(text_col: F.Column, query: str) -> F.Column:
+    """Normalized keyword-hit count of query tokens in the text."""
+    qtoks = [t for t in re.sub(LUCENE_SPECIAL, " ", query.lower()).split() if t]
+    if not qtoks:
+        return F.lit(0.0)
+    toks = F.split(F.lower(text_col), r"\s+")
+    arr = F.array(*[F.lit(t) for t in qtoks])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return hits.cast("double") / F.lit(float(len(qtoks)))
+
+
+def hybrid_top_k(
+    chunks: DataFrame,
+    query_vector: list[float],
+    query_text: str,
+    k: int = 5,
+    embedding_col: str = "embedding",
+    id_col: str = "uid",
+    text_col: str = "text",
+) -> DataFrame:
+    """Max-normalized union of vector and keyword signals (the
+    Neo4jVector hybrid fusion), top-k."""
+    qv = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<float>")
+    scored = chunks.withColumn(
+        "vec_score",
+        F.when(
+            F.col(embedding_col).isNotNull(), cosine(F.col(embedding_col), qv)
+        ).otherwise(F.lit(0.0)),
+    ).withColumn("kw_score", _keyword_score(F.col(text_col), query_text))
+    w = Window.partitionBy()
+    normed = scored.withColumn(
+        "vec_norm",
+        F.when(
+            F.max("vec_score").over(w) > 0,
+            F.col("vec_score") / F.max("vec_score").over(w),
+        ).otherwise(F.lit(0.0)),
+    ).withColumn(
+        "kw_norm",
+        F.when(
+            F.max("kw_score").over(w) > 0,
+            F.col("kw_score") / F.max("kw_score").over(w),
+        ).otherwise(F.lit(0.0)),
+    )
+    fused = normed.withColumn("score", F.greatest("vec_norm", "kw_norm"))
+    return (
+        fused.orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .drop("vec_score", "kw_score", "vec_norm", "kw_norm")
+    )
+
+
+def expand_chunk_hits(store: GraphStore, hits: DataFrame) -> DataFrame:
+    """R4: hit chunks → (text, score, metadata) with article/source
+    context (vector_index.ipynb raw 121-138 retrieval_query)."""
+    contains = store["contains"].select(
+        F.col("src_uid").alias("article_uid"), F.col("dst_uid").alias("chunk_uid")
+    )
+    published = store["published"].select(
+        F.col("src_uid").alias("source_uid"), F.col("dst_uid").alias("pub_article_uid")
+    )
+    article = store["article"].select(
+        F.col("uid").alias("article_uid"),
+        F.col("title"),
+        F.col("publishing_date"),
+        F.col("url").alias("article_url"),
+    )
+    source = store["source"].select(
+        F.col("uid").alias("source_uid"), F.col("name").alias("source_name")
+    )
+    h = hits.select(
+        F.col("uid").alias("chunk_uid"),
+        "text",
+        "score",
+        "position",
+        "section",
+        "category",
+    )
+    # hits is k rows → broadcast the accumulated small side into the
+    # inner joins against the fact-sized edge/node tables. The two left
+    # joins (published, source) are left to AQE: at 100 TB the right fix
+    # is denormalizing source_uid onto article at ingest, not a broadcast.
+    joined = contains.join(F.broadcast(h), "chunk_uid")
+    joined = article.join(F.broadcast(joined), "article_uid")
+    joined = joined.join(
+        published, F.col("article_uid") == F.col("pub_article_uid"), "left"
+    )
+    joined = joined.join(source, "source_uid", "left")
+    # P6 computed projection + P5 metadata map (raw 125-127)
+    return joined.select(
+        F.concat(
+            F.lit("Title: "), F.col("title"), F.lit("\nText: "), F.col("text")
+        ).alias("text"),
+        "score",
+        F.struct(
+            "position",
+            "section",
+            "category",
+            F.col("publishing_date").alias("date"),
+            F.col("article_url").alias("url"),
+            F.col("source_name").alias("source"),
+        ).alias("metadata"),
+    )

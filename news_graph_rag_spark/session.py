@@ -28,6 +28,16 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) the tuned SparkSession."""
     cpus = cpus or DEFAULT_CPUS
+    # Executor Python workers unpickle UDF closures that reference this
+    # package; make sure they can import it even when the driver script
+    # runs from elsewhere. (On a real cluster: ship a wheel via --py-files;
+    # locally PYTHONPATH is inherited by the worker daemon.)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -1,0 +1,90 @@
+"""Structured Streaming ingest wrapper + windowed stream analytics.
+
+The reference ingests via a bounded lazy crawl generator consumed in a
+driver loop (crawler.py:21-50) — no streaming operators exist there
+(SURVEY §2.n). The natural Spark extension: a ``readStream`` source of
+raw articles driven through the SAME batch upserts (D1-D7) via
+``foreachBatch``, making continuous crawling a config change rather
+than a rewrite. Watermarking enters here if late articles matter.
+
+``windowed_event_counts`` is the streaming analog of the batch
+``tumbling_hourly`` catalog query: watermark + tumbling window +
+count/sum, usable on any timestamped stream (e.g. the events table
+replayed as a file stream).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..graph_store import GraphStore
+from ..ingest.upserts import ingest_articles
+
+
+def streaming_ingest(
+    raw_stream: DataFrame,
+    store_root: str,
+    make_store: Callable[[], GraphStore],
+    checkpoint_dir: str,
+    ner_model_factory=None,
+    encoder_factory=None,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """readStream(raw articles) → foreachBatch(D1-D7 upserts) → parquet.
+
+    Each micro-batch re-applies the idempotent MERGE upserts against the
+    current store and persists — exactly-once per key even on replays,
+    because every upsert is keyed on content-hash uids.
+    """
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store = make_store()
+        updated = ingest_articles(
+            store,
+            batch_df,
+            ner_model_factory=ner_model_factory,
+            encoder_factory=encoder_factory,
+        )
+        updated.save(store_root)
+
+    writer = raw_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation over a stream.
+
+    Works on both streaming and batch DataFrames (same plan); in
+    streaming mode the watermark bounds state for late data.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window_duration, slide)
+        if slide
+        else F.window(F.col(ts_col), window_duration)
+    )
+    return df.groupBy(win, F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,3)")).cast("double").alias("sum_value"),
+    )

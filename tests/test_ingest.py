@@ -1,0 +1,137 @@
+"""Ingestion (D1-D8) tests: graph shape, uid determinism, idempotency
+(the Cypher MERGE guarantee), and the golden 2-hop exemplar query from
+the reference LLM prompt (chat.py:25), run as DataFrame AND spark.sql."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_graph_rag_spark.graph_store import GraphStore
+from news_graph_rag_spark.ingest.embedder import HashEmbedder
+from news_graph_rag_spark.ingest.ner import GazetteerModel
+from news_graph_rag_spark.ingest.upserts import ingest_articles
+
+from fixtures import GAZETTEER, raw_articles_df
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    raw = raw_articles_df(spark)
+    s = ingest_articles(
+        GraphStore.empty(spark),
+        raw,
+        ner_model_factory=lambda: GazetteerModel(GAZETTEER),
+        encoder_factory=lambda: HashEmbedder(dim=32),
+    )
+    # materialize all tables once
+    s.tables = {k: v.cache() for k, v in s.tables.items()}
+    for df in s.tables.values():
+        df.count()
+    return s
+
+
+def _table_fingerprint(store):
+    out = {}
+    for name, df in sorted(store.tables.items()):
+        rows = sorted(map(str, df.collect()))
+        out[name] = rows
+    return out
+
+
+def test_graph_shape(store):
+    assert store["article"].count() == 3
+    assert store["source"].count() == 2  # Example News reused by a1+a3
+    assert store["published"].count() == 3
+    # authors: Alice, Bob, fallback 'World Wire' (a2 has none)
+    names = {r["name"] for r in store["person"].collect()}
+    assert {"Alice Writer", "Bob Reporter", "World Wire"} <= names
+    # NER found gazetteer entities
+    assert {r["name"] for r in store["organization"].collect()} >= {
+        "European Union",
+        "BRICS",
+        "NATO",
+    }
+    assert {r["name"] for r in store["location"].collect()} >= {"France", "Berlin"}
+    # every chunk belongs to exactly one article
+    chunks = store["chunk"].count()
+    assert store["contains"].count() == chunks
+    # embeddings attached and sized
+    dims = store["chunk"].select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r["d"] for r in dims] == [32]
+
+
+def test_uniqueness_constraints(store):
+    for table in ("article", "chunk", "person", "organization", "location",
+                  "source", "topic", "contains", "mentions", "authored",
+                  "has_topic", "published"):
+        store.assert_unique(table)
+
+
+def test_idempotent_reingest(spark, store):
+    raw = raw_articles_df(spark)
+    again = ingest_articles(
+        store,
+        raw,
+        ner_model_factory=lambda: GazetteerModel(GAZETTEER),
+        encoder_factory=lambda: HashEmbedder(dim=32),
+    )
+    assert _table_fingerprint(again) == _table_fingerprint(store)
+
+
+EXPECTED_TITLES = {
+    "EU summit: von der Leyen outlines budget",
+    "France and Macron: a profile",
+}
+
+
+def test_golden_2hop_exemplar_dataframe(store):
+    """chat.py:25: DISTINCT titles of articles whose chunks mention
+    Emmanuel Macron (Person), LIMIT 10."""
+    a = store["article"].alias("a")
+    c = store["contains"].alias("c")
+    m = store["mentions"].alias("m")
+    p = (
+        store["person"]
+        .filter(F.col("name").isin("Emmanuel Macron", "E. Macron"))
+        .alias("p")
+    )
+    hits = (
+        a.join(c, F.col("a.uid") == F.col("c.src_uid"))
+        .join(m, F.col("c.dst_uid") == F.col("m.src_uid"))
+        .join(F.broadcast(p), F.col("m.dst_uid") == F.col("p.uid"))
+        .select("a.title")
+        .distinct()
+        .limit(10)
+    )
+    assert {r["title"] for r in hits.collect()} == EXPECTED_TITLES
+
+
+def test_golden_2hop_exemplar_sql(store):
+    store.register_views()
+    got = store.spark.sql(
+        """
+        SELECT DISTINCT a.title
+        FROM article a
+        JOIN contains c ON a.uid = c.src_uid
+        JOIN mentions m ON c.dst_uid = m.src_uid
+        JOIN person p ON m.dst_uid = p.uid
+        WHERE p.name IN ('Emmanuel Macron', 'E. Macron')
+        LIMIT 10
+        """
+    ).collect()
+    assert {r["title"] for r in got} == EXPECTED_TITLES
+
+
+def test_schema_string_renders(store):
+    s = store.schema_string()
+    assert "article (:Article)" in s
+    assert "(:Chunk)-[:MENTIONS]->(:Person|Organization|Location)" in s
+
+
+def test_save_load_roundtrip(tmp_path, spark, store):
+    root = str(tmp_path / "graph")
+    store.save(root)
+    loaded = GraphStore.load(spark, root)
+    assert loaded["article"].count() == store["article"].count()
+    assert set(loaded["chunk"].columns) == set(store["chunk"].columns)

@@ -1,0 +1,68 @@
+"""M1-M3 chat loop with a deterministic FakeLLM: question → entity
+linking → generated Spark SQL → execution → answer synthesis
+(E1 lifecycle, chat.py analog)."""
+
+from __future__ import annotations
+
+import pytest
+
+from news_graph_rag_spark.graph_store import GraphStore
+from news_graph_rag_spark.ingest.ner import EntityFinder, GazetteerModel
+from news_graph_rag_spark.ingest.upserts import ingest_articles
+from news_graph_rag_spark.llm import FakeLLM, GraphChat, strip_sql_fences
+
+from fixtures import GAZETTEER, raw_articles_df
+
+QUESTION = "Which articles mention Emmanuel Macron?"
+GEN_SQL = """
+SELECT DISTINCT a.title
+FROM article a
+JOIN contains c ON a.uid = c.src_uid
+JOIN mentions m ON c.dst_uid = m.src_uid
+JOIN person p ON m.dst_uid = p.uid
+WHERE p.name = 'Emmanuel Macron'
+LIMIT 10
+""".strip()
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    s = ingest_articles(
+        GraphStore.empty(spark),
+        raw_articles_df(spark),
+        ner_model_factory=lambda: GazetteerModel(GAZETTEER),
+    )
+    s.tables = {k: v.cache() for k, v in s.tables.items()}
+    return s
+
+
+def test_strip_sql_fences():
+    assert strip_sql_fences("```sql\nSELECT 1\n```") == "SELECT 1"
+    assert strip_sql_fences("SELECT 1;") == "SELECT 1"
+
+
+def test_chat_end_to_end(store):
+    llm = FakeLLM(
+        canned={
+            "Generate ONE Spark SQL": f"```sql\n{GEN_SQL}\n```",
+            "Answer the question": "Two articles mention Macron.",
+        }
+    )
+    chat = GraphChat(
+        store=store,
+        llm=llm,
+        entity_finder=EntityFinder(GazetteerModel(GAZETTEER)),
+    )
+    answer = chat.answer(QUESTION)
+    assert answer == "Two articles mention Macron."
+    # the SQL actually executed against the graph views
+    titles = {r["title"] for r in chat.execute(chat.last["sql"]).collect()}
+    assert titles == {
+        "EU summit: von der Leyen outlines budget",
+        "France and Macron: a profile",
+    }
+    # entity linking fed the prompt: Macron found by NER + linked
+    assert "Emmanuel Macron" in chat.last["entities"]
+    assert any(c["name"] == "Emmanuel Macron" for c in chat.last["candidates"])
+    # prompt carried the schema string
+    assert "article (:Article)" in llm.prompts[0]

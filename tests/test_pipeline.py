@@ -1,0 +1,164 @@
+"""Training-data pipeline operator tests: dedup families on planted
+duplicates, similarity-search tiers, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_graph_rag_spark.pipeline import (
+    brute_force_top_k,
+    decode_images,
+    exact_dedup_keys,
+    extract_image_features,
+    fingerprints,
+    ivf_build,
+    ivf_search,
+    language_id,
+    lsh_bucket_top_k,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    quality_signals,
+    sample_video_frames,
+    simhash_fingerprints,
+    token_counts,
+)
+from news_graph_rag_spark.pipeline.dedup import hamming_near_dups
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = BASE.replace("today", "tonight")  # 1-token change → high Jaccard
+FAR = "completely different words about spark dataframes and shuffles here"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),          # exact dup of 0
+        (2, NEAR),          # near dup of 0
+        (3, FAR),
+        (4, "tiny"),
+        (5, BASE + " extra trailing words to pad things out"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    out = {r["canonical_id"]: r["n_copies"] for r in exact_dedup_keys(docs).collect()}
+    assert out[0] == 2  # docs 0+1 collapse
+    assert sum(out.values()) == 6
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    sigs = minhash_signatures(docs, num_hashes=8)
+    assert sigs.count() == 6 * 8
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (0, 1) in pairs  # identical docs always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup usually collides
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_hamming(docs):
+    fps = simhash_fingerprints(docs)
+    vals = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    assert vals[0] == vals[1]  # identical text → identical fingerprint
+    near = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+            hamming_near_dups(fps, max_distance=8).collect()}
+    assert near.get((0, 1)) == 0
+
+
+def test_brute_force_vs_ivf_and_lsh(spark):
+    import random
+
+    rng = random.Random(42)
+    dim = 16
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    q = rows[7][1]
+
+    exact = [r["vec_id"] for r in brute_force_top_k(df, q, k=10).collect()]
+    assert exact[0] == 7  # self-similarity first
+
+    assignments, centroids = ivf_build(df, n_centroids=8, iters=1)
+    assert centroids.count() == 8
+    approx = [r["vec_id"] for r in
+              ivf_search(assignments, centroids, q, k=10, nprobe=4).collect()]
+    assert approx[0] == 7
+    assert len(set(exact[:5]) & set(approx)) >= 2  # decent recall
+
+    lsh = [r["vec_id"] for r in lsh_bucket_top_k(df, q, k=10, n_planes=6).collect()]
+    assert 7 in lsh  # query's own bucket always probed
+
+
+def test_language_id(spark):
+    rows = [
+        (0, "the cat sat on the mat and the dog barked at the moon", "en"),
+        (1, "der hund und die katze liefen zu dem haus von dem mann", "de"),
+        (2, "le chat et la souris sont dans les jardins de la ville", "fr"),
+        (3, "el perro y el gato corren por los campos de la granja", "es"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, lang string")
+    out = language_id(df).collect()
+    assert all(r["pred_lang"] == r["lang"] for r in out)
+
+
+def test_quality_and_tokens_and_fingerprint(docs):
+    q = quality_signals(docs).filter(F.col("doc_id") == 0).first()
+    assert q["n_tokens"] == len(BASE.split())
+    assert 0.0 <= q["quality_score"] <= 1.0
+    t = token_counts(docs).filter(F.col("doc_id") == 4).first()
+    assert t["n_tokens"] == 1
+    f = fingerprints(docs).select("doc_id", "fingerprint").collect()
+    fps = {r["doc_id"]: r["fingerprint"] for r in f}
+    assert fps[0] == fps[1] and fps[0] != fps[3]
+
+
+# ---- multimodal plumbing -------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    rows = [
+        (0, b"\x89PNGfakebytes0", "png", 64, 48),
+        (1, b"\xff\xd8JPEGfakebytes1", "jpeg", 128, 96),
+        (2, None, "png", 0, 0),
+    ]
+    return spark.createDataFrame(
+        rows, "media_id long, data binary, format string, width int, height int"
+    )
+
+
+def test_decode_images_stub(images):
+    out = decode_images(images).collect()
+    stats = {r["media_id"]: (r["pixel_mean"], r["pixel_std"]) for r in out}
+    assert stats[2] == (0.0, 0.0)  # null bytes → zero stats
+    assert stats[0] != stats[1]  # deterministic per content
+    again = {r["media_id"]: (r["pixel_mean"], r["pixel_std"])
+             for r in decode_images(images).collect()}
+    assert stats == again
+
+
+def test_decode_images_real_decoder_is_stubbed(images):
+    with pytest.raises(Exception) as ei:
+        decode_images(images, decode_fn=lambda b: b).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_extract_image_features_shape(images):
+    out = extract_image_features(images, dim=16).collect()
+    by_id = {r["media_id"]: r["features"] for r in out}
+    assert len(by_id[0]) == 16
+    assert by_id[2] is None
+
+
+def test_sample_video_frames(spark):
+    vids = spark.createDataFrame(
+        [(0, 25), (1, 3)], "media_id long, n_frames int"
+    )
+    out = sample_video_frames(vids, every_n=10).collect()
+    got = sorted((r["media_id"], r["frame_index"]) for r in out)
+    assert got == [(0, 0), (0, 10), (0, 20), (1, 0)]

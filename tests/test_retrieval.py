@@ -1,0 +1,110 @@
+"""Retrieval tests (R1-R4): fuzzy typo tolerance, vector top-k
+metamorphic invariants, hybrid fusion, graph expansion projection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_graph_rag_spark.graph_store import GraphStore
+from news_graph_rag_spark.ingest.embedder import HashEmbedder
+from news_graph_rag_spark.ingest.ner import GazetteerModel
+from news_graph_rag_spark.ingest.upserts import ingest_articles
+from news_graph_rag_spark.retrieval import (
+    expand_chunk_hits,
+    hybrid_top_k,
+    lookup_entities,
+    vector_top_k,
+)
+
+from fixtures import GAZETTEER, raw_articles_df
+
+EMBED_DIM = 32
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    s = ingest_articles(
+        GraphStore.empty(spark),
+        raw_articles_df(spark),
+        ner_model_factory=lambda: GazetteerModel(GAZETTEER),
+        encoder_factory=lambda: HashEmbedder(dim=EMBED_DIM),
+    )
+    s.tables = {k: v.cache() for k, v in s.tables.items()}
+    return s
+
+
+# ---- R1: fuzzy entity linking ------------------------------------------
+
+
+def test_fuzzy_exact_name_links_first(store):
+    out = lookup_entities(store, ["Emmanuel Macron"]).collect()
+    assert out and out[0]["name"] == "Emmanuel Macron"
+    assert out[0]["label"] == "Person"
+    assert out[0]["rnk"] == 1
+
+
+def test_fuzzy_one_typo_still_links(store):
+    # 'Emmanuel Macrons' / 'Ursula von der Leyn' — within ~0.8 budget
+    out = {r["probe"]: r for r in lookup_entities(
+        store, ["Emmanuel Macrons", "Ursula von der Leyn"]
+    ).filter(F.col("rnk") == 1).collect()}
+    assert out["Emmanuel Macrons"]["name"] == "Emmanuel Macron"
+    assert out["Ursula von der Leyn"]["name"] == "Ursula von der Leyen"
+
+
+def test_fuzzy_and_semantics_rejects_partial(store):
+    # one token matches nothing → AND semantics → no candidate
+    out = lookup_entities(store, ["Emmanuel Zzzzzzz"]).collect()
+    assert out == []
+
+
+def test_fuzzy_respects_limit(store):
+    out = lookup_entities(store, ["France"], per_entity_limit=1).collect()
+    assert len(out) == 1
+
+
+# ---- R2: vector top-k ---------------------------------------------------
+
+
+def test_vector_self_similarity_ranks_first(store):
+    chunk = store["chunk"].filter(F.col("embedding").isNotNull()).first()
+    hits = vector_top_k(store["chunk"], list(chunk["embedding"]), k=5).collect()
+    assert hits[0]["uid"] == chunk["uid"]
+    assert hits[0]["score"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_vector_k_monotonic(store):
+    chunk = store["chunk"].filter(F.col("embedding").isNotNull()).first()
+    qv = list(chunk["embedding"])
+    top3 = [r["uid"] for r in vector_top_k(store["chunk"], qv, k=3).collect()]
+    top5 = [r["uid"] for r in vector_top_k(store["chunk"], qv, k=5).collect()]
+    assert top5[:3] == top3
+
+
+# ---- R3/R4: hybrid + expansion ------------------------------------------
+
+
+def test_hybrid_includes_keyword_and_vector_signal(store):
+    chunk = store["chunk"].filter(F.col("embedding").isNotNull()).first()
+    qv = list(chunk["embedding"])
+    hits = hybrid_top_k(store["chunk"], qv, "BRICS Ankara", k=5).collect()
+    assert len(hits) == 5
+    # the vector-identical chunk scores 1.0 (max-normalized)
+    assert any(h["uid"] == chunk["uid"] and h["score"] == pytest.approx(1.0) for h in hits)
+    # a chunk containing both keywords also scores 1.0 via keyword signal
+    kw_hit = [h for h in hits if "BRICS" in h["text"] and "Ankara" in h["text"]]
+    assert kw_hit and kw_hit[0]["score"] == pytest.approx(1.0)
+
+
+def test_expand_chunk_hits_projection(store):
+    chunk = store["chunk"].filter(F.col("embedding").isNotNull()).first()
+    hits = vector_top_k(store["chunk"], list(chunk["embedding"]), k=3)
+    out = expand_chunk_hits(store, hits).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["text"].startswith("Title: ")
+        assert "\nText: " in r["text"]
+        md = r["metadata"].asDict()
+        assert set(md) == {"position", "section", "category", "date", "url", "source"}
+        assert md["source"] in {"Example News", "World Wire"}
