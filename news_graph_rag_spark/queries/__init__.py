@@ -8,3 +8,5 @@ from .catalog import CatalogQuery, load, register, registry  # noqa: F401
 from . import relational  # noqa: F401  (registers on import)
 from . import pipeline_queries  # noqa: F401
 from . import retrieval_queries  # noqa: F401
+from . import advanced  # noqa: F401
+from . import python_ops  # noqa: F401

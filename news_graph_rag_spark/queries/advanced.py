@@ -1,0 +1,433 @@
+"""Advanced operator catalog: as-of / range joins, rollup & pivot,
+exact percentiles, graph analytics (PageRank-lite, co-occurrence),
+salting, calendar aggregation.
+
+These go beyond the reference's Cypher surface (SURVEY §2 has no theta/
+as-of/range joins) — they're the operators a production Spark analytics
+stack adds on top, each still verified against a DuckDB oracle.
+
+Scale notes:
+- As-of join: Spark lacks a native one; implemented as union + ordered
+  window carry-forward (one shuffle on (key), state = one row) — the
+  standard trick that scales linearly, vs. merge_asof which needs
+  per-key pandas.
+- Range join: bucketize the time axis and equi-join on (key, bucket)
+  so the join is hash-based, then filter exactly; candidate blowup is
+  bounded by bucket width ÷ range width ≤ 2 buckets per probe.
+- PageRank: fixed-iteration chained aggregations; contribution sums go
+  through decimal casts so the result is bit-identical under any
+  aggregation order (same trick as all float sums here).
+- Salting: the heavy-hitter groupBy pre-aggregates on (key, salt) and
+  re-aggregates on key — same result, skew split across partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load, register
+from .relational import dsum
+
+# ---------------------------------------------------------------------------
+# As-of join: for each purchase, the latest prior (or same-instant)
+# click by the same user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_purchase_click",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, event_id AS click_id FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS since_click_us,
+           c.click_id
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="as-of join: latest click at-or-before each purchase, per user "
+    "(union + window carry-forward; DuckDB oracle uses native ASOF JOIN)",
+)
+def asof_join_purchase_click(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    # union trick: tag rows, sort by (ts, is_purchase) so clicks at the
+    # same instant sort first, carry the last click forward per user
+    tagged = purchases.select(
+        "user_id", "ts", F.lit(1).alias("is_purchase"), "event_id",
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    ).unionByName(
+        clicks.select(
+            "user_id", "ts", F.lit(0).alias("is_purchase"),
+            F.lit(None).cast("bigint").alias("event_id"),
+            "click_id", F.col("ts").alias("click_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn(
+        "last_click_id", F.last("click_id", ignorenulls=True).over(w)
+    ).withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+    return carried.filter(F.col("is_purchase") == 1).select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_click_ts"))).alias(
+            "since_click_us"
+        ),
+        F.col("last_click_id").alias("click_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join: clicks within 5 minutes before each purchase (bucketed)
+# ---------------------------------------------------------------------------
+
+_RANGE_US = 300_000_000  # 5 minutes
+
+
+@register(
+    "range_join_click_window",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+      WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, epoch_us(ts) AS cus FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, CAST(count(c.cus) AS BIGINT) AS n_clicks_5m
+    FROM purchases p LEFT JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.cus > p.tus - {_RANGE_US} AND c.cus <= p.tus
+    GROUP BY p.event_id, p.user_id
+    """,
+    doc="range join: clicks in the 5 min before each purchase — bucketized "
+    "equi-join + exact filter (hash join, ≤2 buckets/probe) vs. DuckDB "
+    "inequality join",
+)
+def range_join_click_window(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("tus")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.unix_micros("ts").alias("cus")
+    )
+    # bucket width = range width → each probe overlaps ≤ 2 buckets
+    p = purchases.withColumn(
+        "bucket", F.explode(
+            F.array(
+                (F.col("tus") / _RANGE_US).cast("bigint") - 1,
+                (F.col("tus") / _RANGE_US).cast("bigint"),
+            )
+        )
+    )
+    c = clicks.withColumn("bucket", (F.col("cus") / _RANGE_US).cast("bigint"))
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (p.bucket == c.bucket)
+        & (c.cus > p.tus - _RANGE_US)
+        & (c.cus <= p.tus),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("cus").alias("n_clicks_5m")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP + pivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="rollup: hierarchical subtotals over (returnflag, linestatus)",
+)
+def rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "pivot_status_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_open,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_filled,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_partial
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="pivot: order-status counts per market segment (fixed value list)",
+)
+def pivot_status_by_segment(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "c_mktsegment",
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (interpolated; integer-valued doubles → exact in FP)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentile_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.50) AS p50,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="exact interpolated percentiles of l_quantity per returnflag "
+    "(integer-valued data → bit-exact across engines)",
+)
+def percentile_quantity(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("p25"),
+        F.percentile("l_quantity", 0.50).alias("p50"),
+        F.percentile("l_quantity", 0.75).alias("p75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics on derived graphs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pagerank_nations",
+    oracle="""
+    WITH edges AS (
+      SELECT n_regionkey AS src, n_nationkey + 100 AS dst FROM nation
+      UNION ALL
+      SELECT n_nationkey + 100 AS src, n_regionkey AS dst FROM nation
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+            FROM edges GROUP BY src),
+    r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+    r1 AS (
+      SELECT e.dst AS id,
+             CAST(0.15 AS DOUBLE) + 0.85 * CAST(SUM(CAST(
+               r.rank / d.out_deg AS DECIMAL(30,12))) AS DOUBLE) AS rank
+      FROM edges e JOIN r0 r ON e.src = r.id JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS id,
+             CAST(0.15 AS DOUBLE) + 0.85 * CAST(SUM(CAST(
+               r.rank / d.out_deg AS DECIMAL(30,12))) AS DOUBLE) AS rank
+      FROM edges e JOIN r1 r ON e.src = r.id JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    )
+    SELECT CAST(id AS BIGINT) AS id, rank FROM r2
+    """,
+    doc="graph analytics: 2-iteration PageRank on the nation↔region "
+    "bipartite graph (decimal-cast contribution sums → deterministic)",
+)
+def pagerank_nations(spark: SparkSession, sf: str) -> DataFrame:
+    nation = load(spark, sf, "nation")
+    fwd = nation.select(
+        F.col("n_regionkey").cast("bigint").alias("src"),
+        (F.col("n_nationkey") + 100).cast("bigint").alias("dst"),
+    )
+    rev = nation.select(
+        (F.col("n_nationkey") + 100).cast("bigint").alias("src"),
+        F.col("n_regionkey").cast("bigint").alias("dst"),
+    )
+    edges = fwd.unionByName(rev)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "rank", F.lit(1.0)
+    )
+    for _ in range(2):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+        )
+        ranks = contrib.groupBy("id").agg(
+            (
+                F.lit(0.15)
+                + F.lit(0.85) * F.sum(F.col("c").cast("decimal(30,12)")).cast("double")
+            ).alias("rank")
+        )
+    return ranks.select(F.col("id").cast("bigint").alias("id"), "rank")
+
+
+@register(
+    "copurchase_part_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey < 50
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING count(*) >= 2
+    """,
+    doc="graph analytics: part co-occurrence edges (bounded key range, "
+    "self-join on orderkey, support >= 2)",
+)
+def copurchase_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    items = (
+        load(spark, sf, "lineitem")
+        .filter(F.col("l_partkey") < 50)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted aggregation (skew pattern; result identical to plain groupBy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_event_counts",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="skew pattern: two-phase salted aggregation on a hot key — "
+    "pre-agg on (key, salt) then final agg; oracle is the plain groupBy",
+)
+def salted_event_counts(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    salted = ev.withColumn("_salt", (F.rand(seed=7) * 16).cast("int"))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(30,3)")).alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("bigint").alias("n"),
+        F.sum("psum").cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_by_month",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="calendar rollup: orders count + revenue per (year, month)",
+)
+def orders_by_month(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery threshold (decimal cross-multiplied, exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "above_avg_customers",
+    oracle="""
+    WITH tot AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer
+    )
+    SELECT c_custkey, c_name
+    FROM customer, tot
+    WHERE CAST(c_acctbal AS DECIMAL(30,2)) * n > s
+    """,
+    doc="scalar subquery: customers above average balance (exact decimal "
+    "cross-multiplied comparison, no float threshold)",
+)
+def above_avg_customers(spark: SparkSession, sf: str) -> DataFrame:
+    customer = load(spark, sf, "customer")
+    tot = customer.agg(
+        F.sum(F.col("c_acctbal").cast("decimal(30,2)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        customer.crossJoin(F.broadcast(tot))
+        .filter(F.col("c_acctbal").cast("decimal(30,2)") * F.col("n") > F.col("s"))
+        .select("c_custkey", "c_name")
+    )

@@ -1,0 +1,161 @@
+"""Catalog entries for the Python-side / approximate / streaming
+operators — not SQL-expressible, so they carry no oracle and the driver
+records the weaker rows-only check (per the contract). Each is the
+TESTDATA instantiation of a library operator that has its own exact
+unit/metamorphic tests under tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load, register
+
+
+@register(
+    "chunk_documents",
+    oracle=None,
+    doc="L1-L4 chunking pipeline (applyInPandas) over documents-as-articles; "
+    "exact semantics unit-tested against the pure functions",
+)
+def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ingest.chunker import chunk_articles
+
+    docs = load(spark, sf, "documents")
+    raw = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.array().cast("array<string>").alias("summary"),
+        F.array(
+            F.struct(
+                F.array().cast("array<string>").alias("headline"),
+                F.array(F.col("text")).alias("paragraphs"),
+            )
+        ).alias("sections"),
+    )
+    return (
+        chunk_articles(raw)
+        .groupBy("article_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("position").alias("max_position"),
+        )
+    )
+
+
+@register(
+    "embed_documents",
+    oracle=None,
+    doc="L7 embedding inference (Arrow mapInPandas, deterministic hash "
+    "encoder) over documents; dims + determinism unit-tested",
+)
+def embed_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ingest.embedder import HashEmbedder, embed_texts
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    out = embed_texts(docs, lambda: HashEmbedder(dim=64))
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
+    )
+
+
+@register(
+    "ner_documents",
+    oracle=None,
+    doc="L5-L6 NER (mapInPandas, gazetteer model) over documents; "
+    "span-merge semantics unit-tested against the reference rule",
+)
+def ner_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ingest.ner import GazetteerModel, find_entities
+
+    gazetteer = {
+        "organization": ["spark"],
+        "person": ["customer"],
+    }
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("uid"), "text"
+    )
+    found = find_entities(docs, lambda: GazetteerModel(gazetteer))
+    return (
+        found.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.count_distinct("chunk_uid").alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,
+    doc="approximate NN: IVF (k-means coarse quantizer, nprobe=4) top-10; "
+    "recall vs brute force unit-tested",
+)
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.similarity import ivf_build, ivf_search
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    assignments, centroids = ivf_build(emb, n_centroids=8, iters=1)
+    return ivf_search(assignments, centroids, list(q), k=10).select(
+        "vec_id", "centroid_id"
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,
+    doc="approximate NN: sign-LSH bucket ring (8 planes) top-10; "
+    "bucket-membership invariants unit-tested",
+)
+def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.similarity import lsh_bucket_top_k
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return lsh_bucket_top_k(emb, list(q), k=10, n_planes=8).select("vec_id")
+
+
+@register(
+    "streaming_tumbling_counts",
+    oracle=None,
+    doc="Structured Streaming: events replayed as a file stream through a "
+    "watermarked tumbling-window aggregation (memory sink, availableNow); "
+    "batch-equals-stream parity unit-tested",
+)
+def streaming_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming import windowed_event_counts
+
+    batch = load(spark, sf, "events")
+    # the driver ships events.parquet as a single file; Spark's file-stream
+    # source needs a directory, so stage a multi-file copy (normalized ts)
+    # and replay it incrementally with maxFilesPerTrigger
+    stage_dir = tempfile.mkdtemp(prefix="ngr_stream_events_")
+    batch.repartition(16).write.mode("overwrite").parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(stage_dir)
+    )
+    agg = windowed_event_counts(stream, "1 hour", watermark="2 hours")
+    name = "stream_tumbling_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
