@@ -10,3 +10,4 @@ from . import pipeline_queries  # noqa: F401
 from . import retrieval_queries  # noqa: F401
 from . import advanced  # noqa: F401
 from . import python_ops  # noqa: F401
+from . import multimodal_queries  # noqa: F401
