@@ -159,3 +159,65 @@ def streaming_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         "sum_value",
     )
+
+
+@register(
+    "graph_ingest_roundtrip",
+    oracle=None,
+    doc="E2 end-to-end: documents replayed as raw articles through the "
+    "full set-oriented ingest (D1-D8 upserts, L1-L4 chunking, L5-L6 NER, "
+    "L7 embeddings) into graph tables, then a 3-hop read query "
+    "(source→article→chunk→entity). Idempotency + golden shapes "
+    "unit-tested in tests/test_ingest.py.",
+)
+def graph_ingest_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from ..graph_store import GraphStore
+    from ..ingest.embedder import HashEmbedder
+    from ..ingest.ner import GazetteerModel
+    from ..ingest.upserts import ingest_articles
+
+    docs = load(spark, sf, "documents")
+    raw = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("Document "), F.col("doc_id").cast("string")).alias("title"),
+        F.lit(None).cast("timestamp").alias("publishing_date"),
+        F.col("lang").alias("language"),
+        F.array().cast("array<string>").alias("summary"),
+        F.array(
+            F.struct(
+                F.array().cast("array<string>").alias("headline"),
+                F.array(F.col("text")).alias("paragraphs"),
+            )
+        ).alias("sections"),
+        F.array().cast("array<string>").alias("topics"),
+        F.array(F.col("source")).alias("authors"),
+        F.col("source").alias("source_name"),
+        F.lit("feed").alias("source_type"),
+        F.concat(F.lit("https://"), F.col("source")).alias("source_url"),
+    )
+    gazetteer = {"organization": ["spark"], "person": ["customer"]}
+    store = ingest_articles(
+        GraphStore.empty(spark),
+        raw,
+        ner_model_factory=lambda: GazetteerModel(gazetteer),
+        encoder_factory=lambda: HashEmbedder(dim=16),
+    )
+    src, pub, art = store["source"], store["published"], store["article"]
+    cont, chunk = store["contains"], store["chunk"]
+    men = store["mentions"]
+    return (
+        src.select(F.col("uid").alias("s_uid"), F.col("name").alias("source_name"))
+        .join(pub, F.col("s_uid") == pub.src_uid)
+        .join(art.select(F.col("uid").alias("a_uid")), pub.dst_uid == F.col("a_uid"))
+        .join(cont, F.col("a_uid") == cont.src_uid)
+        .join(
+            chunk.select(F.col("uid").alias("c_uid")), cont.dst_uid == F.col("c_uid")
+        )
+        .join(men, F.col("c_uid") == men.src_uid, "left")
+        .groupBy("source_name")
+        .agg(
+            F.count_distinct("a_uid").alias("n_articles"),
+            F.count_distinct("c_uid").alias("n_chunks"),
+            F.count_distinct(men.dst_uid).alias("n_entities"),
+        )
+    )

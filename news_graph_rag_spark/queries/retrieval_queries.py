@@ -314,3 +314,68 @@ def near_dup_embedding(spark: SparkSession, sf: str) -> DataFrame:
         .filter(cosine_col(F.col("ea"), F.col("eb")) > 0.35)
         .select("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# R4 — retrieval + graph expansion: vector hits joined back to documents,
+# context string + metadata map projection (vector_index.ipynb raw 121-138)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retrieval_expand_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    hits AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (
+               ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id)
+               AS INT) AS rnk
+      FROM embeddings CROSS JOIN q
+      WHERE vec_id <> 0
+      QUALIFY rnk <= 5
+    )
+    SELECT h.rnk, d.doc_id,
+           'Source: ' || d.source || ' | Text: ' || substr(d.text, 1, 80)
+             AS context,
+           d.source, d.lang
+    FROM hits h JOIN documents d ON h.vec_id = d.doc_id
+    """,
+    doc="R4: vector top-5 + expansion join back to documents + map "
+    "projection of metadata and a composed context string "
+    "(vector_index.ipynb raw 121-138; P5/P6/J4). The hit set is tiny "
+    "(k rows) so the expansion join broadcasts the hits, not the corpus.",
+)
+def retrieval_expand_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    hits = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine_col(F.col("embedding"), F.col("qv")).alias("score"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("vec_id", "rnk")
+    )
+    docs = load(spark, sf, "documents")
+    # P5 map projection: bundle metadata into a struct, then flatten —
+    # the struct is the Cypher map-projection analog
+    expanded = F.broadcast(hits).join(docs, hits.vec_id == docs.doc_id)
+    meta = F.struct(
+        F.col("source").alias("source"),
+        F.col("lang").alias("lang"),
+        F.concat(
+            F.lit("Source: "),
+            F.col("source"),
+            F.lit(" | Text: "),
+            F.substring(F.col("text"), 1, 80),
+        ).alias("context"),
+    )
+    return expanded.withColumn("m", meta).select(
+        "rnk",
+        "doc_id",
+        F.col("m.context").alias("context"),
+        F.col("m.source").alias("source"),
+        F.col("m.lang").alias("lang"),
+    )
