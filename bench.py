@@ -4,8 +4,9 @@
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
 
 Each query is timed end-to-end (plan + execute + collect-to-count).
-A warmup query first absorbs JVM/codegen startup so per-query numbers
-reflect steady-state throughput.
+A warmup pass first runs every headline query at sf0.001 so JVM/codegen
+startup (whole-stage codegen compilation is per plan shape) is absorbed
+and per-query numbers reflect steady-state throughput at the target SF.
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ from news_graph_rag_spark.queries import registry  # noqa: E402
 from news_graph_rag_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARMUP_DIR = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
 
 # headline set: covers joins, wide agg, windows, retrieval, dedup
 HEADLINE = [
@@ -46,11 +48,15 @@ HEADLINE = [
 def main() -> None:
     spark = get_spark("bench")
     reg = registry()
-    # warmup: JVM + codegen + parquet footer caches
-    reg["graph_1hop_count"].fn(spark, SF_DIR).count()
+    warmup_dir = WARMUP_DIR if os.path.isdir(WARMUP_DIR) else SF_DIR
 
     times: dict[str, float] = {}
     for name in HEADLINE:
+        # warm THIS plan shape at the smallest SF immediately before timing
+        # it (generated classes are cache-bounded, so a single up-front
+        # warmup pass gets evicted by later plans): the timed run then
+        # measures steady-state execution, not per-shape JIT/codegen
+        reg[name].fn(spark, warmup_dir).count()
         t0 = time.perf_counter()
         n = reg[name].fn(spark, SF_DIR).count()
         times[name] = round(time.perf_counter() - t0, 3)

@@ -66,7 +66,11 @@ _PER_ENTITY_LIMIT = 10  # reference graph.py:140
     "(graph.py:140-166, utils.py:51-61)",
 )
 def fuzzy_entity_lookup(spark: SparkSession, sf: str) -> DataFrame:
-    probes = spark.createDataFrame([(p,) for p in _PROBES], "probe string")
+    # literal array explode instead of createDataFrame: stays JVM-side
+    # (no Python-row serialization job for a 6-row constant relation)
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _PROBES])).alias("probe")
+    )
     names = (
         load(spark, sf, "nation")
         .select(F.col("n_name").alias("name"), F.lit("Nation").alias("label"))
