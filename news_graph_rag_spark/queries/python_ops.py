@@ -221,3 +221,63 @@ def graph_ingest_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             F.count_distinct(men.dst_uid).alias("n_entities"),
         )
     )
+
+
+@register(
+    "streaming_stateful_sessions",
+    oracle=None,
+    doc="Structured Streaming: custom stateful sessionization via "
+    "applyInPandasWithState (EventTimeTimeout, O(1) state/key) over a "
+    "file-replayed event stream; batch-equals-stream parity unit-tested "
+    "in tests/test_streaming.py",
+)
+def streaming_stateful_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..streaming.stateful import stateful_sessionize
+
+    events = load(spark, sf, "events").filter(F.col("user_id") < 100).select(
+        "user_id", "ts"
+    )
+    # replay as: real events, then two far-future sentinel batches that
+    # advance the watermark so every real session flushes via timeout
+    src = tempfile.mkdtemp(prefix="ngr_stateful_sess_")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    stages = [events]
+    for days in (10, 20):
+        stages.append(
+            spark.sql(
+                f"SELECT CAST(999999999 AS BIGINT) AS user_id, "
+                f"timestamp'{max_ts}' + INTERVAL {days} DAYS AS ts"
+            )
+        )
+    now = time.time()
+    for i, df in enumerate(stages):
+        tmp_out = tempfile.mkdtemp(prefix="ngr_sess_stage_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        dest = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(glob.glob(f"{tmp_out}/part-*.parquet")[0], dest)
+        os.utime(dest, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = "stateful_sessions_out"
+    q = (
+        stateful_sessionize(stream, gap_seconds=1800, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).filter(F.col("user_id") < 100)

@@ -71,3 +71,99 @@ def test_streaming_ingest_foreachbatch(spark, tmp_path):
     q2.awaitTermination(60)
     again = GraphStore.load(spark, store_root)
     assert again["article"].count() == 3
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionizer == batch lag/sum sessionizer.
+
+    Replay: real events (one batch), then two far-future sentinel files
+    (separate batches) so the event-time watermark advances past every
+    real session's close and EventTimeTimeout flushes them all.
+    """
+    import os
+    import time
+
+    from pyspark.sql import Window
+    from news_graph_rag_spark.queries.catalog import load
+    from news_graph_rag_spark.streaming.stateful import stateful_sessionize
+
+    GAP_S = 1800
+    events = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "ts")
+    )
+
+    # expected: batch gap-sessionization (same rule as the `sessionize`
+    # catalog query), shaped as (user, start, end, n)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    expected = {
+        (r["user_id"], str(r["s"]), str(r["e"]), r["n"])
+        for r in (
+            events.withColumn(
+                "new_s",
+                F.when(gap_us.isNull() | (gap_us > GAP_S * 1_000_000), 1).otherwise(0),
+            )
+            .withColumn("sid", F.sum("new_s").over(run))
+            .groupBy("user_id", "sid")
+            .agg(
+                F.min("ts").alias("s"),
+                F.max("ts").alias("e"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+    }
+
+    # stage: real data, then two sentinel batches to drive the watermark.
+    # Each stage is one deterministically-named file with ascending mtime
+    # so FileStreamSource replays them in order.
+    import glob
+    import shutil
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    max_ts = events.agg(F.max("ts")).first()[0]
+    stages = [events]
+    for days in (10, 20):
+        stages.append(
+            spark.sql(
+                f"SELECT CAST(999999 AS BIGINT) AS user_id, "
+                f"timestamp'{max_ts}' + INTERVAL {days} DAYS AS ts"
+            )
+        )
+    now = time.time()
+    for i, df in enumerate(stages):
+        tmp_out = str(tmp_path / f"stage_{i}")
+        df.coalesce(1).write.parquet(tmp_out)
+        dest = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(glob.glob(f"{tmp_out}/part-*.parquet")[0], dest)
+        os.utime(dest, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sessions = stateful_sessionize(stream, gap_seconds=GAP_S, watermark="10 minutes")
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stateful_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in spark.sql(
+                "SELECT * FROM stateful_sessions WHERE user_id < 20"
+            ).collect()
+        }
+        assert got == expected
+    finally:
+        q.stop()
