@@ -1,0 +1,165 @@
+"""Graph analytics over edge DataFrames (SURVEY §7 step 8: the
+GraphFrames-style layer on the same node/edge tables — implemented
+directly on DataFrames since graphframes isn't a dependency).
+
+All algorithms take an edge DataFrame with ``src``/``dst`` columns
+(node ids: any orderable type; longs at scale) and return DataFrames,
+so they compose with the rest of the engine and Catalyst optimizes the
+per-iteration plans.
+
+Scale notes:
+- ``connected_components`` is min-label propagation accelerated with
+  pointer-halving (parent ← parent(parent) each round, the doubling
+  trick from the star-contraction family — cf. Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SOCC'14): rounds ≈
+  O(log diameter) instead of O(diameter), each round a groupBy-shuffle
+  keyed on node id, convergence checked (not assumed). Each round
+  localCheckpoints to truncate the exponentially-growing plan lineage
+  (iterative DataFrame jobs otherwise re-plan the whole history each
+  round).
+- ``pagerank`` is fixed-iteration chained joins/aggs; contributions are
+  summed via decimal casts when ``exact=True`` so results are
+  independent of aggregation order (bit-identical across partitionings).
+- ``triangle_count`` orients edges low→high id, so each triangle is
+  counted exactly once and the heaviest join side (high-degree hubs)
+  is halved — the standard oriented wedge-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Undirected view: both orientations, no self-loops, distinct."""
+    e = edges.select("src", "dst")
+    return (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, checkpoint_every: int = 1
+) -> DataFrame:
+    """Weakly connected components: (id, component) with component =
+    min node id in the component. Min-label propagation with
+    pointer-halving, iterated to convergence (checked, not assumed).
+
+    At the fixpoint every edge (u,v) forces parent(u) == parent(v), so
+    labels are constant per component and equal the component minimum.
+    """
+    # parent pointers start as the edge relation plus self-loops
+    sym = _sym(edges)
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    # neighbor-min initialization: parent(v) = min(v, min(neighbors))
+    parent = (
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("nbr_min"))
+        .select("id", F.least(F.col("id"), F.col("nbr_min")).alias("parent"))
+    )
+
+    for i in range(max_iter):
+        # pointer-halving (parent ← parent(parent)), then neighbor-min
+        # re-propagation
+        p1 = parent.select(F.col("id").alias("p_id"), F.col("parent").alias("p_par"))
+        hopped = (
+            parent.join(p1, parent.parent == p1.p_id, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("parent"), F.coalesce(F.col("p_par"), F.col("parent"))
+                ).alias("parent"),
+            )
+        )
+        nbr = (
+            sym.join(hopped, sym.dst == hopped.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("parent").alias("nbr_par"))
+        )
+        new_parent = (
+            hopped.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("parent"), F.coalesce(F.col("nbr_par"), F.col("parent"))
+                ).alias("parent"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            new_parent = new_parent.localCheckpoint(eager=True)
+        changed = (
+            new_parent.alias("n")
+            .join(parent.alias("o"), "id")
+            .filter(F.col("n.parent") != F.col("o.parent"))
+            .limit(1)
+            .count()
+        )
+        parent = new_parent
+        if changed == 0:
+            break
+    return nodes.join(parent, nodes.id == parent.id).select(
+        nodes.id.alias("id"), F.col("parent").alias("component")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    reset: float = 0.15,
+    exact: bool = False,
+) -> DataFrame:
+    """Fixed-iteration PageRank: (id, rank). Dangling mass is dropped
+    (matches the common simplified formulation; ranks sum < n)."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for i in range(iters):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+        )
+        summed = (
+            F.sum(F.col("c").cast("decimal(30,12)")).cast("double")
+            if exact
+            else F.sum("c")
+        )
+        incoming = contrib.groupBy("id").agg(
+            (F.lit(reset) + F.lit(1.0 - reset) * summed).alias("rank")
+        )
+        ranks = (
+            nodes.join(incoming, "id", "left")
+            .select("id", F.coalesce(F.col("rank"), F.lit(reset)).alias("rank"))
+        )
+        if (i + 1) % 5 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation count: (id, n_triangles).
+
+    Orient edges low→high, join wedges (a<b<c with a-b, b-c), close
+    with a-c; each triangle found once, then credited to all 3 corners.
+    """
+    und = _sym(edges).filter(F.col("src") < F.col("dst"))
+    ab = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .unionByName(tri.select(F.col("b").alias("id")))
+        .unionByName(tri.select(F.col("c").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))

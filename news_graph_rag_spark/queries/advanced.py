@@ -431,3 +431,117 @@ def above_avg_customers(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("c_acctbal").cast("decimal(30,2)") * F.col("n") > F.col("s"))
         .select("c_custkey", "c_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics: connected components + triangles on the co-purchase
+# graph (parts co-occurring in an order, bounded key range)
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_EDGES_SQL = """
+      WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_partkey < 50
+      ),
+      pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+      )
+      SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
+    items = (
+        load(spark, sf, "lineitem")
+        .filter(F.col("l_partkey") < 50)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+@register(
+    "connected_components_parts",
+    oracle="""
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey < 50
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(least(id, min(r)) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """,
+    doc="graph analytics: weakly connected components to convergence "
+    "(min-label propagation + pointer halving, news_graph_rag_spark."
+    "graph_algos) vs. DuckDB recursive transitive closure — exact at "
+    "the fixpoint, so iteration strategy can't affect parity",
+)
+def connected_components_parts(spark: SparkSession, sf: str) -> DataFrame:
+    from ..graph_algos import connected_components
+
+    cc = connected_components(_copurchase_edges(spark, sf))
+    return cc.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
+@register(
+    "triangle_count_parts",
+    oracle=f"""
+    WITH edges AS ({_COPURCHASE_EDGES_SQL}),
+    und AS (SELECT src, dst FROM edges WHERE src < dst),
+    tri AS (
+      SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+      FROM und ab
+      JOIN und bc ON ab.dst = bc.src
+      JOIN und ac ON ab.src = ac.src AND bc.dst = ac.dst
+    ),
+    corners AS (
+      SELECT a AS id FROM tri UNION ALL
+      SELECT b FROM tri UNION ALL
+      SELECT c FROM tri
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY id
+    """,
+    doc="graph analytics: per-node triangle counts via oriented wedge "
+    "join (each triangle found exactly once)",
+)
+def triangle_count_parts(spark: SparkSession, sf: str) -> DataFrame:
+    from ..graph_algos import triangle_count
+
+    tc = triangle_count(_copurchase_edges(spark, sf))
+    return tc.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+    )

@@ -1,0 +1,77 @@
+"""Graph analytics: connected components, PageRank, triangle counting
+on known small graphs (hand-computed goldens)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_graph_rag_spark.graph_algos import (
+    connected_components,
+    pagerank,
+    triangle_count,
+)
+
+
+def edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+def test_connected_components_two_chains_and_isolate_pair(spark):
+    # component A: 1-2-3-4 (path), component B: 10-11, component C: 20-21-22 (triangle)
+    e = edges_df(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)],
+    )
+    got = {(r["id"], r["component"]) for r in connected_components(e).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_long_path_converges(spark):
+    # path 0-1-2-...-40: diameter 40, pointer-halving must still converge
+    n = 41
+    e = edges_df(spark, [(i, i + 1) for i in range(n - 1)])
+    got = connected_components(e, max_iter=30).collect()
+    assert len(got) == n
+    assert {r["component"] for r in got} == {0}
+
+
+def test_pagerank_star_graph(spark):
+    # star: 1,2,3 all point at 0; 0 points at 1
+    e = edges_df(spark, [(1, 0), (2, 0), (3, 0), (0, 1)])
+    # 0↔1 form a cycle: convergence is geometric (0.85²)ⁿ — run enough
+    # iterations that the alternating error is below tolerance
+    ranks = {r["id"]: r["rank"] for r in pagerank(e, iters=60).collect()}
+    assert set(ranks) == {0, 1, 2, 3}
+    # hub 0 collects from 3 sources; 2,3 are dangling-free leaves at reset
+    assert ranks[0] > ranks[1] > ranks[2] == ranks[3] == pytest.approx(0.15)
+    # fixpoint sanity: rank(0) = 0.15 + 0.85*(rank(1)+rank(2)+rank(3))
+    assert ranks[0] == pytest.approx(
+        0.15 + 0.85 * (ranks[1] + ranks[2] + ranks[3]), rel=3e-4
+    )
+
+
+def test_pagerank_exact_mode_matches_float_mode(spark):
+    e = edges_df(spark, [(1, 0), (2, 0), (3, 0), (0, 1), (2, 1), (3, 2)])
+    f = {r["id"]: r["rank"] for r in pagerank(e, iters=5).collect()}
+    x = {r["id"]: r["rank"] for r in pagerank(e, iters=5, exact=True).collect()}
+    for k in f:
+        assert f[k] == pytest.approx(x[k], rel=1e-9)
+
+
+def test_triangle_count(spark):
+    # one triangle (1,2,3) + a pendant edge 3-4 + a second triangle (3,4,5)
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3)])
+    got = {(r["id"], r["n_triangles"]) for r in triangle_count(e).collect()}
+    assert got == {(1, 1), (2, 1), (3, 2), (4, 1), (5, 1)}
+
+
+def test_triangle_count_direction_and_duplicates_ignored(spark):
+    # duplicate + reversed edges must not double-count
+    e = edges_df(spark, [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 2)])
+    got = {(r["id"], r["n_triangles"]) for r in triangle_count(e).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1)}
