@@ -545,3 +545,129 @@ def triangle_count_parts(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id").cast("bigint").alias("id"),
         F.col("n_triangles").cast("bigint").alias("n_triangles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE + grouping_id, running totals, moving averages (window breadth)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+             AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="cube: all grouping-set combinations + grouping_id disambiguation "
+    "(NULL group values vs real NULLs)",
+)
+def cube_orders(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n")
+    )
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+    doc="window: per-customer running revenue total (decimal-exact "
+    "cumulative sum, deterministic order via unique key tiebreaker)",
+)
+def window_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        load(spark, sf, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running_spend"),
+        )
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS moving_avg_3
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    doc="window: 3-row moving average of order value per customer "
+    "(exact decimal sum → double, then IEEE double division by the "
+    "count — identical in both engines; decimal division would differ "
+    "in scale rules)",
+)
+def window_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    dec_sum = F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    return (
+        load(spark, sf, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            (dec_sum.cast("double") / cnt).alias("moving_avg_3"),
+        )
+    )
+
+
+@register(
+    "ntile_customer_value",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS s
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(ntile(4) OVER (ORDER BY s DESC, o_custkey) AS INT) AS quartile
+    FROM spend
+    """,
+    doc="window: customer value quartiles via ntile over exact decimal "
+    "spend (unique tiebreaker → deterministic tile assignment)",
+)
+def ntile_customer_value(spark: SparkSession, sf: str) -> DataFrame:
+    spend = (
+        load(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("s"))
+    )
+    w = Window.orderBy(F.desc("s"), F.asc("o_custkey"))
+    return spend.select(
+        "o_custkey", F.ntile(4).over(w).cast("int").alias("quartile")
+    )

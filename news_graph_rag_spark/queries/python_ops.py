@@ -281,3 +281,97 @@ def streaming_stateful_sessions(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).filter(F.col("user_id") < 100)
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,
+    doc="sketch: HLL++ approx_count_distinct per event_type next to the "
+    "exact count (error bound asserted in tests/test_pipeline.py); "
+    "cross-engine hash parity impossible — sketches differ by design",
+)
+def approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
+@register(
+    "approx_quantiles_value",
+    oracle=None,
+    doc="sketch: approx_percentile (p50/p95/p99) of event value per type "
+    "— distributed quantile sketch; rank-error bound asserted in "
+    "tests/test_pipeline.py",
+)
+def approx_quantiles_value(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("q"),
+    ).select(
+        "event_type",
+        F.col("q")[0].alias("p50"),
+        F.col("q")[1].alias("p95"),
+        F.col("q")[2].alias("p99"),
+    )
+
+
+@register(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="bucketed co-located join: both sides written bucketBy(8, custkey) "
+    "+ sortBy, then joined WITHOUT a shuffle (no Exchange above either "
+    "scan — asserted in tests/test_pipeline.py). The at-scale pattern for "
+    "repeated joins on the same key; oracle is the plain join.",
+)
+def bucketed_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    from urllib.parse import urlparse
+
+    # a previous session may have left the managed-table location behind
+    # without a catalog entry — clear both
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    for tbl in ("b_orders", "b_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if warehouse:
+            shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+
+    orders = load(spark, sf, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    customer = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    (
+        orders.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .saveAsTable("b_orders")
+    )
+    (
+        customer.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .saveAsTable("b_customer")
+    )
+    bo = spark.table("b_orders")
+    bc = spark.table("b_customer")
+    # force sort-merge (AQE would broadcast at test scale, hiding the
+    # point): bucketed+sorted inputs satisfy the join's distribution and
+    # ordering → no Exchange, no Sort on either side
+    return (
+        bo.hint("merge")
+        .join(bc.hint("merge"), bo.o_custkey == bc.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

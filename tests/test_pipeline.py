@@ -162,3 +162,61 @@ def test_sample_video_frames(spark):
     out = sample_video_frames(vids, every_n=10).collect()
     got = sorted((r["media_id"], r["frame_index"]) for r in out)
     assert got == [(0, 0), (0, 10), (0, 20), (1, 0)]
+
+
+# ---- sketches + bucketed join -------------------------------------------
+
+
+def test_approx_distinct_within_error_bound(spark, sf_dir):
+    from news_graph_rag_spark.queries import registry
+
+    rows = registry()["approx_distinct_users"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # rsd=0.02 → generous 5× cushion, deterministic sketch
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(
+            2, 0.10 * r["exact_users"]
+        )
+
+
+def test_approx_quantiles_rank_error(spark, sf_dir):
+    """The sketch guarantee is on RANK, not value: the returned point's
+    empirical rank must be within the accuracy bound of the target
+    quantile (value distance is unbounded in sparse tails)."""
+    import bisect
+
+    from news_graph_rag_spark.queries import registry
+    from news_graph_rag_spark.queries.catalog import load
+
+    got = {
+        r["event_type"]: (r["p50"], r["p95"], r["p99"])
+        for r in registry()["approx_quantiles_value"].fn(spark, sf_dir).collect()
+    }
+    values: dict[str, list[float]] = {}
+    for r in load(spark, sf_dir, "events").select("event_type", "value").collect():
+        values.setdefault(r["event_type"], []).append(r["value"])
+    for et, approx in got.items():
+        vs = sorted(values[et])
+        n = len(vs)
+        for q, a in zip((0.50, 0.95, 0.99), approx):
+            rank = bisect.bisect_right(vs, a) / n
+            assert abs(rank - q) <= 0.02 + 1.5 / n, (et, q, a, rank)
+
+
+def test_bucketed_join_has_no_shuffle_below_join(spark, sf_dir):
+    import contextlib
+    import io
+
+    from news_graph_rag_spark.queries import registry
+
+    df = registry()["bucketed_join_revenue"].fn(spark, sf_dir)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue().split("== Initial Plan ==")[0]
+    lines = plan.splitlines()
+    join_at = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+    below = "\n".join(lines[join_at:])
+    assert "Bucketed: true" in below
+    assert "Exchange" not in below  # co-located: no shuffle on either side
