@@ -42,6 +42,15 @@ HEADLINE = [
     "hybrid_search_rrf",
     "knn_classify",
     "fuzzy_entity_lookup",
+    # advanced relational + graph analytics
+    "asof_join_purchase_click",
+    "range_join_click_window",
+    "rollup_revenue",
+    "window_running_total",
+    "pagerank_nations",
+    "connected_components_parts",
+    "text_quality_score",
+    "text_lang_id",
 ]
 
 
@@ -57,6 +66,9 @@ def main() -> None:
         # warmup pass gets evicted by later plans): the timed run then
         # measures steady-state execution, not per-shape JIT/codegen
         reg[name].fn(spark, warmup_dir).count()
+        # GC between queries: isolate each timing from the previous
+        # query's allocation debris (broadcasts, shuffle buffers)
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         n = reg[name].fn(spark, SF_DIR).count()
         times[name] = round(time.perf_counter() - t0, 3)
