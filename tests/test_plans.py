@@ -1,0 +1,89 @@
+"""Physical-plan regression guards: the catalog queries must keep the
+plan shapes they were tuned for (broadcasts, pushdown, distributed
+top-k). These catch silent regressions that correctness tests can't —
+a query can stay right while its 100 TB story quietly breaks."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from news_graph_rag_spark.queries import registry
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return registry()
+
+
+def test_graph_joins_broadcast_small_sides(spark, sf_dir, reg):
+    # dimension-sized sides of the traversal joins must broadcast, not
+    # shuffle — at 100 TB only the fact-side scan should move data
+    for name in ["graph_2hop_filter_in", "graph_3hop_count_distinct"]:
+        plan = plan_of(reg[name].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_filters_reach_parquet_scans(spark, sf_dir, reg):
+    plan = plan_of(reg["graph_2hop_filter_in"].fn(spark, sf_dir))
+    pushed = [
+        line
+        for line in plan.splitlines()
+        if "PushedFilters: [" in line and "PushedFilters: []" not in line
+    ]
+    assert pushed, "no pushed filters in scan"
+
+
+def test_column_pruning_reaches_scans(spark, sf_dir, reg):
+    # pricing_summary reads 5 of lineitem's 16 columns; the scan schema
+    # must shrink accordingly
+    plan = plan_of(reg["pricing_summary"].fn(spark, sf_dir))
+    read_schemas = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ]
+    assert read_schemas
+    assert all("l_comment" not in line for line in read_schemas)
+
+
+def test_topk_uses_distributed_take_ordered(spark, sf_dir, reg):
+    # global top-k must be TakeOrderedAndProject (per-partition heaps),
+    # never a full Sort + Limit
+    plan = plan_of(reg["topk_orders"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vector_topk_broadcasts_query_vector(spark, sf_dir, reg):
+    plan = plan_of(reg["vector_topk_cosine"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_minhash_signature_is_map_side(spark, sf_dir, reg):
+    # signatures must come from the per-row array fold: no shuffle may
+    # appear below the (doc_id, seed) aggregation — i.e. the plan has no
+    # Exchange at all (result is map-only)
+    plan = plan_of(reg["dedup_minhash_signature"].fn(spark, sf_dir), "simple")
+    body = plan.split("== Physical Plan ==")[-1]
+    # allowed: the round-robin spread of the narrow input and the
+    # broadcast of the 8-row seed relation; a groupBy/explode formulation
+    # would show a hashpartitioning exchange
+    assert "hashpartitioning" not in body
+    for line in body.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line or "Broadcast" in line, line
+
+
+def test_salted_agg_two_phase(spark, sf_dir, reg):
+    # the salted pre-aggregation must actually aggregate on (key, salt)
+    # before the final key-only aggregation
+    plan = plan_of(reg["salted_event_counts"].fn(spark, sf_dir), "simple")
+    assert plan.count("HashAggregate") >= 4  # partial+final × two phases
