@@ -1,8 +1,9 @@
 """Catalog entries for the Python-side / approximate / streaming
-operators — not SQL-expressible, so they carry no oracle and the driver
-records the weaker rows-only check (per the contract). Each is the
-TESTDATA instantiation of a library operator that has its own exact
-unit/metamorphic tests under tests/.
+operators. Most are not SQL-expressible, carry no oracle, and get the
+driver's weaker rows-only check (per the contract); each of those has
+its own exact unit/metamorphic tests under tests/. Exceptions whose
+emitted result set provably equals a batch query (the stream-stream
+interval join, the bucketed join) DO carry a DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -375,3 +376,46 @@ def bucketed_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+    SELECT p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+    """,
+    doc="Structured Streaming: stream-stream interval join (watermarked "
+    "both sides, time-bounded state) replayed over the events table — "
+    "the emitted inner-join set equals the batch inequality join, so "
+    "this STREAMING operator is value-checked against the DuckDB oracle",
+)
+def streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.ingest_stream import stream_stream_interval_join
+
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    p_dir = tempfile.mkdtemp(prefix="ngr_ssj_p_")
+    c_dir = tempfile.mkdtemp(prefix="ngr_ssj_c_")
+    purchases.write.mode("overwrite").parquet(p_dir)
+    clicks.write.mode("overwrite").parquet(c_dir)
+    ps = spark.readStream.schema(purchases.schema).parquet(p_dir)
+    cs = spark.readStream.schema(clicks.schema).parquet(c_dir)
+    name = "ssj_catalog_out"
+    q = (
+        stream_stream_interval_join(ps, cs, interval_seconds=300)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

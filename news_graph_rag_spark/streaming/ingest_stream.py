@@ -88,3 +88,36 @@ def windowed_event_counts(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(30,3)")).cast("double").alias("sum_value"),
     )
+
+
+def stream_stream_interval_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    interval_seconds: int = 300,
+    watermark: str = "1 hour",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream inner join: clicks within ``interval_seconds``
+    BEFORE each purchase by the same user.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both sides, so Spark can expire join state: click state is held
+    for (interval + watermark), purchase state for (watermark) — without
+    the time bound the state would grow forever. Matches emit as they
+    are found (inner join), so no sentinel/timeout is needed.
+    """
+    p = purchases.withWatermark(ts_col, watermark).alias("p")
+    c = clicks.withWatermark(ts_col, watermark).alias("c")
+    return p.join(
+        c,
+        F.expr(
+            f"p.{key_col} = c.{key_col} "
+            f"AND c.{ts_col} > p.{ts_col} - INTERVAL {interval_seconds} SECONDS "
+            f"AND c.{ts_col} <= p.{ts_col}"
+        ),
+    ).select(
+        F.col(f"p.{key_col}").alias(key_col),
+        F.col(f"p.{ts_col}").alias("purchase_ts"),
+        F.col(f"c.{ts_col}").alias("click_ts"),
+    )

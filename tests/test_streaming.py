@@ -167,3 +167,57 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join == batch inequality join on the same
+    events (inner joins emit on match, so a plain replay suffices)."""
+    from news_graph_rag_spark.queries.catalog import load
+    from news_graph_rag_spark.streaming.ingest_stream import (
+        stream_stream_interval_join,
+    )
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    expected = {
+        (r["user_id"], str(r["purchase_ts"]), str(r["click_ts"]))
+        for r in purchases.alias("p")
+        .join(
+            clicks.alias("c"),
+            F.expr(
+                "p.user_id = c.user_id "
+                "AND c.ts > p.ts - INTERVAL 300 SECONDS AND c.ts <= p.ts"
+            ),
+        )
+        .select(
+            F.col("p.user_id").alias("user_id"),
+            F.col("p.ts").alias("purchase_ts"),
+            F.col("c.ts").alias("click_ts"),
+        )
+        .collect()
+    }
+    assert expected  # non-trivial fixture
+
+    p_dir, c_dir = str(tmp_path / "p"), str(tmp_path / "c")
+    purchases.write.parquet(p_dir)
+    clicks.write.parquet(c_dir)
+    ps = spark.readStream.schema(purchases.schema).parquet(p_dir)
+    cs = spark.readStream.schema(clicks.schema).parquet(c_dir)
+    joined = stream_stream_interval_join(ps, cs, interval_seconds=300)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], str(r["purchase_ts"]), str(r["click_ts"]))
+            for r in spark.table("ssj_out").collect()
+        }
+        assert got == expected
+    finally:
+        q.stop()
