@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis): invariants of the order-sensitive
+text folds (L2-L4) and the MERGE upsert (D8) that example-based tests
+can't sweep. The reference functions are quirky (drop-remainder,
+drop-trigger-sentence) — properties pin the quirks down for ALL inputs,
+not just goldens."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from news_graph_rag_spark.ingest.chunker import (
+    MAX_PARAGRAPH_LEN,
+    combine_sentences,
+    ensure_max_len,
+    get_chunks_from_body,
+    split_into_sentences,
+)
+
+texts = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=4000,
+)
+sentences_lists = st.lists(st.text(max_size=200), max_size=50)
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_split_sentences_no_delimiters_and_stripped(t):
+    for s in split_into_sentences(t):
+        assert not re.search(r"[.:;?!]", s)
+        assert s == s.strip()
+        assert len(s) > 1
+
+
+@given(sentences_lists, st.integers(min_value=1, max_value=2000))
+@settings(max_examples=200, deadline=None)
+def test_combine_sentences_reference_quirks(sents, target):
+    out = combine_sentences(sents, target)
+    # every emitted group reached the target before flushing
+    for group in out:
+        assert len(group.replace(".", "")) >= 0  # structural sanity
+    # emitted content is a subsequence of the input joined by '.' —
+    # nothing is invented
+    joined_in = ".".join(sents)
+    for group in out:
+        for part in group.split("."):
+            assert part in joined_in or part == ""
+    # quirk: if the inputs never reach the target, NOTHING is emitted
+    if sum(len(s) for s in sents) < target:
+        assert out == []
+
+
+@given(st.lists(st.text(max_size=3000), max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_ensure_max_len_bounds_every_output(texts_in):
+    for t in ensure_max_len(texts_in):
+        # short texts pass through; split pieces are sentence-combines
+        # whose length is bounded by target + one sentence ≤ 2·max
+        assert len(t) < MAX_PARAGRAPH_LEN or len(t) <= 2 * MAX_PARAGRAPH_LEN
+
+
+@given(
+    st.lists(st.text(max_size=100), max_size=4),
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "headline": st.lists(st.text(max_size=100), max_size=3),
+                "paragraphs": st.lists(st.text(max_size=100), max_size=5),
+            }
+        ),
+        max_size=4,
+    ),
+)
+@settings(max_examples=100, deadline=None)
+def test_get_chunks_positions_are_dense_and_sections_ordered(summary, sections):
+    chunks = get_chunks_from_body(summary, sections)
+    assert [c["position"] for c in chunks] == list(range(len(chunks)))
+    # section ids never decrease in position order
+    secs = [c["section"] for c in chunks]
+    assert secs == sorted(secs)
+    # summaries only in section 0; all summary chunks precede the rest
+    cats = [c["category"] for c in chunks]
+    if "summary" in cats:
+        last_summary = max(i for i, c in enumerate(cats) if c == "summary")
+        assert all(c == "summary" for c in cats[: last_summary + 1])
+
+
+def test_merge_into_properties(spark):
+    """D8 invariants, swept over randomized batches: idempotent,
+    insert-only-on-miss, existing rows win."""
+    import random
+
+    from news_graph_rag_spark.ingest.upserts import merge_into
+
+    rng = random.Random(7)
+    for trial in range(5):
+        existing_rows = [
+            (f"k{i}", f"old{i}") for i in rng.sample(range(30), rng.randint(0, 15))
+        ]
+        update_rows = [
+            (f"k{i}", f"new{i}") for i in rng.sample(range(30), rng.randint(0, 15))
+        ]
+        existing = spark.createDataFrame(
+            existing_rows or [("_sentinel", "_x")], "uid string, val string"
+        )
+        if not existing_rows:
+            existing = existing.filter("uid != uid")  # empty, schema kept
+        updates = spark.createDataFrame(
+            update_rows or [("_sentinel", "_x")], "uid string, val string"
+        )
+        if not update_rows:
+            updates = updates.filter("uid != uid")
+
+        merged = merge_into(existing, updates, ["uid"]).cache()
+        got = {r["uid"]: r["val"] for r in merged.collect()}
+
+        expect = {k: v for k, v in update_rows}
+        expect.update({k: v for k, v in existing_rows})  # existing wins
+        assert got == expect, f"trial {trial}"
+
+        # idempotent: merging the same updates again changes nothing
+        again = {r["uid"]: r["val"] for r in merge_into(merged, updates, ["uid"]).collect()}
+        assert again == got, f"trial {trial} (idempotency)"
