@@ -51,6 +51,8 @@ HEADLINE = [
     "connected_components_parts",
     "text_quality_score",
     "text_lang_id",
+    # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
+    "graph_ingest_roundtrip",
 ]
 
 

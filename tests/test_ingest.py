@@ -135,3 +135,69 @@ def test_save_load_roundtrip(tmp_path, spark, store):
     loaded = GraphStore.load(spark, root)
     assert loaded["article"].count() == store["article"].count()
     assert set(loaded["chunk"].columns) == set(store["chunk"].columns)
+
+
+# ---- S1 jsonl source + S5 quarantine ------------------------------------
+
+
+def test_jsonl_source_and_quarantine(spark, tmp_path):
+    import json
+
+    from news_graph_rag_spark.ingest.quarantine import (
+        read_raw_articles_jsonl,
+        validate_raw_articles,
+        write_rejected,
+    )
+
+    lines = [
+        {  # valid
+            "url": "https://n.example/ok",
+            "title": "Fine article",
+            "publishing_date": "2024-05-01T12:00:00",
+            "language": "en",
+            "summary": ["s"],
+            "sections": [{"headline": ["h"], "paragraphs": ["p"]}],
+            "topics": [],
+            "authors": ["A"],
+            "source_name": "N",
+            "source_type": "site",
+            "source_url": "https://n.example",
+        },
+        {  # missing url + title
+            "url": "",
+            "title": None,
+            "language": "en",
+            "summary": ["s"],
+            "sections": [],
+        },
+        {  # no content + bad language
+            "url": "https://n.example/empty",
+            "title": "Empty",
+            "language": "english",
+            "summary": [],
+            "sections": [],
+        },
+    ]
+    src = tmp_path / "dump.jsonl"
+    src.write_text("\n".join(json.dumps(x) for x in lines) + "\nNOT JSON AT ALL\n")
+
+    raw = read_raw_articles_jsonl(spark, str(src))
+    assert raw.count() == 4  # corrupt line kept, not dropped
+
+    valid, rejected = validate_raw_articles(raw)
+    assert valid.count() == 1
+    rej = {r["url"]: set(r["reject_reasons"]) for r in rejected.collect()}
+    assert rej[""] == {"missing_url", "missing_title"}
+    assert rej["https://n.example/empty"] == {"no_content", "bad_language"}
+    assert set(rej[None]) >= {"missing_url", "missing_title", "no_content"}
+
+    write_rejected(rejected, str(tmp_path))
+    back = spark.read.parquet(str(tmp_path / "_rejected"))
+    assert back.count() == 3
+    assert "rejected_at" in back.columns
+    # the valid side flows into the normal ingest unchanged
+    from news_graph_rag_spark.graph_store import GraphStore
+    from news_graph_rag_spark.ingest.upserts import ingest_articles
+
+    store = ingest_articles(GraphStore.empty(spark), valid)
+    assert store["article"].count() == 1
