@@ -671,3 +671,75 @@ def ntile_customer_value(spark: SparkSession, sf: str) -> DataFrame:
     return spend.select(
         "o_custkey", F.ntile(4).over(w).cast("int").alias("quartile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Set-op completeness (INTERSECT / EXCEPT) + partition-pruned scan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "intersect_except_customers",
+    oracle="""
+    SELECT c_custkey, 'both' AS bucket FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT c_custkey, 'only_f' AS bucket FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+    doc="set ops: INTERSECT and EXCEPT of customer key sets by order "
+    "status (completes the U1 union-distinct family)",
+)
+def intersect_except_customers(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders")
+    f_keys = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    o_keys = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    # .intersect / .subtract are the DISTINCT set semantics (SQL
+    # INTERSECT / EXCEPT); exceptAll would be multiset difference
+    both = f_keys.intersect(o_keys).withColumn("bucket", F.lit("both"))
+    only_f = f_keys.subtract(o_keys).withColumn("bucket", F.lit("only_f"))
+    return both.unionByName(only_f)
+
+
+@register(
+    "partitioned_scan_pruning",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="partition pruning (I2 range-index analog): events written "
+    "partitioned by event_type, then one partition queried — the scan's "
+    "PartitionFilters prune 4/5 of the data before any IO "
+    "(plan-asserted in tests/test_plans.py)",
+)
+def partitioned_scan_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import tempfile
+
+    ev = load(spark, sf, "events")
+    # stage once per (session, sf): partitioned layout is the "index"
+    tag = sf.strip("/").replace("/", "_")
+    stage = os.path.join(tempfile.gettempdir(), f"ngr_events_by_type_{tag}")
+    marker = os.path.join(stage, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(stage)
+    part = spark.read.parquet(stage).filter(F.col("event_type") == "purchase")
+    return part.groupBy(F.date_trunc("day", F.col("ts")).alias("day_ts")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,3)")).cast("double").alias("sum_value"),
+    )

@@ -87,3 +87,15 @@ def test_salted_agg_two_phase(spark, sf_dir, reg):
     # before the final key-only aggregation
     plan = plan_of(reg["salted_event_counts"].fn(spark, sf_dir), "simple")
     assert plan.count("HashAggregate") >= 4  # partial+final × two phases
+
+
+def test_partitioned_scan_prunes_partitions(spark, sf_dir, reg):
+    # the event_type filter must become a PartitionFilter on the
+    # partitioned staging layout, not a data filter after full IO
+    df = reg["partitioned_scan_pruning"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    part_lines = [
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    ]
+    assert part_lines
+    assert any("event_type" in line for line in part_lines)
