@@ -28,6 +28,7 @@ the operator scales linearly with article count (partition by article).
 from __future__ import annotations
 
 import re
+from collections.abc import Iterator
 from math import ceil
 
 import pandas as pd
@@ -138,9 +139,10 @@ def chunk_articles(raw_articles: DataFrame) -> DataFrame:
     summary array<string>, sections array<struct<headline,paragraphs>>)
     into chunk rows.
 
-    Implemented with ``applyInPandas`` partitioned by article url: the
-    per-article fold (greedy combine, global position counter) is
-    order-sensitive, but articles are independent → linear scale-out.
+    Implemented with ``mapInPandas``: the per-article fold (greedy
+    combine, per-article position counter) is order-sensitive only
+    WITHIN one row's own arrays, so rows are independent — no shuffle,
+    no per-key grouping, map-only linear scale-out.
     """
     cols = raw_articles.select("url", "summary", "sections")
 
@@ -149,28 +151,30 @@ def chunk_articles(raw_articles: DataFrame) -> DataFrame:
         # truthiness check on those raises — test for None explicitly
         return [] if v is None else list(v)
 
-    def per_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows: list[dict] = []
-        for _, r in pdf.iterrows():
-            sections = [
-                {
-                    "headline": _aslist(s["headline"]),
-                    "paragraphs": _aslist(s["paragraphs"]),
-                }
-                for s in _aslist(r["sections"])
-            ]
-            for c in get_chunks_from_body(_aslist(r["summary"]), sections):
-                rows.append(
+    def per_batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_cols = [f.name for f in CHUNK_OUT_SCHEMA.fields]
+        for pdf in pdfs:
+            rows: list[dict] = []
+            for url, summary, secs in zip(
+                pdf["url"], pdf["summary"], pdf["sections"]
+            ):
+                sections = [
                     {
-                        "article_url": r["url"],
-                        "text": c["text"],
-                        "category": c["category"],
-                        "section": c["section"],
-                        "position": c["position"],
+                        "headline": _aslist(s["headline"]),
+                        "paragraphs": _aslist(s["paragraphs"]),
                     }
-                )
-        return pd.DataFrame(
-            rows, columns=[f.name for f in CHUNK_OUT_SCHEMA.fields]
-        )
+                    for s in _aslist(secs)
+                ]
+                for c in get_chunks_from_body(_aslist(summary), sections):
+                    rows.append(
+                        {
+                            "article_url": url,
+                            "text": c["text"],
+                            "category": c["category"],
+                            "section": c["section"],
+                            "position": c["position"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=out_cols)
 
-    return cols.groupBy("url").applyInPandas(per_batch, CHUNK_OUT_SCHEMA)
+    return cols.mapInPandas(per_batches, CHUNK_OUT_SCHEMA)
