@@ -63,19 +63,22 @@ def connected_components(
 
     for i in range(max_iter):
         # pointer-halving (parent ← parent(parent)), then neighbor-min
-        # re-propagation
+        # re-propagation; the round's change flag is computed in the SAME
+        # plan so the convergence check reads materialized data instead
+        # of re-running the round (one job per round, not two)
         p1 = parent.select(F.col("id").alias("p_id"), F.col("parent").alias("p_par"))
         hopped = (
             parent.join(p1, parent.parent == p1.p_id, "left")
             .select(
                 "id",
+                F.col("parent").alias("prev"),
                 F.least(
                     F.col("parent"), F.coalesce(F.col("p_par"), F.col("parent"))
                 ).alias("parent"),
             )
         )
         nbr = (
-            sym.join(hopped, sym.dst == hopped.id)
+            sym.join(hopped.select("id", "parent"), sym.dst == F.col("id"))
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("parent").alias("nbr_par"))
         )
@@ -83,21 +86,17 @@ def connected_components(
             hopped.join(nbr, "id", "left")
             .select(
                 "id",
+                "prev",
                 F.least(
                     F.col("parent"), F.coalesce(F.col("nbr_par"), F.col("parent"))
                 ).alias("parent"),
             )
+            .withColumn("changed", F.col("parent") != F.col("prev"))
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             new_parent = new_parent.localCheckpoint(eager=True)
-        changed = (
-            new_parent.alias("n")
-            .join(parent.alias("o"), "id")
-            .filter(F.col("n.parent") != F.col("o.parent"))
-            .limit(1)
-            .count()
-        )
-        parent = new_parent
+        changed = new_parent.filter("changed").limit(1).count()
+        parent = new_parent.select("id", "parent")
         if changed == 0:
             break
     return nodes.join(parent, nodes.id == parent.id).select(
