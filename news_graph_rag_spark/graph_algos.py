@@ -51,8 +51,11 @@ def connected_components(
     At the fixpoint every edge (u,v) forces parent(u) == parent(v), so
     labels are constant per component and equal the component minimum.
     """
-    # parent pointers start as the edge relation plus self-loops
-    sym = _sym(edges)
+    # materialize the symmetric edge list ONCE: every round's neighbor
+    # join reuses it, and without this the whole upstream plan that
+    # produced `edges` (possibly an expensive pipeline) re-executes per
+    # round. localCheckpoint also cuts the returned DataFrame's lineage.
+    sym = _sym(edges).localCheckpoint(eager=True)
     nodes = sym.select(F.col("src").alias("id")).distinct()
     # neighbor-min initialization: parent(v) = min(v, min(neighbors))
     parent = (

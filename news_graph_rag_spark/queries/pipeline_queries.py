@@ -456,3 +456,111 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("fp_prefix")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end near-dup canonicalization:
+# LSH candidates -> exact Jaccard verify -> connected components -> canon
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_canonicalize",
+    oracle=f"""
+    WITH RECURSIVE shdocs AS ({_SHINGLE_ARR_SQL.format(where="")}),
+    seeds AS (SELECT unnest(range(0, {NUM_MINHASHES})) AS seed),
+    sig AS (
+      SELECT doc_id, seed,
+             list_min([md5(s || '#' || CAST(seed AS VARCHAR)) FOR s IN shs])
+               AS minhash
+      FROM shdocs CROSS JOIN seeds
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // {BAND_ROWS} AS INT) AS band,
+             md5(string_agg(minhash, '|' ORDER BY seed)) AS band_hash
+      FROM sig GROUP BY doc_id, seed // {BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, u.shingle
+      FROM shdocs, unnest(shdocs.shs) AS u(shingle)
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM shingles GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM cand c
+      JOIN shingles a ON a.doc_id = c.doc_a
+      JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    verified AS (
+      SELECT doc_a, doc_b
+      FROM shared
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE n_shared * 10 >= 3 * (sa.sz + sb.sz - n_shared)
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL
+      SELECT doc_b, doc_a FROM verified
+    ),
+    reach(id, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(least(id, min(r)) AS BIGINT) AS canonical_id
+    FROM reach GROUP BY id
+    """,
+    doc="dedup, end to end: MinHash-LSH candidate pairs -> exact 3-gram "
+    "Jaccard >= 0.3 verification (cross-multiplied int compare) -> "
+    "connected components over verified pairs -> canonical id = "
+    "component-min doc_id. The full 100 TB near-dup canonicalization "
+    "pipeline, value-exact vs a composed recursive-CTE DuckDB oracle. "
+    "Candidates bound the quadratic verify; CC runs to convergence.",
+)
+def dedup_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    from ..graph_algos import connected_components
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf)
+    sh = shingles_df(spark, sf)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh_b"))
+    shared = (
+        pairs.join(sha, "doc_a")
+        .join(
+            shb,
+            (F.col("doc_b") == F.col("b_id")) & (F.col("shingle") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    verified = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")),
+            "doc_b",
+        )
+        .filter(
+            F.col("n_shared") * 10
+            >= 3 * (F.col("size_a") + F.col("size_b") - F.col("n_shared"))
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    cc = connected_components(verified)
+    return cc.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("canonical_id"),
+    )
