@@ -19,6 +19,8 @@ Scale notes
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -89,6 +91,35 @@ class GraphStore:
     def save(self, root: str, mode: str = "overwrite") -> None:
         for name, df in self.tables.items():
             df.write.mode(mode).parquet(os.path.join(root, f"{name}.parquet"))
+
+    def save_atomic(self, root: str) -> None:
+        """Write every table to a staging dir, then rename into place.
+
+        Required when this store's DataFrames still lazily read from
+        ``root`` (load → MERGE → save in a streaming micro-batch): a
+        plain overwrite would delete the very files the unexecuted plan
+        scans ("Cannot overwrite a path that is also being read from").
+        Staging materializes each table BEFORE the live path is touched,
+        at the same I/O cost as the save itself — no memory checkpoint
+        of the whole store needed. The per-table swap is a rename; a
+        crash mid-swap leaves a mixed store, but every writer is an
+        idempotent content-hash MERGE, so the streaming checkpoint's
+        batch replay converges to the same state.
+        """
+        staging = os.path.join(root, f"_staging_{uuid.uuid4().hex[:8]}")
+        try:
+            for name, df in self.tables.items():
+                df.write.mode("overwrite").parquet(
+                    os.path.join(staging, f"{name}.parquet")
+                )
+            for name in self.tables:
+                final = os.path.join(root, f"{name}.parquet")
+                if os.path.exists(final):
+                    retired = os.path.join(staging, f"_old_{name}")
+                    os.rename(final, retired)
+                os.rename(os.path.join(staging, f"{name}.parquet"), final)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     # -- access -----------------------------------------------------------
 

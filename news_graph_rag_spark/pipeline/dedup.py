@@ -137,7 +137,18 @@ def simhash_fingerprints(
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    h = F.conv(F.substring(F.md5(F.col("token")), 1, bits // 4), 16, 10).cast("bigint")
+    nhex = bits // 4
+    if bits <= 60:
+        h = F.conv(F.substring(F.md5(F.col("token")), 1, nhex), 16, 10).cast("bigint")
+    else:
+        # conv() returns the UNSIGNED decimal string; above Long.MAX the
+        # bigint cast would null ~half of all 64-bit hashes. Assemble
+        # from 32-bit halves instead: shiftleft wraps to two's
+        # complement, giving a valid signed 64-bit reinterpretation.
+        md5c = F.md5(F.col("token"))
+        hi = F.conv(F.substring(md5c, 1, nhex - 8), 16, 10).cast("bigint")
+        lo = F.conv(F.substring(md5c, nhex - 7, 8), 16, 10).cast("bigint")
+        h = F.shiftleft(hi, 32).bitwiseOR(lo)
     bit_rows = toks.withColumn("h", h).select(
         "doc_id", "w", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
     )
@@ -158,28 +169,47 @@ def simhash_fingerprints(
     )
 
 
-def hamming_near_dups(fingerprints: DataFrame, max_distance: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance.
+def hamming_near_dups(
+    fingerprints: DataFrame, max_distance: int = 3, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, with GUARANTEED
+    recall via rotated blockings.
 
-    Blocks on the top-16 bits so the self-join is bucketed (near-dups
-    with ≤3 differing bits usually share the high bits; for guaranteed
-    recall use 4 rotated blockings).
+    The fingerprint is split into ``max_distance + 1`` bit-blocks and
+    the self-join runs once per block (pigeonhole: a pair with ≤
+    ``max_distance`` differing bits has at least one block with zero
+    differences, so every qualifying pair is found in some blocking).
+    Each blocking is an equi-join on a short key — bucketed, never
+    all-pairs — and the union dedups pairs found in several blockings.
     """
-    blocked = fingerprints.withColumn("block", F.expr("shiftright(simhash, 16)"))
-    a, b = blocked.alias("a"), blocked.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    n_blocks = max_distance + 1
+    block_bits = bits // n_blocks
+    per_block = []
+    for r in range(n_blocks):
+        shift = r * block_bits
+        # top block absorbs the remainder bits; mask after the
+        # (arithmetic) shift so the sign bit can't leak into the key
+        width = bits - shift if r == n_blocks - 1 else block_bits
+        mask = (1 << width) - 1
+        blocked = fingerprints.withColumn(
+            "block", F.expr(f"shiftright(simhash, {shift}) & {mask}")
         )
-        .withColumn(
-            "hamming", F.expr("bit_count(a.simhash ^ b.simhash)")
+        a, b = blocked.alias("a"), blocked.alias("b")
+        per_block.append(
+            a.join(
+                b,
+                (F.col("a.block") == F.col("b.block"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .withColumn("hamming", F.expr("bit_count(a.simhash ^ b.simhash)"))
+            .filter(F.col("hamming") <= max_distance)
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                "hamming",
+            )
         )
-        .filter(F.col("hamming") <= max_distance)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            "hamming",
-        )
-    )
+    out = per_block[0]
+    for df in per_block[1:]:
+        out = out.unionByName(df)
+    return out.distinct()

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph_store import GraphStore
@@ -57,19 +57,27 @@ def hybrid_top_k(
             F.col(embedding_col).isNotNull(), cosine(F.col(embedding_col), qv)
         ).otherwise(F.lit(0.0)),
     ).withColumn("kw_score", _keyword_score(F.col(text_col), query_text))
-    w = Window.partitionBy()
-    normed = scored.withColumn(
-        "vec_norm",
-        F.when(
-            F.max("vec_score").over(w) > 0,
-            F.col("vec_score") / F.max("vec_score").over(w),
-        ).otherwise(F.lit(0.0)),
-    ).withColumn(
-        "kw_norm",
-        F.when(
-            F.max("kw_score").over(w) > 0,
-            F.col("kw_score") / F.max("kw_score").over(w),
-        ).otherwise(F.lit(0.0)),
+    # per-signal maxima as a 1-row scalar agg broadcast back over the
+    # scan — an empty-key window here would drag the whole scored
+    # corpus into a single partition just to read two numbers
+    maxes = scored.agg(
+        F.max("vec_score").alias("_vmax"), F.max("kw_score").alias("_kmax")
+    )
+    normed = (
+        scored.crossJoin(F.broadcast(maxes))
+        .withColumn(
+            "vec_norm",
+            F.when(
+                F.col("_vmax") > 0, F.col("vec_score") / F.col("_vmax")
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "kw_norm",
+            F.when(
+                F.col("_kmax") > 0, F.col("kw_score") / F.col("_kmax")
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_vmax", "_kmax")
     )
     fused = normed.withColumn("score", F.greatest("vec_norm", "kw_norm"))
     return (

@@ -20,13 +20,18 @@ from pyspark.sql import functions as F
 
 
 def cosine(a: F.Column, b: F.Column) -> F.Column:
-    """Cosine similarity of two array<float> columns (JVM-side)."""
+    """Cosine similarity of two array<float> columns (JVM-side).
+
+    Zero-norm inputs score -1.0 rather than 0/0 = NaN: Spark sorts NaN
+    ABOVE every double, so an unguarded division would rank zero-vector
+    rows first in every descending top-k.
+    """
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(-1.0))
 
 
 def vector_top_k(

@@ -38,7 +38,10 @@ def streaming_ingest(
 
     Each micro-batch re-applies the idempotent MERGE upserts against the
     current store and persists — exactly-once per key even on replays,
-    because every upsert is keyed on content-hash uids.
+    because every upsert is keyed on content-hash uids. The save is
+    staged (``save_atomic``): the updated tables still lazily read the
+    live parquet paths, so a plain overwrite would delete its own input
+    mid-scan on any batch that starts from an existing store.
     """
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -51,7 +54,7 @@ def streaming_ingest(
             ner_model_factory=ner_model_factory,
             encoder_factory=encoder_factory,
         )
-        updated.save(store_root)
+        updated.save_atomic(store_root)
 
     writer = raw_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -18,10 +18,12 @@ RocksDB state store is the production config
 (`spark.sql.streaming.stateStore.providerClass`).
 
 Out-of-order data WITHIN a micro-batch is handled (rows are sorted
-before the fold); rows arriving across batches later than ``gap`` after
-their session closed would start a spurious session — that's inherent
-to incremental sessionization and bounded by the watermark, which
-drops rows later than ``delay``.
+before the fold); an in-watermark late event arriving in a LATER batch
+merges into the open session via min/max bounds (never moves the
+session end backwards). Rows arriving later than ``gap`` after their
+session closed would start a spurious session — that's inherent to
+incremental sessionization and bounded by the watermark, which drops
+rows later than ``delay``.
 """
 
 from __future__ import annotations
@@ -116,8 +118,14 @@ def stateful_sessionize(
             if t - last_us > gap_us:
                 if n > 0:
                     out.append(_session_row(user_id, start_us, last_us, n))
-                start_us, n = t, 0
-            last_us, n = t, n + 1
+                start_us, last_us, n = t, t, 1
+            else:
+                # min/max, not assignment: an in-watermark late event in
+                # a later batch (t < last_us) must not move the session
+                # end backwards or shorten its timeout
+                start_us = min(start_us, t)
+                last_us = max(last_us, t)
+                n += 1
 
         state.update((start_us, last_us, n))
         # flush once no in-order event can extend the session; a session

@@ -67,6 +67,49 @@ def test_simhash_hamming(docs):
     assert near.get((0, 1)) == 0
 
 
+def test_simhash_64bit_no_nulls(docs):
+    fps = simhash_fingerprints(docs, bits=64)
+    rows = fps.collect()
+    assert len(rows) == 6
+    assert all(r["simhash"] is not None for r in rows)
+    # signedness check: with 64 valid bits, some corpora hit the sign
+    # bit; identical docs must still agree exactly
+    vals = {r["doc_id"]: r["simhash"] for r in rows}
+    assert vals[0] == vals[1]
+
+
+def test_hamming_rotated_blocking_recall(spark):
+    """A near-dup pair whose differing bits all fall in the HIGH block
+    must still be found (regression: single low-16-bit prefix blocking
+    missed any pair differing only above bit 15)."""
+    base = 0b1010_1100_0011_0101_1001_0110_1100_0011
+    high_flip = base ^ (1 << 20) ^ (1 << 27)  # 2 differing bits, both high
+    far = base ^ 0x0F0F0F0F  # 16 differing bits
+    fps = spark.createDataFrame(
+        [(0, base), (1, high_flip), (2, far)], "doc_id long, simhash long"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in hamming_near_dups(fps, max_distance=3).collect()
+    }
+    assert pairs == {(0, 1): 2}
+
+
+def test_vector_zero_norm_not_ranked_first(spark):
+    """Zero-norm embeddings must not pollute top-k: 0/0 = NaN sorts
+    above every double in Spark, so an unguarded cosine ranks zero
+    vectors first."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 0.0, 0.0]),  # zero-norm
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = [r["vec_id"] for r in brute_force_top_k(df, [1.0, 0.0, 0.0], k=3).collect()]
+    assert top == [0, 1, 3]  # 2 excluded despite NaN ordering trap
+
+
 def test_brute_force_vs_ivf_and_lsh(spark):
     import random
 

@@ -73,6 +73,51 @@ def test_streaming_ingest_foreachbatch(spark, tmp_path):
     assert again["article"].count() == 3
 
 
+def test_streaming_ingest_second_batch_against_existing_store(spark, tmp_path):
+    """A micro-batch that starts from a non-empty store must not
+    overwrite the parquet paths its own lazy plan still reads
+    (regression: plain save raised 'Cannot overwrite a path that is
+    also being read from' / corrupted data on every batch after the
+    first)."""
+    import pyspark.sql as psql
+
+    raw_dir = str(tmp_path / "raw")
+    store_root = str(tmp_path / "graph")
+    ckpt = str(tmp_path / "ckpt")
+
+    full = raw_articles_df(spark)
+    first_two = full.limit(2)
+    third = full.subtract(first_two)
+    first_two.write.parquet(raw_dir)
+
+    def make_store() -> GraphStore:
+        import os
+
+        if os.path.exists(store_root):
+            return GraphStore.load(spark, store_root)
+        return GraphStore.empty(spark)
+
+    stream = spark.readStream.schema(RAW_SCHEMA).parquet(raw_dir)
+    q = streaming_ingest(stream, store_root, make_store, ckpt)
+    q.awaitTermination(120)
+    assert GraphStore.load(spark, store_root)["article"].count() == 2
+
+    # new file lands; same checkpoint → only the new file is a batch,
+    # processed against the EXISTING store (the load-then-save path)
+    third.write.mode("append").parquet(raw_dir)
+    stream2 = spark.readStream.schema(RAW_SCHEMA).parquet(raw_dir)
+    q2 = streaming_ingest(stream2, store_root, make_store, ckpt)
+    q2.awaitTermination(120)
+    if q2.exception() is not None:
+        raise AssertionError(f"second micro-batch failed: {q2.exception()}")
+
+    loaded = GraphStore.load(spark, store_root)
+    assert loaded["article"].count() == 3
+    assert loaded["published"].count() == 3
+    # earlier batch's nodes survived the swap
+    assert loaded["source"].count() == 2
+
+
 def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     """applyInPandasWithState sessionizer == batch lag/sum sessionizer.
 
@@ -165,6 +210,66 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
             ).collect()
         }
         assert got == expected
+    finally:
+        q.stop()
+
+
+def test_stateful_sessionize_in_watermark_late_event(spark, tmp_path):
+    """An in-watermark late event arriving in a LATER micro-batch must
+    merge into the open session without moving its end backwards
+    (regression: unconditional last_us = t emitted session_end <
+    session_start and could close the session prematurely)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from news_graph_rag_spark.streaming.stateful import stateful_sessionize
+
+    def df_at(uid, *ts_strs):
+        return spark.sql(
+            f"SELECT CAST({uid} AS BIGINT) AS user_id, ts FROM VALUES "
+            + ", ".join(f"(timestamp'{t}')" for t in ts_strs)
+            + " AS v(ts)"
+        )
+
+    stages = [
+        df_at(1, "2024-01-01 12:00:00", "2024-01-01 12:01:00"),
+        df_at(1, "2024-01-01 12:00:30"),  # late, within 10-min watermark
+        df_at(999999, "2024-02-01 00:00:00"),  # sentinel: advance watermark
+        df_at(999999, "2024-03-01 00:00:00"),  # sentinel: flush timed-out state
+    ]
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    now = time.time()
+    for i, df in enumerate(stages):
+        tmp_out = str(tmp_path / f"late_stage_{i}")
+        df.coalesce(1).write.parquet(tmp_out)
+        dest = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(glob.glob(f"{tmp_out}/part-*.parquet")[0], dest)
+        os.utime(dest, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sessions = stateful_sessionize(stream, gap_seconds=1800, watermark="10 minutes")
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [
+            (str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in spark.sql(
+                "SELECT * FROM late_sessions WHERE user_id = 1"
+            ).collect()
+        ]
+        assert got == [("2024-01-01 12:00:00", "2024-01-01 12:01:00", 3)]
     finally:
         q.stop()
 
