@@ -157,14 +157,42 @@ def ivf_build(
 def _assign(
     df: DataFrame, centers: DataFrame, embedding_col: str, id_col: str
 ) -> DataFrame:
-    scored = df.crossJoin(F.broadcast(centers)).withColumn(
-        "_sim", cosine(F.col(embedding_col), F.col("centroid"))
+    """Nearest-centroid assignment as ONE map-side expression.
+
+    The (small) centroid table is packed into a single array<struct>
+    row, broadcast, and argmax-folded per input row — zero shuffle of
+    the vectors per Lloyd round. (The previous crossJoin + per-id
+    row_number window hash-shuffled all n×k scored rows every round.)
+    Ties break to the smallest centroid_id, matching the old window
+    order and keeping assignments deterministic regardless of
+    collect_list order.
+    """
+    packed = centers.agg(
+        F.collect_list(F.struct("centroid_id", "centroid")).alias("_cents")
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
+    sims = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            cosine(F.col(embedding_col), c["centroid"]).alias("sim"),
+            c["centroid_id"].alias("cid"),
+        ),
+    )
+    init = F.struct(
+        F.lit(-2.0).cast("double").alias("sim"), F.lit(None).cast("int").alias("cid")
+    )
+    best = F.aggregate(
+        sims,
+        init,
+        lambda acc, s: F.when(
+            (s["sim"] > acc["sim"])
+            | ((s["sim"] == acc["sim"]) & (s["cid"] < acc["cid"])),
+            s,
+        ).otherwise(acc),
+    )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_sim", "_rn", "centroid")
+        df.crossJoin(F.broadcast(packed))
+        .withColumn("centroid_id", best["cid"])
+        .drop("_cents")
     )
 
 

@@ -9,9 +9,10 @@ Reference semantics:
   graph.py:140).
 - R2: cosine vector top-k (graph.py:211-219 index; k=5..10,
   vector_index.ipynb) → exact brute-force scan + distributed TakeOrdered.
-- R3: hybrid = keyword + vector (vector_index.ipynb raw 88-97). The
-  reference max-normalizes scores; we use reciprocal-rank fusion, which
-  is deterministic across engines (pure function of integer ranks).
+- R3: hybrid = keyword + vector (vector_index.ipynb raw 88-97). Two
+  catalog forms: ``hybrid_search_maxnorm`` is the reference's faithful
+  max-normalize fusion; ``hybrid_search_rrf`` is reciprocal-rank fusion
+  (pure function of integer ranks, fully engine-deterministic).
 
 Determinism: outputs are integer ranks/ids; cosine scores are only used
 for ORDER BY (top-k gaps in this corpus are ~1e-4, far above the ~1e-7
@@ -28,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..ranks import global_row_number, top_k_ranked
 from .catalog import load, register
 
 # ---------------------------------------------------------------------------
@@ -144,11 +146,10 @@ def vector_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .select("vec_id", cosine_col(F.col("embedding"), F.col("qv")).alias("score"))
     )
-    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .select("vec_id", "rnk")
+    # distributed TakeOrdered, then rank among the 10 survivors — never
+    # a global window over the full scored scan
+    return top_k_ranked(scored, [F.desc("score"), F.asc("vec_id")], 10).select(
+        "vec_id", "rnk"
     )
 
 
@@ -205,33 +206,121 @@ def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("kw_hits"),
     )
-    kw_ranked = kw.withColumn(
-        "kw_rank", F.row_number().over(Window.orderBy(F.desc("kw_hits"), F.asc("doc_id")))
+    # RRF needs FULL-corpus ranks (a doc mediocre in one signal can
+    # still fuse into the top-k), so the global ranks are computed with
+    # the two-phase range-partition ranker — exact, no single-partition
+    # sort of the corpus
+    kw_ranked = global_row_number(
+        kw, [F.desc("kw_hits"), F.asc("doc_id")], "kw_rank"
     )
 
     emb = load(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    vec_ranked = (
-        emb.crossJoin(F.broadcast(q))
+    vec_scored = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        cosine_col(F.col("embedding"), F.col("qv")).alias("score"),
+    )
+    vec_ranked = global_row_number(
+        vec_scored, [F.desc("score"), F.asc("doc_id")], "vec_rank"
+    ).drop("score")
+    rrf = 1.0 / (60 + F.col("kw_rank")) + 1.0 / (60 + F.col("vec_rank"))
+    fused = kw_ranked.join(vec_ranked, "doc_id").withColumn("rrf", rrf)
+    return top_k_ranked(fused, [F.desc("rrf"), F.asc("doc_id")], 20).select(
+        "doc_id", "kw_hits", "kw_rank", "vec_rank", "rrf", "rnk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# R3 (faithful form) — hybrid search with the reference's max-normalize
+# fusion: score/max(score) per signal, greatest across signals
+# (vector_index.ipynb raw 88-97, langchain Neo4jVector hybrid)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hybrid_search_maxnorm",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    kw AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> list_contains([{", ".join(f"'{k}'" for k in _KEYWORDS)}], t)))
+               AS BIGINT) AS kw_hits
+      FROM documents
+    ),
+    vec AS (
+      SELECT vec_id AS doc_id,
+             list_cosine_similarity(embedding, qv) AS vec_score
+      FROM embeddings CROSS JOIN q
+      WHERE vec_id <> 0
+    ),
+    joined AS (
+      SELECT k.doc_id, k.kw_hits, v.vec_score
+      FROM kw k JOIN vec v USING (doc_id)
+    ),
+    m AS (SELECT max(kw_hits) AS kmax, max(vec_score) AS vmax FROM joined),
+    fused AS (
+      SELECT doc_id, kw_hits,
+             greatest(
+               CASE WHEN vmax > 0 THEN vec_score / vmax ELSE 0 END,
+               CASE WHEN kmax > 0 THEN CAST(kw_hits AS DOUBLE) / kmax ELSE 0 END
+             ) AS score
+      FROM joined CROSS JOIN m
+    )
+    SELECT doc_id, kw_hits,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
+    FROM fused
+    QUALIFY rnk <= 15
+    """,
+    doc="R3 faithful fusion: per-signal max-normalization, greatest "
+    "across signals (vector_index.ipynb raw 88-97, Neo4jVector hybrid). "
+    "Maxima come from a scalar agg broadcast over the scan; final top-k "
+    "is TakeOrdered — no global window anywhere. Output is ranks (the "
+    "fused score is engine-float-sensitive; ranks are stable).",
+)
+def hybrid_search_maxnorm(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    kw_arr = F.array(*[F.lit(k) for k in _KEYWORDS])
+    kw = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: F.array_contains(kw_arr, t))
+        )
+        .cast("bigint")
+        .alias("kw_hits"),
+    )
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    vec = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
         .select(
             F.col("vec_id").alias("doc_id"),
-            cosine_col(F.col("embedding"), F.col("qv")).alias("score"),
+            cosine_col(F.col("embedding"), F.col("qv")).alias("vec_score"),
         )
-        .withColumn(
-            "vec_rank",
-            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
-        )
-        .drop("score")
     )
-    rrf = 1.0 / (60 + F.col("kw_rank")) + 1.0 / (60 + F.col("vec_rank"))
-    return (
-        kw_ranked.join(vec_ranked, "doc_id")
-        .withColumn("rrf", rrf)
+    joined = kw.join(vec, "doc_id")
+    maxes = joined.agg(
+        F.max("kw_hits").alias("kmax"), F.max("vec_score").alias("vmax")
+    )
+    fused = (
+        joined.crossJoin(F.broadcast(maxes))
         .withColumn(
-            "rnk", F.row_number().over(Window.orderBy(F.desc("rrf"), F.asc("doc_id")))
+            "score",
+            F.greatest(
+                F.when(
+                    F.col("vmax") > 0, F.col("vec_score") / F.col("vmax")
+                ).otherwise(F.lit(0.0)),
+                F.when(
+                    F.col("kmax") > 0,
+                    F.col("kw_hits").cast("double") / F.col("kmax"),
+                ).otherwise(F.lit(0.0)),
+            ),
         )
-        .filter(F.col("rnk") <= 20)
-        .select("doc_id", "kw_hits", "kw_rank", "vec_rank", "rrf", "rnk")
+        .select("doc_id", "kw_hits", "score")
+    )
+    return top_k_ranked(fused, [F.desc("score"), F.asc("doc_id")], 15).select(
+        "doc_id", "kw_hits", "rnk"
     )
 
 
@@ -353,14 +442,13 @@ def near_dup_embedding(spark: SparkSession, sf: str) -> DataFrame:
 def retrieval_expand_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
-    hits = (
+    scored = (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select("vec_id", cosine_col(F.col("embedding"), F.col("qv")).alias("score"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("vec_id", "rnk")
+    )
+    hits = top_k_ranked(scored, [F.desc("score"), F.asc("vec_id")], 5).select(
+        "vec_id", "rnk"
     )
     docs = load(spark, sf, "documents")
     # P5 map projection: bundle metadata into a struct, then flatten —

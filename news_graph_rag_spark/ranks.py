@@ -1,0 +1,72 @@
+"""Scalable global ordering operators.
+
+``row_number() OVER (ORDER BY ...)`` with no partition key is the
+classic Spark scale cliff: every row moves to ONE partition to get its
+rank. These helpers compute the exact same ranks with fully-parallel
+plans:
+
+- ``global_row_number``: two-phase ranking — range-repartition on the
+  sort key (sampled boundaries, balanced partitions), rank locally per
+  partition, then add broadcast per-partition offsets. Two distributed
+  shuffles, no single-partition stage, exact for any total order (use a
+  unique tiebreaker column, same rule as every oracle query).
+- ``top_k_ranked``: when only the best k rows are needed, skip global
+  ranking entirely — ``orderBy().limit(k)`` runs as distributed
+  TakeOrdered (per-partition heaps + driver merge), and the rank column
+  is assigned among the k survivors, where a window costs nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str = "rnk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``row_number`` over ``order_by`` without a
+    single-partition sort.
+
+    ``order_by`` must define a total order (include a unique tiebreaker)
+    or ranks of tied rows are partition-placement-dependent.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # rank within each range partition; the hash-exchange on _pid keeps
+    # the data distributed (≤ n keys, each one range-partition's rows)
+    local = parted.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_by))
+    )
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # prefix-sum over the (≤ n)-row counts table via inequality
+    # self-join — no empty-partition window anywhere in the plan
+    c1, c2 = counts.alias("c1"), counts.alias("c2")
+    offsets = (
+        c1.join(c2, F.col("c2._pid") < F.col("c1._pid"), "left")
+        .groupBy(F.col("c1._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("c2._cnt"), F.lit(0)).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_lrn") + F.col("_off")).cast("int"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def top_k_ranked(
+    df: DataFrame, order_by: list[Column], k: int, rank_col: str = "rnk"
+) -> DataFrame:
+    """Top-k rows by ``order_by`` with a 1..k rank column.
+
+    The heavy lifting is TakeOrdered; the rank window only ever sees k
+    rows (the plan's un-partitioned Window sits ABOVE the global limit).
+    """
+    top = df.orderBy(*order_by).limit(k)
+    w = Window.orderBy(*order_by)
+    return top.withColumn(rank_col, F.row_number().over(w).cast("int"))

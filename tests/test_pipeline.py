@@ -207,6 +207,38 @@ def test_sample_video_frames(spark):
     assert got == [(0, 0), (0, 10), (0, 20), (1, 0)]
 
 
+def test_ivf_assign_is_map_side(spark):
+    """Lloyd-round assignment must not shuffle the vectors: the centroid
+    set is packed/broadcast and argmax-folded per row (regression: the
+    old crossJoin + per-id window hash-shuffled all n×k scored rows
+    every round)."""
+    import contextlib
+    import io
+
+    from news_graph_rag_spark.pipeline.similarity import _assign
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    centers = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [3.0, 1.0])], "centroid_id int, centroid array<float>"
+    )
+    out = _assign(df, centers, "embedding", "vec_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain()
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            # only the 1-row centroid packing may exchange
+            assert "SinglePartition" in line, line
+    # assignments correct with smallest-cid tiebreak
+    got = {r["vec_id"]: r["centroid_id"] for r in out.collect()}
+    assert got[0] == 1 and got[3] == 2
+
+
 # ---- sketches + bucketed join -------------------------------------------
 
 
