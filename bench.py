@@ -38,9 +38,12 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
+    "dedup_canonicalize",
     "vector_topk_cosine",
     "hybrid_search_rrf",
+    "hybrid_search_maxnorm",
     "knn_classify",
+    "ann_ivf_topk",
     "fuzzy_entity_lookup",
     # advanced relational + graph analytics
     "asof_join_purchase_click",
@@ -51,6 +54,13 @@ HEADLINE = [
     "connected_components_parts",
     "text_quality_score",
     "text_lang_id",
+    # round-2 additions: late-r1 entries + skew join
+    "bucketed_join_revenue",
+    "intersect_except_customers",
+    "partitioned_scan_pruning",
+    "streaming_interval_join",
+    "multimodal_frame_sample",
+    "salted_skew_join",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]

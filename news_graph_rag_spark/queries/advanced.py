@@ -375,6 +375,62 @@ def salted_event_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Salted JOIN (hot-key skew; result identical to the plain join)
+# ---------------------------------------------------------------------------
+
+_SKEW_SALTS = 8
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             CAST(length(event_type) AS BIGINT) AS weight
+      FROM events
+    )
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(30,3)) * d.weight) AS DOUBLE)
+             AS weighted_value
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="skew pattern: salted shuffle join on a hot key. The graph-shaped "
+    "instance is the MENTIONS join (a country entity mentioned in every "
+    "chunk makes one join partition take the whole table); here the "
+    "events fact (5 hot event_type keys) joins a per-type dim. Fact rows "
+    "carry salt = hash(user_id) % 8; the dim side is replicated ×8 and "
+    "the join runs on (key, salt) — 8× more, evenly-sized partitions. "
+    "shuffle_hash hint models the 100 TB case where the dim is too big "
+    "to broadcast. Aggregation reuses the salt for a two-phase combine.",
+)
+def salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type").cast("bigint"))
+    )
+    fact = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64("user_id"), F.lit(_SKEW_SALTS)).cast("int")
+    )
+    # sequence of int literals → array<int>: explode yields int directly
+    # (a generator can't be nested under a cast)
+    dim_rep = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(_SKEW_SALTS - 1)))
+    )
+    joined = fact.join(dim_rep.hint("shuffle_hash"), ["event_type", "_salt"])
+    partial = joined.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(30,3)") * F.col("weight")).alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("bigint").alias("n"),
+        F.sum("psum").cast("double").alias("weighted_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Calendar aggregation
 # ---------------------------------------------------------------------------
 

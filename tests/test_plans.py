@@ -144,6 +144,18 @@ def test_global_rank_is_range_partitioned(spark, sf_dir, reg):
     assert any("_pid" in s.split(",")[0] for s in _window_specs(plan))
 
 
+def test_salted_skew_join_shape(spark, sf_dir, reg):
+    """The skew-hardened join must actually join on (key, salt) with a
+    shuffle-hash join (the 100 TB no-broadcast case) and keep the
+    two-phase salted aggregation above it."""
+    plan = plan_of(reg["salted_skew_join"].fn(spark, sf_dir), "simple")
+    join_lines = [l for l in plan.splitlines() if "ShuffledHashJoin" in l]
+    assert join_lines, "expected a shuffle-hash join"
+    assert "_salt" in join_lines[0], "join keys must carry the salt"
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × two phases
+
+
 def test_partitioned_scan_prunes_partitions(spark, sf_dir, reg):
     # the event_type filter must become a PartitionFilter on the
     # partitioned staging layout, not a data filter after full IO
