@@ -45,6 +45,7 @@ HEADLINE = [
     "knn_classify",
     "ann_ivf_topk",
     "fuzzy_entity_lookup",
+    "bm25_keyword_topk",
     # advanced relational + graph analytics
     "asof_join_purchase_click",
     "range_join_click_window",

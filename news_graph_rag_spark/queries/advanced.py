@@ -714,18 +714,40 @@ def window_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
            CAST(ntile(4) OVER (ORDER BY s DESC, o_custkey) AS INT) AS quartile
     FROM spend
     """,
-    doc="window: customer value quartiles via ntile over exact decimal "
-    "spend (unique tiebreaker → deterministic tile assignment)",
+    doc="window: customer value quartiles with exact ntile(4) semantics, "
+    "computed WITHOUT a global ntile window: the two-phase global ranker "
+    "assigns each row its rank and the tile comes from closed-form "
+    "arithmetic on (rank, total) — first (T%4) tiles get one extra row, "
+    "matching ntile exactly. Fully distributed at any customer count "
+    "(a plain ntile window is a single-partition sort).",
 )
 def ntile_customer_value(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ranks import global_row_number
+
     spend = (
         load(spark, sf, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("s"))
     )
-    w = Window.orderBy(F.desc("s"), F.asc("o_custkey"))
-    return spend.select(
-        "o_custkey", F.ntile(4).over(w).cast("int").alias("quartile")
+    ranked = global_row_number(spend, [F.desc("s"), F.asc("o_custkey")], "_r")
+    tot = spend.agg(F.count(F.lit(1)).alias("_t"))
+    # ntile(4) closed form: q=T div 4 rows per tile, first T%4 tiles get
+    # q+1 (greatest() keeps the unused else-branch division legal under
+    # ANSI when T < 4)
+    quartile = F.expr(
+        """
+        CAST(CASE WHEN _r <= (_t % 4) * (_t div 4 + 1)
+             THEN (_r - 1) div (_t div 4 + 1) + 1
+             ELSE (_t % 4)
+                  + (_r - 1 - (_t % 4) * (_t div 4 + 1)) div greatest(_t div 4, 1)
+                  + 1
+        END AS INT)
+        """
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("quartile", quartile)
+        .select("o_custkey", "quartile")
     )
 
 

@@ -564,3 +564,154 @@ def dedup_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id").cast("bigint").alias("doc_id"),
         F.col("component").cast("bigint").alias("canonical_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword scoring — the Lucene-relevance analog over documents
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_keyword_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t AS token
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      WHERE t <> ''
+    ),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ),
+    tf AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN token = '{_BM25_TERMS[0]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+             CAST(sum(CASE WHEN token = '{_BM25_TERMS[1]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+             CAST(sum(CASE WHEN token = '{_BM25_TERMS[2]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf2
+      FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      FROM tf
+    ),
+    avg_dl AS (
+      SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl
+    ),
+    scored AS (
+      SELECT t.doc_id, t.tf0, t.tf1, t.tf2,
+        (CASE WHEN t.tf0 > 0 THEN ln((CAST(s.n - s.df0 AS DOUBLE) + 0.5) / (CAST(s.df0 AS DOUBLE) + 0.5) + 1.0)
+              * ({_BM25_K1} + 1.0) * CAST(t.tf0 AS DOUBLE)
+              / (CAST(t.tf0 AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * (CAST(d.dl AS DOUBLE) / a.avgdl)))
+              ELSE 0.0 END)
+        + (CASE WHEN t.tf1 > 0 THEN ln((CAST(s.n - s.df1 AS DOUBLE) + 0.5) / (CAST(s.df1 AS DOUBLE) + 0.5) + 1.0)
+              * ({_BM25_K1} + 1.0) * CAST(t.tf1 AS DOUBLE)
+              / (CAST(t.tf1 AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * (CAST(d.dl AS DOUBLE) / a.avgdl)))
+              ELSE 0.0 END)
+        + (CASE WHEN t.tf2 > 0 THEN ln((CAST(s.n - s.df2 AS DOUBLE) + 0.5) / (CAST(s.df2 AS DOUBLE) + 0.5) + 1.0)
+              * ({_BM25_K1} + 1.0) * CAST(t.tf2 AS DOUBLE)
+              / (CAST(t.tf2 AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * (CAST(d.dl AS DOUBLE) / a.avgdl)))
+              ELSE 0.0 END) AS score
+      FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats s CROSS JOIN avg_dl a
+    )
+    SELECT doc_id, tf0, tf1, tf2,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 15
+    """,
+    doc="fulltext relevance: BM25 (k1=1.2, b=0.75) over the documents "
+    "corpus for a fixed 3-term query — the scalable analog of the "
+    "reference's Lucene-scored fulltext index (graph.py:196-209). "
+    "tf/df/dl are exact ints; the float score is a FIXED-ORDER "
+    "expression (term0+term1+term2), identical in both engines, and "
+    "only ranks are emitted. Corpus stats (N, df, avgdl) are a 1-row "
+    "broadcast; scoring is map-side; top-k is TakeOrdered.",
+)
+def bm25_keyword_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ranks import top_k_ranked
+
+    docs = spread(load(spark, sf, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    avgdl = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl")
+    )
+
+    def term(i: int) -> F.Column:
+        tf_d = F.col(f"tf{i}").cast("double")
+        df_d = F.col(f"df{i}").cast("double")
+        idf = F.log((F.col("n").cast("double") - df_d + 0.5) / (df_d + 0.5) + 1.0)
+        denom = tf_d + _BM25_K1 * (
+            1.0 - _BM25_B + _BM25_B * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        return F.when(
+            F.col(f"tf{i}") > 0, idf * (_BM25_K1 + 1.0) * tf_d / denom
+        ).otherwise(F.lit(0.0))
+
+    # fixed-order sum (term0 + term1 + term2): bit-reproducible, unlike
+    # an aggregation whose addition order floats with partitioning
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn("score", term(0) + term(1) + term(2))
+    )
+    return top_k_ranked(scored, [F.desc("score"), F.asc("doc_id")], 15).select(
+        "doc_id", "tf0", "tf1", "tf2", "rnk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split — reproducible hash bucketing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "train_val_test_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                  THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="training-pipeline utility: deterministic 12/2/2-of-16 "
+    "train/val/test assignment from the first hex digit of md5(doc_id). "
+    "Pure map — zero shuffle at any scale — and stable under re-runs "
+    "and data re-partitioning (unlike rand()-based splits).",
+)
+def train_val_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return docs.select(
+        "doc_id",
+        F.when(h <= "b", "train").when(h <= "d", "val").otherwise("test").alias(
+            "split"
+        ),
+    )

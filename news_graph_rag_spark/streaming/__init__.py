@@ -1,3 +1,8 @@
 """Structured Streaming surface (SURVEY §2.n)."""
 
-from .ingest_stream import streaming_ingest, windowed_event_counts  # noqa: F401
+from .ingest_stream import (  # noqa: F401
+    stream_stream_interval_join,
+    streaming_dedup,
+    streaming_ingest,
+    windowed_event_counts,
+)

@@ -93,6 +93,26 @@ def windowed_event_counts(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact streaming deduplication with BOUNDED state.
+
+    ``dropDuplicatesWithinWatermark`` keeps each key's state only until
+    the event-time watermark passes it, so state is O(keys per watermark
+    window) instead of O(all keys ever seen) — the only viable exact
+    dedup at an unbounded 100 TB/day ingest. Duplicates arriving later
+    than the watermark are the documented recall bound (route them to
+    the batch exact-dedup pass, ``pipeline.dedup.exact_dedup_keys``).
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def stream_stream_interval_join(
     purchases: DataFrame,
     clicks: DataFrame,

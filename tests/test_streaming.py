@@ -274,6 +274,79 @@ def test_stateful_sessionize_in_watermark_late_event(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark over a replayed stream with planted
+    duplicates == batch distinct on the key (bounded state: one entry
+    per key per watermark window)."""
+    from news_graph_rag_spark.queries.catalog import load
+    from news_graph_rag_spark.streaming import streaming_dedup
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "ts", "event_type")
+    )
+    doubled = ev.union(ev)  # every row duplicated
+    src = str(tmp_path / "dedup_src")
+    doubled.write.parquet(src)
+
+    expected = set(
+        (r["user_id"], str(r["ts"]), r["event_type"]) for r in ev.distinct().collect()
+    )
+
+    stream = spark.readStream.schema(doubled.schema).parquet(src)
+    deduped = streaming_dedup(
+        stream, key_cols=("user_id", "ts", "event_type"), watermark="1 hour"
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = set(
+            (r["user_id"], str(r["ts"]), r["event_type"])
+            for r in spark.table("dedup_out").collect()
+        )
+        assert got == expected
+    finally:
+        q.stop()
+
+
+def test_compact_parquet_reduces_files_preserves_data(spark, sf_dir, tmp_path):
+    from news_graph_rag_spark.maintenance import (
+        compact_parquet,
+        parquet_bytes,
+        parquet_file_count,
+    )
+    from news_graph_rag_spark.queries.catalog import load
+
+    path = str(tmp_path / "frag")
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value")
+    ev.repartition(40).write.parquet(path)
+    assert parquet_file_count(path) == 40
+    before = sorted(
+        (r["user_id"], str(r["ts"]), r["event_type"], r["value"])
+        for r in spark.read.parquet(path).collect()
+    )
+
+    target = max(1, parquet_bytes(path) // 3)
+    n_after = compact_parquet(spark, path, target_file_bytes=target)
+    assert n_after < 40
+    assert parquet_file_count(path) == n_after
+    after = sorted(
+        (r["user_id"], str(r["ts"]), r["event_type"], r["value"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert before == after
+    # a target smaller than any file → would need MORE files → no-op
+    assert compact_parquet(spark, path, target_file_bytes=1) == parquet_file_count(
+        path
+    )
+
+
 def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     """Stream-stream interval join == batch inequality join on the same
     events (inner joins emit on match, so a plain replay suffices)."""
