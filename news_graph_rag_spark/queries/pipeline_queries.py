@@ -530,29 +530,47 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 def dedup_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     from ..graph_algos import connected_components
 
-    pairs = dedup_minhash_lsh_pairs(spark, sf)
-    sh = shingles_df(spark, sf)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh_b"))
-    shared = (
-        pairs.join(sha, "doc_a")
-        .join(
-            shb,
-            (F.col("doc_b") == F.col("b_id")) & (F.col("shingle") == F.col("sh_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # Materialize the (tiny, bucket-capped) candidate set once — it feeds
+    # both the id prefilter and the verify join, and its LSH lineage is
+    # far too expensive to recompute per consumer.
+    pairs = dedup_minhash_lsh_pairs(spark, sf).localCheckpoint(eager=True)
+    # Jaccard verify on shingle ARRAYS, computed ONLY for docs that
+    # appear in some candidate pair: a broadcast semi-join prunes the
+    # corpus before the (expensive) shingle transform runs, the pruned
+    # per-doc arrays are small enough to broadcast into both pair joins,
+    # and the intersection is a per-pair JVM array op — no explode, no
+    # shuffle of a corpus-wide (doc, shingle) table (the previous
+    # explode + double-join shuffled every such row twice).
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs = spread(load(spark, sf, "documents"))
+    sharr = (
+        docs.join(F.broadcast(cand_ids), "doc_id")
+        .select("doc_id", F.array_distinct(shingle_array(F.col("text"))).alias("shs"))
     )
     verified = (
-        shared.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")),
+        pairs.join(
+            F.broadcast(
+                sharr.select(
+                    F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a")
+                )
+            ),
             "doc_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")),
+            F.broadcast(
+                sharr.select(
+                    F.col("doc_id").alias("doc_b"), F.col("shs").alias("sh_b")
+                )
+            ),
             "doc_b",
         )
+        .withColumn("n_shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("size_a", F.size("sh_a"))
+        .withColumn("size_b", F.size("sh_b"))
         .filter(
             F.col("n_shared") * 10
             >= 3 * (F.col("size_a") + F.col("size_b") - F.col("n_shared"))
