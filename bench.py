@@ -62,6 +62,10 @@ HEADLINE = [
     "streaming_interval_join",
     "multimodal_frame_sample",
     "salted_skew_join",
+    # training-pipeline ops (decontamination, packing, capping)
+    "decontaminate_train_test",
+    "pack_sequences",
+    "cap_per_source",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]

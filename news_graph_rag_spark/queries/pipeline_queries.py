@@ -733,3 +733,261 @@ def train_val_test_split(spark: SparkSession, sf: str) -> DataFrame:
             "split"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Test-set decontamination — n-gram overlap between train and held-out
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decontaminate_train_test",
+    oracle=f"""
+    WITH shdocs AS ({_SHINGLE_ARR_SQL.format(where="")}),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM shdocs, unnest(shdocs.shs) AS u(shingle)
+    ),
+    split AS (
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+      FROM documents
+    ),
+    test_sh AS (
+      SELECT DISTINCT shingle FROM sh JOIN split USING (doc_id) WHERE h > 'd'
+    ),
+    train_sh AS (
+      SELECT sh.doc_id, sh.shingle
+      FROM sh JOIN split USING (doc_id) WHERE h <= 'b'
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+    FROM train_sh JOIN test_sh USING (shingle)
+    GROUP BY doc_id
+    """,
+    doc="training-pipeline decontamination: find train-split documents "
+    "sharing any 3-word shingle with the held-out test split (the same "
+    "deterministic md5 split as train_val_test_split). The held-out "
+    "set's distinct shingles are orders of magnitude smaller than the "
+    "train corpus, so they broadcast; the train side explodes its "
+    "per-doc distinct shingles map-side and only contaminated "
+    "(doc, shingle) hits reach the final groupBy shuffle. At 100 TB "
+    "the broadcast bound is the test corpus size, not the train size; "
+    "if the held-out set outgrows broadcast, the same plan degrades "
+    "gracefully to a shuffle join on the shingle key.",
+)
+def decontaminate_train_test(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spread(load(spark, sf, "documents"))
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    tagged = docs.withColumn("_h", h)
+    test_sh = (
+        tagged.filter(F.col("_h") > "d")
+        .select(
+            F.explode(F.array_distinct(shingle_array(F.col("text")))).alias(
+                "shingle"
+            )
+        )
+        .distinct()
+    )
+    train_sh = tagged.filter(F.col("_h") <= "b").select(
+        "doc_id",
+        F.explode(F.array_distinct(shingle_array(F.col("text")))).alias("shingle"),
+    )
+    return (
+        train_sh.join(F.broadcast(test_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source document cap — anti-spam / domain-balance filter
+# ---------------------------------------------------------------------------
+
+_CAP_PER_SOURCE = 10
+_CAP_SALTS = 16
+
+
+@register(
+    "cap_per_source",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= {_CAP_PER_SOURCE}
+    """,
+    doc="training-pipeline domain balancing: keep at most K=10 documents "
+    "per source, selected by deterministic md5(doc_id) rank (an unbiased, "
+    "re-run-stable sample of each source, unlike first-K-by-ingest-order). "
+    "Two-phase exact cap for skewed sources: phase 1 caps each "
+    "(source, salt) sub-group to K — a hot source with 10^8 docs never "
+    "sorts in one task — phase 2 re-ranks the <= K*salts survivors per "
+    "source. Every member of the true per-source top-K survives its "
+    "salt group's top-K, so the result is exact.",
+)
+def cap_per_source(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    salted = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(_CAP_SALTS)).alias("_salt"),
+    )
+    w1 = Window.partitionBy("source", "_salt").orderBy("_h", "doc_id")
+    pre = salted.withColumn("_rn", F.row_number().over(w1)).filter(
+        F.col("_rn") <= _CAP_PER_SOURCE
+    )
+    w2 = Window.partitionBy("source").orderBy("_h", "doc_id")
+    return (
+        pre.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= _CAP_PER_SOURCE)
+        .select("doc_id", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling — deterministic per-stratum downsampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('strat#' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               AS u16
+      FROM documents) t
+    WHERE u16 < CASE lang WHEN 'en' THEN 16384
+                          WHEN 'zh' THEN 32768
+                          ELSE 65536 END
+    """,
+    doc="training-pipeline language rebalancing: deterministic "
+    "per-stratum sampling — keep 25% of 'en', 50% of 'zh', 100% of "
+    "everything else, decided by a 16-bit slice of a salted md5 of the "
+    "doc id. Pure map-side filter: zero shuffle at any scale, exactly "
+    "reproducible across runs and repartitionings (rand()-based "
+    "sampling is neither), and the salt decorrelates it from the "
+    "train/val/test split hash.",
+)
+def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    u16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("strat#"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    thresh = (
+        F.when(F.col("lang") == "en", 16384)
+        .when(F.col("lang") == "zh", 32768)
+        .otherwise(65536)
+    )
+    return docs.filter(u16 < thresh).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — concat-and-chunk token-budget binning
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {_PACK_BUDGET} AS BIGINT) AS bin_id
+    FROM toks
+    """,
+    doc="training-pipeline sequence packing: concat-and-chunk — documents "
+    "in deterministic doc_id order are laid end-to-end and cut every 512 "
+    "tokens; each doc is tagged with the bin its first token lands in "
+    "(exclusive running sum DIV budget). The running sum uses the "
+    "two-phase global_cumsum (range-repartition, local cumsum, broadcast "
+    "partition offsets) — no single-partition window, exact at any "
+    "scale.",
+)
+def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ranks import global_cumsum
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    cum = global_cumsum(
+        toks, [F.asc("doc_id")], F.col("n_tokens"), cumsum_col="_excl",
+        inclusive=False,
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"CAST(_excl DIV {_PACK_BUDGET} AS BIGINT)").alias("bin_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel — per-stage survivor counts in one pass
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_filter_funnel",
+    oracle="""
+    WITH d AS (
+      SELECT n_chars, len(string_split(text, ' ')) AS n_tokens, lang
+      FROM documents),
+    agg AS (SELECT
+      CAST(count(*) AS BIGINT) AS c0,
+      CAST(count(*) FILTER (WHERE n_chars BETWEEN 100 AND 400) AS BIGINT) AS c1,
+      CAST(count(*) FILTER (WHERE n_chars BETWEEN 100 AND 400
+                              AND n_tokens >= 30) AS BIGINT) AS c2,
+      CAST(count(*) FILTER (WHERE n_chars BETWEEN 100 AND 400
+                              AND n_tokens >= 30
+                              AND lang IN ('en','de','fr','es')) AS BIGINT) AS c3
+      FROM d)
+    SELECT 0 AS stage_id, 'total' AS stage, c0 AS n_surviving FROM agg
+    UNION ALL SELECT 1, 'len_100_400', c1 FROM agg
+    UNION ALL SELECT 2, 'min_30_tokens', c2 FROM agg
+    UNION ALL SELECT 3, 'lang_whitelist', c3 FROM agg
+    """,
+    doc="training-pipeline observability: the survivor count after each "
+    "cumulative quality-filter stage (length band, minimum token count, "
+    "language whitelist), computed as ONE conditional aggregation over "
+    "a single scan — not one job per stage — then unpivoted with "
+    "stack(). Partial aggregation reduces each task to four counters, "
+    "so the shuffle is O(partitions) regardless of corpus size.",
+)
+def quality_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    d = docs.select(
+        "n_chars", F.size(F.split(F.col("text"), " ")).alias("n_tokens"), "lang"
+    )
+    len_ok = F.col("n_chars").between(100, 400)
+    tok_ok = len_ok & (F.col("n_tokens") >= 30)
+    lang_ok = tok_ok & F.col("lang").isin("en", "de", "fr", "es")
+
+    def cnt(cond: F.Column, name: str) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    agg = d.agg(
+        F.count(F.lit(1)).alias("c0"),
+        cnt(len_ok, "c1"),
+        cnt(tok_ok, "c2"),
+        cnt(lang_ok, "c3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 0, 'total', c0, 1, 'len_100_400', c1, "
+            "2, 'min_30_tokens', c2, 3, 'lang_whitelist', c3) "
+            "AS (stage_id, stage, n_surviving)"
+        )
+    )

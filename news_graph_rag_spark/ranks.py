@@ -59,6 +59,46 @@ def global_row_number(
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_by: list[Column],
+    value: Column,
+    cumsum_col: str = "cum",
+    num_partitions: int | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Exact global running sum of ``value`` in ``order_by`` order
+    without a single-partition sort — same two-phase shape as
+    ``global_row_number``: range-repartition, local running sum, then
+    broadcast per-partition offsets. ``inclusive=False`` gives the
+    exclusive prefix sum (sum of all STRICTLY earlier rows).
+
+    ``order_by`` must define a total order (include a unique
+    tiebreaker), else tied rows' sums are placement-dependent.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.withColumn("_val", value.cast("long"))
+        .repartitionByRange(n, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    local = parted.withColumn("_lcum", F.sum("_val").over(w))
+    totals = parted.groupBy("_pid").agg(F.sum("_val").alias("_tot"))
+    c1, c2 = totals.alias("c1"), totals.alias("c2")
+    offsets = (
+        c1.join(c2, F.col("c2._pid") < F.col("c1._pid"), "left")
+        .groupBy(F.col("c1._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("c2._tot"), F.lit(0)).alias("_off"))
+    )
+    out = local.join(F.broadcast(offsets), "_pid").withColumn(
+        cumsum_col,
+        (F.col("_lcum") + F.col("_off"))
+        - (F.lit(0) if inclusive else F.col("_val")),
+    )
+    return out.drop("_pid", "_lcum", "_off", "_val")
+
+
 def top_k_ranked(
     df: DataFrame, order_by: list[Column], k: int, rank_col: str = "rnk"
 ) -> DataFrame:

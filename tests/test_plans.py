@@ -166,3 +166,43 @@ def test_partitioned_scan_prunes_partitions(spark, sf_dir, reg):
     ]
     assert part_lines
     assert any("event_type" in line for line in part_lines)
+
+
+def test_pack_sequences_cumsum_is_range_partitioned(spark, sf_dir, reg):
+    """pack_sequences' global running sum must be the two-phase
+    global_cumsum (range repartition + _pid-partitioned window), never a
+    single-partition ORDER BY window over the corpus."""
+    df = reg["pack_sequences"].fn(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "Exchange rangepartitioning" in plan
+    specs = _window_specs(plan)
+    assert specs and all(
+        "ASC" not in s.split(",")[0] and "DESC" not in s.split(",")[0]
+        for s in specs
+    ), "found an un-partitioned global window in pack_sequences"
+
+
+def test_cap_per_source_windows_are_partitioned(spark, sf_dir, reg):
+    """Both phases of the per-source cap must rank inside partitioned
+    windows (source+salt, then source) — no global sort anywhere."""
+    plan = plan_of(reg["cap_per_source"].fn(spark, sf_dir), "simple")
+    specs = _window_specs(plan)
+    assert len(specs) >= 2
+    assert all(
+        "ASC" not in s.split(",")[0] and "DESC" not in s.split(",")[0]
+        for s in specs
+    )
+    assert any("_salt" in s for s in specs), "phase-1 window must be salted"
+
+
+def test_stratified_sample_is_pure_map(spark, sf_dir, reg):
+    """The stratified sampler must be a shuffle-free scan+filter."""
+    plan = plan_of(reg["stratified_sample"].fn(spark, sf_dir), "simple")
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_broadcasts_test_shingles(spark, sf_dir, reg):
+    """The train-side join against held-out shingles must broadcast the
+    (small) test-shingle set, not shuffle the exploded train corpus."""
+    plan = plan_of(reg["decontaminate_train_test"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
