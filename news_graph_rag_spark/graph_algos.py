@@ -165,3 +165,44 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .unionByName(tri.select(F.col("c").alias("id")))
     )
     return corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def bfs_distances(
+    edges: DataFrame, source: int, max_hops: int = 10
+) -> DataFrame:
+    """Hop distances from ``source`` over an undirected edge list:
+    (id, dist) for every node reachable within ``max_hops``.
+
+    Frontier-expansion BFS: each round joins only the CURRENT frontier
+    (not the whole visited set) against the edge list, anti-joins away
+    already-visited nodes, and localCheckpoints the (small) frontier so
+    plan lineage stays flat. The edge list is checkpointed once and
+    reused every round — at cluster scale it stays partitioned on src
+    across iterations. One driver count per round decides termination
+    (same convergence-check pattern as connected_components).
+    """
+    spark = edges.sparkSession
+    e = (
+        _sym(edges)
+        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = spark.createDataFrame([(int(source),)], "id: bigint").localCheckpoint(
+        eager=True
+    )
+    visited = frontier.withColumn("dist", F.lit(0).cast("bigint"))
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        frontier = nxt
+        visited = visited.unionByName(
+            nxt.withColumn("dist", F.lit(d).cast("bigint"))
+        )
+    return visited

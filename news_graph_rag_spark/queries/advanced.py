@@ -603,6 +603,55 @@ def triangle_count_parts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "bfs_hop_distance_parts",
+    oracle="""
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey < 50
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ),
+    src0 AS (SELECT min(src) AS s FROM edges),
+    reach(id, d) AS (
+      SELECT s, 0 FROM src0
+      UNION
+      SELECT e.dst, r.d + 1
+      FROM reach r JOIN edges e ON r.id = e.src
+      WHERE r.d < 10
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(min(d) AS BIGINT) AS dist
+    FROM reach GROUP BY id
+    """,
+    doc="graph analytics: single-source BFS hop distances (<= 10 hops) "
+    "over the co-purchase parts graph, source = smallest node id. "
+    "Frontier-expansion BFS (graph_algos.bfs_distances): per round only "
+    "the frontier joins the (checkpointed, reused) edge list and an "
+    "anti-join drops visited nodes — state per round is O(frontier), "
+    "not O(graph). Oracle: bounded-depth recursive CTE + min(d). "
+    "Neo4j-parity: the reference's store answers this with Cypher "
+    "shortestPath / variable-length patterns (graph.py traversals).",
+)
+def bfs_hop_distance_parts(spark: SparkSession, sf: str) -> DataFrame:
+    from ..graph_algos import bfs_distances
+
+    edges = _copurchase_edges(spark, sf)
+    # scalar source id: a 1-value aggregate collect (driver-side scalar,
+    # same pattern as every convergence check — not a data collect)
+    source = edges.agg(F.min("src")).first()[0]
+    return bfs_distances(edges, int(source), max_hops=10).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # CUBE + grouping_id, running totals, moving averages (window breadth)
 # ---------------------------------------------------------------------------

@@ -991,3 +991,172 @@ def quality_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
             "AS (stage_id, stage, n_surviving)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t AS token
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      WHERE t <> ''
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ),
+    df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+    SELECT doc_id, token, tf, CAST(rnk AS INT) AS rnk FROM (
+      SELECT t.doc_id, t.token, t.tf,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY CAST(t.tf AS DOUBLE)
+                        * ln(CAST(nn.n AS DOUBLE) / CAST(d.df AS DOUBLE)) DESC,
+                        t.token) AS rnk
+      FROM tf t JOIN df d USING (token) CROSS JOIN nn) s
+    WHERE rnk <= 3
+    """,
+    doc="text analysis: top-3 TF-IDF terms per document. tf and df are "
+    "exact integer aggregates; the score tf*ln(N/df) is a single "
+    "fixed-order float expression (identical in both engines) and only "
+    "integer ranks are emitted. The document-frequency table is "
+    "vocabulary-sized -> broadcast into the tf join; the rank window is "
+    "partitioned by doc_id (never global). Two shuffles total at any "
+    "corpus size: (doc,term) partial-agg and the per-doc window.",
+)
+def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spread(load(spark, sf, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    nn = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "_score",
+            F.col("tf").cast("double")
+            * F.log(F.col("n").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — corpus-level adjacent-bigram association
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+
+
+@register(
+    "pmi_bigrams_topk",
+    oracle=f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+    uni AS (
+      SELECT t AS w, CAST(count(*) AS BIGINT) AS c
+      FROM toks, unnest(ts) AS u(t) WHERE t <> '' GROUP BY 1
+    ),
+    big AS (
+      SELECT b AS bigram, CAST(count(*) AS BIGINT) AS c_xy
+      FROM (SELECT CASE WHEN len(ts) >= 2
+                        THEN [ts[i] || ' ' || ts[i+1]
+                              FOR i IN range(1, len(ts))]
+                        ELSE [] END AS bs
+            FROM toks) t,
+           unnest(t.bs) AS u(b)
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    totb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS m FROM big),
+    scored AS (
+      SELECT bigram, c_xy,
+             ln((CAST(c_xy AS DOUBLE) / CAST(m AS DOUBLE))
+                / ((CAST(cx.c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(cy.c AS DOUBLE) / CAST(n AS DOUBLE)))) AS score
+      FROM big
+      JOIN uni cx ON cx.w = string_split(bigram, ' ')[1]
+      JOIN uni cy ON cy.w = string_split(bigram, ' ')[2]
+      CROSS JOIN tot CROSS JOIN totb
+      WHERE c_xy >= {_PMI_MIN_COUNT}
+    )
+    SELECT bigram, c_xy,
+           CAST(row_number() OVER (ORDER BY score DESC, bigram) AS INT) AS rnk
+    FROM scored QUALIFY rnk <= 20
+    """,
+    doc="text analysis: top-20 adjacent-word collocations by pointwise "
+    "mutual information, min count 5. Bigrams are built map-side from "
+    "the token array (no self-join of the token table); unigram counts "
+    "are vocabulary-sized and broadcast twice; corpus totals are 1-row "
+    "broadcasts; the PMI score is one fixed-order float expression and "
+    "only integer ranks/counts are emitted. Final top-k is TakeOrdered.",
+)
+def pmi_bigrams_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ranks import top_k_ranked
+
+    docs = spread(load(spark, sf, "documents"))
+    toks = docs.select(F.split(F.col("text"), " ").alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    bigs = F.when(
+        F.size("ts") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ts") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("ts", i), F.element_at("ts", i + 1)
+            ),
+        ),
+    )  # no otherwise: null array -> explode emits nothing (matches ELSE [])
+    big = (
+        toks.select(F.explode(bigs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    totb = big.agg(F.sum("c_xy").cast("bigint").alias("m"))
+    parts = F.split(F.col("bigram"), " ")
+    scored = (
+        big.filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("_w1"), F.col("c").alias("_cx"))),
+            parts.getItem(0) == F.col("_w1"),
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("_w2"), F.col("c").alias("_cy"))),
+            parts.getItem(1) == F.col("_w2"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(totb))
+        .withColumn(
+            "score",
+            F.log(
+                (F.col("c_xy").cast("double") / F.col("m").cast("double"))
+                / (
+                    (F.col("_cx").cast("double") / F.col("n").cast("double"))
+                    * (F.col("_cy").cast("double") / F.col("n").cast("double"))
+                )
+            ),
+        )
+    )
+    return top_k_ranked(scored, [F.desc("score"), F.asc("bigram")], 20).select(
+        "bigram", "c_xy", "rnk"
+    )

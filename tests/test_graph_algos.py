@@ -75,3 +75,24 @@ def test_triangle_count_direction_and_duplicates_ignored(spark):
     e = edges_df(spark, [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 2)])
     got = {(r["id"], r["n_triangles"]) for r in triangle_count(e).collect()}
     assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_bfs_distances_golden_path(spark):
+    from news_graph_rag_spark.graph_algos import bfs_distances
+
+    # path 0-1-2-3 plus a triangle shortcut 0-2, and an isolated edge 8-9
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2), (8, 9)], "src: long, dst: long"
+    )
+    got = {r["id"]: r["dist"] for r in bfs_distances(edges, 0).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_bfs_distances_respects_max_hops(spark):
+    from news_graph_rag_spark.graph_algos import bfs_distances
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src: long, dst: long"
+    )
+    got = {r["id"]: r["dist"] for r in bfs_distances(chain, 0, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
