@@ -419,3 +419,42 @@ def streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "streaming_dedup_users",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="Structured Streaming: exact bounded-state deduplication "
+    "(dropDuplicatesWithinWatermark) replayed over the events table — "
+    "the emitted key set equals batch DISTINCT, so this STREAMING "
+    "operator is value-checked against the DuckDB oracle. Only the key "
+    "columns are emitted (which physical row survives per key is "
+    "arrival-order-dependent; the key set is not). State per key "
+    "expires when the watermark passes it — O(keys/window), not "
+    "O(keys ever seen).",
+)
+def streaming_dedup_users(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.ingest_stream import streaming_dedup
+
+    ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
+    src = tempfile.mkdtemp(prefix="ngr_sdd_")
+    ev.write.mode("overwrite").parquet(src)
+    es = spark.readStream.schema(ev.schema).parquet(src)
+    name = "sdd_catalog_out"
+    q = (
+        streaming_dedup(es, key_cols=("user_id", "event_type"), ts_col="ts")
+        .select("user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

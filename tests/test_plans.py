@@ -206,3 +206,23 @@ def test_decontaminate_broadcasts_test_shingles(spark, sf_dir, reg):
     (small) test-shingle set, not shuffle the exploded train corpus."""
     plan = plan_of(reg["decontaminate_train_test"].fn(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_broadcasts_df_and_partitions_window(spark, sf_dir, reg):
+    """tfidf_top_terms: vocabulary (df) joins must broadcast, and the
+    rank window must be partitioned by doc_id, never global."""
+    plan = plan_of(reg["tfidf_top_terms"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    specs = _window_specs(plan)
+    assert specs and all(
+        "ASC" not in s.split(",")[0] and "DESC" not in s.split(",")[0]
+        for s in specs
+    )
+
+
+def test_pmi_topk_is_take_ordered(spark, sf_dir, reg):
+    """pmi_bigrams_topk: unigram counts broadcast; final top-k runs as
+    distributed TakeOrdered."""
+    plan = plan_of(reg["pmi_bigrams_topk"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
