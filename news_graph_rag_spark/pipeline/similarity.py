@@ -126,6 +126,9 @@ def ivf_build(
     is broadcast each round).
     assignments: df + centroid_id.
     """
+    # dim lookup: one 1-row job so the Lloyd update can aggregate
+    # per-dimension columns instead of exploding n×d rows
+    dim = df.select(F.size(embedding_col).alias("d")).first()["d"]
     centers = (
         df.orderBy(id_col)
         .limit(n_centroids)
@@ -133,23 +136,31 @@ def ivf_build(
             F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
             F.col(embedding_col).alias("centroid"),
         )
+        # centers is k rows; materialize each round so the next round's
+        # assignment doesn't re-derive the whole k-means lineage (the
+        # lazy form nested every previous round's plan into the final
+        # DAG, recomputing all assignments several times over)
+        .localCheckpoint(eager=True)
     )
     for _ in range(iters):
         assigned = _assign(df, centers, embedding_col, id_col)
-        exploded = assigned.select(
-            "centroid_id", F.posexplode(F.col(embedding_col)).alias("pos", "val")
+        # element-wise mean as d aggregate columns over k groups:
+        # partial (map-side) aggregation reduces each task to k×d
+        # doubles, so the shuffle is O(k·d·partitions) — the previous
+        # posexplode shuffled n×d (centroid_id, pos, val) rows per round
+        sums = assigned.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.element_at(F.col(embedding_col), i + 1)).alias(f"_s{i}")
+                for i in range(dim)
+            ],
         )
-        centers = (
-            exploded.groupBy("centroid_id", "pos")
-            .agg(F.avg("val").alias("mean_val"))
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
-                    lambda s: s["mean_val"].cast("float"),
-                ).alias("centroid")
-            )
-        )
+        centers = sums.select(
+            "centroid_id",
+            F.array(
+                *[(F.col(f"_s{i}") / F.col("_n")).cast("float") for i in range(dim)]
+            ).alias("centroid"),
+        ).localCheckpoint(eager=True)
     assignments = _assign(df, centers, embedding_col, id_col)
     return assignments, centers
 
