@@ -870,3 +870,55 @@ def partitioned_scan_pruning(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(30,3)")).cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 temporal dimension build — event log → validity intervals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_user_state",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_type) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_type) AS valid_to,
+           (lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_type) IS NULL)
+             AS is_current
+    FROM changes
+    """,
+    doc="lakehouse: slowly-changing-dimension (type 2) build from an "
+    "event log — consecutive same-state runs collapse to one version, "
+    "each version carries [valid_from, valid_to) and an is_current "
+    "flag. Two window passes, both partitioned by user_id (never "
+    "global): change detection via lag, interval close via lead. "
+    "Shuffles once on user_id; both windows reuse the same "
+    "partitioning, so Catalyst plans a single exchange.",
+)
+def scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    changes = (
+        ev.withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("event_type") != F.col("_prev")))
+        .drop("_prev")
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wc).alias("valid_to"),
+        F.lead("ts").over(wc).isNull().alias("is_current"),
+    )
