@@ -136,3 +136,37 @@ def sample_video_frames(
     return df.select(
         id_col, F.explode(idxs).alias("frame_index")
     )
+
+
+def chunk_audio_windows(
+    df: DataFrame,
+    window_samples: int = 400,
+    hop_samples: int = 160,
+    id_col: str = "media_id",
+    n_samples_col: str = "n_samples",
+) -> DataFrame:
+    """Analysis-window plan for audio: one row per (full) sliding window
+    — the standard 25 ms / 10 ms STFT framing when n_samples is at
+    16 kHz. Pure column ops (sequence + explode): the waveform DECODE
+    is the stubbed step, but the fan-out, partitioning, and window
+    arithmetic are the real operator an audio feature pipeline runs.
+    Map-only — the audio bytes are never shuffled.
+    """
+    from pyspark.sql import functions as F
+
+    starts = F.when(
+        F.col(n_samples_col) >= window_samples,
+        F.sequence(
+            F.lit(0),
+            F.col(n_samples_col) - window_samples,
+            F.lit(hop_samples),
+        ),
+    )  # no otherwise: short clips yield a null array -> explode drops them
+    return df.select(
+        id_col,
+        F.explode(starts).alias("start_sample"),
+    ).select(
+        id_col,
+        "start_sample",
+        (F.col("start_sample") + window_samples).alias("end_sample"),
+    )

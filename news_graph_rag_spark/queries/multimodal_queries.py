@@ -77,3 +77,33 @@ def multimodal_image_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.round("pixel_std", 6).alias("pixel_std"),
         F.size("features").alias("n_features"),
     )
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(s AS BIGINT) AS start_sample,
+           CAST(s + 400 AS BIGINT) AS end_sample
+    FROM (SELECT doc_id, n_chars * 100 AS n_samples FROM documents) a,
+         unnest(range(0, n_samples - 400 + 1, 160)) AS u(s)
+    """,
+    doc="multimodal: audio STFT framing plan (400-sample windows, "
+    "160-sample hop — 25 ms / 10 ms at 16 kHz) over synthesized "
+    "(media_id, n_samples) metadata; sequence+explode, map-only, the "
+    "waveform bytes never shuffle. Short clips (< 1 window) emit "
+    "nothing in both engines (null-array explode vs empty range).",
+)
+def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.multimodal import chunk_audio_windows
+
+    audio = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") * 100).alias("n_samples"),
+    )
+    win = chunk_audio_windows(audio, window_samples=400, hop_samples=160)
+    return win.select(
+        "media_id",
+        F.col("start_sample").cast("bigint").alias("start_sample"),
+        F.col("end_sample").cast("bigint").alias("end_sample"),
+    )

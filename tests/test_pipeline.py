@@ -295,3 +295,19 @@ def test_bucketed_join_has_no_shuffle_below_join(spark, sf_dir):
     below = "\n".join(lines[join_at:])
     assert "Bucketed: true" in below
     assert "Exchange" not in below  # co-located: no shuffle on either side
+
+
+def test_chunk_audio_windows_shapes(spark):
+    from news_graph_rag_spark.pipeline.multimodal import chunk_audio_windows
+
+    df = spark.createDataFrame(
+        [(1, 800), (2, 400), (3, 399), (4, 0)],
+        "media_id: long, n_samples: long",
+    )
+    rows = sorted(
+        (r["media_id"], r["start_sample"], r["end_sample"])
+        for r in chunk_audio_windows(df).collect()
+    )
+    # media 1: starts 0,160,320 (<=400); media 2: one exact window;
+    # media 3 and 4: too short, dropped
+    assert rows == [(1, 0, 400), (1, 160, 560), (1, 320, 720), (2, 0, 400)]
