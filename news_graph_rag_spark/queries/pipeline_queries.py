@@ -1160,3 +1160,40 @@ def pmi_bigrams_topk(spark: SparkSession, sf: str) -> DataFrame:
     return top_k_ranked(scored, [F.desc("score"), F.asc("bigram")], 20).select(
         "bigram", "c_xy", "rnk"
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition filter (Gopher/C4-style quality rule)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "repetition_ratio_filter",
+    oracle=f"""
+    WITH shdocs AS ({_SHINGLE_ARR_SQL.format(where="")})
+    SELECT doc_id,
+           CAST(len(shs) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(shs)) AS BIGINT) AS n_distinct,
+           (len(shs) - len(list_distinct(shs))) * 10 >= len(shs)
+             AS flagged
+    FROM shdocs
+    """,
+    doc="training-pipeline quality rule: intra-document repetition — the "
+    "fraction of duplicated 3-word shingles WITHIN each document "
+    "(Gopher-style repetition filter; docs with >= 10% duplicate "
+    "shingles are flagged). Entirely map-side array arithmetic on the "
+    "per-row shingle array: no explode, no shuffle, no state — rides "
+    "whole-stage codegen at any corpus size. The threshold compare is "
+    "cross-multiplied integers (exact, no float ratio).",
+)
+def repetition_ratio_filter(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spread(load(spark, sf, "documents"))
+    shs = shingle_array(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(shs).cast("bigint").alias("n_shingles"),
+        F.size(F.array_distinct(shs)).cast("bigint").alias("n_distinct"),
+        (
+            (F.size(shs) - F.size(F.array_distinct(shs))) * 10 >= F.size(shs)
+        ).alias("flagged"),
+    )
