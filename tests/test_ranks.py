@@ -60,3 +60,35 @@ def test_global_cumsum_single_row_and_empty(spark):
     assert [(r["id"], r["cum"]) for r in rows] == [(1, 10)]
     empty = one.filter(F.lit(False))
     assert global_cumsum(empty, [F.asc("id")], F.col("v")).count() == 0
+
+
+# -- property tests: the two-phase helpers must equal the naive global
+# window for ANY values and ANY partition count ----------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-100, max_value=100), min_size=1, max_size=60),
+    nparts=st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=12, deadline=None)
+def test_two_phase_helpers_match_naive_for_any_input(spark, vals, nparts):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    ).repartition(3)
+    order = [F.desc("v"), F.asc("id")]
+    exp = _naive(df, order).collect()
+    exp_rnk = {r["id"]: r["exp_rnk"] for r in exp}
+    exp_cum = {r["id"]: r["exp_cum"] for r in exp}
+    got_rnk = {
+        r["id"]: r["rnk"]
+        for r in global_row_number(df, order, num_partitions=nparts).collect()
+    }
+    got_cum = {
+        r["id"]: r["cum"]
+        for r in global_cumsum(df, order, F.col("v"), num_partitions=nparts).collect()
+    }
+    assert got_rnk == exp_rnk
+    assert got_cum == exp_cum
