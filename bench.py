@@ -62,10 +62,16 @@ HEADLINE = [
     "streaming_interval_join",
     "multimodal_frame_sample",
     "salted_skew_join",
-    # training-pipeline ops (decontamination, packing, capping)
+    # training-pipeline ops (decontamination, packing, capping, quality)
     "decontaminate_train_test",
     "pack_sequences",
     "cap_per_source",
+    "repetition_ratio_filter",
+    "tfidf_top_terms",
+    "pmi_bigrams_topk",
+    "scd2_user_state",
+    "bfs_hop_distance_parts",
+    "multimodal_audio_windows",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]

@@ -1197,3 +1197,69 @@ def repetition_ratio_filter(spark: SparkSession, sf: str) -> DataFrame:
             (F.size(shs) - F.size(F.array_distinct(shs))) * 10 >= F.size(shs)
         ).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-mix upsampling + deterministic epoch shuffle order
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_mix_upsample",
+    oracle="""
+    WITH weighted AS (
+      SELECT doc_id, source,
+             CASE WHEN source IN ('src1', 'src2') THEN 3
+                  WHEN source = 'src3' THEN 2
+                  ELSE 1 END AS w
+      FROM documents
+    ),
+    copies AS (
+      SELECT doc_id, source, CAST(c AS BIGINT) AS copy
+      FROM weighted, unnest(range(0, w)) AS u(c)
+    )
+    SELECT doc_id, source, copy,
+           CAST(row_number() OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || '#' || CAST(copy AS VARCHAR)),
+                      doc_id, copy) AS INT) AS shuffle_rnk
+    FROM copies
+    """,
+    doc="training-pipeline data mixing: per-source upsampling weights "
+    "(src1/src2 3x, src3 2x, rest 1x) applied by replicating rows with "
+    "a copy index (map-side sequence+explode — no join, no shuffle), "
+    "then a DETERMINISTIC global shuffle order for the training epoch: "
+    "rank over md5(doc_id#copy) via the two-phase range-partitioned "
+    "ranker (ranks.global_row_number) — reproducible across runs and "
+    "re-partitionings, with no single-partition sort. The oracle's "
+    "naive global window computes the same permutation.",
+)
+def source_mix_upsample(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ranks import global_row_number
+
+    docs = load(spark, sf, "documents")
+    w = (
+        F.when(F.col("source").isin("src1", "src2"), 3)
+        .when(F.col("source") == "src3", 2)
+        .otherwise(1)
+    )
+    copies = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), w - 1)).alias("copy"),
+    ).withColumn("copy", F.col("copy").cast("bigint"))
+    keyed = copies.withColumn(
+        "_h",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("#"),
+                F.col("copy").cast("string"),
+            )
+        ),
+    )
+    ranked = global_row_number(
+        keyed,
+        [F.asc("_h"), F.asc("doc_id"), F.asc("copy")],
+        rank_col="shuffle_rnk",
+    )
+    return ranked.select("doc_id", "source", "copy", "shuffle_rnk")
