@@ -8,10 +8,30 @@ interval join, the bucketed join) DO carry a DuckDB oracle.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load, register
+
+
+@contextmanager
+def _replay_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Scope ``spark.sql.shuffle.partitions`` for a toy-scale streaming
+    REPLAY: the state-store partition count should track expected key
+    cardinality/throughput, and these catalog exhibits replay a few
+    hundred thousand rows — 32 state partitions are pure fixed overhead
+    (state-store init + task scheduling per partition per micro-batch).
+    Production streaming keeps the cluster default; this is the same
+    sizing judgment AQE applies to batch shuffles, made explicit because
+    streaming state partitioning is fixed at query start."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 @register(
@@ -144,16 +164,17 @@ def streaming_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
     agg = windowed_event_counts(stream, "1 hour", watermark="2 hours")
     name = "stream_tumbling_out"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _replay_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name).select(
         F.col("window.start").alias("window_start"),
         "event_type",
@@ -270,17 +291,18 @@ def streaming_stateful_sessions(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(src)
     )
     name = "stateful_sessions_out"
-    q = (
-        stateful_sessionize(stream, gap_seconds=1800, watermark="10 minutes")
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _replay_shuffle_partitions(spark):
+        q = (
+            stateful_sessionize(stream, gap_seconds=1800, watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name).filter(F.col("user_id") < 100)
 
 
@@ -402,22 +424,24 @@ def streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
     p_dir = tempfile.mkdtemp(prefix="ngr_ssj_p_")
     c_dir = tempfile.mkdtemp(prefix="ngr_ssj_c_")
-    purchases.write.mode("overwrite").parquet(p_dir)
-    clicks.write.mode("overwrite").parquet(c_dir)
+    # staged replay input: a few compact files, not one per core
+    purchases.coalesce(4).write.mode("overwrite").parquet(p_dir)
+    clicks.coalesce(4).write.mode("overwrite").parquet(c_dir)
     ps = spark.readStream.schema(purchases.schema).parquet(p_dir)
     cs = spark.readStream.schema(clicks.schema).parquet(c_dir)
     name = "ssj_catalog_out"
-    q = (
-        stream_stream_interval_join(ps, cs, interval_seconds=300)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _replay_shuffle_partitions(spark):
+        q = (
+            stream_stream_interval_join(ps, cs, interval_seconds=300)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -442,19 +466,20 @@ def streaming_dedup_users(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
     src = tempfile.mkdtemp(prefix="ngr_sdd_")
-    ev.write.mode("overwrite").parquet(src)
+    ev.coalesce(4).write.mode("overwrite").parquet(src)
     es = spark.readStream.schema(ev.schema).parquet(src)
     name = "sdd_catalog_out"
-    q = (
-        streaming_dedup(es, key_cols=("user_id", "event_type"), ts_col="ts")
-        .select("user_id", "event_type")
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _replay_shuffle_partitions(spark):
+        q = (
+            streaming_dedup(es, key_cols=("user_id", "event_type"), ts_col="ts")
+            .select("user_id", "event_type")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
