@@ -138,3 +138,71 @@ def expand_chunk_hits(store: GraphStore, hits: DataFrame) -> DataFrame:
             F.col("source_name").alias("source"),
         ).alias("metadata"),
     )
+
+
+def ppr_expand(
+    store: GraphStore,
+    hits: DataFrame,
+    k: int = 10,
+    iters: int = 2,
+    alpha: float = 0.85,
+    id_col: str = "uid",
+    score_col: str = "score",
+) -> DataFrame:
+    """Personalized-PageRank context expansion — the principled upgrade
+    of R4's 1-hop join for graph-RAG context selection.
+
+    Seeds are the hit chunks with teleport mass proportional to their
+    retrieval score; the graph is the undirected chunk↔entity MENTIONS
+    bipartite graph. Returns the top-k NON-seed chunks by PPR rank:
+    a chunk sharing several (and rare) entities with several
+    high-scoring hits outranks one sharing a single ubiquitous mention —
+    a preference 1-hop expansion cannot express (it returns an
+    unweighted neighbor set).
+
+    Scale shape: seeds are k rows (localCheckpointed once, reused each
+    round); with iters=2 rank mass never leaves the 2-hop neighborhood,
+    so each round joins a frontier-sized rank table (broadcast) against
+    the edge list — O(frontier edges) per round, never O(graph). The
+    degree table is computed once. Final top-k is TakeOrdered.
+    """
+    men = store["mentions"].select("src_uid", "dst_uid")
+    edges = men.select(
+        F.col("src_uid").alias("src"), F.col("dst_uid").alias("dst")
+    ).unionByName(
+        men.select(F.col("dst_uid").alias("src"), F.col("src_uid").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    total = hits.agg(F.sum(score_col).alias("_tot"))
+    seeds = (
+        hits.crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col).alias("id"),
+            (F.col(score_col) / F.col("_tot")).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    teleport = seeds.select("id", (F.lit(1.0 - alpha) * F.col("w")).alias("v"))
+    ranks = seeds.select("id", F.col("w").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(F.broadcast(ranks), edges["src"] == ranks["id"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.lit(alpha) * F.col("rank") / F.col("out_deg")).alias("v"),
+            )
+        )
+        ranks = (
+            teleport.unionByName(contrib).groupBy("id").agg(
+                F.sum("v").alias("rank")
+            )
+        )
+    chunk_ids = store["chunk"].select(F.col("uid").alias("id"))
+    return (
+        ranks.join(chunk_ids, "id")
+        .join(seeds.select("id"), "id", "left_anti")
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(k)
+        .select(F.col("id").alias("uid"), "rank")
+    )

@@ -108,3 +108,57 @@ def test_expand_chunk_hits_projection(store):
         md = r["metadata"].asDict()
         assert set(md) == {"position", "section", "category", "date", "url", "source"}
         assert md["source"] in {"Example News", "World Wire"}
+
+
+# ---- R4+: personalized-PageRank expansion -------------------------------
+
+
+def test_ppr_expand_finds_entity_linked_chunks(store, spark):
+    from news_graph_rag_spark.retrieval import ppr_expand, vector_top_k
+
+    chunks = store["chunk"]
+    # deterministic seed that provably shares an entity with another
+    # chunk: smallest src_uid among mentions of entities mentioned >= 2x
+    men_all = store["mentions"].select("src_uid", "dst_uid")
+    shared_ents = (
+        men_all.groupBy("dst_uid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("dst_uid")
+    )
+    seed_uid = (
+        men_all.join(shared_ents, "dst_uid")
+        .agg(F.min("src_uid").alias("u"))
+        .first()["u"]
+    )
+    probe = chunks.filter(F.col("uid") == seed_uid).collect()[0]
+    seed_vec = list(probe["embedding"])
+    hits = vector_top_k(chunks, seed_vec, k=1)
+    out = ppr_expand(store, hits, k=5).collect()
+    # seeds are excluded
+    assert all(r["uid"] != probe["uid"] for r in out)
+    # every returned chunk is within 2 hops of the seed via MENTIONS
+    men = store["mentions"].select("src_uid", "dst_uid")
+    seed_ents = {
+        r["dst_uid"]
+        for r in men.filter(F.col("src_uid") == probe["uid"]).collect()
+    }
+    two_hop = {
+        r["src_uid"]
+        for r in men.filter(F.col("dst_uid").isin(list(seed_ents))).collect()
+    }
+    assert out, "expansion should find neighbors in the fixture graph"
+    for r in out:
+        assert r["uid"] in two_hop
+        assert r["rank"] > 0
+
+
+def test_ppr_expand_is_deterministic(store):
+    from news_graph_rag_spark.retrieval import ppr_expand, vector_top_k
+
+    chunks = store["chunk"]
+    probe = chunks.limit(1).collect()[0]
+    hits = vector_top_k(chunks, list(probe["embedding"]), k=2)
+    a = [(r["uid"], round(r["rank"], 12)) for r in ppr_expand(store, hits).collect()]
+    b = [(r["uid"], round(r["rank"], 12)) for r in ppr_expand(store, hits).collect()]
+    assert a == b
