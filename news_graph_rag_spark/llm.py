@@ -12,6 +12,7 @@ outside the correctness boundary (SURVEY §7 risks).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -100,6 +101,30 @@ class FakeLLM:
         return self.fallback
 
 
+_WRITE_KEYWORDS = re.compile(
+    r"(?i)^\s*(INSERT|UPDATE|DELETE|MERGE|DROP|CREATE|ALTER|TRUNCATE|"
+    r"REPLACE|SET|GRANT|REVOKE|CACHE|UNCACHE|REFRESH|MSCK|ANALYZE|"
+    r"ADD\s+JAR|LOAD\s+DATA)\b"
+)
+
+
+def assert_read_only(sql: str) -> None:
+    """Reject LLM-generated statements that are not pure reads.
+
+    The reference executes whatever Cypher the model produced
+    (chat.py:71 → graph.py:238-240) against a live Neo4j — a generated
+    ``MERGE``/``DELETE`` would mutate the store. Here the model's output
+    is executed only if it parses as a SELECT/CTE; everything else
+    raises before touching the session catalog."""
+    head = sql.lstrip()
+    if not head:
+        raise ValueError("empty SQL from model")
+    if _WRITE_KEYWORDS.match(head):
+        raise ValueError(f"refusing non-read-only generated SQL: {head[:60]!r}")
+    if not re.match(r"(?i)^\s*(SELECT|WITH|VALUES|TABLE|EXPLAIN)\b", head):
+        raise ValueError(f"generated SQL is not a query: {head[:60]!r}")
+
+
 def strip_sql_fences(text: str) -> str:
     """LLMs wrap SQL in ``` fences; strip them (chat.py does the same
     for Cypher via prompt discipline)."""
@@ -153,6 +178,7 @@ class GraphChat:
         return sql
 
     def execute(self, sql: str) -> DataFrame:
+        assert_read_only(sql)
         self.store.register_views(self.view_prefix)
         return self.store.spark.sql(sql)
 

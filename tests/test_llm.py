@@ -66,3 +66,27 @@ def test_chat_end_to_end(store):
     assert any(c["name"] == "Emmanuel Macron" for c in chat.last["candidates"])
     # prompt carried the schema string
     assert "article (:Article)" in llm.prompts[0]
+
+
+def test_execute_rejects_non_read_only_sql(spark):
+    import pytest as _pytest
+
+    from news_graph_rag_spark.llm import assert_read_only
+
+    for bad in (
+        "DROP TABLE article",
+        "  insert into chunk values (1)",
+        "MERGE INTO t USING s ON 1=1 WHEN MATCHED THEN DELETE",
+        "SET spark.sql.shuffle.partitions=1",
+        "",
+        "oops not sql",
+    ):
+        with _pytest.raises(ValueError):
+            assert_read_only(bad)
+    # reads pass untouched
+    for ok in (
+        "SELECT 1",
+        "  with x as (select 1) select * from x",
+        "EXPLAIN SELECT 1",
+    ):
+        assert_read_only(ok)
