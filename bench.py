@@ -72,6 +72,7 @@ HEADLINE = [
     "scd2_user_state",
     "bfs_hop_distance_parts",
     "multimodal_audio_windows",
+    "text_winnowing",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]

@@ -1263,3 +1263,61 @@ def source_mix_upsample(spark: SparkSession, sf: str) -> DataFrame:
         rank_col="shuffle_rnk",
     )
     return ranked.select("doc_id", "source", "copy", "shuffle_rnk")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS-style robust document fingerprinting)
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4  # window of consecutive shingle hashes; guarantees every
+# match of >= w+2 consecutive shingles shares a selected fingerprint
+
+
+@register(
+    "text_winnowing",
+    oracle=f"""
+    WITH shdocs AS ({_SHINGLE_ARR_SQL.format(where="")}),
+    hashed AS (
+      SELECT doc_id, [md5(s) FOR s IN shs] AS hs FROM shdocs
+    ),
+    selected AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= {_WINNOW_W}
+                  THEN list_distinct([list_min(hs[i:i+{_WINNOW_W}-1])
+                                     FOR i IN range(1, len(hs) - {_WINNOW_W} + 2)])
+                  ELSE list_distinct([list_min(hs)]) END AS fps
+      FROM hashed
+    )
+    SELECT doc_id, fp AS fingerprint
+    FROM selected, unnest(fps) AS u(fp)
+    """,
+    doc="text analysis: winnowing fingerprints (MOSS) — the minimum md5 "
+    "in every window of 4 consecutive 3-gram hashes, deduplicated per "
+    "document. Guarantees any shared run of >= 6 consecutive shingles "
+    "between two documents shares at least one selected fingerprint, at "
+    "~1/(w/2) the fingerprint density of full shingling — the standard "
+    "robust containment/contamination index. Entirely map-side array "
+    "ops (transform + slice + array_min); the only shuffle is whatever "
+    "the consumer does with (doc_id, fingerprint).",
+)
+def text_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spread(load(spark, sf, "documents"))
+    # Referencing the hash-array expression INSIDE a per-window lambda
+    # makes Catalyst re-evaluate it per window (O(n^2) md5 calls —
+    # CollapseProject inlines any projection, so a withColumn doesn't
+    # help). Instead the window minima are computed as element-wise
+    # least() over W shifted slices: hs appears a CONSTANT number of
+    # times (W slices + the rare short-doc branch), each evaluated once
+    # per row, and the zip_with lambdas only touch their element args.
+    hs = F.transform(shingle_array(F.col("text")), lambda s: F.md5(s))
+    # window count = sz - W + 1; sz computed WITHOUT the md5 pass
+    sz = F.size(shingle_array(F.col("text")))
+    nwin = sz - _WINNOW_W + 1
+    shifted = [F.slice(hs, i + 1, nwin) for i in range(_WINNOW_W)]
+    mins = shifted[0]
+    for nxt in shifted[1:]:
+        mins = F.zip_with(mins, nxt, lambda a, b: F.least(a, b))
+    selected = F.when(sz >= _WINNOW_W, F.array_distinct(mins)).otherwise(
+        F.array_distinct(F.array(F.array_min(hs)))
+    )
+    return docs.select("doc_id", F.explode(selected).alias("fingerprint"))

@@ -483,3 +483,59 @@ def streaming_dedup_users(spark: SparkSession, sf: str) -> DataFrame:
         finally:
             q.stop()
     return spark.table(name)
+
+
+@register(
+    "retrieval_ppr_expand",
+    oracle=None,
+    doc="R4+ graph-RAG expansion: ingest a document subset into the "
+    "graph store, take the top vector hit for a probe chunk's own "
+    "embedding, and expand it with multi-seed personalized PageRank "
+    "over the MENTIONS bipartite graph (retrieval/hybrid.py:ppr_expand; "
+    "2-hop membership + determinism unit-tested in "
+    "tests/test_retrieval.py). Rows-only: the rank values are "
+    "float-iterative and the store uids are content hashes, but the "
+    "returned uid set is deterministic.",
+)
+def retrieval_ppr_expand(spark: SparkSession, sf: str) -> DataFrame:
+    from ..graph_store import GraphStore
+    from ..ingest.embedder import HashEmbedder
+    from ..ingest.ner import GazetteerModel
+    from ..ingest.upserts import ingest_articles
+    from ..retrieval import ppr_expand
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    raw = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("Document "), F.col("doc_id").cast("string")).alias("title"),
+        F.lit(None).cast("timestamp").alias("publishing_date"),
+        F.col("lang").alias("language"),
+        F.array().cast("array<string>").alias("summary"),
+        F.array(
+            F.struct(
+                F.array().cast("array<string>").alias("headline"),
+                F.array(F.col("text")).alias("paragraphs"),
+            )
+        ).alias("sections"),
+        F.array().cast("array<string>").alias("topics"),
+        F.array(F.col("source")).alias("authors"),
+        F.col("source").alias("source_name"),
+        F.lit("feed").alias("source_type"),
+        F.concat(F.lit("https://"), F.col("source")).alias("source_url"),
+    )
+    gazetteer = {"organization": ["spark", "window"], "person": ["customer"]}
+    store = ingest_articles(
+        GraphStore.empty(spark),
+        raw,
+        ner_model_factory=lambda: GazetteerModel(gazetteer),
+        encoder_factory=lambda: HashEmbedder(dim=16),
+    )
+    chunks = store["chunk"]
+    # deterministic seed: smallest chunk uid that mentions anything
+    seed_uid = (
+        store["mentions"].agg(F.min("src_uid").alias("u")).first()["u"]
+    )
+    seed = chunks.filter(F.col("uid") == seed_uid).select(
+        "uid", F.lit(1.0).alias("score")
+    )
+    return ppr_expand(store, seed, k=10).select("uid")
