@@ -226,3 +226,13 @@ def test_pmi_topk_is_take_ordered(spark, sf_dir, reg):
     plan = plan_of(reg["pmi_bigrams_topk"].fn(spark, sf_dir), "simple")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_winnowing_is_map_only(spark, sf_dir, reg):
+    """text_winnowing must never shuffle on a data key: the only
+    Exchange allowed is spread()'s round-robin repartition."""
+    plan = plan_of(reg["text_winnowing"].fn(spark, sf_dir), "simple")
+    ex_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(ex_lines) <= 1
+    for l in ex_lines:
+        assert "roundrobin" in l.lower(), l
