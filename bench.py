@@ -73,6 +73,10 @@ HEADLINE = [
     "bfs_hop_distance_parts",
     "multimodal_audio_windows",
     "text_winnowing",
+    "text_pii_redact",
+    "importance_weighted_sample",
+    "dedup_substring_spans",
+    "embedding_quantize_int8",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]

@@ -1321,3 +1321,212 @@ def text_winnowing(spark: SparkSession, sf: str) -> DataFrame:
         F.array_distinct(F.array(F.array_min(hs)))
     )
     return docs.select("doc_id", F.explode(selected).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — map-side regex scrubbing (emails / IPs / phone-like)
+# ---------------------------------------------------------------------------
+
+# One regex dialect that behaves identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \b word boundaries.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE = "\\b\\d{3}-\\d{4}\\b"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+    doc="training-pipeline PII scrub: count and redact emails, IPv4 "
+    "addresses and phone-like digit runs with regexes that behave "
+    "identically under Java regex and RE2. The synthetic corpus has no "
+    "PII, so deterministic PII is appended per row first — exercising "
+    "every pattern on every row. Pure map (regexp_replace / "
+    "regexp_extract_all are codegen'd JVM expressions): zero shuffle at "
+    "any scale, and the scan only reads (doc_id, text).",
+)
+def text_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spread(load(spark, sf, "documents"))
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_EMAIL), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_IP), 0))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_PHONE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        red.alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Importance-weighted sampling — deterministic hash-threshold acceptance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "importance_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, n_chars,
+             CAST(floor(least(0.9, n_chars / 512.0) * 4294967296.0)
+                  AS BIGINT) AS thr
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars
+    FROM w
+    WHERE substr(md5('imp|' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < lower(lpad(to_hex(thr), 8, '0'))
+    """,
+    doc="training-pipeline importance sampling (DSIR-style): accept each "
+    "document with probability proportional to a quality weight "
+    "(here: length-derived, capped at 0.9) by comparing the first 8 hex "
+    "chars of md5(doc_id) against the weight rendered as an 8-hex-char "
+    "threshold. Deterministic under re-runs and repartitioning (unlike "
+    "rand()), pure map, zero shuffle; the hex-string comparison avoids "
+    "hex->int conversion differences between engines. n_chars/512 and "
+    "*2^32 are exact in binary floating point, so the threshold is "
+    "bit-identical cross-engine.",
+)
+def importance_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    weight = F.least(F.lit(0.9), F.col("n_chars") / 512.0)
+    thr = F.floor(weight * 4294967296.0).cast("bigint")
+    thr_hex = F.lower(F.lpad(F.hex(thr), 8, "0"))
+    h = F.substring(
+        F.md5(F.concat(F.lit("imp|"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    return docs.filter(h < thr_hex).select("doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring spans — exact n-gram span dedup (Lee et al. style)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_substring_spans",
+    oracle="""
+    WITH sp AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 5
+                  THEN list_distinct([md5(array_to_string(toks[i:i+4], ' '))
+                                      FOR i IN range(1, len(toks) - 3)])
+                  ELSE [md5(text)] END AS spans
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+            FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(spans) AS h FROM sp),
+    dup AS (SELECT h FROM ex GROUP BY h HAVING count(*) >= 2),
+    nd AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+      FROM ex JOIN dup USING (h) GROUP BY doc_id
+    )
+    SELECT sp.doc_id,
+           CAST(len(spans) AS BIGINT) AS n_spans,
+           COALESCE(nd.n_dup, 0) AS n_dup,
+           CAST(CASE WHEN 2 * COALESCE(nd.n_dup, 0) > len(spans)
+                     THEN 1 ELSE 0 END AS BIGINT) AS dup_heavy
+    FROM sp LEFT JOIN nd USING (doc_id)
+    """,
+    doc="dedup: exact duplicated-substring detection (the n-gram-span "
+    "form of Lee et al.'s 'Deduplicating Training Data...' substring "
+    "dedup): a 5-token span is duplicated if its hash occurs in >= 2 "
+    "per-doc distinct span sets; per doc, report total/duplicated span "
+    "counts and a >50-percent-duplicated flag (cross-multiplied integer "
+    "compare, no floats). Span hashes are built map-side per row (no "
+    "explode before hashing); the shuffles carry only (doc_id, 32-byte "
+    "hash) pairs, never text, and n_spans comes from the array size "
+    "before the explode — so the heavy side of the plan is hash-only "
+    "at 100 TB.",
+)
+def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spread(load(spark, sf, "documents"))
+    toks = F.split(F.col("text"), " ")
+    spans = F.when(
+        F.size(toks) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 4),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                        F.element_at(toks, i + 3),
+                        F.element_at(toks, i + 4),
+                    )
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.md5(F.col("text"))))
+    per_doc = docs.select(
+        F.col("doc_id"), spans.alias("spans")
+    ).localCheckpoint(eager=False)
+    base = per_doc.select(
+        "doc_id", F.size("spans").cast("bigint").alias("n_spans")
+    )
+    ex = per_doc.select("doc_id", F.explode("spans").alias("h"))
+    dup = ex.groupBy("h").agg(F.count(F.lit(1)).alias("_n")).filter(
+        F.col("_n") >= 2
+    )
+    nd = (
+        ex.join(dup.select("h"), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        base.join(nd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce(F.col("n_dup"), F.lit(0).cast("bigint")).alias("n_dup"),
+            F.when(
+                2 * F.coalesce(F.col("n_dup"), F.lit(0)) > F.col("n_spans"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("dup_heavy"),
+        )
+    )

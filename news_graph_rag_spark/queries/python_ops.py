@@ -539,3 +539,55 @@ def retrieval_ppr_expand(spark: SparkSession, sf: str) -> DataFrame:
         "uid", F.lit(1.0).alias("score")
     )
     return ppr_expand(store, seed, k=10).select("uid")
+
+
+@register(
+    "streaming_sliding_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) - ks.k * INTERVAL '1 hour' AS win_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+    GROUP BY 1, 2
+    """,
+    doc="Structured Streaming: watermarked SLIDING-window aggregation "
+    "(2h window, 1h slide) replayed over the events table through a "
+    "memory sink — every instant belongs to exactly two hour-aligned "
+    "windows, so the batch oracle duplicates each event into offsets "
+    "{0,1}h and re-aggregates. Value-checked against DuckDB (the sum "
+    "goes through DECIMAL(30,3) in both engines so accumulation order "
+    "can't drift). State is bounded by the watermark: O(windows-in-"
+    "flight x keys), independent of stream length.",
+)
+def streaming_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming import windowed_event_counts
+
+    batch = load(spark, sf, "events")
+    stage_dir = tempfile.mkdtemp(prefix="ngr_slide_events_")
+    batch.coalesce(4).write.mode("overwrite").parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(stage_dir)
+    )
+    agg = windowed_event_counts(
+        stream, "2 hours", slide="1 hour", watermark="3 hours"
+    )
+    name = "stream_sliding_out"
+    with _replay_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name).select(
+        F.col("window.start").alias("win_start"), "event_type", "n", "sum_value"
+    )

@@ -471,3 +471,48 @@ def retrieval_expand_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("m.source").alias("source"),
         F.col("m.lang").alias("lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization — int8 scalar quantization for ANN at scale
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x))) AS amax
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CASE WHEN amax > 0
+                THEN list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE)
+                                       * (127.0 / CAST(amax AS DOUBLE))
+                                       + 0.5) AS INT))
+                ELSE list_transform(embedding, x -> 0) END AS q8
+    FROM m
+    """,
+    doc="similarity-at-scale: per-vector symmetric int8 scalar "
+    "quantization (q = round(x * 127/max|x|)), the standard 4x "
+    "memory/bandwidth reduction before ANN indexing. Pure map over the "
+    "embedding column — zero shuffle at any scale. Cross-engine "
+    "determinism: abs/max over floats are exact, the scale and products "
+    "are IEEE double ops performed identically in both engines, and "
+    "rounding is the explicit floor(v + 0.5) so no engine rounding-mode "
+    "convention is involved.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    amax = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
+    scale = F.lit(127.0) / amax.cast("double")
+    q = F.when(
+        amax > 0,
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("embedding"), lambda x: F.lit(0)))
+    return emb.select("vec_id", q.alias("q8"))

@@ -236,3 +236,41 @@ def test_winnowing_is_map_only(spark, sf_dir, reg):
     assert len(ex_lines) <= 1
     for l in ex_lines:
         assert "roundrobin" in l.lower(), l
+
+
+def test_pii_redact_is_map_only(spark, sf_dir, reg):
+    """PII scrub must be a pure map with a pruned scan: the only
+    Exchange allowed is spread()'s round-robin; the scan must read
+    only (doc_id, text)."""
+    plan = plan_of(reg["text_pii_redact"].fn(spark, sf_dir), "simple")
+    ex_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(ex_lines) <= 1
+    for l in ex_lines:
+        assert "roundrobin" in l.lower(), l
+    fmt = plan_of(reg["text_pii_redact"].fn(spark, sf_dir))
+    scan = [l for l in fmt.splitlines() if "ReadSchema" in l]
+    assert scan and "lang" not in scan[0] and "source" not in scan[0]
+
+
+def test_weighted_sample_map_only_pruned(spark, sf_dir, reg):
+    """Hash-threshold sampling: no shuffle at all, and the parquet scan
+    reads only the three emitted columns."""
+    plan = plan_of(reg["importance_weighted_sample"].fn(spark, sf_dir), "simple")
+    assert "Exchange" not in plan
+    fmt = plan_of(reg["importance_weighted_sample"].fn(spark, sf_dir))
+    scan = [l for l in fmt.splitlines() if "ReadSchema" in l]
+    assert scan and "text" not in scan[0]
+
+
+def test_quantize_int8_map_only(spark, sf_dir, reg):
+    plan = plan_of(reg["embedding_quantize_int8"].fn(spark, sf_dir), "simple")
+    assert "Exchange" not in plan
+
+
+def test_substring_spans_shuffles_hashes_only(spark, sf_dir, reg):
+    """The exploded side that shuffles must carry only (doc_id, h) —
+    the text column must not appear past the scan, and the dup-span
+    filter side joins as a broadcast or semi join, never a cartesian."""
+    plan = plan_of(reg["dedup_substring_spans"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
