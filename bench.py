@@ -77,6 +77,8 @@ HEADLINE = [
     "importance_weighted_sample",
     "dedup_substring_spans",
     "embedding_quantize_int8",
+    "ann_quantized_topk",
+    "near_dup_canonicalize_embedding",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]

@@ -516,3 +516,186 @@ def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
         ),
     ).otherwise(F.transform(F.col("embedding"), lambda x: F.lit(0)))
     return emb.select("vec_id", q.alias("q8"))
+
+
+_Q8_SQL = """
+      SELECT vec_id, CASE WHEN amax > 0
+               THEN list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE)
+                                      * (127.0 / CAST(amax AS DOUBLE))
+                                      + 0.5) AS INT))
+               ELSE list_transform(embedding, x -> 0) END AS q8
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(x))) AS amax
+            FROM embeddings)
+"""
+
+
+@register(
+    "ann_quantized_topk",
+    oracle=f"""
+    WITH q AS ({_Q8_SQL}),
+    probe AS (SELECT q8 AS p FROM q WHERE vec_id = 0),
+    scored AS (
+      SELECT q.vec_id,
+             CAST(list_sum([q.q8[i] * probe.p[i]
+                            FOR i IN range(1, len(q.q8) + 1)]) AS BIGINT)
+               AS dot_q8
+      FROM q, probe
+      WHERE q.vec_id <> 0
+    )
+    SELECT CAST(row_number() OVER (ORDER BY dot_q8 DESC, vec_id) AS INT)
+             AS rnk,
+           vec_id, dot_q8
+    FROM scored
+    ORDER BY dot_q8 DESC, vec_id
+    LIMIT 10
+    """,
+    doc="similarity-at-scale: top-k nearest neighbours scored in the "
+    "int8-quantized domain (integer dot products — exact, so this ANN "
+    "building block is fully value-checked, unlike float-scored "
+    "variants that need rank-only checks). Quantization is map-side; "
+    "the probe vector is a broadcast literal folded into one codegen'd "
+    "expression per row; top-k is TakeOrdered (per-partition heaps), "
+    "never a global sort — at 100 TB the only data movement is k rows "
+    "per partition to the driver-side merge. Rescoring the k survivors "
+    "in float32 (the standard two-stage design) would touch only k "
+    "rows.",
+)
+def ann_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    amax = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
+    scale = F.lit(127.0) / amax.cast("double")
+    q8 = F.when(
+        amax > 0,
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("embedding"), lambda x: F.lit(0)))
+    quant = emb.select("vec_id", q8.alias("q8"))
+    probe = quant.filter(F.col("vec_id") == 0).first()["q8"]
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q8"),
+            F.array(*[F.lit(int(v)) for v in probe]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = quant.filter(F.col("vec_id") != 0).select(
+        "vec_id", dot.alias("dot_q8")
+    )
+    return top_k_ranked(
+        scored, [F.desc("dot_q8"), F.asc("vec_id")], k=10
+    ).select(F.col("rnk"), "vec_id", "dot_q8")
+
+
+@register(
+    "near_dup_canonicalize_embedding",
+    oracle=f"""
+    WITH RECURSIVE q AS ({_Q8_SQL}),
+    qq AS (
+      SELECT vec_id, q8,
+             CAST(list_sum([q8[i] * q8[i]
+                            FOR i IN range(1, len(q8) + 1)]) AS BIGINT) AS n2
+      FROM q WHERE vec_id < 300
+    ),
+    pairs0 AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst, a.n2 AS n2a, b.n2 AS n2b,
+             CAST(list_sum([a.q8[i] * b.q8[i]
+                            FOR i IN range(1, len(a.q8) + 1)]) AS BIGINT)
+               AS dot
+      FROM qq a JOIN qq b ON a.vec_id < b.vec_id
+    ),
+    pairs AS (
+      SELECT src, dst FROM pairs0
+      WHERE dot > 0 AND 10000 * dot * dot > 9025 * n2a * n2b
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comp AS (
+      SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
+    )
+    SELECT qq.vec_id,
+           CAST(COALESCE(comp.component, qq.vec_id) AS BIGINT)
+             AS canonical_id
+    FROM qq LEFT JOIN comp ON qq.vec_id = comp.id
+    """,
+    doc="end-to-end SEMANTIC near-dup canonicalization: quantize "
+    "embeddings to int8 (map-side), emit a near-dup edge for every "
+    "pair whose quantized cosine exceeds 0.95 — tested as the fully "
+    "integer cross-multiplied predicate 10000*dot^2 > 9025*|a|^2*|b|^2 "
+    "with dot > 0, so the threshold cannot drift between engines — "
+    "then collapse edges to canonical ids with the convergent "
+    "connected-components kernel (min-label + pointer halving); "
+    "singletons canonicalize to themselves via the left join. The "
+    "catalog exhibit bounds the pair generation to vec_id < 300 "
+    "(all-pairs is the verifiable baseline; the generic scale path is "
+    "the same predicate inside sign-LSH buckets, "
+    "pipeline/similarity.py). Checked against DuckDB recursive "
+    "transitive closure — exact at the fixpoint, so iteration "
+    "strategy cannot affect parity.",
+)
+def near_dup_canonicalize_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    from ..graph_algos import connected_components
+
+    emb = load(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
+    amax = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
+    scale = F.lit(127.0) / amax.cast("double")
+    q8 = F.when(
+        amax > 0,
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("embedding"), lambda x: F.lit(0)))
+    n2 = F.aggregate(
+        F.transform(F.col("q8"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    quant = emb.select("vec_id", q8.alias("q8")).withColumn("n2", n2)
+    a = quant.select(
+        F.col("vec_id").alias("src"),
+        F.col("q8").alias("qa"),
+        F.col("n2").alias("n2a"),
+    )
+    b = quant.select(
+        F.col("vec_id").alias("dst"),
+        F.col("q8").alias("qb"),
+        F.col("n2").alias("n2b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("src") < F.col("dst"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (10000 * F.col("dot") * F.col("dot")
+               > 9025 * F.col("n2a") * F.col("n2b"))
+        )
+        .select("src", "dst")
+    )
+    comp = connected_components(pairs)
+    return (
+        quant.select("vec_id")
+        .join(comp, quant.vec_id == comp.id, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id"))
+            .cast("bigint")
+            .alias("canonical_id"),
+        )
+    )

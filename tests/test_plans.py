@@ -274,3 +274,19 @@ def test_substring_spans_shuffles_hashes_only(spark, sf_dir, reg):
     plan = plan_of(reg["dedup_substring_spans"].fn(spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
+
+
+def test_ann_quantized_topk_take_ordered(spark, sf_dir, reg):
+    plan = plan_of(reg["ann_quantized_topk"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_near_dup_canonicalize_embedding_plan(spark, sf_dir, reg):
+    """No cartesian anywhere, and the candidate-bound filter reaches
+    the parquet scan. (The all-pairs broadcast join itself is executed
+    eagerly inside connected_components' localCheckpoint, so the final
+    plan sees it only as an ExistingRDD scan.)"""
+    plan = plan_of(reg["near_dup_canonicalize_embedding"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "LessThan(vec_id,300)" in plan
