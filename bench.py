@@ -79,6 +79,8 @@ HEADLINE = [
     "embedding_quantize_int8",
     "ann_quantized_topk",
     "near_dup_canonicalize_embedding",
+    "boilerplate_strip_rebuild",
+    "incremental_rollup_merge",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]

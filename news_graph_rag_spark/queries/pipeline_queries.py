@@ -1530,3 +1530,103 @@ def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
             .alias("dup_heavy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate removal — corpus-level hot-block strip + order-preserving rebuild
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "boilerplate_strip_rebuild",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    b AS (SELECT doc_id, toks,
+                 unnest(generate_series(
+                     1, CAST(ceil(len(toks) / 5.0) AS INT))) AS pos
+          FROM t),
+    blk AS (SELECT doc_id, pos,
+                   array_to_string(
+                       toks[(pos - 1) * 5 + 1 : (pos - 1) * 5 + 5],
+                       ' ') AS block
+            FROM b),
+    hot AS (SELECT h
+            FROM (SELECT DISTINCT doc_id, md5(block) AS h FROM blk)
+            GROUP BY h HAVING count(*) >= 2),
+    keep AS (SELECT doc_id, pos, block FROM blk
+             WHERE md5(block) NOT IN (SELECT h FROM hot)),
+    reb AS (SELECT doc_id,
+                   string_agg(block, ' ' ORDER BY pos) AS cleaned,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM keep GROUP BY doc_id),
+    base AS (SELECT doc_id,
+                    CAST(ceil(len(string_split(text, ' ')) / 5.0) AS BIGINT)
+                      AS n_blocks
+             FROM documents)
+    SELECT base.doc_id,
+           COALESCE(reb.cleaned, '') AS cleaned,
+           base.n_blocks - COALESCE(reb.n_kept, 0) AS n_removed
+    FROM base LEFT JOIN reb USING (doc_id)
+    """,
+    doc="text transform: C4-style corpus-level boilerplate removal — any "
+    "5-token block whose hash appears in >= 2 distinct documents is "
+    "stripped from every document, and each document is rebuilt with its "
+    "surviving blocks in original order (posexplode -> broadcast "
+    "hot-flag join -> one groupBy(doc_id) that sorts struct(pos, block) "
+    "and drops flagged blocks). Unlike dedup_substring_spans "
+    "(detection/flagging) this is the transform: the output is the "
+    "cleaned corpus. Scale: hot-block detection shuffles only (doc_id, "
+    "32-byte hash) pairs; the flag-join side is the tiny hot-hash set "
+    "(boilerplate is by definition concentrated), so Catalyst "
+    "broadcasts it; the single shuffle that carries text is the rebuild "
+    "groupBy(doc_id) — inherent to rewriting the corpus, evenly "
+    "partitioned by doc id, one explode and one pass. The blocks array "
+    "is cut from the lineage with localCheckpoint so Catalyst cannot "
+    "inline the tokenize+slice chain into the explode (avoids "
+    "per-element re-evaluation of split()).",
+)
+def boilerplate_strip_rebuild(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spread(load(spark, sf, "documents"))
+    toks = F.split(F.col("text"), " ")
+    n_blocks = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
+    per_doc = docs.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), n_blocks),
+            lambda p: F.concat_ws(
+                " ", F.slice(toks, (p - F.lit(1)) * F.lit(5) + F.lit(1), 5)
+            ),
+        ).alias("blocks"),
+    ).localCheckpoint(eager=False)
+    blk = per_doc.select(
+        "doc_id", F.posexplode("blocks").alias("pos", "block")
+    ).withColumn("h", F.md5("block"))
+    hot = (
+        blk.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    tagged = blk.join(
+        hot.withColumn("is_hot", F.lit(True)), "h", "left"
+    ).select("doc_id", "pos", "block", F.coalesce("is_hot", F.lit(False)).alias("is_hot"))
+    return tagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "block", "is_hot"))
+                    ),
+                    lambda s: ~s["is_hot"],
+                ),
+                lambda s: s["block"],
+            ),
+        ).alias("cleaned"),
+        F.sum(F.when(F.col("is_hot"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+    )

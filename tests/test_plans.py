@@ -290,3 +290,21 @@ def test_near_dup_canonicalize_embedding_plan(spark, sf_dir, reg):
     plan = plan_of(reg["near_dup_canonicalize_embedding"].fn(spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan
     assert "LessThan(vec_id,300)" in plan
+
+
+def test_boilerplate_strip_rebuild_plan(spark, sf_dir, reg):
+    """Hot-hash side is broadcast (never a data-sized shuffle); exactly
+    one text-carrying shuffle (the rebuild groupBy); no cartesian."""
+    plan = plan_of(reg["boilerplate_strip_rebuild"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("collect_list") <= 4  # one (partial+final) rebuild agg
+
+
+def test_incremental_rollup_merge_pushdown(spark, sf_dir, reg):
+    """Both partial scans prune to 3 columns with the date split pushed
+    to parquet; merge re-aggregates partials (no join)."""
+    plan = plan_of(reg["incremental_rollup_merge"].fn(spark, sf_dir), "formatted")
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "Join" not in plan
