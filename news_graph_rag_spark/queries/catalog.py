@@ -55,6 +55,22 @@ def registry() -> dict[str, CatalogQuery]:
     return dict(_REGISTRY)
 
 
+def reorder(front: list[str]) -> None:
+    """Reorder the registry so ``front`` names come first (in the given
+    order), then everything else in registration order.
+
+    The driver's correctness gate verifies the first 50 oracle-backed
+    entries in registry order, so ordering is how we rotate
+    least-recently-verified entries into the verified set each round.
+    Unknown names in ``front`` are ignored (entries may be pruned).
+    """
+    fronted = [k for k in front if k in _REGISTRY]
+    rest = [k for k in _REGISTRY if k not in set(fronted)]
+    items = {k: _REGISTRY[k] for k in [*fronted, *rest]}
+    _REGISTRY.clear()
+    _REGISTRY.update(items)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -78,9 +94,17 @@ def spread(df: DataFrame) -> DataFrame:
     (≥ default parallelism splits) it's a no-op.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # len(inputFiles()) is driver-side file-index metadata — unlike
+    # df.rdd.getNumPartitions() it does not force an RDD translation of
+    # the whole plan. Splits >= files, so files >= target means the scan
+    # is already parallel enough and we skip the repartition.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plan — assume narrow
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_views(spark: SparkSession, sf_dir: str) -> None:
