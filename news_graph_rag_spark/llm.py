@@ -125,6 +125,61 @@ def assert_read_only(sql: str) -> None:
         raise ValueError(f"generated SQL is not a query: {head[:60]!r}")
 
 
+_IDENT = r"[A-Za-z_]\w*"
+_CTE_DEF = re.compile(rf"(?i)\b({_IDENT})\s+AS\s*\(")
+_NOT_A_TABLE = frozenset(
+    "select lateral values unnest on where group order having limit union "
+    "intersect except join left right full inner cross natural using as".split()
+)
+
+
+def _referenced_tables(sql: str) -> set[str]:
+    """Best-effort extraction of table identifiers after FROM/JOIN,
+    including comma-separated FROM lists. String literals are blanked
+    first so quoted text can't fake or hide a keyword."""
+    s = re.sub(r"'(?:[^']|'')*'", "''", sql)
+    tables: set[str] = set()
+    for m in re.finditer(r"(?i)\b(?:from|join)\b", s):
+        i = m.end()
+        while True:
+            mm = re.match(rf"\s*({_IDENT}(?:\s*\.\s*{_IDENT})*)", s[i:])
+            if not mm:
+                break  # subquery "FROM (" or end of clause
+            name = mm.group(1)
+            if name.lower() in _NOT_A_TABLE:
+                break
+            tables.add(re.sub(r"\s", "", name).lower())
+            i += mm.end()
+            am = re.match(rf"\s+(?:as\s+)?({_IDENT})", s[i:], re.I)
+            if am and am.group(1).lower() not in _NOT_A_TABLE:
+                i += am.end()  # skip alias
+            cm = re.match(r"\s*,", s[i:])
+            if not cm:
+                break
+            i += cm.end()
+    return tables
+
+
+def assert_allowed_tables(sql: str, allowed: set[str]) -> None:
+    """Reject generated SQL that reads anything but the registered graph
+    views.
+
+    ``assert_read_only`` blocks DML, but Spark SQL can still read
+    arbitrary storage through path-table syntax (``parquet.`/etc/x```)
+    or hit other catalogs via qualified names. Registered views need no
+    backticks and no qualifiers, so: ban backticks outright, then check
+    every FROM/JOIN identifier against the allowlist (CTE names defined
+    in the statement are implicitly allowed)."""
+    if "`" in sql:
+        raise ValueError("refusing backtick-quoted identifier in generated SQL")
+    allowed_l = {a.lower() for a in allowed}
+    ctes = {m.group(1).lower() for m in _CTE_DEF.finditer(sql)}
+    for name in _referenced_tables(sql):
+        if name in ctes or name in allowed_l:
+            continue
+        raise ValueError(f"generated SQL references unregistered table {name!r}")
+
+
 def strip_sql_fences(text: str) -> str:
     """LLMs wrap SQL in ``` fences; strip them (chat.py does the same
     for Cypher via prompt discipline)."""
@@ -179,6 +234,8 @@ class GraphChat:
 
     def execute(self, sql: str) -> DataFrame:
         assert_read_only(sql)
+        allowed = {self.view_prefix + name for name in self.store.tables}
+        assert_allowed_tables(sql, allowed)
         self.store.register_views(self.view_prefix)
         return self.store.spark.sql(sql)
 

@@ -4,58 +4,10 @@
 Import side effects register the queries; ``registry()`` returns them.
 """
 
-from .catalog import CatalogQuery, load, register, registry, reorder  # noqa: F401
+from .catalog import CatalogQuery, load, register, registry  # noqa: F401
 from . import relational  # noqa: F401  (registers on import)
 from . import pipeline_queries  # noqa: F401
 from . import retrieval_queries  # noqa: F401
 from . import advanced  # noqa: F401
 from . import python_ops  # noqa: F401
 from . import multimodal_queries  # noqa: F401
-
-# The driver's correctness gate runs the FIRST 50 oracle-backed entries in
-# registry order (observed: rounds 2 and 3 verified the identical
-# insertion-order prefix). Front-load the entries with no driver-green
-# CORRECTNESS row yet — 16 never sampled in any round, new entries from
-# this round, then the 17 last verified in round 1 — so every oracle-backed
-# entry accumulates a hard driver check across rounds.
-DRIVER_FRONT = [
-    # never driver-sampled (rounds 1–3)
-    "partitioned_scan_pruning",
-    "bucketed_join_revenue",
-    "embedding_quantize_int8",
-    "ann_quantized_topk",
-    "near_dup_canonicalize_embedding",
-    "salted_skew_join",
-    "bfs_hop_distance_parts",
-    "intersect_except_customers",
-    "scd2_user_state",
-    "personalized_pagerank_parts",
-    "incremental_rollup_merge",
-    "streaming_interval_join",
-    "streaming_dedup_users",
-    "streaming_sliding_counts",
-    "multimodal_frame_sample",
-    "multimodal_audio_windows",
-    # new this round (round 4)
-    "near_dup_lsh_bucketed",
-    "ann_ivf_wide_topk",
-    # last driver-verified in round 1 only
-    "retrieval_expand_topk",
-    "asof_join_purchase_click",
-    "range_join_click_window",
-    "rollup_revenue",
-    "pivot_status_by_segment",
-    "percentile_quantity",
-    "pagerank_nations",
-    "copurchase_part_pairs",
-    "salted_event_counts",
-    "orders_by_month",
-    "above_avg_customers",
-    "connected_components_parts",
-    "triangle_count_parts",
-    "cube_orders",
-    "window_running_total",
-    "window_moving_avg",
-    "ntile_customer_value",
-]
-reorder(DRIVER_FRONT)

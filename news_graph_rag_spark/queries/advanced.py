@@ -1076,7 +1076,10 @@ def incremental_rollup_merge(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("sum_cents").cast("bigint").alias("total_cents"),
         F.min("min_cents").cast("bigint").alias("min_cents"),
         F.max("max_cents").cast("bigint").alias("max_cents"),
-        (F.sum("sum_cents") / F.sum("cnt"))
+        # exact integral division (`div` on BIGINTs) — matches DuckDB's
+        # `//` on positive sums; the old float-divide-then-cast could
+        # drift one ulp below an integer boundary
+        F.expr("sum(sum_cents) div sum(cnt)")
         .cast("bigint")
         .alias("avg_cents"),
     )

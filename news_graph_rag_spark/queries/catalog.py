@@ -55,24 +55,9 @@ def registry() -> dict[str, CatalogQuery]:
     return dict(_REGISTRY)
 
 
-def reorder(front: list[str]) -> None:
-    """Reorder the registry so ``front`` names come first (in the given
-    order), then everything else in registration order.
-
-    The driver's correctness gate verifies the first 50 oracle-backed
-    entries in registry order, so ordering is how we rotate
-    least-recently-verified entries into the verified set each round.
-    Unknown names in ``front`` are ignored (entries may be pruned).
-    """
-    fronted = [k for k in front if k in _REGISTRY]
-    rest = [k for k in _REGISTRY if k not in set(fronted)]
-    items = {k: _REGISTRY[k] for k in [*fronted, *rest]}
-    _REGISTRY.clear()
-    _REGISTRY.update(items)
-
-
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
@@ -81,28 +66,77 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division — ns values ~1.7e18 overflow double precision
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet timestamps without isAdjustedToUTC arrive as TIMESTAMP_NTZ.
+    # Normalize to TIMESTAMP: wall-clock values round-trip unchanged
+    # through cast+collect for any session tz, DuckDB reads the same
+    # naive values, and downstream epoch math / streaming watermarks
+    # (both TIMESTAMP-only) work uniformly.
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Repartition a narrow input up to full parallelism for CPU-heavy
-    map stages.
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128MB', '4m')."""
+    s = v.strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(float(s) * mult)
 
-    Small parquet files arrive as one split, which would serialize
-    per-row compute (hashing, shingling) on a single core. The shuffle
-    this adds is tiny (it carries the raw rows once); on big inputs
-    (≥ default parallelism splits) it's a no-op.
+
+def _estimated_splits(df: DataFrame) -> int | None:
+    """Estimate how many scan splits Spark will make for a file-backed
+    plan, using the same bin-packing formula as FilePartition.maxSplitBytes
+    (files padded by openCostInBytes, packed into maxSplitBytes bins,
+    shrunk toward bytesPerCore). Returns None for non-file-backed plans
+    or when file sizes aren't locally readable.
+    """
+    import os
+    from urllib.parse import urlparse
+
+    files = df.inputFiles()  # driver-side file-index metadata, no job
+    if not files:
+        return None
+    sizes = []
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None
+        try:
+            sizes.append(os.path.getsize(u.path))
+        except OSError:
+            return None
+    spark = df.sparkSession
+    conf = spark.conf
+    max_split = _parse_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    open_cost = _parse_bytes(conf.get("spark.sql.files.openCostInBytes", "4MB"))
+    parallelism = spark.sparkContext.defaultParallelism
+    total = sum(sizes) + open_cost * len(sizes)
+    bytes_per_core = total / max(parallelism, 1)
+    split = min(max_split, max(open_cost, int(bytes_per_core)))
+    return max(1, -(-total // max(split, 1)))
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow file scan up to full parallelism for
+    CPU-heavy map stages.
+
+    Spark bin-packs small files into few splits (maxPartitionBytes /
+    openCostInBytes), which would serialize per-row compute (hashing,
+    shingling) on a handful of cores. The shuffle this adds is tiny (it
+    carries the raw rows once); when the estimated split count already
+    reaches default parallelism — or the plan isn't a local file scan we
+    can size — it's a no-op.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    # len(inputFiles()) is driver-side file-index metadata — unlike
-    # df.rdd.getNumPartitions() it does not force an RDD translation of
-    # the whole plan. Splits >= files, so files >= target means the scan
-    # is already parallel enough and we skip the repartition.
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:  # non-file-backed plan — assume narrow
-        n_files = 0
-    if n_files >= target:
+    splits = _estimated_splits(df)
+    if splits is None or splits >= target:
+        # Unknown width (non-file plan, remote FS) or already parallel:
+        # don't force a shuffle.
         return df
     return df.repartition(target)
 

@@ -487,12 +487,13 @@ def retrieval_expand_topk(spark: SparkSession, sf: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id,
-           CASE WHEN amax > 0
-                THEN list_transform(embedding,
-                       x -> CAST(floor(CAST(x AS DOUBLE)
-                                       * (127.0 / CAST(amax AS DOUBLE))
-                                       + 0.5) AS INT))
-                ELSE list_transform(embedding, x -> 0) END AS q8
+           array_to_string(
+             CASE WHEN amax > 0
+                  THEN list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE)
+                                         * (127.0 / CAST(amax AS DOUBLE))
+                                         + 0.5) AS INT))
+                  ELSE list_transform(embedding, x -> 0) END, ',') AS q8
     FROM m
     """,
     doc="similarity-at-scale: per-vector symmetric int8 scalar "
@@ -502,7 +503,8 @@ def retrieval_expand_topk(spark: SparkSession, sf: str) -> DataFrame:
     "determinism: abs/max over floats are exact, the scale and products "
     "are IEEE double ops performed identically in both engines, and "
     "rounding is the explicit floor(v + 0.5) so no engine rounding-mode "
-    "convention is involved.",
+    "convention is involved. Emitted comma-joined (scalar columns only) "
+    "so the driver's canonicalizer can sort the result.",
 )
 def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
@@ -515,7 +517,7 @@ def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"),
         ),
     ).otherwise(F.transform(F.col("embedding"), lambda x: F.lit(0)))
-    return emb.select("vec_id", q.alias("q8"))
+    return emb.select("vec_id", F.array_join(q, ",").alias("q8"))
 
 
 _Q8_SQL = """

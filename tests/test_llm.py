@@ -90,3 +90,36 @@ def test_execute_rejects_non_read_only_sql(spark):
         "EXPLAIN SELECT 1",
     ):
         assert_read_only(ok)
+
+
+def test_execute_rejects_unregistered_tables(store):
+    """VERDICT r2 #7: read-only is not enough — generated SQL could read
+    arbitrary paths via ``parquet.`/path``` table syntax or foreign
+    catalogs. The allowlist restricts reads to the registered views."""
+    import pytest as _pytest
+
+    from news_graph_rag_spark.llm import FakeLLM, GraphChat, assert_allowed_tables
+
+    chat = GraphChat(store=store, llm=FakeLLM(fallback="x"))
+    for bad in (
+        "SELECT * FROM parquet.`/root/testdata/sf0.001/orders.parquet`",
+        "SELECT * FROM `article`",  # backticks never needed for views
+        "SELECT * FROM other_db.article",
+        "SELECT a.title FROM article a JOIN secrets s ON 1=1",
+        "WITH c AS (SELECT * FROM secrets) SELECT * FROM c",
+        "SELECT * FROM article, secrets",
+    ):
+        with _pytest.raises(ValueError):
+            chat.execute(bad)
+    # registered views, CTEs over them, aliases, comma lists all pass
+    for ok in (
+        "SELECT title FROM article",
+        "WITH c AS (SELECT title FROM article) SELECT * FROM c",
+        "SELECT a.title FROM article AS a JOIN chunk k ON a.uid = k.uid",
+        "SELECT * FROM article a, chunk k WHERE a.uid = k.uid",
+        "SELECT * FROM (SELECT title FROM article) t",
+    ):
+        chat.execute(ok).schema  # analyzes fine
+
+    # unit check without a session
+    assert_allowed_tables("SELECT 1", set())
