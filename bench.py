@@ -81,6 +81,9 @@ HEADLINE = [
     "near_dup_canonicalize_embedding",
     "boilerplate_strip_rebuild",
     "incremental_rollup_merge",
+    # round-5 additions: verified bucketed near-dup + wide-dim IVF
+    "near_dup_lsh_banded",
+    "ann_ivf_wide_topk",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]

@@ -32,7 +32,54 @@ IMAGE_SCHEMA = T.StructType(
     ]
 )
 
-DecodeFn = Callable[[bytes], "object"]  # bytes -> decoded image (library object)
+DecodeFn = Callable[[bytes], "tuple[float, float]"]  # bytes -> (mean, std)
+
+
+def load_image_decoder() -> DecodeFn | None:
+    """Try-import a real image library and adapt it to the decode
+    contract ``bytes -> (pixel_mean, pixel_std)`` in [0, 1] grayscale.
+
+    Mirrors the reference's guarded model loaders (ner.py:6-8,
+    embedding.py:9-18): the import is attempted at loader-call time and
+    ``None`` (→ deterministic fake path) is returned when the library
+    is absent, which is the case in this container."""
+    try:
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError:
+        return None
+    import io as _io
+    import math
+
+    def decode(data: bytes) -> tuple[float, float]:
+        img = Image.open(_io.BytesIO(bytes(data))).convert("L")
+        px = list(img.getdata())
+        n = len(px) or 1
+        mean = sum(px) / n / 255.0
+        var = sum((p / 255.0 - mean) ** 2 for p in px) / n
+        return mean, math.sqrt(var)
+
+    return decode
+
+
+def load_audio_decoder() -> Callable[[bytes], "tuple[int, int, float]"] | None:
+    """Try-import a real audio library and adapt it to
+    ``bytes -> (n_samples, sample_rate, rms)``. ``None`` when absent
+    (same guarded-loader shape as ``load_image_decoder``)."""
+    try:
+        import soundfile  # type: ignore[import-not-found]
+    except ImportError:
+        return None
+    import io as _io
+    import math
+
+    def decode(data: bytes) -> tuple[int, int, float]:
+        samples, rate = soundfile.read(_io.BytesIO(bytes(data)))
+        flat = [float(s) for s in samples]
+        n = len(flat) or 1
+        rms = math.sqrt(sum(s * s for s in flat) / n)
+        return len(flat), int(rate), rms
+
+    return decode
 
 
 def _fake_pixel_stats(data: bytes | None) -> tuple[float, float]:
@@ -53,7 +100,10 @@ def decode_images(
     """Append decode-derived columns (pixel mean/std) via mapInPandas.
 
     With ``decode_fn=None`` the stats come from the deterministic fake;
-    a real decoder raises NotImplementedError paths away.
+    a real decoder (``load_image_decoder()``) slots into the same
+    Arrow-batched operator unchanged. Note: a non-None decode_fn closes
+    over the decoding library, which must then be importable on
+    executors too.
     """
     out_schema = T.StructType(
         df.schema.fields
@@ -68,12 +118,10 @@ def decode_images(
         for pdf in batches:
             means, stds = [], []
             for data in pdf[data_col]:
-                if decode_fn is not None:  # pragma: no cover - needs image lib
-                    raise NotImplementedError(
-                        "real image decoding requires an image library; "
-                        "wire decode_fn to PIL/opencv when available"
-                    )
-                m, s = _fake_pixel_stats(data)
+                if decode_fn is not None:
+                    m, s = decode_fn(data)
+                else:
+                    m, s = _fake_pixel_stats(data)
                 means.append(m)
                 stds.append(s)
             out = pdf[cols].copy()

@@ -144,10 +144,36 @@ def ivf_build(
     )
     for _ in range(iters):
         assigned = _assign(df, centers, embedding_col, id_col)
-        # element-wise mean as d aggregate columns over k groups:
-        # partial (map-side) aggregation reduces each task to k×d
-        # doubles, so the shuffle is O(k·d·partitions) — the previous
-        # posexplode shuffled n×d (centroid_id, pos, val) rows per round
+        centers = _lloyd_update(assigned, dim, embedding_col).localCheckpoint(
+            eager=True
+        )
+    assignments = _assign(df, centers, embedding_col, id_col)
+    return assignments, centers
+
+
+# Above this dimensionality the per-dim-column Lloyd update would emit
+# one aggregate expression per dimension; Spark's wholestage codegen
+# falls back to interpreted mode past ~100 wide fields and the row
+# format degrades, so switch to the Arrow partial-sum path.
+_WIDE_DIM = 128
+
+
+def _lloyd_update(assigned: DataFrame, dim: int, embedding_col: str) -> DataFrame:
+    """One k-means centroid update: element-wise mean per centroid_id.
+
+    Narrow vectors (d <= _WIDE_DIM): d codegen'd SUM columns — partial
+    (map-side) aggregation reduces each task's contribution to k×d
+    doubles, so the shuffle is O(k·d·partitions).
+
+    Wide vectors (d > _WIDE_DIM, e.g. the reference's 768-d embeddings,
+    config.py:6): d aggregate columns would blow past the codegen field
+    limit, so compute per-Arrow-batch partial sums in numpy
+    (mapInPandas: one (centroid_id, n, sums[d]) row per centroid per
+    batch) and merge the k×batches partials with a single array-valued
+    zip_with fold. Shuffle stays O(k·d·batches); the n×d vectors never
+    leave their partitions.
+    """
+    if dim <= _WIDE_DIM:
         sums = assigned.groupBy("centroid_id").agg(
             F.count(F.lit(1)).alias("_n"),
             *[
@@ -155,14 +181,45 @@ def ivf_build(
                 for i in range(dim)
             ],
         )
-        centers = sums.select(
+        return sums.select(
             "centroid_id",
             F.array(
                 *[(F.col(f"_s{i}") / F.col("_n")).cast("float") for i in range(dim)]
             ).alias("centroid"),
-        ).localCheckpoint(eager=True)
-    assignments = _assign(df, centers, embedding_col, id_col)
-    return assignments, centers
+        )
+
+    def _partial_sums(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for cid, grp in pdf.groupby("centroid_id"):
+                mat = np.asarray(grp[embedding_col].tolist(), dtype=np.float64)
+                out.append((int(cid), int(len(grp)), mat.sum(axis=0).tolist()))
+            yield pd.DataFrame(out, columns=["centroid_id", "_n", "_sums"])
+
+    partials = assigned.select("centroid_id", embedding_col).mapInPandas(
+        _partial_sums,
+        "centroid_id int, _n bigint, _sums array<double>",
+    )
+    zero = F.array_repeat(F.lit(0.0), dim)
+    merged = partials.groupBy("centroid_id").agg(
+        F.sum("_n").alias("_n"),
+        F.aggregate(
+            F.collect_list("_sums"),
+            zero,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("_sums"),
+    )
+    return merged.select(
+        "centroid_id",
+        F.transform(F.col("_sums"), lambda s: (s / F.col("_n")).cast("float")).alias(
+            "centroid"
+        ),
+    )
 
 
 def _assign(

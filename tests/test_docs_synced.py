@@ -1,0 +1,45 @@
+"""Docs can't drift from the code: README's catalog counts and
+CATALOG.md's entry list must match the live registry (VERDICT r2 #5 —
+the counts went stale twice when entries were added without a doc
+refresh). Fix any failure with `python scripts/gen_catalog_docs.py`."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from news_graph_rag_spark.queries import registry
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_readme_counts_match_registry():
+    reg = registry()
+    with open(os.path.join(REPO, "README.md")) as f:
+        readme = f.read()
+    m = re.search(r"the oracle-backed catalog \((\d+) entries", readme)
+    assert m, "README.md lost its catalog count line"
+    assert int(m.group(1)) == len(reg)
+    m = re.search(
+        r"`queries\(\)` \((\d+) catalog entries\), and `oracle_sql\(\)` \((\d+) of",
+        readme,
+    )
+    assert m, "README.md lost its driver-contract count line"
+    assert int(m.group(1)) == len(reg)
+    assert int(m.group(2)) == sum(1 for q in reg.values() if q.oracle)
+
+
+def test_catalog_md_lists_every_entry():
+    reg = registry()
+    with open(os.path.join(REPO, "CATALOG.md")) as f:
+        body = f.read()
+    listed = set(re.findall(r"^\| `(\w+)` \|", body, re.M))
+    assert listed == set(reg), (
+        f"CATALOG.md out of sync: missing {sorted(set(reg) - listed)}, "
+        f"stale {sorted(listed - set(reg))}"
+    )
+    for name, q in reg.items():
+        kind = "sql" if q.oracle else "rows-only"
+        assert re.search(rf"^\| `{name}` \| {kind} \|", body, re.M), (
+            f"{name}: oracle flag drifted"
+        )

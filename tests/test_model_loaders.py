@@ -139,3 +139,109 @@ def test_mock_encoder_through_spark_operator(spark, fake_sentence_transformers):
     rows = {r["id"]: r["embedding"] for r in out.collect()}
     assert rows[1] == [3.0, 3.0, 3.0, 3.0]
     assert rows[2] == [5.0, 5.0, 5.0, 5.0]
+
+
+@pytest.fixture()
+def fake_pil(monkeypatch):
+    """Mimic PIL's Image.open(...).convert('L').getdata() shape."""
+    pkg = types.ModuleType("PIL")
+    img_mod = types.ModuleType("PIL.Image")
+
+    class _Img:
+        def __init__(self, px):
+            self._px = px
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def getdata(self):
+            return self._px
+
+    def open(buf):  # noqa: A001 - PIL's real name
+        data = buf.read()
+        # "decode": bytes are the pixels
+        return _Img(list(data))
+
+    img_mod.open = open
+    pkg.Image = img_mod
+    monkeypatch.setitem(sys.modules, "PIL", pkg)
+    monkeypatch.setitem(sys.modules, "PIL.Image", img_mod)
+    return pkg
+
+
+@pytest.fixture()
+def fake_soundfile(monkeypatch):
+    mod = types.ModuleType("soundfile")
+
+    def read(buf):
+        data = buf.read()
+        # "decode": each byte is a sample in [-1, 1]
+        return [b / 255.0 for b in data], 16000
+
+    mod.read = read
+    monkeypatch.setitem(sys.modules, "soundfile", mod)
+    return mod
+
+
+def test_image_decoder_loader_adapter(fake_pil):
+    """VERDICT r2 #6: exercise the real-decode branch of
+    decode_images via a fake PIL, verifying the loader adapter calls
+    the library with the right shapes (open(BytesIO) -> convert('L')
+    -> getdata) and normalizes stats to [0, 1]."""
+    from news_graph_rag_spark.pipeline.multimodal import load_image_decoder
+
+    decode = load_image_decoder()
+    assert decode is not None
+    mean, std = decode(bytes([0, 255]))
+    assert mean == pytest.approx(0.5)
+    assert std == pytest.approx(0.5)
+    # uniform image: zero variance
+    mean, std = decode(bytes([128, 128, 128]))
+    assert mean == pytest.approx(128 / 255)
+    assert std == pytest.approx(0.0)
+
+
+def test_image_decoder_loader_absent_is_none():
+    from news_graph_rag_spark.pipeline.multimodal import load_image_decoder
+
+    assert "PIL" not in sys.modules  # container really has no PIL
+    assert load_image_decoder() is None
+
+
+def test_audio_decoder_loader_adapter(fake_soundfile):
+    from news_graph_rag_spark.pipeline.multimodal import load_audio_decoder
+
+    decode = load_audio_decoder()
+    assert decode is not None
+    n, rate, rms = decode(bytes([255, 255]))
+    assert (n, rate) == (2, 16000)
+    assert rms == pytest.approx(1.0)
+
+
+def test_audio_decoder_loader_absent_is_none():
+    from news_graph_rag_spark.pipeline.multimodal import load_audio_decoder
+
+    assert "soundfile" not in sys.modules
+    assert load_audio_decoder() is None
+
+
+def test_decode_images_runs_real_branch_with_injected_decoder(spark):
+    """The mapInPandas operator itself must execute a provided decoder
+    (not only the fake): use a plain-python decode_fn (no library
+    closure, so it pickles to executors) and check the appended
+    columns."""
+    from news_graph_rag_spark.pipeline.multimodal import IMAGE_SCHEMA, decode_images
+
+    rows = [(1, bytes([10, 20]), "raw", 2, 1), (2, None, "raw", 0, 0)]
+    df = spark.createDataFrame(rows, IMAGE_SCHEMA)
+
+    def decode_fn(data):
+        if not data:
+            return -1.0, -1.0
+        return float(len(data)), float(data[0])
+
+    got = {r["media_id"]: (r["pixel_mean"], r["pixel_std"])
+           for r in decode_images(df, decode_fn=decode_fn).collect()}
+    assert got[1] == (2.0, 10.0)
+    assert got[2] == (-1.0, -1.0)

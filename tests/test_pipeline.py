@@ -183,12 +183,19 @@ def test_decode_images_stub(images):
     assert stats == again
 
 
-def test_decode_images_real_decoder_is_stubbed(images):
-    with pytest.raises(Exception) as ei:
-        decode_images(images, decode_fn=lambda b: b).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
-    )
+def test_decode_images_executes_supplied_decoder(images):
+    """A provided decode_fn is executed by the operator (the stub era
+    raised NotImplementedError here; the real-decode branch now runs
+    whatever decoder `load_image_decoder()` or the caller supplies)."""
+    got = {
+        r["media_id"]: (r["pixel_mean"], r["pixel_std"])
+        for r in decode_images(
+            images,
+            decode_fn=lambda b: (float(len(b or b"")), 1.0),
+        ).collect()
+    }
+    assert got[0] == (14.0, 1.0)
+    assert got[2] == (0.0, 1.0)
 
 
 def test_extract_image_features_shape(images):
@@ -311,3 +318,55 @@ def test_chunk_audio_windows_shapes(spark):
     # media 1: starts 0,160,320 (<=400); media 2: one exact window;
     # media 3 and 4: too short, dropped
     assert rows == [(1, 0, 400), (1, 160, 560), (1, 320, 720), (2, 0, 400)]
+
+
+def test_ivf_wide_dim_768(spark):
+    """VERDICT r2 #3: at the reference's real dimensionality (768,
+    config.py:6) the per-dim-column Lloyd update would emit 768
+    aggregate expressions — past the wholestage-codegen field limit.
+    The wide path computes Arrow-batch partial sums in numpy and merges
+    them with one array fold; verify it agrees with a brute-force
+    centroid mean and searches sanely, in bounded time."""
+    import random
+    import time
+
+    rng = random.Random(7)
+    dim = 768
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    df.count()
+
+    t0 = time.monotonic()
+    assignments, centroids = ivf_build(df, n_centroids=8, iters=2)
+    got = {r["centroid_id"]: r["centroid"] for r in centroids.collect()}
+    elapsed = time.monotonic() - t0
+    assert len(got) == 8
+    assert all(len(c) == dim for c in got.values())
+    assert elapsed < 120, f"wide-dim ivf_build took {elapsed:.0f}s"
+
+    # centroid = mean of its members (recompute brute-force in python)
+    members: dict[int, list[list[float]]] = {}
+    for r in assignments.select("centroid_id", "embedding").collect():
+        members.setdefault(r["centroid_id"], []).append(r["embedding"])
+    # assignments were produced from the FINAL centers, which came from
+    # the PREVIOUS round's members — so check the update equation on one
+    # more explicit round instead: re-run the update on the assignments
+    from news_graph_rag_spark.pipeline.similarity import _lloyd_update
+
+    upd = {
+        r["centroid_id"]: r["centroid"]
+        for r in _lloyd_update(assignments, dim, "embedding").collect()
+    }
+    for cid, vecs in members.items():
+        n = len(vecs)
+        want = [sum(v[j] for v in vecs) / n for j in range(dim)]
+        gotc = upd[cid]
+        for j in range(0, dim, 97):  # spot-check dimensions
+            assert abs(gotc[j] - want[j]) < 1e-4
+
+    q = rows[3][1]
+    hits = [
+        r["vec_id"]
+        for r in ivf_search(assignments, centroids, q, k=5, nprobe=3).collect()
+    ]
+    assert hits[0] == 3  # self-similarity first

@@ -308,3 +308,13 @@ def test_incremental_rollup_merge_pushdown(spark, sf_dir, reg):
     assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert "Join" not in plan
+
+
+def test_near_dup_lsh_banded_no_all_pairs(spark, sf_dir, reg):
+    """The banded-LSH near-dup is THE scale near-dup path: candidates
+    must come from a hash equi-join on (band_idx, band_val), never a
+    cross/nested-loop join over the corpus."""
+    plan = plan_of(reg["near_dup_lsh_banded"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_idx" in plan and "band_val" in plan
