@@ -206,3 +206,31 @@ def bfs_distances(
             nxt.withColumn("dist", F.lit(d).cast("bigint"))
         )
     return visited
+
+
+def k_core(edges: DataFrame, k: int = 3, max_iter: int = 50) -> DataFrame:
+    """k-core decomposition membership: iteratively peel nodes with
+    (undirected, distinct-neighbor) degree < k until a fixpoint; return
+    the surviving nodes with their within-core degree.
+
+    Classic iterative-peel: each round is one degree aggregation over
+    the surviving edge set plus two semi-joins to drop edges touching
+    peeled nodes — O(E) per round, no all-pairs anywhere. The edge set
+    shrinks monotonically, so a localCheckpoint per round keeps lineage
+    flat and each round cheaper than the last. Convergence is checked
+    (no peeled nodes in a round), not assumed.
+    """
+    sym = _sym(edges).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        low = deg.filter(F.col("degree") < k)
+        if low.isEmpty():
+            return deg.select(F.col("src").alias("id"), "degree")
+        sym = (
+            sym.join(low.select("src"), "src", "left_anti")
+            .join(
+                low.select(F.col("src").alias("dst")), "dst", "left_anti"
+            )
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k_core did not converge in {max_iter} iterations")

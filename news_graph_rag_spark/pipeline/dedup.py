@@ -213,3 +213,61 @@ def hamming_near_dups(
     for df in per_block[1:]:
         out = out.unionByName(df)
     return out.distinct()
+
+
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    str_col: str = "text",
+    max_distance: int = 1,
+) -> DataFrame:
+    """Fuzzy self-join: all pairs with levenshtein <= max_distance, via
+    symmetric-delete (SymSpell-style) blocking.
+
+    Candidate generation is PROVABLY complete for max_distance=1: two
+    strings within edit distance 1 (one substitution, insertion, or
+    deletion) always share a key in {s} ∪ {s minus one char} — e.g.
+    "cat"/"cot" share "ct" — so the equi-join on deletion keys finds
+    every qualifying pair and the exact ``levenshtein`` filter removes
+    the false candidates. Analog of the reference's fuzzy entity lookup
+    (utils.py:51 ``~0.8`` Lucene fuzziness) turned into a scalable JOIN:
+    per-row fan-out is len+1 keys (map-side explode), the only shuffle
+    is the hash join on short string keys, and there is never an
+    all-pairs comparison. Only max_distance=1 is supported (deeper
+    deletion neighborhoods grow combinatorially; chain or use
+    MinHash/ngram Jaccard for looser matching).
+    """
+    if max_distance != 1:
+        raise ValueError("edit_distance_join supports max_distance=1 only")
+    keys = F.array_union(
+        F.array(F.col(str_col)),
+        F.expr(
+            f"transform(sequence(1, length({str_col})), "
+            f"i -> concat(substr({str_col}, 1, i - 1), substr({str_col}, i + 1)))"
+        ),
+    )
+    keyed = df.select(
+        F.col(id_col), F.col(str_col), F.explode(keys).alias("_delkey")
+    )
+    a = keyed.select(
+        F.col(id_col).alias("_id_a"),
+        F.col(str_col).alias("_s_a"),
+        "_delkey",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("_id_b"),
+        F.col(str_col).alias("_s_b"),
+        "_delkey",
+    )
+    return (
+        a.join(b, "_delkey")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .select("_id_a", "_id_b", "_s_a", "_s_b")
+        .distinct()
+        .filter(F.levenshtein("_s_a", "_s_b") <= max_distance)
+        .select(
+            F.col("_id_a").alias("id_a"),
+            F.col("_id_b").alias("id_b"),
+            F.levenshtein("_s_a", "_s_b").alias("distance"),
+        )
+    )

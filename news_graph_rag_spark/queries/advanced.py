@@ -1083,3 +1083,132 @@ def incremental_rollup_merge(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("avg_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition — iterative peel, oracle = unrolled peel rounds
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ORACLE_ROUNDS = 16  # unrolled peel rounds; rounds past the
+# fixpoint are no-ops, so over-unrolling is harmless
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "edges0"
+    for i in range(1, _KCORE_ORACLE_ROUNDS + 1):
+        rounds.append(
+            f"deg{i} AS MATERIALIZED (SELECT src, count(*) AS d FROM {prev} GROUP BY 1),\n"
+            f"    alive{i} AS MATERIALIZED (SELECT src FROM deg{i} WHERE d >= {_KCORE_K}),\n"
+            f"    edges{i} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e\n"
+            f"      JOIN alive{i} a ON e.src = a.src\n"
+            f"      JOIN alive{i} b ON e.dst = b.src)"
+        )
+        prev = f"edges{i}"
+    body = ",\n    ".join(rounds)
+    return f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey < 50
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    edges0 AS MATERIALIZED (
+      SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ),
+    {body}
+    SELECT CAST(src AS BIGINT) AS id, CAST(count(*) AS BIGINT) AS degree
+    FROM {prev} GROUP BY src
+    """
+
+
+@register(
+    "kcore_parts",
+    oracle=_kcore_oracle(),
+    doc="graph analytics: k-core decomposition (k=3) of the co-purchase "
+    "parts graph by iterative peeling — drop nodes with undirected "
+    "distinct-neighbor degree < k until a fixpoint, return survivors "
+    "with their within-core degree. Each round is one O(E) degree "
+    "aggregation + two anti-joins; edge set shrinks monotonically and "
+    "lineage is cut per round. The DuckDB oracle unrolls 16 peel rounds "
+    "(rounds past the fixpoint are identity, so the unroll depth only "
+    "needs to be >= the convergence count, which the Spark side checks "
+    "rather than assumes).",
+)
+def kcore_parts(spark: SparkSession, sf: str) -> DataFrame:
+    from ..graph_algos import k_core
+
+    core = k_core(_copurchase_edges(spark, sf), k=_KCORE_K)
+    return core.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("degree").cast("bigint").alias("degree"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key — lakehouse layout op (Delta/Iceberg Z-ORDER)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zorder_layout_stats",
+    oracle="""
+    WITH b AS (
+      SELECT o_custkey % 65536 AS x,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               % 65536 AS y
+      FROM orders
+    ),
+    z AS (
+      SELECT x, y,
+             CAST(list_sum([((x >> i) & 1) << (2*i) FOR i IN range(0, 16)])
+                  + list_sum([((y >> i) & 1) << (2*i + 1) FOR i IN range(0, 16)])
+                  AS BIGINT) AS zval
+      FROM b
+    )
+    SELECT zval >> 16 AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+           CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+    FROM z GROUP BY 1
+    """,
+    doc="lakehouse layout: Z-order clustering key (bit-interleave of "
+    "customer key and order date-day, 16 bits each) plus per-z-range "
+    "bucket stats — the min/max spans per bucket are exactly the "
+    "file-skipping stats a Z-ORDERed table write would produce, "
+    "narrow in BOTH dimensions (the property linear clustering can't "
+    "give). Pure integer bit arithmetic, exact in both engines; "
+    "computing keys is a zero-shuffle map, the stats one groupBy. At "
+    "scale the key feeds repartitionByRange(zval) before write so "
+    "min/max pruning works for either predicate column.",
+)
+def zorder_layout_stats(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").select(
+        (F.col("o_custkey") % 65536).cast("bigint").alias("x"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            % 65536
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    z = F.expr(
+        "aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) -> "
+        "acc + (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1)))"
+    )
+    return (
+        o.withColumn("zval", z)
+        .groupBy(F.shiftright(F.col("zval"), 16).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("x").cast("bigint").alias("min_x"),
+            F.max("x").cast("bigint").alias("max_x"),
+            F.min("y").cast("bigint").alias("min_y"),
+            F.max("y").cast("bigint").alias("max_y"),
+        )
+    )

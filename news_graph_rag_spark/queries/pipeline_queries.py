@@ -1296,31 +1296,57 @@ _WINNOW_W = 4  # window of consecutive shingle hashes; guarantees every
     "document. Guarantees any shared run of >= 6 consecutive shingles "
     "between two documents shares at least one selected fingerprint, at "
     "~1/(w/2) the fingerprint density of full shingling — the standard "
-    "robust containment/contamination index. Entirely map-side array "
-    "ops (transform + slice + array_min); the only shuffle is whatever "
-    "the consumer does with (doc_id, fingerprint).",
+    "robust containment/contamination index. Map-only (Arrow "
+    "mapInPandas — measured 5x faster than the best interpreted-HOF "
+    "Catalyst form, see the function comment); the only shuffle is "
+    "whatever the consumer does with (doc_id, fingerprint).",
 )
 def text_winnowing(spark: SparkSession, sf: str) -> DataFrame:
-    docs = spread(load(spark, sf, "documents"))
-    # Referencing the hash-array expression INSIDE a per-window lambda
-    # makes Catalyst re-evaluate it per window (O(n^2) md5 calls —
-    # CollapseProject inlines any projection, so a withColumn doesn't
-    # help). Instead the window minima are computed as element-wise
-    # least() over W shifted slices: hs appears a CONSTANT number of
-    # times (W slices + the rare short-doc branch), each evaluated once
-    # per row, and the zip_with lambdas only touch their element args.
-    hs = F.transform(shingle_array(F.col("text")), lambda s: F.md5(s))
-    # window count = sz - W + 1; sz computed WITHOUT the md5 pass
-    sz = F.size(shingle_array(F.col("text")))
-    nwin = sz - _WINNOW_W + 1
-    shifted = [F.slice(hs, i + 1, nwin) for i in range(_WINNOW_W)]
-    mins = shifted[0]
-    for nxt in shifted[1:]:
-        mins = F.zip_with(mins, nxt, lambda a, b: F.least(a, b))
-    selected = F.when(sz >= _WINNOW_W, F.array_distinct(mins)).otherwise(
-        F.array_distinct(F.array(F.array_min(hs)))
-    )
-    return docs.select("doc_id", F.explode(selected).alias("fingerprint"))
+    # Implementation choice, MEASURED at sf0.1 (5000 docs, ~260k
+    # shingles, local[32]):
+    # - nested zip_with least-fold (the original form): 54s — Catalyst
+    #   higher-order functions are interpreted (outside wholestage
+    #   codegen) and the nested-lambda chain re-evaluates its child
+    #   arrays per element, which is super-linear in window size;
+    # - transform(sequence) + array_min(slice) over a pre-materialized
+    #   hash attribute: 3.6s — linear, but every window still pays the
+    #   interpreted-HOF per-element dispatch;
+    # - Arrow mapInPandas (this form): 0.7s — one Python loop per doc,
+    #   vectorized batch transfer, zero shuffle (map-only like the
+    #   others; spread() round-robin is the only Exchange).
+    # Semantics replicate shingle_array()/the DuckDB oracle exactly:
+    # split on single spaces, 3-word shingles ([text] when < 3 tokens),
+    # lowercase-hex md5, min per W=4 window, distinct per doc.
+    docs = spread(load(spark, sf, "documents").select("doc_id", "text"))
+    w = _WINNOW_W
+
+    def winnow(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list[int] = []
+            fps: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = (text or "").split(" ")
+                if len(toks) >= 3:
+                    shs = [
+                        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                    ]
+                else:
+                    shs = [text or ""]
+                hs = [hashlib.md5(s.encode()).hexdigest() for s in shs]
+                if len(hs) >= w:
+                    sel = {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+                else:
+                    sel = {min(hs)}
+                for v in sorted(sel):
+                    ids.append(doc_id)
+                    fps.append(v)
+            yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
+
+    return docs.mapInPandas(winnow, "doc_id long, fingerprint string")
 
 
 # ---------------------------------------------------------------------------
@@ -1629,4 +1655,35 @@ def boilerplate_strip_rebuild(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(F.col("is_hot"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy join — SymSpell symmetric-delete blocking, exact result
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_join_ed1",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="record linkage at scale: all customer-name pairs within edit "
+    "distance 1 via symmetric-delete (SymSpell) blocking — every "
+    "ED<=1 pair provably shares a deletion key, so the hash equi-join "
+    "on (len+1) keys/row finds the exact all-pairs answer without an "
+    "all-pairs comparison; the DuckDB oracle IS the brute-force "
+    "all-pairs levenshtein. Integer edit distances — no float drift. "
+    "Scales as O(n * len) exploded keys + bucketed join, vs the "
+    "oracle's O(n^2) scan.",
+)
+def fuzzy_join_ed1(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.dedup import edit_distance_join
+
+    cust = load(spark, sf, "customer").select("c_custkey", "c_name")
+    return edit_distance_join(
+        cust, id_col="c_custkey", str_col="c_name", max_distance=1
     )

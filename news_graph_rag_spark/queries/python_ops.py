@@ -591,3 +591,67 @@ def streaming_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name).select(
         F.col("window.start").alias("win_start"), "event_type", "n", "sum_value"
     )
+
+
+@register(
+    "streaming_session_window",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Structured Streaming: built-in session_window aggregation "
+    "(dynamic-length merging windows, 30 min gap, watermarked state "
+    "eviction) replayed over the events table — the finalized session "
+    "set equals batch gap-based sessionization, so this STREAMING "
+    "operator is value-checked against the DuckDB oracle. Boundary "
+    "semantics: session windows are end-exclusive ([ts, ts+gap) merged "
+    "on overlap), so the oracle breaks sessions on diff >= gap. State "
+    "is O(open sessions), closed sessions evicted once the watermark "
+    "passes their end.",
+)
+def streaming_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.ingest_stream import session_window_counts
+
+    ev = load(spark, sf, "events").select("user_id", "ts")
+    src = tempfile.mkdtemp(prefix="ngr_sess_win_")
+    ev.coalesce(4).write.mode("overwrite").parquet(src)
+    es = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    name = "session_window_out"
+    with _replay_shuffle_partitions(spark):
+        q = (
+            session_window_counts(es, gap="30 minutes", watermark="1 hour")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+    )

@@ -93,6 +93,32 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Built-in session-window aggregation (merging windows of dynamic
+    length, closed after ``gap`` of inactivity per key).
+
+    Complements the custom ``applyInPandasWithState`` sessionizer: this
+    is the declarative form Spark can manage state for (session merge on
+    overlap, eviction once the watermark passes window end). Boundary
+    semantics: a session spans [ts, ts+gap) per event and windows merge
+    on OVERLAP, so an event exactly ``gap`` after the previous one
+    starts a NEW session (end-exclusive) — batch oracles must use
+    ``diff >= gap``, unlike the custom sessionizer's ``diff > gap``.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(
+        F.session_window(F.col(ts_col), gap), F.col(key_col)
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
 def streaming_dedup(
     stream: DataFrame,
     key_cols: tuple[str, ...] = ("doc_id",),

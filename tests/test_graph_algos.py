@@ -96,3 +96,23 @@ def test_bfs_distances_respects_max_hops(spark):
     )
     got = {r["id"]: r["dist"] for r in bfs_distances(chain, 0, max_hops=3).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_k_core_hand_graph(spark):
+    """k=2 core of: triangle {1,2,3} + pendant chain 3-4-5. Peeling
+    removes 5 (deg 1) then 4 (deg 1 after 5 leaves); the triangle
+    survives with degree 2 each."""
+    from news_graph_rag_spark.graph_algos import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r["id"]: r["degree"] for r in k_core(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_all_peeled(spark):
+    from news_graph_rag_spark.graph_algos import k_core
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert k_core(edges, k=3).count() == 0
