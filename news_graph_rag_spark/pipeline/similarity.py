@@ -143,11 +143,11 @@ def ivf_build(
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
-        assigned = _assign(df, centers, embedding_col, id_col)
+        assigned = _assign(df, centers, embedding_col, id_col, dim=dim)
         centers = _lloyd_update(assigned, dim, embedding_col).localCheckpoint(
             eager=True
         )
-    assignments = _assign(df, centers, embedding_col, id_col)
+    assignments = _assign(df, centers, embedding_col, id_col, dim=dim)
     return assignments, centers
 
 
@@ -223,7 +223,11 @@ def _lloyd_update(assigned: DataFrame, dim: int, embedding_col: str) -> DataFram
 
 
 def _assign(
-    df: DataFrame, centers: DataFrame, embedding_col: str, id_col: str
+    df: DataFrame,
+    centers: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    dim: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment as ONE map-side expression.
 
@@ -234,7 +238,18 @@ def _assign(
     Ties break to the smallest centroid_id, matching the old window
     order and keeping assignments deterministic regardless of
     collect_list order.
+
+    Wide vectors (dim > _WIDE_DIM): Catalyst higher-order functions are
+    interpreted (not codegen'd), so the k×d per-row cosine fold pays a
+    per-element dispatch that dominates at d=768 (measured: the 768-d
+    catalog entry spent ~20s at sf0.1, mostly here). The wide path runs
+    the same argmax as one numpy matmul per Arrow batch — the k×d
+    centroid matrix ships to executors inside the closure (driver
+    collect of k rows, same data the JVM path broadcasts), still zero
+    shuffle.
     """
+    if dim is not None and dim > _WIDE_DIM:
+        return _assign_arrow(df, centers, embedding_col)
     packed = centers.agg(
         F.collect_list(F.struct("centroid_id", "centroid")).alias("_cents")
     )
@@ -262,6 +277,47 @@ def _assign(
         .withColumn("centroid_id", best["cid"])
         .drop("_cents")
     )
+
+
+def _assign_arrow(
+    df: DataFrame, centers: DataFrame, embedding_col: str
+) -> DataFrame:
+    """Wide-dim nearest-centroid assignment: one numpy matmul per Arrow
+    batch. Ties break to the smallest centroid_id (centroid rows sorted
+    by id, argmax returns the first maximum); zero-norm vectors score
+    -1.0 per the ``cosine`` guard convention."""
+    rows = sorted(
+        centers.collect(), key=lambda r: r["centroid_id"]
+    )  # k rows — driver-small by construction
+    cids = [int(r["centroid_id"]) for r in rows]
+    cmat = [[float(x) for x in r["centroid"]] for r in rows]
+    out_fields = df.schema.fields
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+    out_schema += ", centroid_id int"
+
+    def run(batches):
+        import numpy as np
+
+        c = np.asarray(cmat, dtype=np.float64)
+        cn = np.linalg.norm(c, axis=1)
+        cn[cn == 0] = 1.0
+        ids = np.asarray(cids)
+        for pdf in batches:
+            if pdf.empty:
+                pdf["centroid_id"] = []
+                yield pdf
+                continue
+            x = np.asarray(pdf[embedding_col].tolist(), dtype=np.float64)
+            xn = np.linalg.norm(x, axis=1)
+            zero = xn == 0
+            xn[zero] = 1.0
+            sims = (x @ c.T) / (xn[:, None] * cn[None, :])
+            sims[zero, :] = -1.0
+            pdf = pdf.copy()
+            pdf["centroid_id"] = ids[np.argmax(sims, axis=1)]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
 
 
 def ivf_search(

@@ -779,29 +779,48 @@ def near_dup_lsh_banded(spark: SparkSession, sf: str) -> DataFrame:
     quant = quant.withColumn("nrm", _int_dot(F.col("q8"), F.col("q8"))).filter(
         F.col("nrm") > 0
     )
-    dim = F.size("q8")
-    bits = [
-        (
-            _int_dot(
-                F.col("q8"),
-                F.slice(F.array(*[F.lit(v) for v in plane]), 1, dim),
-            )
-            >= 0
-        ).cast("int")
-        for plane in _LSH_W
-    ]
-    bands = [
-        sum(
-            (bits[b * _LSH_BAND_BITS + j] * (1 << j) for j in range(1, _LSH_BAND_BITS)),
-            start=bits[b * _LSH_BAND_BITS],
-        )
-        for b in range(_LSH_BANDS)
-    ]
-    banded = quant.select(
+
+    # Band keys via ONE exact int64 matmul per Arrow batch: 24
+    # interpreted-HOF dot folds per row cost ~8s at sf0.1 (higher-order
+    # functions run outside wholestage codegen); the numpy form is the
+    # same integer arithmetic (products <= 2^15, sums <= 2^22 — exact in
+    # int64), so band values are bit-identical to the oracle's.
+    w_rows = [list(p) for p in _LSH_W]
+    n_bands, band_bits = _LSH_BANDS, _LSH_BAND_BITS
+
+    def band_keys(batches):
+        import numpy as np
+        import pandas as pd
+
+        w_full = np.asarray(w_rows, dtype=np.int64)  # planes x max_dim
+        pow2 = 1 << np.arange(band_bits, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.asarray(pdf["q8"].tolist(), dtype=np.int64)  # n x d
+            bits = (q @ w_full[:, : q.shape[1]].T >= 0).astype(np.int64)
+            out = {
+                "vec_id": pdf["vec_id"],
+                "q8": pdf["q8"],
+                "nrm": pdf["nrm"],
+            }
+            for b in range(n_bands):
+                seg = bits[:, b * band_bits : (b + 1) * band_bits]
+                out[f"b{b}"] = seg @ pow2
+            yield pd.DataFrame(out)
+
+    keyed = quant.mapInPandas(
+        band_keys,
+        "vec_id long, q8 array<int>, nrm bigint, "
+        + ", ".join(f"b{b} long" for b in range(n_bands)),
+    )
+    banded = keyed.select(
         "vec_id",
         "q8",
         "nrm",
-        F.posexplode(F.array(*bands)).alias("band_idx", "band_val"),
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(n_bands)])).alias(
+            "band_idx", "band_val"
+        ),
     )
     a = banded.select(
         F.col("vec_id").alias("vec_a"),
@@ -817,24 +836,22 @@ def near_dup_lsh_banded(spark: SparkSession, sf: str) -> DataFrame:
         "band_idx",
         "band_val",
     )
+    # compute the verification dot IN the join projection so the distinct
+    # dedupes scalar columns only — the q8 arrays never shuffle
+    dot = _int_dot(F.col("qa"), F.col("qb"))
     pairs = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "qa", "qb", "na", "nb")
+        .select("vec_a", "vec_b", dot.alias("_dot"), "na", "nb")
         .distinct()
     )
-    dot = _int_dot(F.col("qa"), F.col("qb"))
-    return (
-        pairs.withColumn("_dot", dot)
-        .filter(
-            (F.col("_dot") > 0)
-            & (
-                F.lit(_LSH_TAU_INV_SQ) * F.col("_dot") * F.col("_dot")
-                > F.col("na") * F.col("nb")
-            )
+    return pairs.filter(
+        (F.col("_dot") > 0)
+        & (
+            F.lit(_LSH_TAU_INV_SQ) * F.col("_dot") * F.col("_dot")
+            > F.col("na") * F.col("nb")
         )
-        .select("vec_a", "vec_b")
-    )
+    ).select("vec_a", "vec_b")
 
 
 @register(
