@@ -81,9 +81,14 @@ HEADLINE = [
     "near_dup_canonicalize_embedding",
     "boilerplate_strip_rebuild",
     "incremental_rollup_merge",
-    # round-5 additions: verified bucketed near-dup + wide-dim IVF
+    # round-5 additions: verified bucketed near-dup + wide-dim IVF,
+    # SymSpell fuzzy join, k-core, Z-order layout, session windows
     "near_dup_lsh_banded",
     "ann_ivf_wide_topk",
+    "fuzzy_join_ed1",
+    "kcore_parts",
+    "zorder_layout_stats",
+    "streaming_session_window",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]

@@ -1212,3 +1212,71 @@ def zorder_layout_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.max("y").cast("bigint").alias("max_y"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel / ordered-sequence detection (CEP-lite)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             COALESCE(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS seen_view
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, event_type,
+             COALESCE(MAX(CASE WHEN event_type = 'click' AND seen_view = 1
+                               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS view_then_click
+      FROM o
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_funnel_purchases
+    FROM p WHERE event_type = 'purchase' AND view_then_click = 1
+    GROUP BY user_id
+    """,
+    doc="sequence detection (CEP-lite): per user, count purchases "
+    "strictly preceded by a click that was itself strictly preceded by "
+    "a view — the classic conversion-funnel operator, computed in one "
+    "pass with two stacked running-max window flags over (ts, event_id) "
+    "total order (the unique event_id tiebreak makes both engines "
+    "deterministic). Windows are partitioned by user — never a global "
+    "sort; state per row is two booleans, so the 100 TB form is the "
+    "same two window exprs after a hash shuffle on user_id.",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("user_id", "ts", "event_id", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seen_view = F.coalesce(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(w),
+        F.lit(0),
+    )
+    o = ev.withColumn("seen_view", seen_view)
+    view_then_click = F.coalesce(
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("seen_view") == 1), 1
+            ).otherwise(0)
+        ).over(w),
+        F.lit(0),
+    )
+    p = o.withColumn("view_then_click", view_then_click)
+    return (
+        p.filter(
+            (F.col("event_type") == "purchase") & (F.col("view_then_click") == 1)
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_funnel_purchases"))
+    )

@@ -43,3 +43,14 @@ def test_catalog_md_lists_every_entry():
         assert re.search(rf"^\| `{name}` \| {kind} \|", body, re.M), (
             f"{name}: oracle flag drifted"
         )
+
+
+def test_bench_headline_names_resolve():
+    """bench.py must never name a query the registry doesn't have —
+    the whole bench run dies on the first KeyError (round 4 produced no
+    metrics at all when one entry broke)."""
+    import bench
+
+    reg = registry()
+    missing = [n for n in bench.HEADLINE if n not in reg]
+    assert not missing, f"bench.HEADLINE references unknown entries: {missing}"
