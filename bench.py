@@ -89,6 +89,14 @@ HEADLINE = [
     "kcore_parts",
     "zorder_layout_stats",
     "streaming_session_window",
+    # product/privacy analytics: funnel, cohorts, LOCF gap-fill, Markov
+    # transitions, map-side heavy hitters, GDPR cascade
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    "gapfill_locf_hourly",
+    "markov_transitions",
+    "heavy_hitter_tokens",
+    "purge_user_cascade",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]

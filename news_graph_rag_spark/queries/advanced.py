@@ -1280,3 +1280,312 @@ def funnel_view_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_funnel_purchases"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention, gap-fill/LOCF, Markov transitions, distribution windows,
+# decimal-exact regression aggregates, unpivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS active_day
+      FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(datediff('day', f.cohort_day, a.active_day) AS INT) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN first_day f ON a.user_id = f.user_id
+    GROUP BY f.cohort_day, day_offset
+    """,
+    doc="cohort retention matrix: users bucketed by first-activity day, "
+    "counted on each later active day as an offset from their cohort "
+    "day — the standard product-analytics retention triangle. Both "
+    "sides of the self-join are keyed and aggregated on user_id first "
+    "(first_day is one row per user), so the join shuffles pre-shrunk "
+    "inputs and the final aggregate is (days x offsets)-sized, never "
+    "event-sized; at 100 TB the only event-scale pass is the initial "
+    "per-user min/distinct, both map-side combinable.",
+)
+def retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("active_day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("active_day").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(first_day, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("active_day"), F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+@register(
+    "gapfill_locf_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             SUM(CAST(value AS DECIMAL(30,2))) AS hour_sum
+      FROM events GROUP BY event_type, hour
+    ),
+    bounds AS (
+      SELECT event_type, min(hour) AS mn, max(hour) AS mx
+      FROM hourly GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    )
+    SELECT g.event_type, g.hour,
+           CAST(h.hour_sum IS NOT NULL AS INT) AS observed,
+           CAST(last_value(h.hour_sum IGNORE NULLS)
+                  OVER (PARTITION BY g.event_type ORDER BY g.hour
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS filled_sum
+    FROM grid g LEFT JOIN hourly h
+      ON g.event_type = h.event_type AND g.hour = h.hour
+    """,
+    doc="time-series gap fill + last-observation-carried-forward: build "
+    "the dense hourly grid per series with sequence()/generate_series, "
+    "left-join the observed hourly sums (decimal-exact), and fill holes "
+    "with an IGNORE NULLS last_value window. The grid explode is "
+    "map-side; the window partitions by series key, so the 100 TB form "
+    "is one hash shuffle on (event_type) with per-series sorted fills — "
+    "no global sort, and the grid is bounded by series x hours, not by "
+    "raw events.",
+)
+def gapfill_locf_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("value").cast("decimal(30,2)").alias("v"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.sum("v").alias("hour_sum"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("mn"), F.max("hour").alias("mx")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.col("hour_sum").isNotNull().cast("int").alias("observed"),
+            F.last("hour_sum", ignorenulls=True)
+            .over(w)
+            .cast("double")
+            .alias("filled_sum"),
+        )
+    )
+
+
+@register(
+    "markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    trans AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(CAST(n AS DOUBLE)
+                / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
+                AS DOUBLE) AS prob
+    FROM trans
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: lead() within (user, time) order pairs consecutive "
+    "events, counts collapse to a (states x states) matrix, and row "
+    "probabilities come from a tiny window over that matrix. The only "
+    "event-scale work is the per-user lead window (hash shuffle on "
+    "user_id, never global); the probability division is bigint/bigint "
+    "in both engines so the doubles match bit-for-bit.",
+)
+def markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wf).cast("double"))
+        .cast("double")
+        .alias("prob"),
+    )
+
+
+@register(
+    "window_percent_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(percent_rank() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal) AS DOUBLE) AS pr,
+           CAST(cume_dist() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal) AS DOUBLE) AS cd
+    FROM customer
+    """,
+    doc="distribution windows: percent_rank and cume_dist of account "
+    "balance within market segment. Both are rational functions of "
+    "(rank, n) so the doubles are identical across engines; the window "
+    "partitions by segment — a hash shuffle, never a single-partition "
+    "global sort.",
+)
+def window_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return load(spark, sf, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).cast("double").alias("pr"),
+        F.cume_dist().over(w).cast("double").alias("cd"),
+    )
+
+
+@register(
+    "regression_price_acctbal",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))
+                      * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((n * sxy - sx * sy)
+                / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                AS DOUBLE) AS corr_xy,
+           CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) AS DOUBLE) AS slope,
+           CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                AS DOUBLE) AS intercept
+    FROM a
+    """,
+    doc="regression aggregates (corr / OLS slope / intercept) computed "
+    "bit-stably: every sum runs in exact DECIMAL (order-independent), "
+    "and only the final closed-form expressions touch doubles — the "
+    "same IEEE expression tree on identical inputs in both engines. "
+    "The native corr()/regr_slope() aggregates are order-dependent "
+    "float folds and can't cross-engine hash-match; this shape can, "
+    "and it's one map-side-combinable aggregate over the join at any "
+    "scale.",
+)
+def regression_price_acctbal(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("y"),
+    )
+    a = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(30,2)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(30,2)")).cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    return a.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST((n * sxy - sx * sy)"
+            " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS DOUBLE)"
+        ).alias("corr_xy"),
+        F.expr("CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) AS DOUBLE)").alias(
+            "slope"
+        ),
+        F.expr(
+            "CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n"
+            " AS DOUBLE)"
+        ).alias("intercept"),
+    )
+
+
+@register(
+    "unpivot_order_metrics",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS sum_cents,
+             CAST(max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS max_cents
+      FROM orders GROUP BY month
+    )
+    SELECT month, metric, value FROM (
+      SELECT month, 'n_orders' AS metric, n_orders AS value FROM m
+      UNION ALL SELECT month, 'sum_cents', sum_cents FROM m
+      UNION ALL SELECT month, 'max_cents', max_cents FROM m
+    )
+    """,
+    doc="unpivot (wide->long): monthly order metrics melted to "
+    "(month, metric, value) rows with stack(); money goes through "
+    "DECIMAL->cents BIGINT so every value is integer-exact. stack() is "
+    "a map-side expression over the already-aggregated (months x 3) "
+    "frame — the unpivot itself never touches event-scale data.",
+)
+def unpivot_order_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    m = (
+        load(spark, sf, "orders")
+        .select(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+            cents.alias("cents"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+        )
+    )
+    return m.select(
+        "month",
+        F.expr(
+            "stack(3, 'n_orders', n_orders, 'sum_cents', sum_cents,"
+            " 'max_cents', max_cents) AS (metric, value)"
+        ),
+    )

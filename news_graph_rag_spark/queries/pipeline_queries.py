@@ -1687,3 +1687,167 @@ def fuzzy_join_ed1(spark: SparkSession, sf: str) -> DataFrame:
     return edit_distance_join(
         cust, id_col="c_custkey", str_col="c_name", max_distance=1
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (map-side candidate pruning), privacy audits, GDPR cascade
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    ne AS (SELECT token FROM toks WHERE token <> ''),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ne)
+    SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM ne GROUP BY token
+    HAVING count(*) * 50 > (SELECT n FROM tot)
+    """,
+    doc="heavy hitters (token frequency > n/k, k=50) with a map-side "
+    "candidate phase: each partition tokenizes and counts its own "
+    "documents in one Arrow pass and emits only tokens with local "
+    "count*k > local token count — by averaging, any global heavy "
+    "hitter must be locally heavy in at least one partition, so the "
+    "candidate set is a guaranteed superset and vocabulary-sized, not "
+    "token-stream-sized. Exact global counts then run only for "
+    "broadcast candidates: at 100 TB the full-vocabulary groupBy "
+    "(billions of distinct n-grams) never happens; the shuffle carries "
+    "candidate tokens only. Thresholds are integer cross-multiplied.",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    k = 50
+    docs = load(spark, sf, "documents").select("text")
+
+    def local_candidates(batches):
+        import pandas as pd
+
+        counts: dict[str, int] = {}
+        rows = 0
+        for pdf in batches:
+            for text in pdf["text"]:
+                for tok in text.split(" "):
+                    if tok:
+                        rows += 1
+                        counts[tok] = counts.get(tok, 0) + 1
+        cand = [t for t, c in counts.items() if c * k > rows]
+        yield pd.DataFrame({"token": pd.Series(cand, dtype="object")})
+
+    candidates = docs.mapInPandas(local_candidates, "token string").distinct()
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * k > F.col("_n"))
+        .select("token", "n_occurrences")
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket,
+           CAST(count(*) AS BIGINT) AS group_size
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, bal_bucket
+    HAVING count(*) < 5
+    """,
+    doc="privacy audit: k-anonymity violations over the quasi-identifier "
+    "(nation, market segment, balance-to-$100 bucket) — equivalence "
+    "classes smaller than k=5 re-identify their members and must be "
+    "suppressed or generalized before a training-data release. One "
+    "map-side-combinable groupBy on the QI columns; output is bounded "
+    "by QI cardinality, not rows. The bucket floor is double-identical "
+    "in both engines (same IEEE divide then floor).",
+)
+def k_anonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 100).cast("bigint").alias("bal_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+        .filter(F.col("group_size") < 5)
+    )
+
+
+@register(
+    "purge_user_cascade",
+    oracle="""
+    WITH forget AS (
+      SELECT c_custkey FROM customer
+      WHERE c_acctbal < 0 AND c_mktsegment = 'AUTOMOBILE'
+    ),
+    kept_cust AS (
+      SELECT c_custkey FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM forget)
+    ),
+    kept_orders AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM forget)
+    ),
+    kept_lineitem AS (
+      SELECT l_orderkey FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM kept_orders)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM kept_cust) AS n_remaining
+    UNION ALL
+    SELECT 'orders', (SELECT CAST(count(*) AS BIGINT) FROM kept_orders)
+    UNION ALL
+    SELECT 'lineitem', (SELECT CAST(count(*) AS BIGINT) FROM kept_lineitem)
+    """,
+    doc="GDPR right-to-be-forgotten cascade: a forget-set of customers "
+    "propagates through the foreign-key chain customer -> orders -> "
+    "lineitem via anti-joins, returning per-table surviving row "
+    "counts. The forget-set is broadcast (it is always small relative "
+    "to the fact tables), so each cascade level is a broadcast "
+    "anti-join — no shuffle of the big side; the orders->lineitem "
+    "level semi-joins on the surviving keys the same way a Delta "
+    "MERGE DELETE would prune files.",
+)
+def purge_user_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    forget = cust.filter(
+        (F.col("c_acctbal") < 0) & (F.col("c_mktsegment") == "AUTOMOBILE")
+    ).select("c_custkey")
+    kept_cust = cust.join(F.broadcast(forget), "c_custkey", "left_anti")
+    kept_orders = orders.join(
+        F.broadcast(forget),
+        orders.o_custkey == forget.c_custkey,
+        "left_anti",
+    )
+    # lineitems survive iff their order survives; anti-join against the
+    # (small) set of purged order keys keeps the big side shuffle-free
+    purged_orders = orders.join(
+        F.broadcast(forget), orders.o_custkey == forget.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    kept_li = li.join(
+        F.broadcast(purged_orders),
+        li.l_orderkey == purged_orders.o_orderkey,
+        "left_anti",
+    )
+
+    def counted(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_remaining"),
+        )
+
+    return (
+        counted(kept_cust, "customer")
+        .unionAll(counted(kept_orders, "orders"))
+        .unionAll(counted(kept_li, "lineitem"))
+    )
