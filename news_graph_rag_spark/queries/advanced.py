@@ -1589,3 +1589,304 @@ def unpivot_order_metrics(spark: SparkSession, sf: str) -> DataFrame:
             " 'max_cents', max_cents) AS (metric, value)"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest path (unrolled Bellman-Ford), item-item recommender,
+# order-independent table checksums
+# ---------------------------------------------------------------------------
+
+
+def _copurchase_weighted_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Undirected co-purchase edges over parts < 50 with an integer weight:
+
+    min over co-orders of |price difference in cents| between the two
+    parts' cheapest lines in that order. All-integer so relaxation sums
+    are exact in both engines.
+    """
+    li = (
+        load(spark, sf, "lineitem")
+        .filter(F.col("l_partkey") < 50)
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(F.min("cents").alias("cents"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.min(F.abs(F.col("a.cents") - F.col("b.cents"))).alias("w"))
+    )
+    rev = pairs.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+    )
+    return pairs.unionAll(rev)
+
+
+_BF_EDGES_SQL = """
+    li AS (
+      SELECT l_orderkey, l_partkey,
+             min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS cents
+      FROM lineitem WHERE l_partkey < 50
+      GROUP BY l_orderkey, l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             CAST(min(abs(a.cents - b.cents)) AS BIGINT) AS w
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    edges AS (
+      SELECT src, dst, w FROM pairs
+      UNION ALL SELECT dst AS src, src AS dst, w FROM pairs
+    )
+"""
+
+
+@register(
+    "bellman_ford_4relax",
+    oracle=f"""
+    WITH {_BF_EDGES_SQL},
+    src0 AS (SELECT CAST(min(src) AS BIGINT) AS s FROM edges),
+    d0 AS (SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM src0),
+    d1 AS (SELECT node, min(dist) AS dist FROM (
+      SELECT node, dist FROM d0
+      UNION ALL SELECT e.dst, d.dist + e.w FROM d0 d
+        JOIN edges e ON d.node = e.src) GROUP BY node),
+    d2 AS (SELECT node, min(dist) AS dist FROM (
+      SELECT node, dist FROM d1
+      UNION ALL SELECT e.dst, d.dist + e.w FROM d1 d
+        JOIN edges e ON d.node = e.src) GROUP BY node),
+    d3 AS (SELECT node, min(dist) AS dist FROM (
+      SELECT node, dist FROM d2
+      UNION ALL SELECT e.dst, d.dist + e.w FROM d2 d
+        JOIN edges e ON d.node = e.src) GROUP BY node),
+    d4 AS (SELECT node, min(dist) AS dist FROM (
+      SELECT node, dist FROM d3
+      UNION ALL SELECT e.dst, d.dist + e.w FROM d3 d
+        JOIN edges e ON d.node = e.src) GROUP BY node)
+    SELECT node, dist FROM d4
+    """,
+    doc="weighted single-source shortest path: four unrolled "
+    "Bellman-Ford relaxations (paths of <= 4 edges) from the smallest "
+    "part over the co-purchase graph, integer cents weights so every "
+    "path sum is exact. Each relaxation is one join + min-groupBy on "
+    "the frontier — the standard iterative-graph shape on Spark "
+    "(edges hash-partitioned by src, distance table by node), never a "
+    "driver-side loop over collected rows; the unrolled form keeps "
+    "the oracle expressible as plain SQL.",
+)
+def bellman_ford_4relax(spark: SparkSession, sf: str) -> DataFrame:
+    edges = _copurchase_weighted_edges(spark, sf).localCheckpoint()
+    src = edges.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    )
+    d = src
+    for _ in range(4):
+        dd, ee = d.alias("d"), edges.alias("e")
+        grown = dd.join(ee, F.col("d.node") == F.col("e.src")).select(
+            F.col("e.dst").alias("node"),
+            (F.col("d.dist") + F.col("e.w")).alias("dist"),
+        )
+        d = d.unionAll(grown).groupBy("node").agg(F.min("dist").alias("dist"))
+    return d
+
+
+@register(
+    "item_item_cosine_topk",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 50
+    ),
+    n AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_ord
+          FROM items GROUP BY l_partkey),
+    co AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS n_co
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    sym AS (
+      SELECT pa, pb, n_co FROM co
+      UNION ALL SELECT pb AS pa, pa AS pb, n_co FROM co
+    ),
+    scored AS (
+      SELECT s.pa AS part_a, s.pb AS part_b, s.n_co,
+             CAST(CAST(s.n_co AS DOUBLE)
+                  / sqrt(CAST(na.n_ord * nb.n_ord AS DOUBLE)) AS DOUBLE)
+               AS sim
+      FROM sym s
+      JOIN n na ON s.pa = na.l_partkey
+      JOIN n nb ON s.pb = nb.l_partkey
+    )
+    SELECT part_a, part_b, n_co, sim, rn FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY part_a
+                     ORDER BY sim DESC, part_b) AS INT) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    doc="item-item collaborative filtering: cosine similarity over the "
+    "order/part co-occurrence matrix (n_co / sqrt(n_a*n_b) — the "
+    "integer product casts to double exactly below 2^53 and sqrt is "
+    "correctly rounded, so both engines emit identical doubles), then "
+    "top-3 neighbors per item via a window PARTITIONED BY item — never "
+    "a global sort. The self-join is per-order and bounded by basket "
+    "size; at 100 TB baskets get capped per order (same strategy as "
+    "the LSH max_bucket guard) and the co-matrix shuffle carries "
+    "(item, item, count) only.",
+)
+def item_item_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    items = (
+        load(spark, sf, "lineitem")
+        .filter(F.col("l_partkey") < 50)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ord")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
+    )
+    sym = co.unionAll(
+        co.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"), "n_co")
+    )
+    na = n.alias("na")
+    nb = n.alias("nb")
+    scored = (
+        sym.join(F.broadcast(na), sym.pa == F.col("na.l_partkey"))
+        .join(F.broadcast(nb), sym.pb == F.col("nb.l_partkey"))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "n_co",
+            (
+                F.col("n_co").cast("double")
+                / F.sqrt((F.col("na.n_ord") * F.col("nb.n_ord")).cast("double"))
+            )
+            .cast("double")
+            .alias("sim"),
+        )
+    )
+    w = Window.partitionBy("part_a").orderBy(F.desc("sim"), F.asc("part_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("part_a", "part_b", "n_co", "sim", "rn")
+    )
+
+
+@register(
+    "table_checksums",
+    oracle="""
+    WITH c AS (
+      SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+             bit_xor(CAST(concat('0x', substr(md5(concat_ws('|',
+               CAST(c_custkey AS VARCHAR), c_name,
+               CAST(c_nationkey AS VARCHAR), c_mktsegment,
+               CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS VARCHAR))), 1, 15)) AS BIGINT)) AS checksum
+      FROM customer
+    ),
+    p AS (
+      SELECT 'part', CAST(count(*) AS BIGINT),
+             bit_xor(CAST(concat('0x', substr(md5(concat_ws('|',
+               CAST(p_partkey AS VARCHAR), p_name, p_brand, p_type,
+               CAST(p_size AS VARCHAR),
+               CAST(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS VARCHAR))), 1, 15)) AS BIGINT))
+      FROM part
+    ),
+    s AS (
+      SELECT 'supplier', CAST(count(*) AS BIGINT),
+             bit_xor(CAST(concat('0x', substr(md5(concat_ws('|',
+               CAST(s_suppkey AS VARCHAR), s_name,
+               CAST(s_nationkey AS VARCHAR),
+               CAST(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS VARCHAR))), 1, 15)) AS BIGINT))
+      FROM supplier
+    )
+    SELECT * FROM c UNION ALL SELECT * FROM p UNION ALL SELECT * FROM s
+    """,
+    doc="order-independent table fingerprints for replica/migration "
+    "verification: per row, md5 over a canonical '|'-joined rendering "
+    "(ints and cents-exact money as decimal strings — never raw double "
+    "repr), folded with the commutative bit_xor aggregate, so any "
+    "partitioning and any row order give the same 60-bit checksum in "
+    "both engines. One map-side-combinable aggregate per table — the "
+    "cheapest possible full-table verification at 100 TB, and the same "
+    "primitive an anti-entropy sync would diff per partition.",
+)
+def table_checksums(spark: SparkSession, sf: str) -> DataFrame:
+    def cents_str(col: str):
+        return (
+            (F.col(col).cast("decimal(18,2)") * 100).cast("bigint").cast("string")
+        )
+
+    def checksum(df: DataFrame, name: str, cols: list) -> DataFrame:
+        row = F.md5(F.concat_ws("|", *cols))
+        hashed = df.select(
+            F.conv(F.substring(row, 1, 15), 16, 10).cast("bigint").alias("_h"),
+        )
+        return hashed.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.bit_xor("_h").alias("checksum"),
+        )
+
+    cust = checksum(
+        load(spark, sf, "customer"),
+        "customer",
+        [
+            F.col("c_custkey").cast("string"),
+            F.col("c_name"),
+            F.col("c_nationkey").cast("string"),
+            F.col("c_mktsegment"),
+            cents_str("c_acctbal"),
+        ],
+    )
+    part = checksum(
+        load(spark, sf, "part"),
+        "part",
+        [
+            F.col("p_partkey").cast("string"),
+            F.col("p_name"),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size").cast("string"),
+            cents_str("p_retailprice"),
+        ],
+    )
+    supp = checksum(
+        load(spark, sf, "supplier"),
+        "supplier",
+        [
+            F.col("s_suppkey").cast("string"),
+            F.col("s_name"),
+            F.col("s_nationkey").cast("string"),
+            cents_str("s_acctbal"),
+        ],
+    )
+    return cust.unionAll(part).unionAll(supp)
