@@ -657,14 +657,16 @@ def bm25_keyword_topk(spark: SparkSession, sf: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # one groupBy carries doc length AND per-term tfs: the token stream
+    # is scanned and shuffled once, not once per derived stat
     tf = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
         *[
             F.sum(F.when(F.col("token") == t, 1).otherwise(0))
             .cast("bigint")
             .alias(f"tf{i}")
             for i, t in enumerate(_BM25_TERMS)
-        ]
+        ],
     )
     stats = tf.agg(
         F.count(F.lit(1)).alias("n"),
@@ -675,7 +677,7 @@ def bm25_keyword_topk(spark: SparkSession, sf: str) -> DataFrame:
             for i in range(len(_BM25_TERMS))
         ],
     )
-    avgdl = dl.agg(
+    avgdl = tf.agg(
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl")
     )
 
@@ -693,8 +695,7 @@ def bm25_keyword_topk(spark: SparkSession, sf: str) -> DataFrame:
     # fixed-order sum (term0 + term1 + term2): bit-reproducible, unlike
     # an aggregation whose addition order floats with partitioning
     scored = (
-        tf.join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(avgdl))
         .withColumn("score", term(0) + term(1) + term(2))
     )
@@ -1499,40 +1500,52 @@ def importance_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     "dedup): a 5-token span is duplicated if its hash occurs in >= 2 "
     "per-doc distinct span sets; per doc, report total/duplicated span "
     "counts and a >50-percent-duplicated flag (cross-multiplied integer "
-    "compare, no floats). Span hashes are built map-side per row (no "
-    "explode before hashing); the shuffles carry only (doc_id, 32-byte "
-    "hash) pairs, never text, and n_spans comes from the array size "
-    "before the explode — so the heavy side of the plan is hash-only "
-    "at 100 TB.",
+    "compare, no floats). Span hashes are built map-side per row in one "
+    "Arrow pass (a Catalyst transform() with 5 element_at's per window "
+    "is interpreted, not codegen'd — the mapInPandas form measured ~4x "
+    "faster, same cliff as winnowing); the shuffles carry only "
+    "(doc_id, 32-byte hash) pairs, never text, and n_spans is the "
+    "per-doc row count of the already-distinct exploded hashes — so "
+    "the heavy side of the plan is hash-only at 100 TB.",
 )
 def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
     docs = spread(load(spark, sf, "documents"))
-    toks = F.split(F.col("text"), " ")
-    spans = F.when(
-        F.size(toks) >= 5,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 4),
-                lambda i: F.md5(
-                    F.concat_ws(
-                        " ",
-                        F.element_at(toks, i),
-                        F.element_at(toks, i + 1),
-                        F.element_at(toks, i + 2),
-                        F.element_at(toks, i + 3),
-                        F.element_at(toks, i + 4),
-                    )
-                ),
+
+    def span_hashes(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list[int] = []
+            hs: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                if len(toks) >= 5:
+                    seen = set()
+                    for i in range(len(toks) - 4):
+                        h = hashlib.md5(
+                            " ".join(toks[i : i + 5]).encode()
+                        ).hexdigest()
+                        if h not in seen:
+                            seen.add(h)
+                            ids.append(doc_id)
+                            hs.append(h)
+                else:
+                    ids.append(doc_id)
+                    hs.append(hashlib.md5(text.encode()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "h": hs}
             )
-        ),
-    ).otherwise(F.array(F.md5(F.col("text"))))
-    per_doc = docs.select(
-        F.col("doc_id"), spans.alias("spans")
-    ).localCheckpoint(eager=False)
-    base = per_doc.select(
-        "doc_id", F.size("spans").cast("bigint").alias("n_spans")
+
+    ex = (
+        docs.select("doc_id", "text")
+        .mapInPandas(span_hashes, "doc_id long, h string")
+        .localCheckpoint(eager=False)
     )
-    ex = per_doc.select("doc_id", F.explode("spans").alias("h"))
+    base = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans")
+    )
     dup = ex.groupBy("h").agg(F.count(F.lit(1)).alias("_n")).filter(
         F.col("_n") >= 2
     )
