@@ -259,15 +259,18 @@ def edit_distance_join(
         F.col(str_col).alias("_s_b"),
         "_delkey",
     )
+    # verify BEFORE the dedup shuffle: the banded 3-arg levenshtein
+    # (O(len*d) with early exit, -1 when above threshold) is a map-side
+    # filter, so the distinct() only shuffles true pairs as three
+    # narrow columns instead of every candidate with both strings
     return (
         a.join(b, "_delkey")
         .filter(F.col("_id_a") < F.col("_id_b"))
-        .select("_id_a", "_id_b", "_s_a", "_s_b")
-        .distinct()
-        .filter(F.levenshtein("_s_a", "_s_b") <= max_distance)
         .select(
             F.col("_id_a").alias("id_a"),
             F.col("_id_b").alias("id_b"),
-            F.levenshtein("_s_a", "_s_b").alias("distance"),
+            F.levenshtein("_s_a", "_s_b", max_distance).alias("distance"),
         )
+        .filter(F.col("distance") >= 0)
+        .distinct()
     )

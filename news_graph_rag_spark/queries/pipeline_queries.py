@@ -1696,7 +1696,9 @@ def boilerplate_strip_rebuild(spark: SparkSession, sf: str) -> DataFrame:
 def fuzzy_join_ed1(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.dedup import edit_distance_join
 
-    cust = load(spark, sf, "customer").select("c_custkey", "c_name")
+    # single small parquet file → 1 scan split; spread() parallelizes
+    # the deletion-key explode and the join map side across cores
+    cust = spread(load(spark, sf, "customer")).select("c_custkey", "c_name")
     return edit_distance_join(
         cust, id_col="c_custkey", str_col="c_name", max_distance=1
     )
