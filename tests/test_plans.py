@@ -318,3 +318,51 @@ def test_near_dup_lsh_banded_no_all_pairs(spark, sf_dir, reg):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "band_idx" in plan and "band_val" in plan
+
+
+def test_fuzzy_join_ed1_no_nested_loop(spark, sf_dir, reg):
+    """Symmetric-delete blocking must stay a hash equi-join on deletion
+    keys: no cartesian/nested-loop fallback, and the banded levenshtein
+    verify must sit BELOW the pair-dedup aggregate so the distinct only
+    shuffles true pairs."""
+    plan = plan_of(reg["fuzzy_join_ed1"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    lev = plan.index("levenshtein")
+    first_agg = plan.index("HashAggregate")
+    # "simple" mode prints operators top-down (output first): the
+    # dedup aggregate must appear ABOVE the levenshtein filter
+    assert first_agg < lev
+
+
+def test_heavy_hitter_exact_counts_after_broadcast(spark, sf_dir, reg):
+    """The exact-count phase must semi-join the token stream against
+    broadcast candidates — a full-vocabulary shuffle would defeat the
+    map-side candidate pruning."""
+    plan = plan_of(reg["heavy_hitter_tokens"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_purge_cascade_broadcasts_forget_sets(spark, sf_dir, reg):
+    """Every cascade level anti-joins against a broadcast forget-set;
+    the fact tables must never shuffle."""
+    plan = plan_of(reg["purge_user_cascade"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_retention_windows_partition_by_user_or_cohort(spark, sf_dir, reg):
+    """Cohort retention must not contain a global sort: the only
+    event-scale operations are user-keyed aggregates."""
+    plan = plan_of(reg["retention_cohorts"].fn(spark, sf_dir), "simple")
+    assert "Sort [" not in plan or "Sort [user_id" in plan
+
+
+def test_table_checksums_single_agg_per_table(spark, sf_dir, reg):
+    """Checksums are one map-side-combinable aggregate per table: the
+    only exchanges are the scalar-agg single-partition gathers."""
+    plan = plan_of(reg["table_checksums"].fn(spark, sf_dir), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
