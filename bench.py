@@ -97,6 +97,9 @@ HEADLINE = [
     "markov_transitions",
     "heavy_hitter_tokens",
     "purge_user_cascade",
+    "bellman_ford_4relax",
+    "item_item_cosine_topk",
+    "table_checksums",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]
