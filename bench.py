@@ -100,6 +100,7 @@ HEADLINE = [
     "bellman_ford_4relax",
     "item_item_cosine_topk",
     "table_checksums",
+    "pareto_frontier_orders",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]

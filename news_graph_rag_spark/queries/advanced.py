@@ -1890,3 +1890,58 @@ def table_checksums(spark: SparkSession, sf: str) -> DataFrame:
         ],
     )
     return cust.unionAll(part).unionAll(supp)
+
+
+@register(
+    "pareto_frontier_orders",
+    oracle="""
+    WITH pp AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents,
+             max(CAST(o_orderdate AS DATE)) AS best_date
+      FROM orders GROUP BY price_cents
+    ),
+    pm AS (
+      SELECT price_cents, best_date,
+             max(best_date) OVER (ORDER BY price_cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+      FROM pp
+    )
+    SELECT price_cents, best_date FROM pm
+    WHERE prev IS NULL OR best_date > prev
+    """,
+    doc="skyline / Pareto frontier (minimize price, maximize recency): "
+    "an order is dominated if some order is both cheaper-or-equal and "
+    "newer-or-equal (one strict). Classic formulation is a windowed "
+    "prefix-max over the global price order — a single-partition "
+    "cliff; here the per-price reduction shrinks the input to distinct "
+    "prices and the strict-predecessor max runs through the two-phase "
+    "range-partitioned global_running_max (local window per range "
+    "partition + broadcast per-partition maxes), so no stage ever "
+    "sees more than one range partition's rows. Prices are exact "
+    "cents, dates compare as days.",
+)
+def pareto_frontier_orders(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ranks import global_running_max
+
+    pp = (
+        load(spark, sf, "orders")
+        .groupBy(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("price_cents")
+        )
+        .agg(F.max(F.col("o_orderdate").cast("date")).alias("best_date"))
+    )
+    day = F.datediff(F.col("best_date"), F.lit("1970-01-01"))
+    ranked = global_running_max(
+        pp,
+        [F.asc("price_cents")],
+        day,
+        out_col="_prev_day",
+        inclusive=False,
+    )
+    return ranked.filter(
+        F.col("_prev_day").isNull()
+        | (F.datediff(F.col("best_date"), F.lit("1970-01-01")) > F.col("_prev_day"))
+    ).select("price_cents", "best_date")

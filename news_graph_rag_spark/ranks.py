@@ -110,3 +110,47 @@ def top_k_ranked(
     top = df.orderBy(*order_by).limit(k)
     w = Window.orderBy(*order_by)
     return top.withColumn(rank_col, F.row_number().over(w).cast("int"))
+
+
+def global_running_max(
+    df: DataFrame,
+    order_by: list[Column],
+    value: Column,
+    out_col: str = "run_max",
+    num_partitions: int | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Exact global running max of ``value`` (long) in ``order_by``
+    order without a single-partition sort — the two-phase shape of
+    ``global_cumsum`` with max in place of sum. ``inclusive=False``
+    gives the strict-predecessor max (NULL for the global first row).
+
+    ``order_by`` must define a total order (include a unique
+    tiebreaker), else tied rows' maxes are placement-dependent.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.withColumn("_val", value.cast("long"))
+        .repartitionByRange(n, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    local = parted.withColumn("_lmax", F.max("_val").over(w))
+    totals = parted.groupBy("_pid").agg(F.max("_val").alias("_tot"))
+    c1, c2 = totals.alias("c1"), totals.alias("c2")
+    offsets = (
+        c1.join(c2, F.col("c2._pid") < F.col("c1._pid"), "left")
+        .groupBy(F.col("c1._pid").alias("_pid"))
+        .agg(F.max("c2._tot").alias("_off"))
+    )
+    # greatest() skips NULLs: exclusive first-in-partition rows fall
+    # back to the earlier-partition max, and the global first row
+    # (both NULL) stays NULL — "no predecessor"
+    out = local.join(F.broadcast(offsets), "_pid").withColumn(
+        out_col, F.greatest("_lmax", "_off")
+    )
+    return out.drop("_pid", "_lmax", "_off", "_val")

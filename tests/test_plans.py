@@ -366,3 +366,11 @@ def test_table_checksums_single_agg_per_table(spark, sf_dir, reg):
     plan = plan_of(reg["table_checksums"].fn(spark, sf_dir), "simple")
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_pareto_frontier_prefix_max_is_range_partitioned(spark, sf_dir, reg):
+    """The skyline's strict-predecessor max must be the two-phase
+    range-partitioned form — never a single-partition global window."""
+    plan = plan_of(reg["pareto_frontier_orders"].fn(spark, sf_dir), "simple")
+    assert "Exchange rangepartitioning" in plan
+    assert all("_pid" in s.split(",")[0] for s in _window_specs(plan))
