@@ -1945,3 +1945,45 @@ def pareto_frontier_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.col("_prev_day").isNull()
         | (F.datediff(F.col("best_date"), F.lit("1970-01-01")) > F.col("_prev_day"))
     ).select("price_cents", "best_date")
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '(all)') AS status,
+           COALESCE(o_orderpriority, '(all)') AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="GROUPING SETS (completes the rollup/cube family): one pass "
+    "produces the per-status, per-priority, and grand-total aggregates "
+    "— Spark expands the sets map-side and partial-aggregates before "
+    "the shuffle, so the cost is one scan regardless of set count. "
+    "Aggregation levels are disambiguated by COALESCE sentinels (the "
+    "grouping columns are non-null here), avoiding cross-engine "
+    "grouping_id bit-order differences; money is cents-exact.",
+)
+def grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        load(spark, sf, "orders")
+        .select("o_orderstatus", "o_orderpriority", cents.alias("cents"))
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("(all)")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias("priority"),
+            "n_orders",
+            "revenue_cents",
+        )
+    )
