@@ -1987,3 +1987,163 @@ def grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
             "revenue_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE trailing windows, multiset set-ops, positional explode, binning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "trailing_hour_range_window",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(epoch(ts) AS BIGINT) AS sec,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(count(cents) OVER w AS BIGINT) AS n_prev_hour,
+           CAST(COALESCE(SUM(cents) OVER w, 0) AS BIGINT)
+             AS cents_prev_hour
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+    """,
+    doc="time-RANGE trailing window (the ROWS-frame entries can't "
+    "express this): per event, count and cents-sum of the same user's "
+    "events in the preceding hour — frame membership is by timestamp "
+    "VALUE, so ties and gaps behave identically in both engines "
+    "(epoch-seconds bigint order key, integer frame bounds). "
+    "Partitioned by user: a hash shuffle then per-user sorted frames, "
+    "no global sort; the 100 TB shape is identical.",
+)
+def trailing_hour_range_window(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, -1)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("cents").over(w).cast("bigint").alias("n_prev_hour"),
+        F.coalesce(F.sum("cents").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cents_prev_hour"),
+    )
+
+
+@register(
+    "except_intersect_all_priorities",
+    oracle="""
+    SELECT 'except_all' AS bucket, o_orderpriority FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'intersect_all', o_orderpriority FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+    doc="multiset set-ops (EXCEPT ALL / INTERSECT ALL — the bag "
+    "semantics the distinct variants can't express): per-copy "
+    "difference and intersection of order-priority multisets between "
+    "two order statuses. Spark plans both as a single aggregate "
+    "counting per-side multiplicities then regenerating min/difference "
+    "copies — one shuffle on the value, no join.",
+)
+def except_intersect_all_priorities(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders")
+    f_side = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    o_side = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    ex = f_side.exceptAll(o_side).select(
+        F.lit("except_all").alias("bucket"), "o_orderpriority"
+    )
+    it = f_side.intersectAll(o_side).select(
+        F.lit("intersect_all").alias("bucket"), "o_orderpriority"
+    )
+    return ex.unionAll(it)
+
+
+@register(
+    "posexplode_tokens",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(1, len(string_split(text, ' '))))
+                  AS INT) AS pos,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, pos, token FROM ex WHERE token <> ''
+    """,
+    doc="positional explode: tokens with their 1-based position "
+    "(posexplode / UNNEST WITH ORDINALITY) — order-preserving "
+    "flattening, the primitive under n-gram windows and span "
+    "reconstruction. Pure map-side generate, no shuffle.",
+)
+def posexplode_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "token"),
+        )
+        .filter(F.col("token") != "")
+        .select(
+            "doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token"
+        )
+    )
+
+
+@register(
+    "histogram_totalprice",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  // 5000000 AS BIGINT) AS bucket,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM b GROUP BY bucket
+    """,
+    doc="equi-width histogram binning on exact cents ($50k buckets): "
+    "integer floor-division bucketing (no float edges, so bucket "
+    "membership can never disagree across engines) + per-bucket "
+    "count/min/max — one map-side-combinable aggregate, output "
+    "bounded by bucket count.",
+)
+def histogram_totalprice(spark: SparkSession, sf: str) -> DataFrame:
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        load(spark, sf, "orders")
+        .select(
+            F.expr(
+                "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " div 5000000 AS BIGINT)"
+            ).alias("bucket"),
+            cents.alias("cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+        )
+    )
