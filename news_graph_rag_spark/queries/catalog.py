@@ -60,6 +60,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     from pyspark.sql.types import TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # pin UTC even under a driver-owned session: epoch math
+    # (unix_timestamp/unix_micros) must agree with DuckDB's
+    # UTC-interpreted naive timestamps bit-for-bit
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # events.ts is TIMESTAMP(NANOS) in parquet → read as long nanos
     # (legacy conf above), convert to µs timestamps to match DuckDB
