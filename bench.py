@@ -101,6 +101,8 @@ HEADLINE = [
     "item_item_cosine_topk",
     "table_checksums",
     "pareto_frontier_orders",
+    "zscore_outlier_events",
+    "nearest_click_join",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]

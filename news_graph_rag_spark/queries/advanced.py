@@ -2147,3 +2147,161 @@ def histogram_totalprice(spark: SparkSession, sf: str) -> DataFrame:
             F.max("cents").cast("bigint").alias("max_cents"),
         )
     )
+
+
+@register(
+    "zscore_outlier_events",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(cents) AS DOUBLE) AS sx,
+             CAST(SUM(cents * cents) AS DOUBLE) AS sxx
+      FROM e GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.cents,
+           CAST((CAST(e.cents AS DOUBLE) - sx / n)
+                / sqrt(sxx / n - (sx / n) * (sx / n)) AS DOUBLE) AS z
+    FROM e JOIN s ON e.event_type = s.event_type
+    WHERE abs(CAST(e.cents AS DOUBLE) - sx / n)
+          > 3 * sqrt(sxx / n - (sx / n) * (sx / n))
+    """,
+    doc="anomaly detection: per-event-type z-score outliers (|x-mean| > "
+    "3 sigma). Moments accumulate as exact integer cents sums (order-"
+    "independent), and mean/sigma/z are the same IEEE expression tree "
+    "on identical inputs in both engines — the only cross-engine-"
+    "stable way to do float anomaly thresholds. One map-side-"
+    "combinable agg to group-count moments, broadcast back, pure map "
+    "filter: the event stream shuffles zero times at any scale.",
+)
+def zscore_outlier_events(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("cents").cast("double").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).cast("double").alias("sxx"),
+    )
+    j = e.join(F.broadcast(s), "event_type")
+    mean = F.expr("sx / n")
+    sigma = F.expr("sqrt(sxx / n - (sx / n) * (sx / n))")
+    z = ((F.col("cents").cast("double") - mean) / sigma).cast("double")
+    return (
+        j.filter(F.abs(F.col("cents").cast("double") - mean) > 3 * sigma)
+        .select("event_id", "event_type", "cents", z.alias("z"))
+    )
+
+
+@register(
+    "nearest_click_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+      WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus FROM events
+      WHERE event_type = 'click'
+    ),
+    ranked AS (
+      SELECT p.event_id, p.user_id, c.click_id,
+             CASE WHEN c.cus <= p.tus THEN p.tus - c.cus
+                  ELSE c.cus - p.tus END AS abs_gap_us,
+             CASE WHEN c.cus <= p.tus THEN 'backward'
+                  ELSE 'forward' END AS direction,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY CASE WHEN c.cus <= p.tus THEN p.tus - c.cus
+                             ELSE c.cus - p.tus END,
+                        CASE WHEN c.cus <= p.tus THEN 0 ELSE 1 END,
+                        CASE WHEN c.cus <= p.tus THEN -c.click_id
+                             ELSE c.click_id END) AS rn
+      FROM purchases p JOIN clicks c ON p.user_id = c.user_id
+    )
+    SELECT event_id, user_id, click_id,
+           CAST(abs_gap_us AS BIGINT) AS abs_gap_us, direction
+    FROM ranked WHERE rn = 1
+    """,
+    doc="bidirectional nearest-event join (the symmetric completion of "
+    "the backward-only as-of join): each purchase pairs with its "
+    "closest click in EITHER direction — backward wins gap ties, "
+    "click_id breaks same-instant ties deterministically (max for "
+    "backward = last carried, min for forward = first following). "
+    "Spark side is the union+two-directional-window form: one hash "
+    "shuffle on user_id, two per-user sorted passes, never the "
+    "oracle's per-user cross product — the 100 TB cost is the as-of "
+    "join's, doubled.",
+)
+def nearest_click_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_purchase"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_purchase"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    tagged = purchases.unionByName(clicks)
+    # same-instant clicks sort before the purchase (is_purchase asc) so
+    # they land in the backward frame with gap 0; click_id asc makes
+    # last()=max id backward and first()=min id forward deterministic
+    order = [
+        F.asc("ts"),
+        F.asc("is_purchase"),
+        F.asc_nulls_first("click_id"),
+    ]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    carried = (
+        tagged.withColumn("bk_id", F.last("click_id", ignorenulls=True).over(w_back))
+        .withColumn("bk_ts", F.last("click_ts", ignorenulls=True).over(w_back))
+        .withColumn("fw_id", F.first("click_id", ignorenulls=True).over(w_fwd))
+        .withColumn("fw_ts", F.first("click_ts", ignorenulls=True).over(w_fwd))
+        .filter(F.col("is_purchase") == 1)
+    )
+    gap_b = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("bk_ts"))
+    gap_f = F.unix_micros(F.col("fw_ts")) - F.unix_micros(F.col("ts"))
+    use_back = F.col("bk_id").isNotNull() & (
+        F.col("fw_id").isNull() | (gap_b <= gap_f)
+    )
+    return (
+        carried.filter(F.col("bk_id").isNotNull() | F.col("fw_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.when(use_back, F.col("bk_id")).otherwise(F.col("fw_id")).alias(
+                "click_id"
+            ),
+            F.when(use_back, gap_b).otherwise(gap_f).cast("bigint").alias(
+                "abs_gap_us"
+            ),
+            F.when(use_back, F.lit("backward"))
+            .otherwise(F.lit("forward"))
+            .alias("direction"),
+        )
+    )
