@@ -103,6 +103,7 @@ HEADLINE = [
     "pareto_frontier_orders",
     "zscore_outlier_events",
     "nearest_click_join",
+    "point_in_time_join",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]

@@ -2305,3 +2305,102 @@ def nearest_click_join(spark: SparkSession, sf: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+@register(
+    "point_in_time_join",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_type) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    versions AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_type) AS valid_to
+      FROM changes
+    ),
+    probes AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, v.state,
+           CAST(epoch_us(p.ts) - epoch_us(v.valid_from) AS BIGINT)
+             AS in_state_us
+    FROM probes p JOIN versions v
+      ON p.user_id = v.user_id
+     AND v.valid_from <= p.ts
+     AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+    """,
+    doc="point-in-time join (feature-store correctness primitive): each "
+    "purchase joins the SCD2 state version valid at its event time — "
+    "no leakage from future versions. The oracle is the textbook "
+    "inequality join; the Spark side is the union+carry form: version "
+    "begin-markers and probe events interleave per user ordered by "
+    "(ts, marker-first), one last() window carries the active state — "
+    "a single user_id shuffle, no inequality join, no per-user cross "
+    "product. Markers sort before probes at the same instant, which "
+    "reproduces valid_from <= ts inclusivity and makes zero-length "
+    "versions (two state changes at one timestamp) resolve to the "
+    "later version exactly like the ts < valid_to predicate.",
+)
+def point_in_time_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    changes = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_type",
+            F.lag("event_type").over(w_lag).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    markers = changes.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("state_from"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_probe"),
+        "event_id",
+        F.lit(None).cast("string").alias("state"),
+        F.lit(None).cast("timestamp").alias("state_from"),
+    )
+    # markers first at equal ts; among same-instant markers the larger
+    # state sorts last and wins the carry — matching the oracle's
+    # zero-length-version elimination via ts < valid_to
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", F.asc_nulls_last("state"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        markers.unionByName(probes)
+        .withColumn("cur_state", F.last("state", ignorenulls=True).over(w))
+        .withColumn(
+            "cur_from", F.last("state_from", ignorenulls=True).over(w)
+        )
+        .filter((F.col("is_probe") == 1) & F.col("cur_state").isNotNull())
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        F.col("cur_state").alias("state"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("cur_from")))
+        .cast("bigint")
+        .alias("in_state_us"),
+    )
