@@ -1866,3 +1866,100 @@ def purge_user_cascade(spark: SparkSession, sf: str) -> DataFrame:
         .unionAll(counted(kept_orders, "orders"))
         .unionAll(counted(kept_li, "lineitem"))
     )
+
+
+@register(
+    "feature_hashing_sparse",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT)
+                  % 1024 AS BIGINT) AS feat_idx
+      FROM toks WHERE token <> ''
+    )
+    SELECT doc_id, feat_idx, CAST(count(*) AS BIGINT) AS cnt
+    FROM hashed GROUP BY doc_id, feat_idx
+    """,
+    doc="feature hashing (the hashing trick): tokens map to a fixed "
+    "1024-bucket feature space via a 32-bit md5 prefix — the sparse "
+    "(doc, feature, count) triples a linear model or nearest-centroid "
+    "classifier trains on, with NO vocabulary table to build, "
+    "broadcast, or keep consistent across a 100 TB corpus. Hashing is "
+    "map-side; the one shuffle aggregates (doc_id, idx) pairs. The "
+    "md5-prefix % buckets arithmetic is integer-identical in both "
+    "engines.",
+)
+def feature_hashing_sparse(spark: SparkSession, sf: str) -> DataFrame:
+    toks = (
+        spread(load(spark, sf, "documents"))
+        .select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    idx = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1024
+    )
+    return (
+        toks.select("doc_id", idx.cast("bigint").alias("feat_idx"))
+        .groupBy("doc_id", "feat_idx")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+@register(
+    "join_key_skew_report",
+    oracle="""
+    WITH freq AS (
+      SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS max_cnt,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows
+      FROM freq
+    )
+    SELECT f.key, f.cnt,
+           CAST(f.cnt * t.n_keys > 4 * t.n_rows AS INT) AS is_hot
+    FROM freq f CROSS JOIN tot t
+    ORDER BY f.cnt DESC, f.key LIMIT 10
+    """,
+    doc="shuffle-planning diagnosis: the top-10 hottest join keys with "
+    "a >4x-mean hotness flag (integer cross-multiplied — the exact "
+    "signal that decides between plain hash join, salting, and AQE "
+    "skew splitting). Per-key counts are one map-side-combinable "
+    "groupBy; the report is TakeOrdered over key-cardinality rows, "
+    "and the scalar stats broadcast. This is the operator you run "
+    "BEFORE choosing the strategy the salted_skew_join entry "
+    "demonstrates.",
+)
+def join_key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    freq = (
+        load(spark, sf, "lineitem")
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+    )
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            (F.col("cnt") * F.col("n_keys") > 4 * F.col("n_rows"))
+            .cast("int")
+            .alias("is_hot"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(10)
+    )
