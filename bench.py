@@ -104,6 +104,8 @@ HEADLINE = [
     "zscore_outlier_events",
     "nearest_click_join",
     "point_in_time_join",
+    "feature_hashing_sparse",
+    "join_key_skew_report",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]
