@@ -133,14 +133,62 @@ _NOT_A_TABLE = frozenset(
 )
 
 
+def _blank_literals_and_comments(sql: str) -> str:
+    """Single left-to-right scan that blanks string literals ('…' with
+    '' escapes, "…") and strips ``--`` line and ``/* */`` block
+    comments. One pass, because the two interact: a ``--`` inside a
+    literal is text, and a ``'`` inside a comment is not a literal —
+    regex-blanking literals first lets an apostrophe in a comment pair
+    with a later real quote and swallow a ``FROM evil`` between them
+    (round-5 ADVICE bypass). Unterminated literals/comments blank to
+    end of input (fail closed); Spark's *nested* bracketed comments end
+    at the first ``*/`` here, which only makes us scan text Spark would
+    ignore — false-reject, never false-accept."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'" or c == '"':
+            j = i + 1
+            while j < n:
+                if sql[j] == c:
+                    if c == "'" and sql.startswith("''", j):
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(c + c)
+            i = j + 1
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j < 0 else j  # keep the newline as separator
+            out.append(" ")
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            out.append(" ")
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _referenced_tables(sql: str) -> set[str]:
     """Best-effort extraction of table identifiers after FROM/JOIN,
-    including comma-separated FROM lists. String literals are blanked
-    first so quoted text can't fake or hide a keyword."""
-    s = re.sub(r"'(?:[^']|'')*'", "''", sql)
+    including comma-separated FROM lists. String literals and comments
+    are blanked first so quoted/commented text can't fake or hide a
+    keyword. Fails closed: a FROM/JOIN followed by neither an
+    identifier nor ``(`` (subquery) raises — comment tricks like
+    ``FROM/**/secrets`` must not extract nothing and pass."""
+    s = _blank_literals_and_comments(sql)
     tables: set[str] = set()
     for m in re.finditer(r"(?i)\b(?:from|join)\b", s):
         i = m.end()
+        if not re.match(rf"\s*(?:{_IDENT}|\()", s[i:]):
+            raise ValueError(
+                "generated SQL has FROM/JOIN followed by neither a table "
+                f"name nor a subquery: {s[max(0, m.start() - 10):i + 20]!r}"
+            )
         while True:
             mm = re.match(rf"\s*({_IDENT}(?:\s*\.\s*{_IDENT})*)", s[i:])
             if not mm:
@@ -239,13 +287,21 @@ class GraphChat:
         self.store.register_views(self.view_prefix)
         return self.store.spark.sql(sql)
 
-    def answer(self, question: str) -> str:
+    def answer(self, question: str, max_rows: int = 50) -> str:
         sql = self.generate_sql(question)
-        records = [r.asDict() for r in self.execute(sql).collect()]
+        # Bound the collect BEFORE it reaches the driver: the model may
+        # emit LIMIT-less SQL, and truncating in
+        # map_records_to_context after an unbounded .collect() is a
+        # driver OOM at scale. limit(max_rows + 1) keeps the
+        # "(truncated)" detection — more than max_rows rows collected
+        # still means the context was cut.
+        records = [
+            r.asDict() for r in self.execute(sql).limit(max_rows + 1).collect()
+        ]
         prompt = ANSWER_PROMPT.format(
             question=question,
             query=sql,
-            context=map_records_to_context(records) or "(no rows)",
+            context=map_records_to_context(records, max_rows) or "(no rows)",
         )
         self.last["records"] = records
         return self.llm(prompt)

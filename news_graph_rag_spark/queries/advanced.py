@@ -1143,7 +1143,15 @@ def _kcore_oracle() -> str:
 def kcore_parts(spark: SparkSession, sf: str) -> DataFrame:
     from ..graph_algos import k_core
 
-    core = k_core(_copurchase_edges(spark, sf), k=_KCORE_K)
+    # cap Spark's peel rounds at the oracle's unroll depth: if peeling
+    # ever needed more rounds than the oracle materializes, k_core
+    # raises (loudly) instead of silently returning a deeper fixpoint
+    # than the oracle's edge set reached (round-5 ADVICE).
+    core = k_core(
+        _copurchase_edges(spark, sf),
+        k=_KCORE_K,
+        max_iter=_KCORE_ORACLE_ROUNDS,
+    )
     return core.select(
         F.col("id").cast("bigint").alias("id"),
         F.col("degree").cast("bigint").alias("degree"),
@@ -1999,7 +2007,7 @@ def grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT event_id, user_id,
-             CAST(epoch(ts) AS BIGINT) AS sec,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       FROM events
     )
@@ -2020,6 +2028,10 @@ def grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
     "no global sort; the 100 TB shape is identical.",
 )
 def trailing_hour_range_window(spark: SparkSession, sf: str) -> DataFrame:
+    # unix_timestamp() truncates fractional seconds; the oracle must
+    # truncate too (floor(epoch(ts))) — DuckDB's CAST(double AS BIGINT)
+    # rounds-to-nearest, which changes RANGE-frame membership on
+    # sub-second timestamps (round-5 ADVICE, reproduced at sf0.1).
     e = load(spark, sf, "events").select(
         "event_id",
         "user_id",

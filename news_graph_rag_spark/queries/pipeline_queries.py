@@ -1520,6 +1520,8 @@ def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
             ids: list[int] = []
             hs: list[str] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):  # NULL text (None/NaN)
+                    text = ""
                 toks = text.split(" ")
                 if len(toks) >= 5:
                     seen = set()

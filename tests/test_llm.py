@@ -123,3 +123,58 @@ def test_execute_rejects_unregistered_tables(store):
 
     # unit check without a session
     assert_allowed_tables("SELECT 1", set())
+
+
+def test_allowlist_not_bypassed_by_comments(store):
+    """Round-5 ADVICE: ``_referenced_tables`` blanked string literals
+    but not comments, so ``FROM/**/secrets`` or ``FROM -- x\\n secrets``
+    extracted no table name and sailed through the allowlist. Comments
+    are now stripped in the same scan as literals, and a FROM/JOIN
+    followed by neither an identifier nor ``(`` fails closed."""
+    import pytest as _pytest
+
+    from news_graph_rag_spark.llm import FakeLLM, GraphChat, _referenced_tables
+
+    chat = GraphChat(store=store, llm=FakeLLM(fallback="x"))
+    for bad in (
+        "SELECT * FROM/**/secrets",
+        "SELECT * FROM -- x\n secrets",
+        "SELECT * FROM /* article */ secrets",
+        # apostrophe inside a comment must not pair with a later real
+        # quote and swallow the table reference between them
+        "SELECT * FROM t1 -- don't\n , secrets WHERE x = 'a'",
+        # trailing comment leaves FROM with no target at all
+        "SELECT * FROM --",
+        "SELECT * FROM /* unterminated",
+    ):
+        with _pytest.raises(ValueError):
+            chat.execute(bad)
+    # comments around ALLOWED tables still pass
+    for ok in (
+        "SELECT title FROM article -- trailing note",
+        "SELECT title FROM /* lead */ article",
+        "SELECT title, '--not a comment' FROM article",
+    ):
+        chat.execute(ok).schema
+    assert _referenced_tables("SELECT * FROM/**/secrets") == {"secrets"}
+
+
+def test_answer_collect_is_bounded(store):
+    """VERDICT r5 #3: a LIMIT-less generated query must not collect the
+    whole result to the driver — answer() caps it at max_rows + 1."""
+    from news_graph_rag_spark.llm import FakeLLM, GraphChat
+
+    llm = FakeLLM(
+        canned={
+            # cross join: articles x chunks x chunks >> 51 rows, no LIMIT
+            "Generate ONE Spark SQL": (
+                "SELECT a.title, k.uid FROM article a, chunk k, chunk k2"
+            ),
+            "Answer the question": "ok",
+        }
+    )
+    chat = GraphChat(store=store, llm=llm)
+    assert chat.answer("q?") == "ok"
+    full = chat.execute(chat.last["sql"]).count()
+    assert full > 51  # the unbounded result really is bigger
+    assert len(chat.last["records"]) == 51  # max_rows + 1, not `full`
