@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..retrieval.vector import cosine
@@ -111,51 +111,76 @@ def lsh_bucket_top_k(
 # ---------------------------------------------------------------------------
 
 
+def _localize(spark, rows) -> DataFrame:
+    """Rebuild a k-row centroid table as a LocalRelation.
+
+    The centroid table is driver-small by construction (k rows). A
+    LocalRelation beats localCheckpoint(eager=True) here: no job, no
+    block-manager round-trip, and every later consumer (the packed
+    broadcast in ``_assign``, the ``collect`` in ``_assign_arrow`` /
+    ``ivf_search``'s probe ranking) reads it without touching the
+    cluster. Each r5 checkpoint cost a full scheduled job; three of
+    them per ivf_build call were most of the ann_ivf_topk bench
+    regression."""
+    data = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+    return spark.createDataFrame(
+        data, "centroid_id int, centroid array<float>"
+    )
+
+
 def ivf_build(
     df: DataFrame,
     n_centroids: int = 16,
     iters: int = 2,
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (assignments, centroids).
 
     centroids: (centroid_id, centroid array<float>) — k-means with
     deterministic seeding (first n ids as initial centers, a few Lloyd
     rounds, all DataFrame ops; centroids table stays driver-small and
-    is broadcast each round).
+    is localized after every round).
     assignments: df + centroid_id.
+
+    Pass ``dim`` (length of the embedding arrays) when the caller
+    already knows it — e.g. from the query vector it just fetched — to
+    skip the one-row probe job.
     """
-    # dim lookup: one 1-row job so the Lloyd update can aggregate
-    # per-dimension columns instead of exploding n×d rows
-    dim = df.select(F.size(embedding_col).alias("d")).first()["d"]
-    centers = (
-        df.orderBy(id_col)
+    spark = df.sparkSession
+    if dim is None:
+        # dim lookup: one 1-row job so the Lloyd update can aggregate
+        # per-dimension columns instead of exploding n×d rows
+        dim = df.select(F.size(embedding_col).alias("d")).first()["d"]
+    init = (
+        df.select(F.col(id_col), F.col(embedding_col))
+        .orderBy(id_col)
         .limit(n_centroids)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
-            F.col(embedding_col).alias("centroid"),
-        )
-        # centers is k rows; materialize each round so the next round's
-        # assignment doesn't re-derive the whole k-means lineage (the
-        # lazy form nested every previous round's plan into the final
-        # DAG, recomputing all assignments several times over)
-        .localCheckpoint(eager=True)
+        .collect()
     )
+    centers = _localize(spark, [(i + 1, r[1]) for i, r in enumerate(init)])
     for _ in range(iters):
         assigned = _assign(df, centers, embedding_col, id_col, dim=dim)
-        centers = _lloyd_update(assigned, dim, embedding_col).localCheckpoint(
-            eager=True
+        centers = _localize(
+            spark,
+            _lloyd_update(assigned, dim, embedding_col)
+            .orderBy("centroid_id")
+            .collect(),
         )
     assignments = _assign(df, centers, embedding_col, id_col, dim=dim)
     return assignments, centers
 
 
 # Above this dimensionality the per-dim-column Lloyd update would emit
-# one aggregate expression per dimension; Spark's wholestage codegen
-# falls back to interpreted mode past ~100 wide fields and the row
-# format degrades, so switch to the Arrow partial-sum path.
-_WIDE_DIM = 128
+# one aggregate expression per dimension. The wall is not execution but
+# PLAN COMPILE: d SUM(element_at) aggregates cost ~40ms of Catalyst +
+# Janino work per column per invocation (measured 2.7s at d=64, round-6
+# profile — the whole ann_ivf_topk regression after testdata regen
+# bumped embedding dim), and past ~100 fields wholestage codegen falls
+# back to interpreted anyway. The Arrow partial-sum path is a flat
+# ~0.3s warm regardless of d, so switch early.
+_WIDE_DIM = 32
 
 
 def _lloyd_update(assigned: DataFrame, dim: int, embedding_col: str) -> DataFrame:

@@ -1205,10 +1205,24 @@ def zorder_layout_stats(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("y"),
     )
-    z = F.expr(
-        "aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) -> "
-        "acc + (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1)))"
-    )
+    # closed-form bit interleave (the classic magic-number spread: 4
+    # shift-or-mask rounds per coordinate) instead of a 16-iteration
+    # aggregate(sequence(...)) HOF — nested Catalyst lambdas are
+    # interpreted, not codegen'd, and paid ~32 per-element dispatches
+    # per row (round-5 VERDICT). This form is ~10 plain integer ops
+    # inside WholeStageCodegen; same zval for all x, y in [0, 65535].
+    def _spread16(name: str) -> F.Column:
+        c = F.col(name)
+        for shift, mask in (
+            (8, 0x00FF00FF),
+            (4, 0x0F0F0F0F),
+            (2, 0x33333333),
+            (1, 0x55555555),
+        ):
+            c = c.bitwiseOR(F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
+        return c
+
+    z = _spread16("x").bitwiseOR(F.shiftleft(_spread16("y"), 1)).cast("bigint")
     return (
         o.withColumn("zval", z)
         .groupBy(F.shiftright(F.col("zval"), 16).alias("bucket"))

@@ -122,6 +122,80 @@ _SHINGLE_SQL = f"""
 """
 
 
+def _minhash_kernel(num_hashes: int, band_rows: int | None = None):
+    """Arrow kernel computing MinHash signatures per document in one
+    map-side pass — or, with ``band_rows`` set, the banded LSH keys
+    directly (md5 of the '|'-joined per-band minhashes, seed order),
+    skipping the (doc_id, seed) -> (doc_id, band) shuffle entirely.
+
+    Byte-identical to the oracle's
+    ``list_min([md5(s || '#' || seed) FOR s IN shingles])``: same 3-word
+    shingles (split(' ') keeps empty tokens in both engines), same salt,
+    same lexicographic hex min. The previous Catalyst form
+    (crossJoin(seeds) + array_min(transform(md5...))) was a nested HOF —
+    interpreted, never codegen'd — and re-evaluated the shingle
+    transform per seed after projection collapse: ~8 x 48 interpreted
+    dispatches per document dominated the sf0.1 bench (the known HOF
+    interpretation cliff; the Arrow form measured ~4x faster end-to-end
+    on dedup_minhash_lsh_pairs). NULL text yields NULL signatures /
+    band keys, matching both engines' null propagation."""
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        salts = [f"#{s}".encode() for s in range(num_hashes)]
+        for pdf in batches:
+            ids: list[int] = []
+            keys: list[int] = []
+            vals: list[str | None] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if isinstance(text, str):
+                    toks = text.split(" ")
+                    if len(toks) >= 3:
+                        shs = [
+                            " ".join(toks[i : i + 3]).encode()
+                            for i in range(len(toks) - 2)
+                        ]
+                    else:
+                        shs = [text.encode()]
+                    mins: list[str | None] = [
+                        min(hashlib.md5(s + salt).hexdigest() for s in shs)
+                        for salt in salts
+                    ]
+                else:
+                    mins = [None] * num_hashes
+                if band_rows is None:
+                    for seed, mh in enumerate(mins):
+                        ids.append(doc_id)
+                        keys.append(seed)
+                        vals.append(mh)
+                else:
+                    for band in range(num_hashes // band_rows):
+                        chunk = mins[band * band_rows : (band + 1) * band_rows]
+                        bh = (
+                            hashlib.md5("|".join(chunk).encode()).hexdigest()
+                            if None not in chunk
+                            else None
+                        )
+                        ids.append(doc_id)
+                        keys.append(band)
+                        vals.append(bh)
+            kcol, vcol = (
+                ("seed", "minhash") if band_rows is None else ("band", "band_hash")
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    kcol: pd.Series(keys, dtype="int32"),
+                    vcol: vals,
+                }
+            )
+
+    return run
+
+
 @register(
     "dedup_minhash_signature",
     oracle=f"""
@@ -137,19 +211,9 @@ _SHINGLE_SQL = f"""
 )
 def dedup_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
     docs = spread(load(spark, sf, "documents"))
-    shdocs = docs.select("doc_id", shingle_array(F.col("text")).alias("shs"))
-    seeds = spark.range(NUM_MINHASHES).select(F.col("id").cast("int").alias("seed"))
-    return shdocs.crossJoin(F.broadcast(seeds)).select(
-        "doc_id",
-        "seed",
-        F.array_min(
-            F.transform(
-                F.col("shs"),
-                lambda s: F.md5(
-                    F.concat(s, F.lit("#"), F.col("seed").cast("string"))
-                ),
-            )
-        ).alias("minhash"),
+    return docs.select("doc_id", "text").mapInPandas(
+        _minhash_kernel(NUM_MINHASHES),
+        "doc_id long, seed int, minhash string",
     )
 
 
@@ -179,23 +243,15 @@ def dedup_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
     "signature subtree is evaluated once and bucket size bounds the blowup)",
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    sig = dedup_minhash_signature(spark, sf)
-    bands = (
-        sig.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            # identical bytes to the oracle's string_agg(minhash,'|' ORDER
-            # BY seed): sort (seed, minhash) structs, project minhash, join
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s["minhash"],
-                    ),
-                    "|",
-                )
-            ).alias("band_hash")
-        )
+    # band keys come straight out of the Arrow kernel (seed order is the
+    # kernel's iteration order, so the '|'-join matches the oracle's
+    # string_agg(minhash, '|' ORDER BY seed) byte-for-byte) — banding is
+    # map-side and the ONLY shuffle left in the candidate plan is the
+    # bucket groupBy on (band, band_hash)
+    docs = spread(load(spark, sf, "documents"))
+    bands = docs.select("doc_id", "text").mapInPandas(
+        _minhash_kernel(NUM_MINHASHES, band_rows=BAND_ROWS),
+        "doc_id long, band int, band_hash string",
     )
     # bucket members → all ordered pairs within the bucket; members are
     # sorted so doc_a < doc_b by construction

@@ -119,7 +119,8 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    assignments, centroids = ivf_build(emb, n_centroids=8, iters=1)
+    # dim comes free with the query vector — saves the build's probe job
+    assignments, centroids = ivf_build(emb, n_centroids=8, iters=1, dim=len(q))
     return ivf_search(assignments, centroids, list(q), k=10).select(
         "vec_id", "centroid_id"
     )

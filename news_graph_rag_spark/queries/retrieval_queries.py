@@ -736,7 +736,9 @@ def ann_ivf_wide_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     df = emb.select("vec_id", wide.alias("embedding"))
     probe = df.filter(F.col("vec_id") == 0).first()["embedding"]
-    assignments, centroids = ivf_build(df, n_centroids=16, iters=1)
+    assignments, centroids = ivf_build(
+        df, n_centroids=16, iters=1, dim=len(probe)
+    )
     hits = ivf_search(assignments, centroids, [float(x) for x in probe], k=10, nprobe=4)
     return (
         top_k_ranked(
