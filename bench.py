@@ -72,6 +72,7 @@ HEADLINE = [
     "scd2_user_state",
     "bfs_hop_distance_parts",
     "multimodal_audio_windows",
+    "multimodal_wav_decode_stats",
     "text_winnowing",
     "text_pii_redact",
     "importance_weighted_sample",
@@ -86,6 +87,7 @@ HEADLINE = [
     "near_dup_lsh_banded",
     "ann_ivf_wide_topk",
     "fuzzy_join_ed1",
+    "fuzzy_entity_lookup_blocked",
     "kcore_parts",
     "zorder_layout_stats",
     "streaming_session_window",
@@ -111,6 +113,99 @@ HEADLINE = [
 ]
 
 
+# Regression guard (VERDICT r5 #7): compare this run against the most
+# recent committed BENCH_r*.json and complain loudly on stderr for any
+# shared query that got > GUARD_RATIO slower, so a regression is caught
+# mid-round by whoever runs bench.py — not a round later by the judge.
+# Queries under GUARD_MIN_SEC are skipped (sub-second timings are
+# JIT/GC noise at toy SF; see BENCH_NOTES.md r01/r02). stdout stays ONE
+# JSON line; the guard never changes the exit code at non-matching SF.
+GUARD_RATIO = 1.5
+GUARD_MIN_SEC = 1.0
+
+
+def _previous_round_times() -> tuple[str, float | None, dict[str, float]]:
+    import glob
+    import re  # noqa: F401 — used below
+
+    best: tuple[int, str] | None = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            r = int(m.group(1))
+            if best is None or r > best[0]:
+                best = (r, path)
+    if best is None:
+        return "", None, {}
+    with open(best[1]) as f:
+        doc = json.load(f)
+    parsed = doc.get("parsed") if isinstance(doc, dict) else None
+    if not isinstance(parsed, dict) and isinstance(doc, dict):
+        # driver sometimes records only the stdout tail; recover the
+        # bench JSON line from it (it may be truncated at the front, so
+        # fall back to scanning for the {"metric": ...} suffix)
+        tail = doc.get("tail")
+        if isinstance(tail, list):
+            tail = "".join(str(t) for t in tail)
+        if isinstance(tail, str):
+            i = tail.rfind('{"metric"')
+            if i >= 0:
+                try:
+                    parsed = json.loads(tail[i:].splitlines()[0])
+                except ValueError:
+                    parsed = None
+            if not isinstance(parsed, dict):
+                # tail may be truncated mid-dict at the front; scrape
+                # whatever complete "name": seconds pairs survive
+                pairs = re.findall(r'"([a-z][a-z0-9_]+)": ([0-9]+\.[0-9]+)', tail)
+                qs = {
+                    k: float(v)
+                    for k, v in pairs
+                    if k not in ("value", "sf", "metric", "unit")
+                }
+                if qs:
+                    parsed = {"sf": doc.get("sf"), "queries": qs}
+    if not isinstance(parsed, dict):  # crashed round (e.g. r04 rc=1)
+        return best[1], None, {}
+    return (
+        best[1],
+        parsed.get("sf"),
+        {
+            k: float(v)
+            for k, v in (parsed.get("queries") or {}).items()
+            if isinstance(v, (int, float))
+        },
+    )
+
+
+def _regression_guard(times: dict[str, float]) -> None:
+    path, prev_sf, prev = _previous_round_times()
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    if not prev or str(prev_sf) != sf:
+        return  # nothing comparable at this SF
+    regressed = []
+    for name, now in times.items():
+        before = prev.get(name)
+        if before is None or max(now, before) < GUARD_MIN_SEC:
+            continue
+        if now > before * GUARD_RATIO:
+            regressed.append((name, before, now))
+    for name, before, now in sorted(regressed, key=lambda r: r[2] / r[1], reverse=True):
+        print(
+            f"#! REGRESSION {name}: {before:.2f}s -> {now:.2f}s "
+            f"({now / before:.2f}x vs {os.path.basename(path)}) — name the "
+            "cause in BENCH_NOTES.md or fix before committing",
+            file=sys.stderr,
+        )
+    if regressed:
+        print(
+            f"#! {len(regressed)} quer{'y' if len(regressed) == 1 else 'ies'} "
+            f"regressed >{GUARD_RATIO}x vs {os.path.basename(path)}",
+            file=sys.stderr,
+        )
+
+
 def main() -> None:
     spark = get_spark("bench")
     reg = registry()
@@ -130,6 +225,8 @@ def main() -> None:
         n = reg[name].fn(spark, SF_DIR).count()
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    _regression_guard(times)
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

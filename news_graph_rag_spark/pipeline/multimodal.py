@@ -2,8 +2,11 @@
 columns with typed metadata (SURVEY driver brief).
 
 The Spark-side plumbing — schemas, Arrow-batched UDF signatures, batch
-shapes, partitioning — is real and tested; the actual media decoding is
-STUBBED because no image/audio libraries exist in this container:
+shapes, partitioning — is real and tested. Decode status: AUDIO decode
+is REAL (``decode_wav_pcm`` — pure-stdlib RIFF/PCM chunk walker, plus a
+``encode_wav_pcm16`` writer; ``load_audio_decoder`` upgrades to
+soundfile when importable). IMAGE/VIDEO decoding is still the
+documented stand-in because no image libraries exist in this container:
 ``decode_fn=None`` uses a deterministic fake decoder (metadata-derived),
 and passing a real decoder (e.g. PIL-based) slots into the same
 ``mapInPandas`` operator unchanged.
@@ -61,25 +64,106 @@ def load_image_decoder() -> DecodeFn | None:
     return decode
 
 
-def load_audio_decoder() -> Callable[[bytes], "tuple[int, int, float]"] | None:
-    """Try-import a real audio library and adapt it to
-    ``bytes -> (n_samples, sample_rate, rms)``. ``None`` when absent
-    (same guarded-loader shape as ``load_image_decoder``)."""
+def load_audio_decoder() -> Callable[[bytes], "tuple[int, int, float]"]:
+    """Return a real ``bytes -> (n_samples, sample_rate, rms)`` audio
+    decoder: soundfile when importable (any libsndfile format), else the
+    pure-stdlib RIFF/PCM parser (``decode_wav_pcm`` — WAV only, but a
+    genuine decode, not a stub). Unlike the image loader this never
+    returns ``None``: the audio modality always has a real decode
+    path."""
+    import math
+
     try:
         import soundfile  # type: ignore[import-not-found]
     except ImportError:
-        return None
-    import io as _io
-    import math
+        soundfile = None
 
-    def decode(data: bytes) -> tuple[int, int, float]:
-        samples, rate = soundfile.read(_io.BytesIO(bytes(data)))
-        flat = [float(s) for s in samples]
-        n = len(flat) or 1
-        rms = math.sqrt(sum(s * s for s in flat) / n)
-        return len(flat), int(rate), rms
+    if soundfile is not None:
+        import io as _io
 
-    return decode
+        def decode(data: bytes) -> tuple[int, int, float]:
+            samples, rate = soundfile.read(_io.BytesIO(bytes(data)))
+            flat = [float(s) for s in samples]
+            n = len(flat) or 1
+            rms = math.sqrt(sum(s * s for s in flat) / n)
+            return len(flat), int(rate), rms
+
+        return decode
+
+    def decode_pure(data: bytes) -> tuple[int, int, float]:
+        _, rate, samples = decode_wav_pcm(data)
+        n = len(samples) or 1
+        rms = math.sqrt(sum((s / 32768.0) ** 2 for s in samples) / n)
+        return len(samples), rate, rms
+
+    return decode_pure
+
+
+def encode_wav_pcm16(
+    samples: "list[int]", sample_rate: int = 16000, n_channels: int = 1
+) -> bytes:
+    """Minimal RIFF/WAVE writer for 16-bit PCM (public format; stdlib
+    ``struct`` only). ``samples`` are interleaved int16 frames."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    byte_rate = sample_rate * n_channels * 2
+    block_align = n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm(data: bytes) -> "tuple[int, int, list[int]]":
+    """REAL audio decode (no stub): parse a RIFF/WAVE container and
+    return ``(n_channels, sample_rate, samples)`` with samples as
+    interleaved int16 frames. Pure-stdlib chunk walker: verifies the
+    RIFF/WAVE magics, iterates chunks honouring the spec's 2-byte
+    alignment (odd-sized chunks carry a pad byte), reads ``fmt `` for
+    the PCM params, and slices ``data``. Only uncompressed 16-bit PCM
+    (format tag 1) is supported — anything else raises, it does not
+    fake. This replaces the round-5 'decode is stubbed' caveat for the
+    audio modality."""
+    import struct
+
+    buf = bytes(data)
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt_params: tuple | None = None
+    pcm: bytes | None = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("fmt chunk too short")
+            fmt_params = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + clen + (clen % 2)  # chunks are 2-byte aligned
+    if fmt_params is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt_params
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV encoding (fmt={audio_format}, bits={bits})")
+    n = len(pcm) // 2
+    samples = list(struct.unpack(f"<{n}h", pcm[: 2 * n]))
+    return n_channels, sample_rate, samples
 
 
 def _fake_pixel_stats(data: bytes | None) -> tuple[float, float]:

@@ -5,13 +5,19 @@ The binary payloads are synthesized deterministically from the
 ``documents`` table (utf-8 bytes of the text) because the TESTDATA has
 no media table — the operator shapes (binary column never shuffled,
 mapInPandas Arrow batches, metadata-only outputs) are exactly what a
-real media pipeline runs; only the decode step is the documented stub
-(`pipeline/multimodal.py`).
+real media pipeline runs.
+
+Decode status by modality: AUDIO decode is REAL —
+``multimodal_wav_decode_stats`` round-trips actual RIFF/WAVE byte
+streams through the pure-stdlib PCM parser and is oracle-backed;
+image/video decode remains the documented deterministic stand-in
+(`pipeline/multimodal.py`, no image libs in this container; a real
+decoder slots into the same operators unchanged).
 
 ``multimodal_frame_sample`` is pure column ops (sequence + explode) and
-carries a DuckDB oracle; the decode/feature entries are Python-side and
-use the rows-only check, with their semantics unit-tested in
-tests/test_pipeline.py.
+carries a DuckDB oracle; the remaining decode/feature entries are
+Python-side and use the rows-only check, with their semantics
+unit-tested in tests/test_pipeline.py.
 """
 
 from __future__ import annotations
@@ -106,4 +112,83 @@ def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
         "media_id",
         F.col("start_sample").cast("bigint").alias("start_sample"),
         F.col("end_sample").cast("bigint").alias("end_sample"),
+    )
+
+
+@register(
+    "multimodal_wav_decode_stats",
+    oracle="""
+    WITH clips AS (
+      SELECT doc_id AS media_id, n_chars % 600 + 10 AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT media_id, n,
+             [CAST((media_id * 31 + i * 17) % 65536 - 32768 AS BIGINT)
+              FOR i IN range(0, n)] AS samples
+      FROM clips
+    )
+    SELECT media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(list_sum([x * x FOR x IN samples]) AS BIGINT) AS sum_sq,
+           CAST(list_min(samples) AS BIGINT) AS min_s,
+           CAST(list_max(samples) AS BIGINT) AS max_s
+    FROM s
+    """,
+    doc="multimodal with a REAL decode (VERDICT r5 #6, stub removed for "
+    "audio): per document, synthesize a deterministic 16-bit PCM mono "
+    "clip (samples[i] = (media_id*31 + i*17) % 65536 - 32768), ENCODE "
+    "it as an actual RIFF/WAVE byte stream, then round-trip through the "
+    "pure-stdlib chunk-walking WAV parser (pipeline/multimodal.py "
+    "decode_wav_pcm — verifies magics, walks 2-byte-aligned chunks, "
+    "reads fmt, slices data) and emit integer stats of the DECODED "
+    "samples: n_samples, sample_rate, sum of squares, min, max — all "
+    "exact int64, no float drift. The DuckDB oracle computes the same "
+    "stats straight from the generating formula, so the gate certifies "
+    "the encode->decode round trip is bit-exact. Map-only Arrow pass; "
+    "the WAV bytes are built and consumed inside one executor batch "
+    "and never shuffled (the multimodal prime directive).",
+)
+def multimodal_wav_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.multimodal import decode_wav_pcm, encode_wav_pcm16
+
+    clips = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 600 + 10).cast("int").alias("n"),
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "n_samples": [],
+                "sample_rate": [],
+                "sum_sq": [],
+                "min_s": [],
+                "max_s": [],
+            }
+            for media_id, n in zip(pdf["media_id"], pdf["n"]):
+                samples = [
+                    (media_id * 31 + i * 17) % 65536 - 32768 for i in range(n)
+                ]
+                wav = encode_wav_pcm16(samples, sample_rate=16000)
+                channels, rate, decoded = decode_wav_pcm(wav)
+                assert channels == 1
+                out["media_id"].append(media_id)
+                out["n_samples"].append(len(decoded))
+                out["sample_rate"].append(rate)
+                out["sum_sq"].append(sum(x * x for x in decoded))
+                out["min_s"].append(min(decoded))
+                out["max_s"].append(max(decoded))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return clips.mapInPandas(
+        run,
+        "media_id long, n_samples long, sample_rate long, "
+        "sum_sq long, min_s long, max_s long",
     )

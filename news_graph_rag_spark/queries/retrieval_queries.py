@@ -105,6 +105,79 @@ def fuzzy_entity_lookup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "fuzzy_entity_lookup_blocked",
+    oracle="""
+    WITH probes AS (
+      SELECT DISTINCT substr(p_name, 2) AS probe FROM part WHERE p_partkey <= 5
+    ),
+    names AS (SELECT DISTINCT p_name AS name FROM part),
+    cand AS (
+      SELECT probe, name, CAST(levenshtein(probe, name) AS INT) AS distance
+      FROM probes CROSS JOIN names
+      WHERE levenshtein(probe, name) <= 1
+    )
+    SELECT probe, name, distance,
+           CAST(row_number() OVER (PARTITION BY probe
+                                   ORDER BY distance, name) AS INT) AS rnk
+    FROM cand QUALIFY rnk <= 10
+    """,
+    doc="R1 through the SCALE path (VERDICT r5 #5): fuzzy entity lookup "
+    "via symmetric-delete (SymSpell) blocking instead of the whole-name "
+    "broadcast NLJ scan the plain fuzzy_entity_lookup exhibits. Probes "
+    "are part names with their first char deleted (derived from the "
+    "data, so the entry works at any SF); the name dictionary is keyed "
+    "by its deletion-1 neighborhood, the probe side by its own, and the "
+    "hash equi-join on shared delete keys finds every ED<=1 pair "
+    "(provably complete: any single edit leaves a common deletion key), "
+    "then exact levenshtein verifies. The DuckDB oracle IS the "
+    "brute-force cross-join scan, so the gate certifies the blocked "
+    "plan returns the exact scan answer. At 100 TB: the dictionary "
+    "explode is O(n*len) map-side, probes broadcast, and there is no "
+    "all-pairs comparison anywhere (reference semantics: graph.py:"
+    "140-166, utils.py:51-61).",
+)
+def fuzzy_entity_lookup_blocked(spark: SparkSession, sf: str) -> DataFrame:
+    def delete_keys(col: str) -> F.Column:
+        return F.array_union(
+            F.array(F.col(col)),
+            F.expr(
+                f"transform(sequence(1, length({col})), "
+                f"i -> concat(substr({col}, 1, i - 1), substr({col}, i + 1)))"
+            ),
+        )
+
+    part = load(spark, sf, "part")
+    probes = (
+        part.filter(F.col("p_partkey") <= 5)
+        .select(F.substring(F.col("p_name"), 2, 1 << 30).alias("probe"))
+        .distinct()
+    )
+    pkeys = probes.select(
+        "probe", F.explode(delete_keys("probe")).alias("_delkey")
+    )
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    nkeys = names.select(
+        "name", F.explode(delete_keys("name")).alias("_delkey")
+    )
+    cand = (
+        nkeys.join(F.broadcast(pkeys), "_delkey")
+        # banded verify BEFORE the pair-dedup shuffle: -1 when above
+        # the budget, so only true matches reach the distinct()
+        .select(
+            "probe", "name", F.levenshtein("probe", "name", 1).alias("distance")
+        )
+        .filter(F.col("distance") >= 0)
+        .distinct()
+    )
+    w = Window.partitionBy("probe").orderBy("distance", "name")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PER_ENTITY_LIMIT)
+        .select("probe", "name", F.col("distance").cast("int").alias("distance"), "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # R2 — exact cosine top-k (query vector = vec_id 0, broadcast)
 # ---------------------------------------------------------------------------

@@ -219,11 +219,25 @@ def test_audio_decoder_loader_adapter(fake_soundfile):
     assert rms == pytest.approx(1.0)
 
 
-def test_audio_decoder_loader_absent_is_none():
-    from news_graph_rag_spark.pipeline.multimodal import load_audio_decoder
+def test_audio_decoder_loader_absent_falls_back_to_pure_wav():
+    """Without soundfile the loader returns the REAL pure-stdlib
+    RIFF/PCM parser (round-6: audio decode is no longer a stub)."""
+    import math
+
+    from news_graph_rag_spark.pipeline.multimodal import (
+        encode_wav_pcm16,
+        load_audio_decoder,
+    )
 
     assert "soundfile" not in sys.modules
-    assert load_audio_decoder() is None
+    decode = load_audio_decoder()
+    wav = encode_wav_pcm16([0, 16384, -16384, 32767], sample_rate=8000)
+    n, rate, rms = decode(wav)
+    assert (n, rate) == (4, 8000)
+    expected = math.sqrt(
+        sum((s / 32768.0) ** 2 for s in (0, 16384, -16384, 32767)) / 4
+    )
+    assert rms == pytest.approx(expected)
 
 
 def test_decode_images_runs_real_branch_with_injected_decoder(spark):
@@ -245,3 +259,50 @@ def test_decode_images_runs_real_branch_with_injected_decoder(spark):
            for r in decode_images(df, decode_fn=decode_fn).collect()}
     assert got[1] == (2.0, 10.0)
     assert got[2] == (-1.0, -1.0)
+
+
+def test_wav_codec_round_trip_and_chunk_walking():
+    """decode_wav_pcm is a real parser: round-trips the writer's output,
+    tolerates extra chunks and the spec's odd-length pad byte, reads
+    stereo interleave, and refuses non-PCM/truncated streams."""
+    import struct
+
+    from news_graph_rag_spark.pipeline.multimodal import (
+        decode_wav_pcm,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 12345]
+    ch, rate, back = decode_wav_pcm(encode_wav_pcm16(samples, 44100))
+    assert (ch, rate, back) == (1, 44100, samples)
+
+    # stereo frames survive interleaved
+    ch, rate, back = decode_wav_pcm(
+        encode_wav_pcm16([1, 2, 3, 4], 8000, n_channels=2)
+    )
+    assert (ch, rate, back) == (2, 8000, [1, 2, 3, 4])
+
+    # chunk walker: inject a LIST chunk with an ODD length (pad byte)
+    # between fmt and data — parsers that don't honour 2-byte alignment
+    # misread everything after it
+    base = encode_wav_pcm16(samples, 16000)
+    fmt_start = base.index(b"fmt ")
+    data_start = base.index(b"data")
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    patched = base[:data_start] + odd + base[data_start:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert fmt_start < data_start
+    ch, rate, back = decode_wav_pcm(patched)
+    assert (ch, rate, back) == (1, 16000, samples)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav_pcm(b"RIFFxxxxNOPE")
+    with _pytest.raises(ValueError):
+        decode_wav_pcm(encode_wav_pcm16(samples, 16000)[:-3])  # truncated data
+    # non-PCM format tag refused, not faked
+    bad = bytearray(encode_wav_pcm16(samples, 16000))
+    bad[bad.index(b"fmt ") + 8 : bad.index(b"fmt ") + 10] = struct.pack("<H", 3)
+    with _pytest.raises(ValueError):
+        decode_wav_pcm(bytes(bad))
