@@ -8,6 +8,13 @@ column names, and exact values.
 
 Usage: python scripts/driver_mimic.py [names...]   (default: all oracle-backed)
        SF_DIR=/root/testdata/sf0.01 python scripts/driver_mimic.py
+       python scripts/driver_mimic.py --never-sampled --out MIMIC_r06.json
+
+--never-sampled selects exactly the oracle-backed entries that have no
+row in ANY committed CORRECTNESS_r*.json (the driver samples the first
+50 registry entries and the registry must not be reordered — VERDICT
+r4/r5); --out writes the per-entry results as JSON so each round can
+commit auditable mimic evidence for that blind spot.
 """
 
 from __future__ import annotations
@@ -46,9 +53,33 @@ def _canon(df):
     return df
 
 
+def _never_sampled(reg) -> list[str]:
+    import glob
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    covered: set[str] = set()
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as f:
+                covered |= set(json.load(f).keys())
+        except (OSError, ValueError):
+            continue
+    return sorted(n for n, q in reg.items() if q.oracle and n not in covered)
+
+
 def main():
-    names = sys.argv[1:]
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i : i + 2]
     reg = registry()
+    if "--never-sampled" in args:
+        args.remove("--never-sampled")
+        names = _never_sampled(reg) + args
+    else:
+        names = args
     if not names:
         names = [n for n, q in reg.items() if q.oracle]
     spark = get_spark("driver-mimic", cpus=int(os.environ.get("CPUS", "8")))
@@ -91,6 +122,14 @@ def main():
             print(results[n]["err"][-600:], flush=True)
     bad = [n for n, r in results.items() if not r.get("ok")]
     print(f"\n{len(results) - len(bad)}/{len(results)} ok; failing: {bad}")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(
+                {"sf_dir": SF_DIR, "n_ok": len(results) - len(bad), "results": results},
+                f,
+                indent=1,
+            )
+        print(f"wrote {out_path}")
     sys.exit(1 if bad else 0)
 
 
