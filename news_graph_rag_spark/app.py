@@ -1,0 +1,100 @@
+"""Chat app surface: the reference README's "streamlit app that answers
+questions about a news corpus" (reference README.md:2, chat.py:104-119),
+re-hosted on the Spark-backed GraphChat chain.
+
+Three entry points, all over the same ``GraphChat``:
+
+* ``build_chat(...)`` — wire a GraphStore + LLM client into a chat
+  chain. The LLM is pluggable (M3, llm.py CompleteFn) exactly like the
+  reference's Cortex client; no provider SDK is imported here.
+* ``main(argv)`` — CLI, mirroring the reference's ``__main__`` demo
+  (chat.py:104-119): print the generated SQL, then the answer.
+* ``run_streamlit(chat)`` — the streamlit UI, gated behind an
+  import-try since streamlit isn't a hard dependency. Launch with
+  ``streamlit run app.py`` from the repo root.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from .graph_store import GraphStore
+from .llm import CompleteFn, FakeLLM, GraphChat
+
+
+def build_chat(
+    spark=None,
+    graph_root: str | None = None,
+    llm: CompleteFn | None = None,
+    entity_finder=None,
+) -> GraphChat:
+    """Construct the chat chain. ``graph_root`` defaults to
+    ``$NEWS_GRAPH_ROOT``; ``llm`` defaults to the echo FakeLLM so the
+    app runs offline (plug a real client for production)."""
+    if spark is None:
+        from .session import get_spark
+
+        spark = get_spark()
+    graph_root = graph_root or os.environ.get("NEWS_GRAPH_ROOT")
+    if not graph_root:
+        raise ValueError(
+            "graph_root required (arg or $NEWS_GRAPH_ROOT): a directory "
+            "written by GraphStore.save/save_atomic"
+        )
+    store = GraphStore.load(spark, graph_root)
+    return GraphChat(
+        store=store, llm=llm or FakeLLM(), entity_finder=entity_finder
+    )
+
+
+def ask(chat: GraphChat, question: str) -> tuple[str, str]:
+    """One turn: returns (generated_sql, answer). Mirrors the
+    reference's generate_cypher_query + answer_question pair
+    (chat.py:51-84) as a single call."""
+    answer = chat.answer(question)
+    return chat.last.get("sql", ""), answer
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print("usage: python -m news_graph_rag_spark.app <question...>")
+        return 2
+    question = " ".join(argv)
+    chat = build_chat()
+    sql, answer = ask(chat, question)
+    print(sql)
+    print(answer)
+    return 0
+
+
+def run_streamlit(chat: GraphChat | None = None) -> None:
+    """Streamlit chat page: question box → generated SQL (expander) →
+    answer. Requires ``pip install streamlit`` (optional dep)."""
+    try:
+        import streamlit as st
+    except Exception as exc:  # pragma: no cover - streamlit not in CI
+        raise RuntimeError(
+            "the chat UI requires the optional 'streamlit' package; "
+            "use main()/ask() for the CLI surface"
+        ) from exc
+
+    st.title("News graph chat")
+    if chat is None:  # pragma: no cover - UI wiring only
+        if "chat" not in st.session_state:
+            st.session_state.chat = build_chat()
+        chat = st.session_state.chat
+    question = st.chat_input("Ask about the news corpus")
+    if question:  # pragma: no cover - UI wiring only
+        with st.chat_message("user"):
+            st.write(question)
+        sql, answer = ask(chat, question)
+        with st.chat_message("assistant"):
+            with st.expander("Generated SQL"):
+                st.code(sql, language="sql")
+            st.write(answer)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

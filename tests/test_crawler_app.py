@@ -1,0 +1,182 @@
+"""Tests for the live-crawl adapter (ingest/crawler.py) and the chat
+app surface (app.py), driven entirely by duck-typed fakes — neither
+fundus nor streamlit is installed in CI."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from dataclasses import dataclass, field
+
+import pytest
+
+from news_graph_rag_spark.app import ask, build_chat
+from news_graph_rag_spark.graph_store import GraphStore
+from news_graph_rag_spark.ingest.crawler import (
+    HAVE_FUNDUS,
+    article_to_row,
+    articles_to_dataframe,
+    crawl,
+    crawl_and_ingest,
+    dump_articles_jsonl,
+)
+from news_graph_rag_spark.ingest.quarantine import read_raw_articles_jsonl
+from news_graph_rag_spark.llm import FakeLLM
+
+
+# ---------------------------------------------------------------------------
+# fundus-shaped fakes (attribute names follow reference crawler.py:26-45)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FakeSection:
+    headline: list
+    paragraphs: list
+
+
+@dataclass
+class FakeBody:
+    summary: list
+    sections: list
+
+
+@dataclass
+class FakeSourceInfo:
+    publisher: str
+    type: str
+    url: str
+
+
+@dataclass
+class FakeHTML:
+    requested_url: str
+    source_info: FakeSourceInfo
+
+
+@dataclass
+class FakeArticle:
+    html: FakeHTML
+    title: str
+    body: FakeBody
+    lang: str = "en"
+    publishing_date: dt.datetime = field(
+        default_factory=lambda: dt.datetime(2024, 6, 1, 12, 0, 0)
+    )
+    topics: list = field(default_factory=list)
+    authors: list = field(default_factory=list)
+
+
+def make_article(i: int, title: str | None = "T") -> FakeArticle:
+    return FakeArticle(
+        html=FakeHTML(
+            requested_url=f"https://ex.com/a{i}",
+            source_info=FakeSourceInfo("Example News", "news", "https://ex.com"),
+        ),
+        title=f"{title} {i}" if title else None,
+        body=FakeBody(
+            summary=[f"Summary {i}."],
+            sections=[FakeSection(["H"], [f"Paragraph one of {i}.", "More text."])],
+        ),
+        topics=["politics"],
+        authors=["Alice Writer"],
+    )
+
+
+def test_article_to_row_maps_all_fields():
+    row = article_to_row(make_article(1))
+    assert row["url"] == "https://ex.com/a1"
+    assert row["title"] == "T 1"
+    assert row["language"] == "en"
+    assert row["summary"] == ["Summary 1."]
+    assert row["sections"][0]["paragraphs"][0] == "Paragraph one of 1."
+    assert row["source_name"] == "Example News"
+    assert row["authors"] == ["Alice Writer"]
+
+
+def test_article_to_row_normalizes_tz_aware_dates():
+    a = make_article(2)
+    a.publishing_date = dt.datetime(
+        2024, 6, 1, 14, 0, 0, tzinfo=dt.timezone(dt.timedelta(hours=2))
+    )
+    row = article_to_row(a)
+    assert row["publishing_date"] == dt.datetime(2024, 6, 1, 12, 0, 0)
+
+
+def test_articles_to_dataframe_schema(spark):
+    df = articles_to_dataframe(spark, [make_article(i) for i in range(3)])
+    assert df.count() == 3
+    assert "sections" in df.columns and "source_url" in df.columns
+    assert df.schema["publishing_date"].dataType.typeName() == "timestamp"
+
+
+def test_crawl_requires_fundus():
+    if HAVE_FUNDUS:  # pragma: no cover - fundus absent in CI
+        pytest.skip("fundus installed")
+    with pytest.raises(RuntimeError, match="fundus"):
+        next(crawl())
+
+
+def test_crawl_and_ingest_quarantines_bad_articles(spark):
+    good = [make_article(i) for i in range(4)]
+    bad = make_article(99, title=None)  # missing_title -> quarantine
+    store = GraphStore.empty(spark)
+    store, n_valid, n_rejected = crawl_and_ingest(
+        store, good + [bad], batch_size=2
+    )
+    assert (n_valid, n_rejected) == (4, 1)
+    assert store["article"].count() == 4
+    # re-ingest is idempotent (MERGE semantics): same counts
+    store2, _, _ = crawl_and_ingest(store, good, batch_size=3)
+    assert store2["article"].count() == 4
+    assert store2["contains"].count() == store["contains"].count()
+
+
+def test_dump_jsonl_roundtrips_through_distributed_reader(spark, tmp_path):
+    path = str(tmp_path / "crawl.jsonl")
+    n = dump_articles_jsonl([make_article(i) for i in range(5)], path)
+    assert n == 5
+    with open(path) as f:
+        first = json.loads(f.readline())
+    assert first["publishing_date"] == "2024-06-01T12:00:00"
+    df = read_raw_articles_jsonl(spark, path)
+    assert df.count() == 5
+    rows = df.select("url", "publishing_date").orderBy("url").collect()
+    assert rows[0]["publishing_date"] == dt.datetime(2024, 6, 1, 12, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# app surface
+# ---------------------------------------------------------------------------
+
+
+def test_build_chat_and_ask(spark, tmp_path):
+    store = GraphStore.empty(spark)
+    store, _, _ = crawl_and_ingest(store, [make_article(i) for i in range(3)])
+    root = str(tmp_path / "graph")
+    store.save_atomic(root)
+    llm = FakeLLM(fallback="SELECT title FROM article LIMIT 10")
+    chat = build_chat(spark=spark, graph_root=root, llm=llm)
+    sql, answer = ask(chat, "List article titles")
+    assert sql == "SELECT title FROM article LIMIT 10"
+    assert answer  # FakeLLM echoes something non-empty for the answer turn
+    assert len(chat.last["records"]) == 3
+
+
+def test_build_chat_requires_root(spark, monkeypatch):
+    monkeypatch.delenv("NEWS_GRAPH_ROOT", raising=False)
+    with pytest.raises(ValueError, match="graph_root"):
+        build_chat(spark=spark)
+
+
+def test_run_streamlit_gated():
+    from news_graph_rag_spark.app import run_streamlit
+
+    try:
+        import streamlit  # noqa: F401
+
+        pytest.skip("streamlit installed")  # pragma: no cover
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="streamlit"):
+        run_streamlit(chat=object())
