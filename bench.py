@@ -108,6 +108,14 @@ HEADLINE = [
     "point_in_time_join",
     "feature_hashing_sparse",
     "join_key_skew_report",
+    # round-6 additions: training-data curation — mixture weighting,
+    # lexical diversity, unigram rarity, fuzzy LSH decontamination,
+    # per-source dataset card
+    "source_mixture_allocation",
+    "type_token_ratio",
+    "doc_rarity_score",
+    "decontaminate_fuzzy_lsh",
+    "dataset_card_by_source",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]

@@ -2021,3 +2021,264 @@ def join_key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("key"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Source mixture allocation — temperature-scaled sampling budget per source
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 1000
+
+
+@register(
+    "source_mixture_allocation",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(floor(sqrt(count(*))) AS BIGINT) AS sqrt_w
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(sqrt_w) AS BIGINT) AS tot_w FROM w)
+    SELECT source, n_docs, sqrt_w,
+           CAST(({_MIX_BUDGET} * sqrt_w) // tot_w AS BIGINT) AS alloc_docs
+    FROM w CROSS JOIN tot
+    """,
+    doc="training-pipeline mixture weighting: allocate a sampling budget "
+    "of 1000 documents across sources with sqrt-temperature smoothing "
+    "(alpha=0.5: small sources are upweighted relative to proportional "
+    "sampling, the standard multi-source LM mixture trick). All "
+    "arithmetic is integer-exact cross-engine: floor(sqrt(bigint)) is "
+    "stable (IEEE sqrt is correctly rounded in both engines) and the "
+    "allocation is integer division — no float aggregation anywhere. "
+    "One map-side-combinable groupBy over the corpus; the per-source "
+    "weight table is dimension-sized and broadcast for the total.",
+)
+def source_mixture_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        load(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .withColumn("sqrt_w", F.floor(F.sqrt(F.col("n_docs"))).cast("bigint"))
+    )
+    tot = w.agg(F.sum("sqrt_w").cast("bigint").alias("tot_w"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "sqrt_w",
+        F.expr(f"({_MIX_BUDGET} * sqrt_w) div tot_w").cast("bigint").alias(
+            "alloc_docs"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Type-token ratio — per-document lexical diversity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "type_token_ratio",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+           CAST((1000000 * len(list_distinct(toks))) // len(toks) AS BIGINT)
+             AS ttr_ppm
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL) t
+    WHERE len(toks) > 0
+    """,
+    doc="text quality: per-document type-token ratio (distinct tokens / "
+    "total tokens, in exact ppm via integer division — the standard "
+    "lexical-diversity signal; low TTR flags boilerplate and generated "
+    "spam). Pure map over the corpus: the token array never explodes "
+    "and nothing shuffles at any scale. Tokenization matches "
+    "explode_tokens (split on single space, empties kept by both "
+    "engines' split).",
+)
+def type_token_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    out = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_types"),
+    ).filter(F.col("n_tokens") > 0)
+    return out.withColumn(
+        "ttr_ppm", F.expr("(1000000 * n_types) div n_tokens").cast("bigint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document rarity score — mean corpus frequency of a document's tokens
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_rarity_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    freq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok2 GROUP BY token
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(f.cnt) AS BIGINT) AS sum_freq,
+           CAST((100 * SUM(f.cnt)) // count(*) AS BIGINT) AS mean_freq_x100
+    FROM tok2 t JOIN freq f ON t.token = f.token
+    GROUP BY t.doc_id
+    """,
+    doc="text quality: per-document mean corpus frequency of its tokens "
+    "(unigram-LM surprisal proxy with integer-exact arithmetic: a "
+    "document of globally-rare tokens scores low, gibberish-free "
+    "boilerplate scores high — used to stratify pretraining mixtures "
+    "by 'typicality'). Two token shuffles (corpus frequency groupBy, "
+    "then token->doc re-agg); the frequency join is Zipf-friendly — "
+    "the vocabulary is sublinear in corpus size, so at 100 TB the "
+    "frequency table is still orders of magnitude smaller than the "
+    "token stream and the join co-partitions on the token key "
+    "produced by the groupBy, reusing its shuffle.",
+)
+def doc_rarity_score(spark: SparkSession, sf: str) -> DataFrame:
+    tok = (
+        load(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    freq = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    return (
+        tok.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("cnt").cast("bigint").alias("sum_freq"),
+        )
+        .withColumn(
+            "mean_freq_x100",
+            F.expr("(100 * sum_freq) div n_tokens").cast("bigint"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy decontamination — MinHash-LSH band collisions across the split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decontaminate_fuzzy_lsh",
+    oracle=f"""
+    WITH shdocs AS ({_SHINGLE_ARR_SQL.format(where="")}),
+    seeds AS (SELECT unnest(range(0, {NUM_MINHASHES})) AS seed),
+    sig AS (
+      SELECT doc_id, seed,
+             list_min([md5(s || '#' || CAST(seed AS VARCHAR)) FOR s IN shs])
+               AS minhash
+      FROM shdocs CROSS JOIN seeds
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // {BAND_ROWS} AS INT) AS band,
+             md5(string_agg(minhash, '|' ORDER BY seed)) AS band_hash
+      FROM sig GROUP BY doc_id, seed // {BAND_ROWS}
+    ),
+    tagged AS (
+      SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h FROM bands
+    ),
+    test_bands AS (
+      SELECT DISTINCT band, band_hash FROM tagged WHERE h > 'd'
+    )
+    SELECT t.doc_id, CAST(count(DISTINCT t.band) AS BIGINT) AS n_band_hits
+    FROM tagged t JOIN test_bands u
+      ON t.band = u.band AND t.band_hash = u.band_hash
+    WHERE t.h <= 'b'
+    GROUP BY t.doc_id
+    """,
+    doc="training-pipeline fuzzy decontamination: flag train-split "
+    "documents whose MinHash-LSH band keys collide with any held-out "
+    "test document — catching near-duplicate contamination that "
+    "exact-shingle overlap (decontaminate_train_test) misses, e.g. "
+    "light paraphrases. Reuses the map-side Arrow band kernel "
+    "(signatures never leave the task; only (band, band_hash) keys "
+    "shuffle) and the deterministic md5 split; the test side's "
+    "distinct band keys are held-out-sized and broadcast, so train "
+    "corpus size never enters a shuffle — the same asymmetry argument "
+    "as exact decontamination, but robust to edits.",
+)
+def decontaminate_fuzzy_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # split BEFORE the kernel: each side minhashes only its own split
+    # (12/16 + 3/16 of the corpus instead of 2 full passes), and the
+    # val slice never gets hashed at all
+    docs = load(spark, sf, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+
+    def bands_of(side: DataFrame) -> DataFrame:
+        return (
+            spread(side.select("doc_id", "text"))
+            .mapInPandas(
+                _minhash_kernel(NUM_MINHASHES, band_rows=BAND_ROWS),
+                "doc_id long, band int, band_hash string",
+            )
+            .filter(F.col("band_hash").isNotNull())
+        )
+
+    test_bands = (
+        bands_of(docs.filter(h > "d")).select("band", "band_hash").distinct()
+    )
+    train = bands_of(docs.filter(h <= "b"))
+    return (
+        train.join(F.broadcast(test_bands), ["band", "band_hash"])
+        .groupBy("doc_id")
+        .agg(F.count_distinct("band").cast("bigint").alias("n_band_hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card — per-source corpus summary statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dataset_card_by_source",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST((100 * SUM(n_chars)) // count(*) AS BIGINT) AS mean_chars_x100,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY source
+    """,
+    doc="training-pipeline dataset card: per-source corpus summary "
+    "(volume, exact mean/min/max document length, language "
+    "cardinality) — the table every dataset release ships and every "
+    "mixture decision starts from. Single map-side-combinable groupBy; "
+    "count(DISTINCT lang) is safe because per-group language "
+    "cardinality is tiny (partial distinct aggregation keeps the "
+    "shuffle at one row per (source, lang)). Integer-exact everywhere.",
+)
+def dataset_card_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.expr("(100 * sum(n_chars)) div count(1)")
+            .cast("bigint")
+            .alias("mean_chars_x100"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        )
+    )
