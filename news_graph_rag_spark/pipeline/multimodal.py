@@ -169,10 +169,12 @@ def decode_wav_pcm(data: bytes) -> "tuple[int, int, list[int]]":
 def _fake_pixel_stats(data: bytes | None) -> tuple[float, float]:
     """Deterministic stand-in for decode+stats: derive pseudo mean/std
     from a hash of the bytes. Replaced by real decoding when a library
-    is available."""
+    is available. Uses sha256 (not blake2b) so an external SQL oracle
+    can reproduce the exact values — DuckDB ships sha256 but no
+    blake2 (see multimodal_image_stats' oracle)."""
     if not data:
         return 0.0, 0.0
-    h = hashlib.blake2b(bytes(data), digest_size=8).digest()
+    h = hashlib.sha256(bytes(data)).digest()
     return h[0] / 255.0, h[1] / 255.0
 
 

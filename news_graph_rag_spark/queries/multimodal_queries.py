@@ -14,10 +14,12 @@ image/video decode remains the documented deterministic stand-in
 (`pipeline/multimodal.py`, no image libs in this container; a real
 decoder slots into the same operators unchanged).
 
-``multimodal_frame_sample`` is pure column ops (sequence + explode) and
-carries a DuckDB oracle; the remaining decode/feature entries are
-Python-side and use the rows-only check, with their semantics
-unit-tested in tests/test_pipeline.py.
+All four entries are oracle-backed: ``multimodal_frame_sample`` /
+``multimodal_audio_windows`` are pure column ops (sequence + explode),
+``multimodal_wav_decode_stats`` verifies the real PCM round trip, and
+``multimodal_image_stats`` verifies the full decode->features chain by
+recomputing the deterministic sha256 stand-in stats in SQL. Semantics
+also unit-tested in tests/test_pipeline.py.
 """
 
 from __future__ import annotations
@@ -65,10 +67,27 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "multimodal_image_stats",
-    oracle=None,
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN text IS NULL OR text = '' THEN CAST(0 AS BIGINT)
+                ELSE CAST(('0x' || substr(sha256(text), 1, 2))
+                          AS BIGINT) END AS pixel_mean_255,
+           CASE WHEN text IS NULL OR text = '' THEN CAST(0 AS BIGINT)
+                ELSE CAST(('0x' || substr(sha256(text), 3, 2))
+                          AS BIGINT) END AS pixel_std_255,
+           CAST(16 AS INT) AS n_features
+    FROM documents
+    """,
     doc="multimodal: decode-stats + feature extraction over binary media "
-    "columns (mapInPandas, deterministic fake decoder); plumbing "
-    "unit-tested in tests/test_pipeline.py",
+    "columns (Arrow mapInPandas; binary stays map-side, only stats and "
+    "features leave the task). The decode step is the documented "
+    "deterministic fake (sha256-derived pseudo pixel stats — real "
+    "codecs slot into the same decode_fn seam, see "
+    "multimodal_wav_decode_stats for a REAL decoder on this exact "
+    "plumbing), which is precisely what lets the whole operator chain "
+    "be value-verified: the oracle recomputes the stats from sha256 in "
+    "SQL. Outputs are exact 0-255 integers so no float round-trip can "
+    "drift cross-engine.",
 )
 def multimodal_image_stats(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.multimodal import decode_images, extract_image_features
@@ -76,11 +95,13 @@ def multimodal_image_stats(spark: SparkSession, sf: str) -> DataFrame:
     media = _fake_media(spark, sf)
     decoded = decode_images(media)
     feats = extract_image_features(decoded, dim=16)
-    # metadata/features only — the binary column stays map-side
+    # metadata/features only — the binary column stays map-side;
+    # *255 undoes the decoder's /255 normalization exactly (error ~ulp,
+    # round() recovers the integer byte value)
     return feats.select(
         "media_id",
-        F.round("pixel_mean", 6).alias("pixel_mean"),
-        F.round("pixel_std", 6).alias("pixel_std"),
+        F.round(F.col("pixel_mean") * 255).cast("bigint").alias("pixel_mean_255"),
+        F.round(F.col("pixel_std") * 255).cast("bigint").alias("pixel_std_255"),
         F.size("features").alias("n_features"),
     )
 

@@ -122,6 +122,39 @@ _SHINGLE_SQL = f"""
 """
 
 
+def _shingle_rows_kernel(batches):
+    """Arrow kernel: (doc_id, text) → per-doc DISTINCT 3-word shingles,
+    one row each — the map-side equivalent of
+    ``explode(array_distinct(shingle_array(text)))``. Same semantics as
+    the Catalyst form (split(' ') keeps empty tokens; <3-token docs
+    yield the whole text as their single shingle); NULL text emits
+    nothing, equivalent because a NULL shingle can never equi-join or
+    group with anything downstream. Exists for the same reason as the
+    minhash kernel: the nested transform/sequence HOF is interpreted
+    (never codegen'd) and allocation-heavy — on long-text corpora the
+    per-element dispatch plus garbage churn dominates and destabilizes
+    co-resident queries; one vectorized pass is flat and allocation-
+    light. Used by decontaminate_train_test (both split sides)."""
+    import pandas as pd
+
+    for pdf in batches:
+        ids: list[int] = []
+        vals: list[str] = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if not isinstance(text, str):
+                continue
+            toks = text.split(" ")
+            if len(toks) >= 3:
+                shs = {
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                }
+            else:
+                shs = {text}
+            ids.extend([doc_id] * len(shs))
+            vals.extend(shs)
+        yield pd.DataFrame({"doc_id": ids, "shingle": vals})
+
+
 def _minhash_kernel(num_hashes: int, band_rows: int | None = None):
     """Arrow kernel computing MinHash signatures per document in one
     map-side pass — or, with ``band_rows`` set, the banded LSH keys
@@ -832,22 +865,18 @@ def train_val_test_split(spark: SparkSession, sf: str) -> DataFrame:
     "gracefully to a shuffle join on the shingle key.",
 )
 def decontaminate_train_test(spark: SparkSession, sf: str) -> DataFrame:
-    docs = spread(load(spark, sf, "documents"))
+    docs = load(spark, sf, "documents")
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    tagged = docs.withColumn("_h", h)
-    test_sh = (
-        tagged.filter(F.col("_h") > "d")
-        .select(
-            F.explode(F.array_distinct(shingle_array(F.col("text")))).alias(
-                "shingle"
-            )
+
+    def shingles_of(side: DataFrame) -> DataFrame:
+        # Arrow kernel, not explode(shingle_array(...)): the nested HOF
+        # is interpreted and was the bench's biggest timing instability
+        return spread(side.select("doc_id", "text")).mapInPandas(
+            _shingle_rows_kernel, "doc_id long, shingle string"
         )
-        .distinct()
-    )
-    train_sh = tagged.filter(F.col("_h") <= "b").select(
-        "doc_id",
-        F.explode(F.array_distinct(shingle_array(F.col("text")))).alias("shingle"),
-    )
+
+    test_sh = shingles_of(docs.filter(h > "d")).select("shingle").distinct()
+    train_sh = shingles_of(docs.filter(h <= "b"))
     return (
         train_sh.join(F.broadcast(test_sh), "shingle")
         .groupBy("doc_id")

@@ -142,10 +142,21 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "streaming_tumbling_counts",
-    oracle=None,
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
     doc="Structured Streaming: events replayed as a file stream through a "
-    "watermarked tumbling-window aggregation (memory sink, availableNow); "
-    "batch-equals-stream parity unit-tested",
+    "watermarked tumbling-window aggregation (memory sink, incremental "
+    "multi-file replay). Value-checked against the batch oracle (hour-"
+    "truncated groups; the sum accumulates in DECIMAL(30,3) in both "
+    "engines so order can't drift) — the streaming answer after "
+    "processAllAvailable equals the batch answer exactly. State is "
+    "bounded by the watermark at any stream length.",
 )
 def streaming_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
@@ -248,11 +259,32 @@ def graph_ingest_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "streaming_stateful_sessions",
-    oracle=None,
+    oracle="""
+    WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 100),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
     doc="Structured Streaming: custom stateful sessionization via "
-    "applyInPandasWithState (EventTimeTimeout, O(1) state/key) over a "
-    "file-replayed event stream; batch-equals-stream parity unit-tested "
-    "in tests/test_streaming.py",
+    "applyInPandasWithState (EventTimeTimeout, O(1) three-long state "
+    "per key, dropped on emit) over a file-replayed event stream; "
+    "far-future sentinel batches advance the watermark so every real "
+    "session flushes. Value-checked against the batch gap-"
+    "sessionization oracle: the emitted (user, start, end, n) set "
+    "equals lag+running-sum sessionization exactly — the strongest "
+    "claim a custom stateful operator can make. Also parity-tested "
+    "with out-of-order replays in tests/test_streaming.py.",
 )
 def streaming_stateful_sessions(spark: SparkSession, sf: str) -> DataFrame:
     import glob
