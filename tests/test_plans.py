@@ -374,3 +374,49 @@ def test_pareto_frontier_prefix_max_is_range_partitioned(spark, sf_dir, reg):
     plan = plan_of(reg["pareto_frontier_orders"].fn(spark, sf_dir), "simple")
     assert "Exchange rangepartitioning" in plan
     assert all("_pid" in s.split(",")[0] for s in _window_specs(plan))
+
+
+def test_type_token_ratio_is_pure_map(spark, sf_dir, reg):
+    """Lexical diversity must never explode the token array or shuffle:
+    one projection over the scan."""
+    plan = plan_of(reg["type_token_ratio"].fn(spark, sf_dir), "simple")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+
+
+def test_dataset_card_is_single_agg(spark, sf_dir, reg):
+    """Dataset card: one aggregation pipeline, no joins. The
+    count(DISTINCT lang) expands to the standard two-exchange distinct
+    plan — the first exchange carries one row per (source, lang) after
+    partial aggregation, which is dimension-sized at any corpus scale —
+    and every HashAggregate must be preceded by its partial (map-side
+    combine), so the scan volume never shuffles."""
+    plan = plan_of(reg["dataset_card_by_source"].fn(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
+    assert "partial_count" in plan  # map-side combine before any exchange
+
+
+def test_fuzzy_decontaminate_broadcasts_band_keys(spark, sf_dir, reg):
+    """The train-bands join against held-out band keys must broadcast
+    the (held-out-sized) key set, never shuffle the train side."""
+    plan = plan_of(reg["decontaminate_fuzzy_lsh"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mixture_allocation_broadcasts_total(spark, sf_dir, reg):
+    """sqrt-temperature allocation: the 1-row total joins via broadcast
+    (the per-source weight table never shuffles for it)."""
+    plan = plan_of(reg["source_mixture_allocation"].fn(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_shingles_are_arrow_mapside(spark, sf_dir, reg):
+    """Both decontamination entries must shingle via the Arrow kernel
+    (MapInPandas), not the interpreted Catalyst HOF (BENCH_NOTES r06:
+    the HOF form destabilized co-resident queries)."""
+    for name in ["decontaminate_train_test", "decontaminate_fuzzy_lsh"]:
+        plan = plan_of(reg[name].fn(spark, sf_dir), "simple")
+        assert "MapInPandas" in plan, name
