@@ -36,9 +36,69 @@ def _replay_shuffle_partitions(spark: SparkSession, n: int = 8):
 
 @register(
     "chunk_documents",
-    oracle=None,
-    doc="L1-L4 chunking pipeline (applyInPandas) over documents-as-articles; "
-    "exact semantics unit-tested against the pure functions",
+    oracle="""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, repeat(text || '. ', 8) AS big FROM documents
+    ),
+    shortd AS (  -- L2 pass-through branch: < 1100 chars, one chunk
+      SELECT doc_id, CAST(1 AS BIGINT) AS n_chunks
+      FROM docs WHERE length(big) < 1100
+    ),
+    longd AS (   -- L2 oversize: min_combination_len = 1100 // ceil(L/1100)
+      SELECT doc_id, big,
+             CAST(floor(1100 / ceil(length(big) / 1100.0)) AS BIGINT)
+               AS min_comb
+      FROM docs WHERE length(big) >= 1100
+    ),
+    sent AS (    -- L3: split on [.:;?!], strip, keep len > 1
+      SELECT doc_id, min_comb, i, length(trim(arr[i])) AS slen
+      FROM (SELECT doc_id, min_comb,
+                   regexp_split_to_array(big, '[.:;?!]') AS arr
+            FROM longd) t,
+           unnest(range(1, len(arr) + 1)) AS u(i)
+      WHERE length(trim(arr[i])) > 1
+    ),
+    seq AS (
+      SELECT doc_id, min_comb, slen,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn,
+             count(*) OVER (PARTITION BY doc_id) AS n_sent
+      FROM sent
+    ),
+    rec AS (     -- L4 greedy fold: append while acc < min_comb, else
+                 -- flush a group, DROP the triggering sentence, reset
+      SELECT doc_id, min_comb, CAST(0 AS BIGINT) AS rn,
+             CAST(0 AS BIGINT) AS acc, CAST(0 AS BIGINT) AS grps, n_sent
+      FROM (SELECT DISTINCT doc_id, min_comb, n_sent FROM seq)
+      UNION ALL
+      SELECT r.doc_id, r.min_comb, r.rn + 1,
+             CASE WHEN r.acc < r.min_comb THEN r.acc + s.slen
+                  ELSE CAST(0 AS BIGINT) END,
+             r.grps + CASE WHEN r.acc < r.min_comb THEN 0 ELSE 1 END,
+             r.n_sent
+      FROM rec r JOIN seq s ON s.doc_id = r.doc_id AND s.rn = r.rn + 1
+    ),
+    folded AS (  -- trailing partial group intentionally dropped (quirk)
+      SELECT doc_id, grps AS n_chunks
+      FROM rec WHERE rn = n_sent AND grps > 0
+    ),
+    allc AS (SELECT * FROM shortd UNION ALL SELECT * FROM folded)
+    SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS article_url,
+           n_chunks,
+           CAST(n_chunks - 1 AS BIGINT) AS max_position
+    FROM allc
+    """,
+    doc="L1-L4 chunking pipeline (applyInPandas) over documents-as-"
+    "articles, now VALUE-VERIFIED: each document becomes one oversize "
+    "paragraph (text + '. ' repeated 8x, 368-4632 chars) so both L2 "
+    "branches run — short texts pass through, long ones go through the "
+    "reference's exact sentence split ([.:;?!], strip, len>1) and "
+    "greedy combine with BOTH documented quirks (the flush-triggering "
+    "sentence is dropped; the trailing partial group is dropped; "
+    "reference utils.py:27-38, crawler.py:94-102). The DuckDB oracle "
+    "re-implements the fold as a recursive CTE — an independent second "
+    "implementation of the quirky semantics, so the gate catches any "
+    "drift in the chunker. Articles are independent: applyInPandas "
+    "partitions by article, linear at any corpus size.",
 )
 def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     from ..ingest.chunker import chunk_articles
@@ -50,7 +110,9 @@ def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
         F.array(
             F.struct(
                 F.array().cast("array<string>").alias("headline"),
-                F.array(F.col("text")).alias("paragraphs"),
+                F.array(
+                    F.repeat(F.concat(F.col("text"), F.lit(". ")), 8)
+                ).alias("paragraphs"),
             )
         ).alias("sections"),
     )
@@ -58,8 +120,8 @@ def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
         chunk_articles(raw)
         .groupBy("article_url")
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.max("position").alias("max_position"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.max("position").cast("bigint").alias("max_position"),
         )
     )
 
@@ -84,9 +146,51 @@ def embed_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "ner_documents",
-    oracle=None,
-    doc="L5-L6 NER (mapInPandas, gazetteer model) over documents; "
-    "span-merge semantics unit-tested against the reference rule",
+    oracle="""
+    WITH sp AS (
+      SELECT doc_id,
+             [i FOR i IN range(1, length(text) - 3)
+                IF substr(lower(text), i, 5) = 'spark'] AS pos
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cu AS (
+      SELECT doc_id,
+             [i FOR i IN range(1, length(text) - 6)
+                IF substr(lower(text), i, 8) = 'customer'] AS pos
+      FROM documents WHERE text IS NOT NULL
+    ),
+    spm AS (  -- L6 merge: spans with gap <= 1 char merge into one
+      SELECT doc_id,
+             1 + len([j FOR j IN range(2, len(pos) + 1)
+                        IF pos[j] - pos[j-1] > 6]) AS mentions
+      FROM sp WHERE len(pos) > 0
+    ),
+    cum AS (
+      SELECT doc_id,
+             1 + len([j FOR j IN range(2, len(pos) + 1)
+                        IF pos[j] - pos[j-1] > 9]) AS mentions
+      FROM cu WHERE len(pos) > 0
+    )
+    SELECT 'organization' AS label,
+           CAST(SUM(mentions) AS BIGINT) AS n_mentions,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM spm
+    UNION ALL
+    SELECT 'person', CAST(SUM(mentions) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM cum
+    """,
+    doc="L5-L6 NER (mapInPandas, executor-side model load via "
+    "model_factory, Arrow batches) over documents with the "
+    "deterministic gazetteer model, now VALUE-VERIFIED: the oracle "
+    "re-finds every case-insensitive occurrence by substring scan and "
+    "re-applies the reference's L6 adjacent-span merge rule "
+    "(next.start <= current.end + 1, reference ner.py:35-50) as a "
+    "positional gap rule — two same-name spans separated by <= 1 char "
+    "count as ONE merged mention in both implementations. A real "
+    "GLiNER loader slots into the same model_factory seam "
+    "(tests/test_model_loaders.py); span-merge semantics also "
+    "unit-tested against the reference rule.",
 )
 def ner_documents(spark: SparkSession, sf: str) -> DataFrame:
     from ..ingest.ner import GazetteerModel, find_entities
