@@ -301,12 +301,69 @@ def streaming_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "graph_ingest_roundtrip",
-    oracle=None,
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL
+    ),
+    occ AS (  -- L5: every case-insensitive gazetteer occurrence
+      SELECT doc_id, source, text, 'organization' AS label,
+             CAST(5 AS BIGINT) AS plen,
+             unnest([i FOR i IN range(1, length(text) - 3)
+                       IF substr(lower(text), i, 5) = 'spark']) AS p
+      FROM d
+      UNION ALL
+      SELECT doc_id, source, text, 'person', CAST(8 AS BIGINT),
+             unnest([i FOR i IN range(1, length(text) - 6)
+                       IF substr(lower(text), i, 8) = 'customer']) AS p
+      FROM d
+    ),
+    brk AS (  -- L6: adjacent same-label spans (gap <= 1 char) merge
+      SELECT doc_id, source, text, label, plen, p,
+             CASE WHEN lag(p) OVER w IS NULL
+                  OR p - lag(p) OVER w > plen + 1 THEN 1 ELSE 0 END AS b
+      FROM occ WINDOW w AS (PARTITION BY doc_id, label ORDER BY p)
+    ),
+    grp AS (
+      SELECT doc_id, source, text, label, plen, p,
+             SUM(b) OVER (PARTITION BY doc_id, label ORDER BY p
+                          ROWS UNBOUNDED PRECEDING) AS g
+      FROM brk
+    ),
+    ment AS (  -- merged-span entity name = text[first.start : last.end]
+      SELECT doc_id, source, label,
+             trim(substr(any_value(text), CAST(min(p) AS INT),
+                         CAST(max(p) + any_value(plen) - min(p) AS INT)))
+               AS name
+      FROM grp GROUP BY doc_id, source, label, g
+    ),
+    base AS (  -- every doc becomes 1 article + 1 pass-through chunk
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY source
+    ),
+    ents AS (  -- entity uid = f(label, name): distinct (label, name)
+      SELECT source,
+             CAST(count(DISTINCT label || ':' || name) AS BIGINT) AS n_entities
+      FROM ment GROUP BY source
+    )
+    SELECT b.source AS source_name,
+           b.n_docs AS n_articles,
+           b.n_docs AS n_chunks,
+           COALESCE(e.n_entities, CAST(0 AS BIGINT)) AS n_entities
+    FROM base b LEFT JOIN ents e ON b.source = e.source
+    """,
     doc="E2 end-to-end: documents replayed as raw articles through the "
     "full set-oriented ingest (D1-D8 upserts, L1-L4 chunking, L5-L6 NER, "
     "L7 embeddings) into graph tables, then a 3-hop read query "
-    "(source→article→chunk→entity). Idempotency + golden shapes "
-    "unit-tested in tests/test_ingest.py.",
+    "(source→article→chunk→entity). Now VALUE-VERIFIED: the oracle "
+    "recomputes the whole DAG's observable result in SQL — each "
+    "document yields one article and one pass-through chunk (texts are "
+    "< 1100 chars, L2 short branch), gazetteer NER occurrences are "
+    "re-found by substring scan, the L6 adjacent-merge rule is "
+    "re-applied as a gap rule producing the exact merged-span entity "
+    "NAMES (entity uid is a content hash of (label, name), so distinct "
+    "uids == distinct merged names), and the per-source triple "
+    "(articles, chunks, distinct mentioned entities) must match the "
+    "graph tables the ingest actually built. Idempotency + golden "
+    "shapes additionally unit-tested in tests/test_ingest.py.",
 )
 def graph_ingest_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     from ..graph_store import GraphStore
