@@ -226,13 +226,18 @@ def main() -> None:
         # warmup pass gets evicted by later plans): the timed run then
         # measures steady-state execution, not per-shape JIT/codegen
         reg[name].fn(spark, warmup_dir).count()
-        # GC between queries: isolate each timing from the previous
-        # query's allocation debris (broadcasts, shuffle buffers)
+        # drop cached intermediates (ingest pipelines .cache() inside)
+        # plus GC between queries: isolate each timing from the previous
+        # query's allocation debris (broadcasts, shuffle buffers, cached
+        # blocks) — leaked caches were a measured churn source
+        # (BENCH_NOTES r06)
+        spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         n = reg[name].fn(spark, SF_DIR).count()
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        spark.catalog.clearCache()
 
     _regression_guard(times)
 
