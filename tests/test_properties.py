@@ -124,3 +124,80 @@ def test_merge_into_properties(spark):
         # idempotent: merging the same updates again changes nothing
         again = {r["uid"]: r["val"] for r in merge_into(merged, updates, ["uid"]).collect()}
         assert again == got, f"trial {trial} (idempotency)"
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab .")), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_shingle_kernel_matches_catalyst_semantics(texts):
+    """The Arrow shingle kernel (decontaminate hot path) must emit
+    exactly the distinct (doc_id, shingle) set of the Catalyst
+    ``explode(array_distinct(shingle_array(text)))`` form it replaced
+    (BENCH_NOTES r06), for arbitrary texts including empties, repeated
+    tokens, and consecutive spaces (empty tokens kept by split)."""
+    import pandas as pd
+
+    from news_graph_rag_spark.queries.pipeline_queries import (
+        _shingle_rows_kernel,
+    )
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = set()
+    for out in _shingle_rows_kernel(iter([pdf])):
+        got |= {(int(r.doc_id), r.shingle) for r in out.itertuples(index=False)}
+
+    expected = set()
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        if len(toks) >= 3:
+            shs = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        else:
+            shs = {text}
+        expected |= {(i, s) for s in shs}
+    assert got == expected
+
+
+def test_shingle_kernel_matches_catalyst_operator(spark):
+    """Same check against the REAL Catalyst expression (not a Python
+    re-statement): run both operator forms through Spark on edge-case
+    rows and compare the (doc_id, shingle) sets."""
+    from pyspark.sql import functions as F
+
+    from news_graph_rag_spark.queries.pipeline_queries import (
+        _shingle_rows_kernel,
+        shingle_array,
+    )
+
+    rows = [
+        (0, "a b c d e"),
+        (1, "one two"),          # < 3 tokens -> whole text
+        (2, ""),                 # empty -> [''] single shingle
+        (3, "x  y  z"),          # double spaces -> empty tokens kept
+        (4, "a a a a"),          # repeats -> distinct shingles
+        (5, None),               # NULL -> nothing (kernel) / NULL row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kernel = {
+        (r["doc_id"], r["shingle"])
+        for r in df.mapInPandas(
+            _shingle_rows_kernel, "doc_id long, shingle string"
+        ).collect()
+    }
+    catalyst = {
+        (r["doc_id"], r["shingle"])
+        for r in df.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingle_array(F.col("text")))).alias(
+                "shingle"
+            ),
+        ).collect()
+        if r["shingle"] is not None  # NULL shingle joins/groups with nothing
+    }
+    assert kernel == catalyst
