@@ -799,15 +799,36 @@ def ann_ivf_wide_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load(spark, sf, "embeddings")
     reps = 12  # 64 -> 768 dims
-    wide = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(reps)),
-            lambda r: F.transform(
-                F.col("embedding"), lambda x: (x * r.cast("float")).cast("float")
-            ),
-        )
+
+    # widen with one vectorized Arrow pass, NOT flatten(transform(
+    # transform(...))): the nested HOF is interpreted and would be
+    # re-evaluated per consumer (probe first(), Lloyd passes, search
+    # scan) — the same cliff BENCH_NOTES r06 documents for shingles.
+    # Cached because three consumers read the widened table; bench.py
+    # clears the cache after each query.
+    def widen(batches):
+        import numpy as np
+        import pandas as pd
+
+        scale = np.repeat(
+            np.arange(1, reps + 1, dtype=np.float32), 1
+        )  # block multipliers 1..reps
+        for pdf in batches:
+            out_vecs = []
+            for v in pdf["embedding"]:
+                base = np.asarray(v, dtype=np.float32)
+                out_vecs.append(
+                    (base[None, :] * scale[:, None]).ravel().tolist()
+                )
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "embedding": out_vecs}
+            )
+
+    df = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(widen, "vec_id long, embedding array<float>")
+        .cache()
     )
-    df = emb.select("vec_id", wide.alias("embedding"))
     probe = df.filter(F.col("vec_id") == 0).first()["embedding"]
     assignments, centroids = ivf_build(
         df, n_centroids=16, iters=1, dim=len(probe)
