@@ -116,6 +116,8 @@ HEADLINE = [
     "doc_rarity_score",
     "decontaminate_fuzzy_lsh",
     "dataset_card_by_source",
+    "streaming_enrich_static",
+    "snapshot_diff_documents",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]

@@ -849,3 +849,139 @@ def streaming_session_window(spark: SparkSession, sf: str) -> DataFrame:
         F.col("session_window.start").alias("session_start"),
         "n_events",
     )
+
+
+@register(
+    "streaming_enrich_static",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Structured Streaming: STREAM-STATIC enrichment join — the "
+    "events stream replayed through an inner join against the static "
+    "customer dimension (broadcast per micro-batch, ZERO streaming "
+    "state: stream-static joins are stateless by construction, the "
+    "first-choice enrichment pattern at 100 TB vs stateful "
+    "stream-stream joins). The enriched append-mode sink is then "
+    "batch-aggregated per market segment and value-checked against "
+    "the plain batch join oracle (sum via DECIMAL(30,3) so "
+    "accumulation order can't drift). Completes the streaming operator "
+    "matrix: windows (tumbling/sliding/session), stateful sessionize, "
+    "stream-stream interval join, bounded-state dedup, foreachBatch "
+    "upsert, and now stream-static enrichment.",
+)
+def streaming_enrich_static(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.ingest_stream import stream_static_enrich
+
+    ev = load(spark, sf, "events").select("user_id", "ts", "value")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    src = tempfile.mkdtemp(prefix="ngr_enrich_ev_")
+    ev.coalesce(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    enriched = stream_static_enrich(
+        stream, cust, key_col="user_id", dim_key_col="c_custkey"
+    ).select("user_id", "value", "c_mktsegment")
+    name = "enrich_static_out"
+    with _replay_shuffle_partitions(spark):
+        q = (
+            enriched.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return (
+        spark.table(name)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,3)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "snapshot_diff_documents",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, text FROM documents),
+    v2 AS (  -- simulated next snapshot: deterministic deletes/edits/adds
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'b'
+                  THEN text || ' v2' ELSE text END AS text
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'a'
+      UNION ALL
+      SELECT doc_id + 1000000, text
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'c'
+    ),
+    j AS (
+      SELECT v1.doc_id AS id1, v2.doc_id AS id2,
+             md5(v1.text) AS h1, md5(v2.text) AS h2
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN id1 IS NULL THEN 'added'
+                  WHEN id2 IS NULL THEN 'removed'
+                  WHEN h1 <> h2 THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM j) t
+    GROUP BY status
+    """,
+    doc="data-ops: snapshot diff between two table versions — the "
+    "add/remove/change audit every dataset release and incremental "
+    "retrain needs. v2 is derived deterministically (md5 bucket 'a' "
+    "deleted, 'b' edited, 'c' duplicated under new ids) so the entry "
+    "is self-contained; the diff itself is the general pattern: one "
+    "full outer join on the primary key comparing row content HASHES "
+    "(md5 of the payload — at 100 TB the shuffle carries 16-byte "
+    "digests, never the documents; same trick as exact dedup), then a "
+    "status classification and a partial-aggregated count. One "
+    "co-partitioned shuffle on the key at any scale.",
+)
+def snapshot_diff_documents(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    v1 = docs.select("doc_id", "text")
+    v2 = (
+        docs.filter(h != "a")
+        .select(
+            "doc_id",
+            F.when(h == "b", F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(h == "c").select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    j = v1.select(
+        F.col("doc_id").alias("id1"), F.md5("text").alias("h1")
+    ).join(
+        v2.select(F.col("doc_id").alias("id2"), F.md5("text").alias("h2")),
+        F.col("id1") == F.col("id2"),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

@@ -170,3 +170,25 @@ def stream_stream_interval_join(
         F.col(f"p.{ts_col}").alias("purchase_ts"),
         F.col(f"c.{ts_col}").alias("click_ts"),
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    dim_key_col: str,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static (dimension-enrichment) join.
+
+    The static side is re-read per micro-batch by Spark (so a slowly
+    changing dimension table picks up updates between batches) and is
+    broadcast when ``broadcast_dim`` — the streaming analog of the
+    broadcast dim join every batch query here uses. No streaming state
+    at all: stream-static inner joins are stateless by construction
+    (each batch joins against the current dim snapshot), which is why
+    this is the FIRST choice for enrichment at 100 TB — reserve
+    stream-stream joins for when both sides really are unbounded.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, stream[key_col] == dim[dim_key_col], "inner")
