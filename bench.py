@@ -118,6 +118,8 @@ HEADLINE = [
     "dataset_card_by_source",
     "streaming_enrich_static",
     "snapshot_diff_documents",
+    "scd1_upsert_documents",
+    "temporal_split_cutoff",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]

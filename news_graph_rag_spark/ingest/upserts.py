@@ -186,3 +186,18 @@ def ingest_articles(
         )
 
     return GraphStore(spark, tables)
+
+
+def upsert_into(
+    existing: DataFrame, updates: DataFrame, keys: list[str]
+) -> DataFrame:
+    """SCD1 (last-writer-wins) upsert: matched rows take the UPDATE
+    version, new rows are appended — the complement of ``merge_into``
+    (which keeps the existing version, the reference's Cypher
+    MERGE ... ON CREATE SET semantics, graph.py:221-236). Same scale
+    shape: the survivors of the existing side come from an anti-join
+    that carries keys only, and updates are deduped on the key first.
+    """
+    updates = updates.select(*existing.columns).dropDuplicates(keys)
+    kept = existing.join(updates.select(*keys), keys, "left_anti")
+    return kept.unionByName(updates)

@@ -2430,3 +2430,102 @@ def point_in_time_join(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("in_state_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD1 last-writer-wins upsert — the complement of the reference's MERGE
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd1_upsert_documents",
+    oracle="""
+    WITH updates AS (
+      SELECT doc_id, text || ' v2' AS text
+      FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'b'
+      UNION ALL
+      SELECT doc_id + 1000000, text
+      FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'c'
+    ),
+    kept AS (
+      SELECT d.doc_id, d.text FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.doc_id = d.doc_id)
+    ),
+    merged AS (SELECT * FROM kept UNION ALL SELECT * FROM updates)
+    SELECT doc_id, md5(text) AS content_hash FROM merged
+    """,
+    doc="D8 complement: SCD1 (last-writer-wins) upsert — matched keys "
+    "take the UPDATE version, unlike merge_into's keep-existing "
+    "(the reference's MERGE ... ON CREATE SET, graph.py:221-236); "
+    "together they cover both MERGE semantics a warehouse needs. "
+    "Update batch derived deterministically (md5 bucket 'b' edited, "
+    "'c' inserted under new ids); the existing side survives through "
+    "a key-only anti-join (the shuffle carries keys, never documents) "
+    "and the result is verified row-level by content hash.",
+)
+def scd1_upsert_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ingest.upserts import upsert_into
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    updates = (
+        docs.filter(h == "b")
+        .select("doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text"))
+        .unionByName(
+            docs.filter(h == "c").select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    merged = upsert_into(docs, updates, ["doc_id"])
+    return merged.select("doc_id", F.md5("text").alias("content_hash"))
+
+
+# ---------------------------------------------------------------------------
+# Temporal split — leakage-free train/eval cutoff on the time axis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "temporal_split_cutoff",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+      FROM events
+    )
+    SELECT CASE WHEN epoch_us(ts) <= lo + ((hi - lo) * 9) // 10
+                THEN 'train' ELSE 'eval' END AS split,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events CROSS JOIN b
+    GROUP BY 1
+    """,
+    doc="training-pipeline temporal split: events at or before 90% of "
+    "the corpus time RANGE go to train, later ones to eval — the "
+    "leakage-free split for temporal data (a random split lets the "
+    "model see the future). The cutoff is integer microsecond "
+    "arithmetic from two scalar aggregates (min/max ts, broadcast "
+    "back), so unlike a row-quantile cutoff it needs no global sort "
+    "or rank at any scale; the classification is a pure map.",
+)
+def temporal_split_cutoff(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).cast("bigint").alias("lo"),
+        F.max(F.unix_micros("ts")).cast("bigint").alias("hi"),
+    )
+    j = ev.crossJoin(F.broadcast(b))
+    split = F.when(
+        F.unix_micros("ts")
+        <= F.col("lo") + F.expr("((hi - lo) * 9) div 10"),
+        "train",
+    ).otherwise("eval")
+    return (
+        j.select(split.alias("split"), "user_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
