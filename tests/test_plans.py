@@ -420,3 +420,27 @@ def test_decontaminate_shingles_are_arrow_mapside(spark, sf_dir, reg):
     for name in ["decontaminate_train_test", "decontaminate_fuzzy_lsh"]:
         plan = plan_of(reg[name].fn(spark, sf_dir), "simple")
         assert "MapInPandas" in plan, name
+
+
+def test_temporal_split_is_scalar_agg_plus_map(spark, sf_dir, reg):
+    """Temporal split: the min/max bounds join must broadcast (two
+    scalars), never sort or rank the corpus globally."""
+    plan = plan_of(reg["temporal_split_cutoff"].fn(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Sort " not in plan and "Window" not in plan
+
+
+def test_scd1_upsert_anti_join_carries_keys_only(spark, sf_dir, reg):
+    """SCD1 upsert: the existing-side survivor scan must read only the
+    key and payload columns it returns, and the anti-join side must be
+    key-only (no document text shuffled twice)."""
+    plan = plan_of(reg["scd1_upsert_documents"].fn(spark, sf_dir), "simple")
+    assert "LeftAnti" in plan
+
+
+def test_snapshot_diff_single_key_shuffle(spark, sf_dir, reg):
+    """Snapshot diff: one full outer join on the key over content
+    hashes; no nested-loop join anywhere."""
+    plan = plan_of(reg["snapshot_diff_documents"].fn(spark, sf_dir), "simple")
+    assert "FullOuter" in plan
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "")
