@@ -201,3 +201,29 @@ def test_shingle_kernel_matches_catalyst_operator(spark):
         if r["shingle"] is not None  # NULL shingle joins/groups with nothing
     }
     assert kernel == catalyst
+
+
+def test_upsert_into_vs_merge_into_semantics(spark):
+    """SCD1 upsert_into takes the UPDATE version for matched keys;
+    merge_into keeps the EXISTING version (reference MERGE ... ON
+    CREATE SET). Both append unmatched rows, both are idempotent on
+    re-application of the same batch."""
+    from news_graph_rag_spark.ingest.upserts import merge_into, upsert_into
+
+    existing = spark.createDataFrame(
+        [(1, "old1"), (2, "old2")], "id long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "new2"), (3, "new3"), (3, "new3dup")], "id long, v string"
+    )
+    up = {(r.id, r.v) for r in upsert_into(existing, updates, ["id"]).collect()}
+    mg = {(r.id, r.v) for r in merge_into(existing, updates, ["id"]).collect()}
+    assert (1, "old1") in up and (1, "old1") in mg
+    assert (2, "new2") in up and (2, "old2") in mg
+    assert len([t for t in up if t[0] == 3]) == 1  # dedup on key first
+    assert len([t for t in mg if t[0] == 3]) == 1
+    # idempotent: re-applying the same batch changes nothing
+    again = upsert_into(
+        upsert_into(existing, updates, ["id"]), updates, ["id"]
+    )
+    assert {(r.id, r.v) for r in again.collect()} == up
