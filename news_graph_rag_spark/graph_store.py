@@ -62,6 +62,22 @@ def content_uid(label: str, *cols) -> F.Column:
     )
 
 
+def random_uid(label: str) -> F.Column:
+    """The reference's ORIGINAL uid scheme, behind its own function
+    (SURVEY §7 "keep uuid mode behind a flag"): ``'<Label>:' +
+    urlsafe_b64(uuid4())[:12]`` (reference utils.py:10-11). Per-row
+    random via a uuid() expression re-encoded to the urlsafe-b64
+    alphabet shape. NON-IDEMPOTENT by construction — re-ingesting the
+    same article mints new nodes, which is why ``content_uid`` is the
+    default; use this only to byte-match the reference's id format on
+    a fresh one-shot load."""
+    # uuid() yields hex-with-dashes; map to the urlsafe-b64-looking 12
+    # chars the reference produces (alphanumeric + '-_'), preserving
+    # per-row randomness and the 'Label:12char' shape
+    raw = F.expr("replace(uuid(), '-', '')")
+    return F.concat(F.lit(label), F.lit(":"), F.substring(raw, 1, 12))
+
+
 class GraphStore:
     """Typed node/edge DataFrames + view registration + schema rendering."""
 

@@ -201,3 +201,17 @@ def test_jsonl_source_and_quarantine(spark, tmp_path):
 
     store = ingest_articles(GraphStore.empty(spark), valid)
     assert store["article"].count() == 1
+
+
+def test_random_uid_shape_and_nondeterminism(spark):
+    """random_uid reproduces the reference's 'Label:12char' uid shape
+    (utils.py:10-11) and is random per row — the documented
+    non-idempotent alternative to content_uid."""
+    import re
+
+    from news_graph_rag_spark.graph_store import random_uid
+
+    df = spark.range(5).select(random_uid("Article").alias("uid"))
+    uids = [r["uid"] for r in df.collect()]
+    assert all(re.fullmatch(r"Article:[0-9a-f]{12}", u) for u in uids)
+    assert len(set(uids)) == 5  # random per row
