@@ -43,9 +43,13 @@ def build_chat(
             "written by GraphStore.save/save_atomic"
         )
     store = GraphStore.load(spark, graph_root)
-    return GraphChat(
-        store=store, llm=llm or FakeLLM(), entity_finder=entity_finder
-    )
+    if llm is None:
+        # offline default: a canned client that emits one valid query
+        # (the reference demo's LIMIT-10 shape, chat.py:25) so the app
+        # runs end-to-end without any provider; plug a real
+        # CompleteFn for production
+        llm = FakeLLM(fallback="SELECT title FROM article LIMIT 10")
+    return GraphChat(store=store, llm=llm, entity_finder=entity_finder)
 
 
 def ask(chat: GraphChat, question: str) -> tuple[str, str]:

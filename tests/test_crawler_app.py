@@ -180,3 +180,16 @@ def test_run_streamlit_gated():
         pass
     with pytest.raises(RuntimeError, match="streamlit"):
         run_streamlit(chat=object())
+
+
+def test_build_chat_default_llm_runs_offline(spark, tmp_path):
+    """With no LLM supplied the app still answers end-to-end (canned
+    valid SQL), the documented offline default."""
+    store = GraphStore.empty(spark)
+    store, _, _ = crawl_and_ingest(store, [make_article(7)])
+    root = str(tmp_path / "g2")
+    store.save_atomic(root)
+    chat = build_chat(spark=spark, graph_root=root)
+    sql, _ = ask(chat, "Anything?")
+    assert sql.startswith("SELECT")
+    assert len(chat.last["records"]) == 1
