@@ -120,6 +120,7 @@ HEADLINE = [
     "snapshot_diff_documents",
     "scd1_upsert_documents",
     "temporal_split_cutoff",
+    "mom_revenue_growth",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]

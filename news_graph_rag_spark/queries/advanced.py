@@ -2529,3 +2529,66 @@ def temporal_split_cutoff(spark: SparkSession, sf: str) -> DataFrame:
             F.count_distinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month growth — period-comparison analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mom_revenue_growth",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+               AS ym,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)) * 100)
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT ym, rev_cents,
+           lag(rev_cents) OVER (ORDER BY ym) AS prev_cents,
+           CASE WHEN lag(rev_cents) OVER (ORDER BY ym) IS NULL THEN NULL
+                ELSE CAST(((rev_cents - lag(rev_cents) OVER (ORDER BY ym))
+                           * 10000) // lag(rev_cents) OVER (ORDER BY ym)
+                          AS BIGINT) END AS growth_bps
+    FROM m
+    """,
+    doc="period-over-period analytics: month-over-month revenue growth "
+    "in integer basis points (revenue accumulated as exact cents, "
+    "growth via integer division — no float drift between engines). "
+    "The global-ordered lag window runs over MONTH-grain rows — at "
+    "most a few hundred at any corpus size — so the 'unpartitioned "
+    "window' cliff does not apply: the aggregation reduced the data "
+    "to calendar cardinality first, the standard shape for all "
+    "period-comparison dashboards.",
+)
+def mom_revenue_growth(spark: SparkSession, sf: str) -> DataFrame:
+    m = (
+        load(spark, sf, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("int")
+            .alias("ym")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)") * 100)
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.orderBy("ym")
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        "ym",
+        "rev_cents",
+        prev.alias("prev_cents"),
+        F.when(prev.isNull(), F.lit(None).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "((rev_cents - lag(rev_cents) over (order by ym)) * 10000)"
+                " div lag(rev_cents) over (order by ym)"
+            )
+        )
+        .alias("growth_bps"),
+    )
