@@ -5,8 +5,8 @@ The reference encodes chunk texts with jina-embeddings-v2-base-de to
 pluggable behind one interface — ``encode(list[str]) -> list[list
 [float]]`` — with:
 
-- ``HashEmbedder``: deterministic fake (seeded blake2b → unit-norm
-  float32). Same text → same vector, so cosine tests are reproducible
+- ``HashEmbedder``: deterministic fake (salted sha256 → unit-norm
+  floats). Same text → same vector, so cosine tests are reproducible
   (FIXTURES.md requirement). Used in tests and offline environments.
 - ``load_sentence_transformer()``: the real model behind an import-try
   (not installed in this container).
@@ -32,9 +32,13 @@ EncoderFn = Callable[[list[str]], list[list[float]]]
 
 
 class HashEmbedder:
-    """Deterministic pseudo-embedding: blake2b(text, salt=i) → floats,
+    """Deterministic pseudo-embedding: sha256(text + '#' + i) → floats,
     unit-normalized. Not semantically meaningful; structurally faithful
-    (fixed dim, unit norm, stable under re-ingest)."""
+    (fixed dim, unit norm, stable under re-ingest). Uses sha256 (not
+    blake2) so an external SQL oracle can recompute the exact values —
+    the arithmetic is all IEEE-deterministic (4-byte little-endian ints
+    → x/2^31-1, sequential sum of squares, sqrt, divide), so engines
+    agree bit-for-bit; see the ``embed_documents`` catalog oracle."""
 
     def __init__(self, dim: int = EMBEDDING_SIZE):
         self.dim = dim
@@ -43,8 +47,8 @@ class HashEmbedder:
         out: list[float] = []
         i = 0
         while len(out) < self.dim:
-            h = hashlib.blake2b(
-                text.encode("utf-8"), digest_size=32, salt=i.to_bytes(8, "little")
+            h = hashlib.sha256(
+                text.encode("utf-8") + b"#" + str(i).encode()
             ).digest()
             out.extend(int.from_bytes(h[j : j + 4], "little") / 2**31 - 1.0
                        for j in range(0, 32, 4))

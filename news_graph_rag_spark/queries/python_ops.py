@@ -128,9 +128,45 @@ def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "embed_documents",
-    oracle=None,
-    doc="L7 embedding inference (Arrow mapInPandas, deterministic hash "
-    "encoder) over documents; dims + determinism unit-tested",
+    oracle="""
+    WITH comp AS (
+      SELECT doc_id,
+             flatten([
+               [ ('0x'
+                  || substr(sha256(coalesce(text, '') || '#'
+                            || CAST(i AS VARCHAR)), 8*j+7, 2)
+                  || substr(sha256(coalesce(text, '') || '#'
+                            || CAST(i AS VARCHAR)), 8*j+5, 2)
+                  || substr(sha256(coalesce(text, '') || '#'
+                            || CAST(i AS VARCHAR)), 8*j+3, 2)
+                  || substr(sha256(coalesce(text, '') || '#'
+                            || CAST(i AS VARCHAR)), 8*j+1, 2))::BIGINT
+                   / 2147483648.0 - 1.0
+                 FOR j IN range(0, 8) ]
+               FOR i IN range(0, 8) ]) AS raw
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, raw,
+             CASE WHEN sqrt(list_sum([x*x FOR x IN raw])) = 0 THEN 1.0
+                  ELSE sqrt(list_sum([x*x FOR x IN raw])) END AS norm
+      FROM comp
+    )
+    SELECT doc_id, CAST(64 AS INT) AS dim,
+           round(CAST(CAST(raw[1] / norm AS REAL) AS DOUBLE), 6) AS e0
+    FROM n
+    """,
+    doc="L7 embedding inference (Arrow mapInPandas, executor-side "
+    "encoder load) over documents, now VALUE-VERIFIED: the "
+    "deterministic sha256 encoder's first component is recomputed by "
+    "the oracle from first principles — 4-byte little-endian ints of "
+    "salted sha256 digests mapped to x/2^31-1, unit-normalized. Every "
+    "step is IEEE-deterministic (sequential sum of squares, correctly-"
+    "rounded sqrt and divide), so the doubles agree BIT-FOR-BIT across "
+    "engines — the same determinism argument the decimal-sum rules in "
+    "queries/catalog.py rest on, extended to a whole float pipeline. A "
+    "real sentence-transformer slots into the same encoder_factory "
+    "seam (tests/test_model_loaders.py).",
 )
 def embed_documents(spark: SparkSession, sf: str) -> DataFrame:
     from ..ingest.embedder import HashEmbedder, embed_texts
