@@ -193,3 +193,33 @@ def test_build_chat_default_llm_runs_offline(spark, tmp_path):
     sql, _ = ask(chat, "Anything?")
     assert sql.startswith("SELECT")
     assert len(chat.last["records"]) == 1
+
+
+def test_crawl_uses_fundus_when_present(monkeypatch):
+    """With a (fake) fundus module installed, crawl() wires the
+    reference's publisher set and max_articles through to
+    fundus.Crawler(...).crawl(...) (reference crawler.py:19-22)."""
+    import types
+
+    from news_graph_rag_spark.ingest import crawler as mod
+
+    calls = {}
+
+    class FakeCrawler:
+        def __init__(self, *publishers):
+            calls["publishers"] = publishers
+
+        def crawl(self, max_articles):
+            calls["max_articles"] = max_articles
+            yield from (make_article(i) for i in range(3))
+
+    fake = types.SimpleNamespace(
+        Crawler=FakeCrawler,
+        PublisherCollection=types.SimpleNamespace(de="DE", uk="UK"),
+    )
+    monkeypatch.setattr(mod, "fundus", fake)
+    monkeypatch.setattr(mod, "HAVE_FUNDUS", True)
+    out = list(crawl(max_articles=3))
+    assert len(out) == 3
+    assert calls["publishers"] == ("DE", "UK")
+    assert calls["max_articles"] == 3
