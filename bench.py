@@ -121,6 +121,7 @@ HEADLINE = [
     "scd1_upsert_documents",
     "temporal_split_cutoff",
     "mom_revenue_growth",
+    "cdc_apply_changelog",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]

@@ -2592,3 +2592,59 @@ def mom_revenue_growth(spark: SparkSession, sf: str) -> DataFrame:
         )
         .alias("growth_bps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply — materialize final state from an ordered op log
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_apply_changelog",
+    oracle="""
+    WITH log AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             ts, event_id
+      FROM events
+    ),
+    latest AS (
+      SELECT user_id, op, cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log
+    )
+    SELECT user_id, cents AS last_cents
+    FROM latest WHERE rn = 1 AND op = 'U'
+    """,
+    doc="data-ops: CDC changelog apply — materialize the final state of "
+    "a keyed table from an ordered upsert/delete op log (here derived "
+    "deterministically from events: purchases delete the key, "
+    "everything else upserts its value in exact cents). The general "
+    "pattern behind every CDC sink: one key-partitioned window takes "
+    "the LAST op per key by (ts, unique-id) — total order per key, so "
+    "replays are idempotent — then delete ops drop out. One shuffle on "
+    "the key; at 100 TB the log is processed partition-parallel and "
+    "the window never sees more than one key's ops. Complements "
+    "scd1_upsert_documents (batch upsert, no ordering/deletes) and "
+    "scd2_user_state (full history retention).",
+)
+def cdc_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", "D").otherwise("U").alias("op"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select("user_id", F.col("cents").alias("last_cents"))
+    )
