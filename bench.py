@@ -122,6 +122,7 @@ HEADLINE = [
     "temporal_split_cutoff",
     "mom_revenue_growth",
     "cdc_apply_changelog",
+    "profile_orders_columns",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]
