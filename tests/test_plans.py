@@ -444,3 +444,11 @@ def test_snapshot_diff_single_key_shuffle(spark, sf_dir, reg):
     plan = plan_of(reg["snapshot_diff_documents"].fn(spark, sf_dir), "simple")
     assert "FullOuter" in plan
     assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "")
+
+
+def test_profile_columns_single_scan(spark, sf_dir, reg):
+    """The profiling report must read the table ONCE (multi-distinct
+    expands via Expand, not via one scan per column)."""
+    plan = plan_of(reg["profile_orders_columns"].fn(spark, sf_dir), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Scan parquet") <= 1
