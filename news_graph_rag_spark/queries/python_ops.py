@@ -1,9 +1,14 @@
 """Catalog entries for the Python-side / approximate / streaming
-operators. Most are not SQL-expressible, carry no oracle, and get the
-driver's weaker rows-only check (per the contract); each of those has
-its own exact unit/metamorphic tests under tests/. Exceptions whose
-emitted result set provably equals a batch query (the stream-stream
-interval join, the bucketed join) DO carry a DuckDB oracle.
+operators. As of round 6 almost all of these are VALUE-VERIFIED: the
+streaming entries' emitted sets provably equal batch queries, and the
+Python-kernel pipelines (chunking, NER, embedding, the full ingest
+roundtrip) carry oracles that re-implement their deterministic
+semantics independently in SQL (recursive-CTE greedy fold,
+substring-scan + merge-gap rule, sha256-derived floats bit-for-bit).
+Only the approximate families remain rows-only by design — ANN index
+probes (recall-tested) and engine-specific sketches (error-bound
+tested) — since their outputs are intentionally not equal to any
+exact query.
 """
 
 from __future__ import annotations
