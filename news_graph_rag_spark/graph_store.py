@@ -71,10 +71,12 @@ def random_uid(label: str) -> F.Column:
     same article mints new nodes, which is why ``content_uid`` is the
     default; use this only to byte-match the reference's id format on
     a fresh one-shot load."""
-    # uuid() yields hex-with-dashes; map to the urlsafe-b64-looking 12
-    # chars the reference produces (alphanumeric + '-_'), preserving
-    # per-row randomness and the 'Label:12char' shape
-    raw = F.expr("replace(uuid(), '-', '')")
+    # uuid() yields hex-with-dashes; re-encode the 16 uuid bytes to
+    # base64 and swap '+/' for '-_' — the urlsafe-b64 alphabet the
+    # reference's token_urlsafe-style uid uses (A-Za-z0-9-_), so the 12
+    # kept chars carry ~72 bits of entropy, matching the reference's
+    # character set, not just its 'Label:12char' shape
+    raw = F.expr("translate(base64(unhex(replace(uuid(), '-', ''))), '+/', '-_')")
     return F.concat(F.lit(label), F.lit(":"), F.substring(raw, 1, 12))
 
 
@@ -136,6 +138,24 @@ class GraphStore:
                 os.rename(os.path.join(staging, f"{name}.parquet"), final)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+
+    def localized(self) -> "GraphStore":
+        """Return a new store whose tables are eagerly localCheckpointed.
+
+        Cuts lineage and materializes every table NOW, so upstream
+        caches (e.g. a crawl micro-batch's validated DataFrame) can be
+        unpersisted without forcing recomputation later. Long ingest
+        loops call this every N batches; production crawls interleave
+        ``save()`` instead (parquet is the durable checkpoint — the
+        foreachBatch streaming path already does).
+        """
+        return GraphStore(
+            self.spark,
+            {
+                name: df.localCheckpoint(eager=True)
+                for name, df in self.tables.items()
+            },
+        )
 
     # -- access -----------------------------------------------------------
 

@@ -164,6 +164,7 @@ def crawl_and_ingest(
     articles: Iterable[Any],
     batch_size: int = DEFAULT_BATCH_SIZE,
     rejected_root: str | None = None,
+    checkpoint_every: int = 8,
     **ingest_kwargs,
 ):
     """End-to-end replay of the reference workflow (crawler.py:23-50):
@@ -172,9 +173,26 @@ def crawl_and_ingest(
     Returns ``(store, n_valid, n_rejected)``. Per-article failures never
     raise — they land in the quarantine table, the set-oriented analog
     of the reference's ``error_log.log`` append.
+
+    Every ``checkpoint_every`` batches (and once at the end) the store
+    is eagerly localCheckpointed and the batches' cached DataFrames are
+    unpersisted, so neither cached blocks nor lineage grow without bound
+    over a long crawl. Production crawls checkpoint to parquet instead
+    (``store.save_atomic``), which the streaming foreachBatch path does.
     """
     spark = store.spark
     n_valid = n_rejected = 0
+    pending: list = []
+
+    def _flush_pending():
+        nonlocal store
+        # materialize the store FIRST (cuts lineage back to the
+        # checkpoint), then drop the batch caches it no longer reads
+        store = store.localized()
+        for df in pending:
+            df.unpersist()
+        pending.clear()
+
     for batch in _batches(articles, batch_size):
         raw = spark.createDataFrame(batch, schema=_raw_schema())
         valid, rejected = validate_raw_articles(raw)
@@ -185,6 +203,13 @@ def crawl_and_ingest(
             write_rejected(rejected, rejected_root)
         if nv:
             store = ingest_articles(store, valid, **ingest_kwargs)
+            pending.append(valid)
+        else:
+            valid.unpersist()
         n_valid += nv
         n_rejected += nr
+        if len(pending) >= checkpoint_every:
+            _flush_pending()
+    if pending:
+        _flush_pending()
     return store, n_valid, n_rejected

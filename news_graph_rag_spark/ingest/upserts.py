@@ -189,7 +189,10 @@ def ingest_articles(
 
 
 def upsert_into(
-    existing: DataFrame, updates: DataFrame, keys: list[str]
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
 ) -> DataFrame:
     """SCD1 (last-writer-wins) upsert: matched rows take the UPDATE
     version, new rows are appended — the complement of ``merge_into``
@@ -197,7 +200,29 @@ def upsert_into(
     MERGE ... ON CREATE SET semantics, graph.py:221-236). Same scale
     shape: the survivors of the existing side come from an anti-join
     that carries keys only, and updates are deduped on the key first.
+
+    "Last writer" within the UPDATE batch: pass ``order_col`` (e.g. a
+    version/event timestamp) and the max-``order_col`` row per key wins
+    deterministically (row_number over desc, keyed ties broken by the
+    remaining columns' hash so reruns agree). Without ``order_col`` the
+    batch MUST already be unique per key — ``dropDuplicates(keys)``
+    keeps an arbitrary row otherwise, which is nondeterministic across
+    retries/partitionings.
     """
-    updates = updates.select(*existing.columns).dropDuplicates(keys)
+    updates = updates.select(*existing.columns)
+    if order_col is not None:
+        from pyspark.sql.window import Window
+
+        non_key = [c for c in existing.columns if c not in keys]
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc(order_col), F.xxhash64(*non_key)
+        )
+        updates = (
+            updates.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        updates = updates.dropDuplicates(keys)
     kept = existing.join(updates.select(*keys), keys, "left_anti")
     return kept.unionByName(updates)

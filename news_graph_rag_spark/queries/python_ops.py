@@ -300,8 +300,12 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     "multi-file replay). Value-checked against the batch oracle (hour-"
     "truncated groups; the sum accumulates in DECIMAL(30,3) in both "
     "engines so order can't drift) — the streaming answer after "
-    "processAllAvailable equals the batch answer exactly. State is "
-    "bounded by the watermark at any stream length.",
+    "processAllAvailable equals the batch answer exactly. NOTE on "
+    "state: this exhibit replays into a memory sink in COMPLETE mode "
+    "(so the oracle can compare the full window set), and complete "
+    "mode retains every window — state grows with window count. The "
+    "watermark bounds state only in update/append mode, which is what "
+    "a production deployment of this same aggregation would use.",
 )
 def streaming_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
@@ -792,8 +796,10 @@ def retrieval_ppr_expand(spark: SparkSession, sf: str) -> DataFrame:
     "windows, so the batch oracle duplicates each event into offsets "
     "{0,1}h and re-aggregates. Value-checked against DuckDB (the sum "
     "goes through DECIMAL(30,3) in both engines so accumulation order "
-    "can't drift). State is bounded by the watermark: O(windows-in-"
-    "flight x keys), independent of stream length.",
+    "can't drift). NOTE on state: the exhibit's COMPLETE-mode memory "
+    "sink retains all windows (needed for the full-set oracle compare); "
+    "the watermark's O(windows-in-flight x keys) state bound holds in "
+    "the update/append modes a production run would use.",
 )
 def streaming_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
@@ -855,9 +861,12 @@ def streaming_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
     "set equals batch gap-based sessionization, so this STREAMING "
     "operator is value-checked against the DuckDB oracle. Boundary "
     "semantics: session windows are end-exclusive ([ts, ts+gap) merged "
-    "on overlap), so the oracle breaks sessions on diff >= gap. State "
-    "is O(open sessions), closed sessions evicted once the watermark "
-    "passes their end.",
+    "on overlap), so the oracle breaks sessions on diff >= gap. NOTE "
+    "on state: in the update/append modes a production run would use, "
+    "state is O(open sessions) — closed sessions evicted once the "
+    "watermark passes their end; this exhibit's COMPLETE-mode memory "
+    "sink (needed for the full-set oracle compare) retains all "
+    "sessions for the replay's length.",
 )
 def streaming_session_window(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile

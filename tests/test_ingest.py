@@ -205,13 +205,17 @@ def test_jsonl_source_and_quarantine(spark, tmp_path):
 
 def test_random_uid_shape_and_nondeterminism(spark):
     """random_uid reproduces the reference's 'Label:12char' uid shape
-    (utils.py:10-11) and is random per row — the documented
-    non-idempotent alternative to content_uid."""
+    AND its urlsafe-b64 alphabet (utils.py:10-11: b64-encoded uuid
+    bytes, so A-Za-z0-9-_ — ~72 bits over 12 chars) and is random per
+    row — the documented non-idempotent alternative to content_uid."""
     import re
 
     from news_graph_rag_spark.graph_store import random_uid
 
-    df = spark.range(5).select(random_uid("Article").alias("uid"))
+    df = spark.range(200).select(random_uid("Article").alias("uid"))
     uids = [r["uid"] for r in df.collect()]
-    assert all(re.fullmatch(r"Article:[0-9a-f]{12}", u) for u in uids)
-    assert len(set(uids)) == 5  # random per row
+    assert all(re.fullmatch(r"Article:[A-Za-z0-9_-]{12}", u) for u in uids)
+    assert len(set(uids)) == 200  # random per row
+    # the alphabet is genuinely wider than hex: over 200 uids some char
+    # outside [0-9a-f] must appear (P(miss) < 1e-40 for b64 uuids)
+    assert any(re.search(r"[^0-9a-f:]", u.split(":")[1]) for u in uids)

@@ -227,3 +227,26 @@ def test_upsert_into_vs_merge_into_semantics(spark):
         upsert_into(existing, updates, ["id"]), updates, ["id"]
     )
     assert {(r.id, r.v) for r in again.collect()} == up
+
+
+def test_upsert_into_order_col_last_writer_deterministic(spark):
+    """With an ordering column, upsert_into picks the max-version row
+    per key deterministically — 'last writer' is defined by data, not
+    by dropDuplicates' arbitrary partition order (ADVICE r6)."""
+    from news_graph_rag_spark.ingest.upserts import upsert_into
+
+    existing = spark.createDataFrame(
+        [(1, "old1", 0), (2, "old2", 0)], "id long, v string, ver long"
+    )
+    updates = spark.createDataFrame(
+        [(2, "v-at-5", 5), (2, "v-at-9", 9), (3, "n-at-1", 1), (3, "n-at-7", 7)],
+        "id long, v string, ver long",
+    )
+    for n_parts in (1, 7):  # result independent of physical partitioning
+        got = {
+            (r.id, r.v, r.ver)
+            for r in upsert_into(
+                existing, updates.repartition(n_parts), ["id"], order_col="ver"
+            ).collect()
+        }
+        assert got == {(1, "old1", 0), (2, "v-at-9", 9), (3, "n-at-7", 7)}
