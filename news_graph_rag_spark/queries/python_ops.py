@@ -257,7 +257,12 @@ def ner_documents(spark: SparkSession, sf: str) -> DataFrame:
     "ann_ivf_topk",
     oracle=None,
     doc="approximate NN: IVF (k-means coarse quantizer, nprobe=4) top-10; "
-    "recall vs brute force unit-tested",
+    "recall vs brute force unit-tested. LIFECYCLE NOTE (round 7): this is "
+    "the float BUILD-JOB exhibit — it constructs the index inside the "
+    "query, which is the once-per-dataset cost, not the serving path. "
+    "Production searches go through the persistent index "
+    "(pipeline/ann_index.py) via ann_ivf_search_topk, which is "
+    "search-only and value-verified.",
 )
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.similarity import ivf_build, ivf_search

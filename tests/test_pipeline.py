@@ -370,3 +370,144 @@ def test_ivf_wide_dim_768(spark):
         for r in ivf_search(assignments, centroids, q, k=5, nprobe=3).collect()
     ]
     assert hits[0] == 3  # self-similarity first
+
+
+# ---------------------------------------------------------------------------
+# Persistent ivf-int8 index lifecycle (pipeline/ann_index.py, VERDICT r6 #1)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_index_build_save_search_recall(spark, tmp_path):
+    """Build→save→load→search roundtrip on a synthetic clustered table:
+    the persisted index answers searches without touching the source,
+    and recall vs the exact int8-domain scan is high on separable data."""
+    import random
+
+    import numpy as np
+
+    from news_graph_rag_spark.pipeline.ann_index import (
+        build_and_save,
+        load_index,
+        search_by_id,
+    )
+
+    rng = random.Random(11)
+    dim, per = 32, 60
+    rows = []
+    for c in range(4):  # 4 well-separated clusters
+        center = [rng.gauss(0, 1) * 4 for _ in range(dim)]
+        for i in range(per):
+            rows.append(
+                (
+                    c * per + i,
+                    [center[j] + rng.gauss(0, 0.05) for j in range(dim)],
+                )
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "idx")
+    build_and_save(df, path, n_centroids=4, iters=1)
+
+    assignments, centroids, meta = load_index(spark, path)
+    assert meta["format"].startswith("ivf-int8") and meta["n_centroids"] == 4
+    assert assignments.count() == 4 * per
+    k_cent = centroids.count()
+    assert 1 <= k_cent <= 4
+
+    got = search_by_id(spark, path, probe_vec_id=0, k=10, nprobe=1)
+    hits = [r["vec_id"] for r in got.collect()]
+    assert len(hits) == 10 and 0 not in hits
+    # exact int8-domain scan (same quantization) for ground truth
+    from news_graph_rag_spark.pipeline.ann_index import quantized_vectors
+
+    q = {
+        r["vec_id"]: (np.asarray(r["q8"], dtype=np.int64), r["nrm"])
+        for r in quantized_vectors(df).collect()
+    }
+    p, _ = q[0]
+    exact = sorted(
+        ((int((v @ p)) / np.sqrt(n), -vid) for vid, (v, n) in q.items() if vid != 0),
+        reverse=True,
+    )[:10]
+    exact_ids = {-t[1] for t in exact}
+    assert len(exact_ids & set(hits)) >= 9  # same-cluster probe: near-total recall
+
+
+def test_ann_ensure_index_is_idempotent_and_fingerprinted(spark, sf_dir):
+    """ensure_index is DDL-once: the second call returns the same path
+    without rebuilding (meta.json mtime unchanged); different params
+    produce a different index directory."""
+    import os
+
+    from news_graph_rag_spark.pipeline.ann_index import ensure_index
+
+    p1 = ensure_index(spark, sf_dir, n_centroids=8, iters=1)
+    m1 = os.stat(os.path.join(p1, "meta.json")).st_mtime_ns
+    p2 = ensure_index(spark, sf_dir, n_centroids=8, iters=1)
+    assert p2 == p1
+    assert os.stat(os.path.join(p1, "meta.json")).st_mtime_ns == m1
+    p3 = ensure_index(spark, sf_dir, n_centroids=4, iters=1)
+    assert p3 != p1
+
+
+def test_ann_search_is_fast_warm(spark, sf_dir):
+    """The search-only path against a warm (already-built) index must
+    be a sub-second operation — the whole point of splitting build from
+    search (VERDICT r6 #1: warm search < 0.5s at sf0.1; allow slack for
+    the shared test JVM at smoke SF)."""
+    import time
+
+    from news_graph_rag_spark.pipeline.ann_index import ensure_index, search_by_id
+
+    path = ensure_index(spark, sf_dir, n_centroids=8, iters=1)  # warm
+    search_by_id(spark, path, probe_vec_id=0, k=10, nprobe=4).count()  # JIT
+    t0 = time.monotonic()
+    n = search_by_id(spark, path, probe_vec_id=0, k=10, nprobe=4).count()
+    elapsed = time.monotonic() - t0
+    assert n == 10
+    assert elapsed < 2.0, f"warm search took {elapsed:.2f}s"
+
+
+def test_ann_search_jvm_and_arrow_paths_agree(spark, sf_dir):
+    """Both scoring paths (JVM fold default, Arrow matmul scale path)
+    are exact-integer arithmetic — their results must be identical,
+    ranks included."""
+    from news_graph_rag_spark.pipeline.ann_index import ensure_index, search_by_id
+
+    path = ensure_index(spark, sf_dir, widen_reps=12, n_centroids=8, iters=1)
+    jvm = [tuple(r) for r in search_by_id(spark, path, 0, 10, 4).collect()]
+    arrow = [
+        tuple(r)
+        for r in search_by_id(spark, path, 0, 10, 4, use_arrow=True).collect()
+    ]
+    assert jvm == arrow and len(jvm) == 10
+
+
+def test_ann_index_publish_is_atomic(spark, tmp_path, monkeypatch):
+    """A build that dies before the atomic rename leaves NOTHING at the
+    index path (readers see index-or-nothing, never a torn directory),
+    and a retry succeeds."""
+    import os
+
+    from news_graph_rag_spark.pipeline import ann_index
+
+    df = spark.createDataFrame(
+        [(i, [float(i + 1), float(2 * i + 1)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "idx2")
+    real_rename = os.rename
+
+    def exploding_rename(src, dst):
+        if dst == path:
+            raise RuntimeError("simulated crash before publish")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(ann_index.os, "rename", exploding_rename)
+    try:
+        ann_index.build_and_save(df, path, n_centroids=2, iters=1)
+    except RuntimeError:
+        pass
+    assert not os.path.exists(path)  # nothing published
+    monkeypatch.setattr(ann_index.os, "rename", real_rename)
+    ann_index.build_and_save(df, path, n_centroids=2, iters=1)
+    assert os.path.exists(os.path.join(path, "meta.json"))

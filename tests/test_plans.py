@@ -452,3 +452,18 @@ def test_profile_columns_single_scan(spark, sf_dir, reg):
     plan = plan_of(reg["profile_orders_columns"].fn(spark, sf_dir), "simple")
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Scan parquet") <= 1
+
+
+def test_ann_search_prunes_index_partitions(spark, sf_dir, reg):
+    """The search-only ANN entries must hit the materialized index with
+    a PARTITION-PRUNED scan (centroid_id is the partition column): at
+    100 TB a search reads nprobe/n_centroids of the index files. Also
+    the plan must NOT scan the raw embeddings table at all."""
+    df = reg["ann_ivf_search_topk"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    part_lines = [
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    ]
+    assert part_lines
+    assert any("centroid_id" in line for line in part_lines)
+    assert "embeddings.parquet" not in plan  # search-only: index tables only
