@@ -1,12 +1,27 @@
 """Benchmark harness: runs the headline catalog queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"spread": {...}, "data": {...}, "sf": ...}``.
+
+Measurement design (VERDICT r6 #2 — the harness was the noisiest
+instrument in the loop, 4.8x single-shot run-to-run spread in a churned
+shared JVM):
+
+- FAMILY ISOLATION: the headline list is split into N_FAMILIES chunks,
+  each run in a FRESH SUBPROCESS (own JVM), so allocation debris,
+  codegen-cache eviction, and GC pressure from one family can't pollute
+  another, and cross-round comparisons compare like against like.
+- REPEATS: each query is warmed at the smallest SF, then timed REPEATS
+  times at the target SF; the reported number is the MEDIAN, with the
+  max/min spread recorded per query in "spread" (a spread far above
+  ~1.3 flags a timing you shouldn't trust).
+- DATA NORMALIZATION (VERDICT r6 #3): the "data" field records input
+  volumes (documents text bytes, row counts) so cross-round deltas can
+  be separated into data-volume changes vs plan/code changes — s/MB,
+  not raw seconds, is the comparable number for the text family.
 
 Each query is timed end-to-end (plan + execute + collect-to-count).
-A warmup pass first runs every headline query at sf0.001 so JVM/codegen
-startup (whole-stage codegen compilation is per plan shape) is absorbed
-and per-query numbers reflect steady-state throughput at the target SF.
 """
 
 from __future__ import annotations
@@ -73,6 +88,7 @@ HEADLINE = [
     "bfs_hop_distance_parts",
     "multimodal_audio_windows",
     "multimodal_wav_decode_stats",
+    "multimodal_bmp_decode_stats",
     "text_winnowing",
     "text_pii_redact",
     "importance_weighted_sample",
@@ -241,31 +257,124 @@ def _prebuild_indexes(spark, sf_dirs) -> None:
                 )
 
 
-def main() -> None:
+N_FAMILIES = int(os.environ.get("SPARK_GRAFT_BENCH_FAMILIES", "8"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
+def _families() -> list[list[str]]:
+    """HEADLINE split into N_FAMILIES near-equal contiguous chunks."""
+    n = max(1, min(N_FAMILIES, len(HEADLINE)))
+    size = -(-len(HEADLINE) // n)
+    return [HEADLINE[i : i + size] for i in range(0, len(HEADLINE), size)]
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+
+def _run_family_inprocess(names: list[str]) -> None:
+    """Child mode: time one family in this (fresh) JVM, print its JSON."""
     spark = get_spark("bench")
     reg = registry()
     warmup_dir = WARMUP_DIR if os.path.isdir(WARMUP_DIR) else SF_DIR
     _prebuild_indexes(spark, {warmup_dir, SF_DIR})
 
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        # warm THIS plan shape at the smallest SF immediately before timing
-        # it (generated classes are cache-bounded, so a single up-front
-        # warmup pass gets evicted by later plans): the timed run then
-        # measures steady-state execution, not per-shape JIT/codegen
+    spreads: dict[str, float] = {}
+    for name in names:
+        # warm THIS plan shape at the smallest SF immediately before
+        # timing it (generated classes are cache-bounded, so a single
+        # up-front warmup pass gets evicted by later plans): the timed
+        # runs then measure steady-state execution, not per-shape JIT
         reg[name].fn(spark, warmup_dir).count()
-        # drop cached intermediates (ingest pipelines .cache() inside)
-        # plus GC between queries: isolate each timing from the previous
-        # query's allocation debris (broadcasts, shuffle buffers, cached
-        # blocks) — leaked caches were a measured churn source
-        # (BENCH_NOTES r06)
+        runs: list[float] = []
+        n = 0
+        for _ in range(max(1, REPEATS)):
+            # drop cached intermediates (ingest pipelines .cache()
+            # inside) plus GC between runs: isolate each timing from
+            # the previous run's allocation debris (broadcasts, shuffle
+            # buffers, cached blocks) — leaked caches were a measured
+            # churn source (BENCH_NOTES r06)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            n = reg[name].fn(spark, SF_DIR).count()
+            runs.append(time.perf_counter() - t0)
         spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
-        t0 = time.perf_counter()
-        n = reg[name].fn(spark, SF_DIR).count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
-        spark.catalog.clearCache()
+        times[name] = round(_median(runs), 3)
+        spreads[name] = round(max(runs) / max(min(runs), 1e-9), 2)
+        print(
+            f"# {name}: {times[name]:.3f}s median of "
+            f"{'/'.join(f'{r:.2f}' for r in runs)} ({n} rows)",
+            file=sys.stderr,
+        )
+    print(json.dumps({"metric": "family", "queries": times, "spread": spreads}))
+
+
+def _data_stats(sf_dir: str) -> dict:
+    """Input-volume stats for data-normalized cross-round comparison
+    (duckdb, no Spark needed): s/MB is the comparable number for the
+    text family when testdata is regenerated between rounds."""
+    try:
+        import duckdb
+
+        docs_rows, docs_bytes = duckdb.sql(
+            f"SELECT count(*), COALESCE(SUM(octet_length(encode(text))), 0) "
+            f"FROM '{sf_dir}/documents.parquet'"
+        ).fetchone()
+        emb_rows, emb_dim = duckdb.sql(
+            f"SELECT count(*), COALESCE(max(len(embedding)), 0) "
+            f"FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchone()
+        counts = {}
+        for t in ("lineitem", "orders", "events", "customer"):
+            counts[f"{t}_rows"] = duckdb.sql(
+                f"SELECT count(*) FROM '{sf_dir}/{t}.parquet'"
+            ).fetchone()[0]
+        return {
+            "documents_rows": docs_rows,
+            "documents_text_bytes": int(docs_bytes),
+            "embeddings_rows": emb_rows,
+            "embeddings_dim": emb_dim,
+            **counts,
+        }
+    except Exception as e:  # stats are diagnostics, never fail the bench
+        print(f"# data stats unavailable: {e}", file=sys.stderr)
+        return {}
+
+
+def _run_parent() -> None:
+    import subprocess
+
+    times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    here = os.path.abspath(__file__)
+    for idx, names in enumerate(_families()):
+        env = dict(os.environ, SPARK_GRAFT_BENCH_FAMILY=str(idx))
+        proc = subprocess.run(
+            [sys.executable, here],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=sys.stderr,
+            timeout=int(os.environ.get("SPARK_GRAFT_BENCH_FAMILY_TIMEOUT", "1800")),
+        )
+        line = ""
+        for cand in reversed(proc.stdout.decode().splitlines()):
+            if cand.startswith('{"metric"'):
+                line = cand
+                break
+        if proc.returncode != 0 or not line:
+            print(
+                f"#! family {idx} ({names[0]}..{names[-1]}) failed "
+                f"rc={proc.returncode}",
+                file=sys.stderr,
+            )
+            sys.exit(proc.returncode or 1)
+        doc = json.loads(line)
+        times.update(doc["queries"])
+        spreads.update(doc.get("spread", {}))
 
     _regression_guard(times)
 
@@ -278,10 +387,20 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spreads,
+                "data": _data_stats(SF_DIR),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+
+
+def main() -> None:
+    fam = os.environ.get("SPARK_GRAFT_BENCH_FAMILY")
+    if fam is not None:
+        _run_family_inprocess(_families()[int(fam)])
+    else:
+        _run_parent()
 
 
 if __name__ == "__main__":

@@ -96,12 +96,35 @@ class GraphStore:
         }
         return cls(spark, tables)
 
+    _POINTER = "_CURRENT"
+
+    @classmethod
+    def _current_version(cls, root: str) -> str | None:
+        """Read the committed version name from the pointer file, or
+        None when the store uses the legacy flat layout (plain
+        ``save``) or doesn't exist yet."""
+        ptr = os.path.join(root, cls._POINTER)
+        try:
+            with open(ptr) as f:
+                name = f.read().strip()
+        except OSError:
+            return None
+        return name or None
+
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "GraphStore":
-        """Load every table that exists under ``root/<name>.parquet``."""
+        """Load the committed store state.
+
+        Versioned layout (written by ``save_atomic``): the ``_CURRENT``
+        pointer names the committed version directory — readers NEVER
+        see an uncommitted or partially-swapped version. Falls back to
+        the legacy flat ``root/<name>.parquet`` layout (plain ``save``)
+        when no pointer exists."""
+        version = cls._current_version(root)
+        base = root if version is None else os.path.join(root, version)
         store = cls.empty(spark)
         for name in ALL_TABLES:
-            path = os.path.join(root, f"{name}.parquet")
+            path = os.path.join(base, f"{name}.parquet")
             if os.path.exists(path):
                 store.tables[name] = spark.read.parquet(path)
         return store
@@ -111,33 +134,62 @@ class GraphStore:
             df.write.mode(mode).parquet(os.path.join(root, f"{name}.parquet"))
 
     def save_atomic(self, root: str) -> None:
-        """Write every table to a staging dir, then rename into place.
+        """Exactly-once multi-table commit: write a NEW version
+        directory, then publish it with ONE atomic pointer replace.
 
-        Required when this store's DataFrames still lazily read from
-        ``root`` (load → MERGE → save in a streaming micro-batch): a
-        plain overwrite would delete the very files the unexecuted plan
-        scans ("Cannot overwrite a path that is also being read from").
-        Staging materializes each table BEFORE the live path is touched,
-        at the same I/O cost as the save itself — no memory checkpoint
-        of the whole store needed. The per-table swap is a rename; a
-        crash mid-swap leaves a mixed store, but every writer is an
-        idempotent content-hash MERGE, so the streaming checkpoint's
-        batch replay converges to the same state.
+        Protocol (closes SURVEY §7's MERGE-concurrency risk with
+        machinery, not a doc note — tested by interrupting every stage
+        in tests/test_ingest.py):
+
+        1. All tables write to ``root/v_<n+1>/<name>.parquet``. The
+           store's DataFrames may still lazily read the CURRENT version
+           (load → MERGE → save in a streaming micro-batch) — versions
+           are distinct directories, so there is no
+           read-path/overwrite conflict and the unexecuted plan's
+           source files are never touched.
+        2. The version name is written to ``_CURRENT.tmp`` +
+           fsync'd, then ``os.replace``d onto ``_CURRENT`` — the ONLY
+           mutation readers can observe, and it is atomic (POSIX
+           rename). A crash anywhere before it leaves the old pointer
+           → readers see the complete OLD store; after it, the
+           complete NEW store. No mixed/torn multi-table state is
+           reachable, and a replayed micro-batch (idempotent
+           content-hash MERGE) converges on retry.
+        3. Version dirs other than current + its predecessor are
+           garbage-collected (the predecessor stays for readers that
+           resolved the pointer just before the swap; production keeps
+           a retention window for time travel the same way).
         """
-        staging = os.path.join(root, f"_staging_{uuid.uuid4().hex[:8]}")
+        current = self._current_version(root)
+        n = 0
+        if current is not None:
+            parts = current.split("_")  # v_<seq>_<nonce>
+            try:
+                n = int(parts[1])
+            except (IndexError, ValueError):
+                n = 0
+        version = f"v_{n + 1:012d}_{uuid.uuid4().hex[:8]}"
+        vdir = os.path.join(root, version)
         try:
             for name, df in self.tables.items():
                 df.write.mode("overwrite").parquet(
-                    os.path.join(staging, f"{name}.parquet")
+                    os.path.join(vdir, f"{name}.parquet")
                 )
-            for name in self.tables:
-                final = os.path.join(root, f"{name}.parquet")
-                if os.path.exists(final):
-                    retired = os.path.join(staging, f"_old_{name}")
-                    os.rename(final, retired)
-                os.rename(os.path.join(staging, f"{name}.parquet"), final)
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            os.makedirs(root, exist_ok=True)
+            tmp = os.path.join(root, self._POINTER + f".tmp_{uuid.uuid4().hex[:8]}")
+            with open(tmp, "w") as f:
+                f.write(version)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(root, self._POINTER))  # THE commit
+        except BaseException:
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise
+        # GC: keep current + immediate predecessor
+        keep = {version, current}
+        for entry in os.listdir(root):
+            if entry.startswith("v_") and entry not in keep:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
 
     def localized(self) -> "GraphStore":
         """Return a new store whose tables are eagerly localCheckpointed.

@@ -5,11 +5,14 @@ The Spark-side plumbing — schemas, Arrow-batched UDF signatures, batch
 shapes, partitioning — is real and tested. Decode status: AUDIO decode
 is REAL (``decode_wav_pcm`` — pure-stdlib RIFF/PCM chunk walker, plus a
 ``encode_wav_pcm16`` writer; ``load_audio_decoder`` upgrades to
-soundfile when importable). IMAGE/VIDEO decoding is still the
-documented stand-in because no image libraries exist in this container:
-``decode_fn=None`` uses a deterministic fake decoder (metadata-derived),
-and passing a real decoder (e.g. PIL-based) slots into the same
-``mapInPandas`` operator unchanged.
+soundfile when importable). IMAGE decode is REAL for uncompressed
+24-bit BMP (``decode_bmp24`` / ``encode_bmp24`` — pure-stdlib header
+parse, bottom-up BGR rows, 4-byte padding; oracle-backed round-trip in
+``multimodal_bmp_decode_stats``); compressed formats (JPEG/PNG) and
+VIDEO frames still require a codec library — ``decode_fn=None`` then
+uses a deterministic fake decoder (metadata-derived), and a real
+decoder (``load_image_decoder`` → PIL when importable) slots into the
+same ``mapInPandas`` operator unchanged.
 
 Scale notes: media bytes dominate row size → these operators must never
 shuffle the binary column. Every function here is map-only; outputs
@@ -166,12 +169,87 @@ def decode_wav_pcm(data: bytes) -> "tuple[int, int, list[int]]":
     return n_channels, sample_rate, samples
 
 
+def encode_bmp24(width: int, height: int, pixels: "list[tuple]") -> bytes:
+    """Minimal BMP writer for uncompressed 24-bit images (public
+    format; stdlib ``struct`` only — the image analog of
+    ``encode_wav_pcm16``). ``pixels`` is row-major TOP-DOWN, one
+    ``(r, g, b)`` triple per pixel; the writer emits the spec's
+    bottom-up row order, BGR byte order, rows padded to 4 bytes."""
+    import struct
+
+    if len(pixels) != width * height:
+        raise ValueError("pixel count != width*height")
+    row_pad = (4 - (3 * width) % 4) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels[y * width + x]
+            row += bytes((b, g, r))  # BGR
+        row += b"\x00" * row_pad
+        rows.append(bytes(row))
+    pixel_data = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(pixel_data), 0, 0, offset)
+    return header + info + pixel_data
+
+
+def decode_bmp24(data: bytes) -> "tuple[int, int, list[tuple]]":
+    """REAL image decode (no stub): parse an uncompressed 24-bit BMP
+    and return ``(width, height, pixels)`` with pixels row-major
+    TOP-DOWN as ``(r, g, b)`` tuples — undoing the container's
+    bottom-up row order (or honoring top-down negative-height files),
+    BGR byte order, and 4-byte row padding. Pure-stdlib ``struct``
+    parser, the image analog of ``decode_wav_pcm``: magic and header
+    sizes are verified, anything but BI_RGB 24-bit raises — it does
+    not fake. This closes the round-6 'image decode is stubbed' caveat
+    for the BMP format; JPEG/PNG still require a real codec library
+    via ``load_image_decoder``."""
+    import struct
+
+    buf = bytes(data)
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (offset,) = struct.unpack_from("<I", buf, 10)
+    (hdr_size,) = struct.unpack_from("<I", buf, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    width, height_raw = struct.unpack_from("<ii", buf, 18)
+    planes, bits = struct.unpack_from("<HH", buf, 26)
+    (compression,) = struct.unpack_from("<I", buf, 30)
+    if planes != 1 or bits != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP encoding (planes={planes}, bits={bits}, "
+            f"compression={compression})"
+        )
+    top_down = height_raw < 0
+    height = -height_raw if top_down else height_raw
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad dimensions {width}x{height_raw}")
+    stride = 3 * width + (4 - (3 * width) % 4) % 4
+    if offset + stride * height > len(buf):
+        raise ValueError("truncated pixel data")
+    pixels: list[tuple] = [None] * (width * height)  # type: ignore[list-item]
+    for row_idx in range(height):
+        y = row_idx if top_down else height - 1 - row_idx
+        base = offset + row_idx * stride
+        for x in range(width):
+            b, g, r = buf[base + 3 * x : base + 3 * x + 3]
+            pixels[y * width + x] = (r, g, b)
+    return width, height, pixels
+
+
 def _fake_pixel_stats(data: bytes | None) -> tuple[float, float]:
-    """Deterministic stand-in for decode+stats: derive pseudo mean/std
-    from a hash of the bytes. Replaced by real decoding when a library
-    is available. Uses sha256 (not blake2b) so an external SQL oracle
-    can reproduce the exact values — DuckDB ships sha256 but no
-    blake2 (see multimodal_image_stats' oracle)."""
+    """Deterministic stand-in for decode+stats on formats with no
+    in-container codec (JPEG/PNG): derive pseudo mean/std from a hash
+    of the bytes. BMP decodes for real (``decode_bmp24``); a library
+    decoder (PIL) replaces this for compressed formats. Uses sha256
+    (not blake2b) so an external SQL oracle can reproduce the exact
+    values — DuckDB ships sha256 but no blake2 (see
+    multimodal_image_stats' oracle)."""
     if not data:
         return 0.0, 0.0
     h = hashlib.sha256(bytes(data)).digest()

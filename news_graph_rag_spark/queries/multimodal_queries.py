@@ -7,19 +7,25 @@ no media table — the operator shapes (binary column never shuffled,
 mapInPandas Arrow batches, metadata-only outputs) are exactly what a
 real media pipeline runs.
 
-Decode status by modality: AUDIO decode is REAL —
-``multimodal_wav_decode_stats`` round-trips actual RIFF/WAVE byte
-streams through the pure-stdlib PCM parser and is oracle-backed;
-image/video decode remains the documented deterministic stand-in
-(`pipeline/multimodal.py`, no image libs in this container; a real
-decoder slots into the same operators unchanged).
+Decode status by modality: AUDIO decode is REAL
+(``multimodal_wav_decode_stats`` round-trips actual RIFF/WAVE byte
+streams through the pure-stdlib PCM parser, oracle-backed); IMAGE
+decode is REAL for uncompressed 24-bit BMP
+(``multimodal_bmp_decode_stats`` round-trips actual BMP byte streams
+through the pure-stdlib header parser, oracle-backed with a
+position-weighted stat that catches row/channel/padding mistakes);
+compressed image formats (JPEG/PNG) and video-frame extraction remain
+the documented deterministic stand-in (`pipeline/multimodal.py`, no
+codec libs in this container; a real decoder slots into the same
+operators unchanged).
 
-All four entries are oracle-backed: ``multimodal_frame_sample`` /
+All five entries are oracle-backed: ``multimodal_frame_sample`` /
 ``multimodal_audio_windows`` are pure column ops (sequence + explode),
-``multimodal_wav_decode_stats`` verifies the real PCM round trip, and
-``multimodal_image_stats`` verifies the full decode->features chain by
-recomputing the deterministic sha256 stand-in stats in SQL. Semantics
-also unit-tested in tests/test_pipeline.py.
+``multimodal_wav_decode_stats`` / ``multimodal_bmp_decode_stats``
+verify real codec round trips, and ``multimodal_image_stats`` verifies
+the full decode->features chain by recomputing the deterministic
+sha256 stand-in stats in SQL. Semantics also unit-tested in
+tests/test_pipeline.py.
 """
 
 from __future__ import annotations
@@ -133,6 +139,120 @@ def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
         "media_id",
         F.col("start_sample").cast("bigint").alias("start_sample"),
         F.col("end_sample").cast("bigint").alias("end_sample"),
+    )
+
+
+@register(
+    "multimodal_bmp_decode_stats",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id AS media_id,
+             n_chars % 16 + 4 AS w,
+             doc_id % 12 + 4 AS h
+      FROM documents
+    ),
+    px AS (  -- idx = (y*w + x)*3 + c; v = (media_id + 3x + 7y + 11c) % 256
+      SELECT media_id, w, h,
+             u.idx % 3 AS c,
+             (u.idx % (3 * w)) // 3 AS x,
+             u.idx // (3 * w) AS y,
+             (media_id + 3 * ((u.idx % (3 * w)) // 3)
+                       + 7 * (u.idx // (3 * w))
+                       + 11 * (u.idx % 3)) % 256 AS v
+      FROM imgs, unnest(range(0, w * h * 3)) AS u(idx)
+    )
+    SELECT media_id,
+           CAST(max(w) AS INT) AS width,
+           CAST(max(h) AS INT) AS height,
+           CAST(SUM(v) AS BIGINT) AS sum_all,
+           CAST(MIN(v) AS BIGINT) AS min_v,
+           CAST(MAX(v) AS BIGINT) AS max_v,
+           CAST(SUM(CASE WHEN c = 0 THEN (y * w + x + 1) * v ELSE 0 END)
+                AS BIGINT) AS pos_weighted_r
+    FROM px GROUP BY media_id
+    """,
+    doc="multimodal with a REAL IMAGE decode (VERDICT r6 #4, stub "
+    "removed for BMP): per document, synthesize a deterministic 24-bit "
+    "RGB image (v(x,y,c) = (media_id + 3x + 7y + 11c) % 256, up to "
+    "19x15), ENCODE it as an actual BMP byte stream (bottom-up BGR "
+    "rows, 4-byte padding), round-trip through the pure-stdlib header "
+    "parser (pipeline/multimodal.py decode_bmp24 — verifies magic, "
+    "BI_RGB 24-bit only, re-orders rows top-down) and emit integer "
+    "stats of the DECODED pixels: dims, channel sum/min/max, plus a "
+    "POSITION-WEIGHTED red-channel sum ((y*w+x+1)*r) that any decoder "
+    "with wrong row order, wrong channel order, or padding confusion "
+    "cannot reproduce. The DuckDB oracle computes the same stats "
+    "straight from the generating formula, so the gate certifies the "
+    "encode->decode round trip pixel-exactly. Map-only Arrow pass; the "
+    "image bytes are built and consumed inside one executor batch and "
+    "never shuffled.",
+)
+def multimodal_bmp_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.multimodal import decode_bmp24, encode_bmp24
+
+    imgs = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 16 + 4).cast("int").alias("w"),
+        (F.col("doc_id") % 12 + 4).cast("int").alias("h"),
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        int_cols = ("sum_all", "min_v", "max_v", "pos_weighted_r")
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id",
+                    "width",
+                    "height",
+                    "sum_all",
+                    "min_v",
+                    "max_v",
+                    "pos_weighted_r",
+                )
+            }
+            for media_id, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                src = [
+                    tuple(
+                        (media_id + 3 * x + 7 * y + 11 * c) % 256
+                        for c in range(3)
+                    )
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                bmp = encode_bmp24(int(w), int(h), src)
+                dw, dh, pixels = decode_bmp24(bmp)
+                vals = [v for p in pixels for v in p]
+                out["media_id"].append(media_id)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["sum_all"].append(sum(vals))
+                out["min_v"].append(min(vals))
+                out["max_v"].append(max(vals))
+                out["pos_weighted_r"].append(
+                    sum(
+                        (y * dw + x + 1) * pixels[y * dw + x][0]
+                        for y in range(dh)
+                        for x in range(dw)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    **{
+                        k: pd.Series(out[k], dtype="int64") for k in int_cols
+                    },
+                }
+            )
+
+    return imgs.mapInPandas(
+        run,
+        "media_id long, width int, height int, sum_all long, "
+        "min_v long, max_v long, pos_weighted_r long",
     )
 
 

@@ -511,3 +511,65 @@ def test_ann_index_publish_is_atomic(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(ann_index.os, "rename", real_rename)
     ann_index.build_and_save(df, path, n_centroids=2, iters=1)
     assert os.path.exists(os.path.join(path, "meta.json"))
+
+
+# ---------------------------------------------------------------------------
+# BMP codec (pipeline/multimodal.py, VERDICT r6 #4 — real image decode)
+# ---------------------------------------------------------------------------
+
+
+def test_bmp24_roundtrip_with_row_padding():
+    """3-wide rows need 3 pad bytes (stride 12); the decode must undo
+    bottom-up row order, BGR channel order, and padding exactly."""
+    from news_graph_rag_spark.pipeline.multimodal import decode_bmp24, encode_bmp24
+
+    w, h = 3, 2
+    px = [
+        (255, 0, 0), (0, 255, 0), (0, 0, 255),       # top row: R G B
+        (10, 20, 30), (40, 50, 60), (70, 80, 90),    # bottom row
+    ]
+    data = encode_bmp24(w, h, px)
+    assert data[:2] == b"BM"
+    stride = 12  # 3*3 rounded up to 4
+    assert len(data) == 54 + stride * h
+    dw, dh, out = decode_bmp24(data)
+    assert (dw, dh) == (w, h)
+    assert out == px  # row-major top-down, (r,g,b)
+
+
+def test_bmp24_decode_top_down_negative_height():
+    """Negative biHeight means top-down row order in the container —
+    the decoder must honor it (same pixels, no re-flip)."""
+    import struct
+
+    from news_graph_rag_spark.pipeline.multimodal import decode_bmp24, encode_bmp24
+
+    w, h = 2, 2
+    px = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]
+    data = bytearray(encode_bmp24(w, h, px))
+    # rewrite height to -h and reorder the two rows to top-down
+    struct.pack_into("<i", data, 22, -h)
+    stride = 8
+    row0 = bytes(data[54 : 54 + stride])
+    row1 = bytes(data[54 + stride : 54 + 2 * stride])
+    data[54 : 54 + 2 * stride] = row1 + row0
+    dw, dh, out = decode_bmp24(bytes(data))
+    assert (dw, dh) == (w, h) and out == px
+
+
+def test_bmp24_decode_rejects_unsupported():
+    import struct
+
+    import pytest as _pytest
+
+    from news_graph_rag_spark.pipeline.multimodal import decode_bmp24, encode_bmp24
+
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp24(b"GIF89a" + b"\x00" * 60)
+    good = bytearray(encode_bmp24(1, 1, [(9, 9, 9)]))
+    bad_bits = bytearray(good)
+    struct.pack_into("<H", bad_bits, 28, 8)  # 8-bit palette image
+    with _pytest.raises(ValueError, match="unsupported BMP"):
+        decode_bmp24(bytes(bad_bits))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp24(bytes(good[:-2]))
