@@ -102,6 +102,9 @@ HEADLINE = [
     # SymSpell fuzzy join, k-core, Z-order layout, session windows
     "near_dup_lsh_banded",
     "ann_ivf_wide_search_topk",
+    "ann_ivf_index_stats",
+    "ann_ivf_batch_search_topk",
+    "ann_ivf_incremental_assign",
     "fuzzy_join_ed1",
     "fuzzy_entity_lookup_blocked",
     "kcore_parts",
@@ -139,6 +142,7 @@ HEADLINE = [
     "mom_revenue_growth",
     "cdc_apply_changelog",
     "profile_orders_columns",
+    "maintenance_compaction_roundtrip",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
 ]
@@ -244,15 +248,21 @@ def _prebuild_indexes(spark, sf_dirs) -> None:
     a materialized index. Build time is reported separately on stderr;
     it is a once-per-dataset job, not a per-query cost."""
     from news_graph_rag_spark.pipeline.ann_index import ensure_index
+    from news_graph_rag_spark.queries.retrieval_queries import _IVF_INCR_BASE
 
+    builds = [
+        {"widen_reps": None},
+        {"widen_reps": 12},
+        {"widen_reps": None, "subset_pred": _IVF_INCR_BASE.format(t="string")},
+    ]
     for sf_dir in sf_dirs:
-        for reps in (None, 12):
+        for kw in builds:
             t0 = time.perf_counter()
-            ensure_index(spark, sf_dir, widen_reps=reps, n_centroids=8, iters=1)
+            ensure_index(spark, sf_dir, n_centroids=8, iters=1, **kw)
             dt = time.perf_counter() - t0
             if dt > 0.5:  # a cache hit costs ~nothing; only report builds
                 print(
-                    f"# index build (widen={reps}, {sf_dir}): {dt:.2f}s",
+                    f"# index build ({kw}, {sf_dir}): {dt:.2f}s",
                     file=sys.stderr,
                 )
 

@@ -382,12 +382,124 @@ def search_by_id(
     ).select("rnk", "vec_id", "dot")
 
 
+def batch_search(
+    spark: SparkSession,
+    path: str,
+    probe_ids: list[int],
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Batch KNN against the materialized index: many probes in ONE
+    job (the realistic serving shape — a retrieval layer scores a
+    request batch, not one vector at a time). Per probe: rank the
+    driver-resident centroids, take its nprobe lists; the union of all
+    probed lists is ONE partition-pruned scan; each candidate row joins
+    (broadcast) to the probes whose lists it belongs to, scores with
+    one JVM fold, and ranks per-probe with a (probe-partitioned, never
+    global) window. Returns (probe_id, rnk, vec_id, dot) — exact
+    integers, hash-verifiable. At 100 TB: cost is one scan of the
+    DISTINCT probed lists regardless of batch size, and the shuffle
+    carries only the per-probe candidate rows."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    assignments = spark.read.parquet(os.path.join(path, "assignments.parquet"))
+    probes = {
+        int(r["vec_id"]): np.asarray(r["q8"], dtype=np.int64)
+        for r in assignments.filter(
+            F.col("vec_id").isin([int(p) for p in probe_ids])
+        ).select("vec_id", "q8").collect()
+    }
+    missing = set(map(int, probe_ids)) - set(probes)
+    if missing:
+        raise ValueError(f"probe vec_ids not in index (or zero-norm): {missing}")
+
+    cent_rows = _centroid_rows(spark, path)
+    C = np.asarray([r[1] for r in cent_rows], dtype=np.int64)
+    inv = np.sqrt(np.asarray([r[2] for r in cent_rows], dtype=np.float64))
+    cids = np.asarray([r[0] for r in cent_rows], dtype=np.int64)
+
+    probe_lists: dict[int, list[int]] = {}
+    for pid, p in probes.items():
+        scores = (C @ p).astype(np.float64) / inv
+        order = np.lexsort((cids, -scores))
+        probe_lists[pid] = [int(cids[i]) for i in order[:nprobe]]
+
+    all_lists = sorted({c for lists in probe_lists.values() for c in lists})
+    cand = assignments.filter(F.col("centroid_id").isin(all_lists))
+
+    # (probe_id, centroid_id, probe_q8) relation — a broadcast-sized
+    # constant; the join fans each candidate out only to the probes
+    # actually probing its list
+    probe_rel = spark.createDataFrame(
+        [
+            (pid, cid, [int(x) for x in probes[pid]])
+            for pid, lists in probe_lists.items()
+            for cid in lists
+        ],
+        "probe_id long, centroid_id int, pq8 array<int>",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q8"), F.col("pq8"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(F.broadcast(probe_rel), "centroid_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", dot.alias("dot"), "nrm")
+        .select(
+            "probe_id",
+            "vec_id",
+            "dot",
+            (
+                F.col("dot").cast("double") / F.sqrt(F.col("nrm").cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "rnk", "vec_id", "dot")
+    )
+
+
+def assign_new(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental index maintenance: assign NEW vectors to the
+    existing (frozen) coarse quantizer — the standard IVF insert path.
+    No rebuild, no retraining, no shuffle: quantization (with the
+    index's own widen_reps, from meta) and nearest-centroid argmax are
+    one map-only Arrow pass against the driver-resident centroids.
+    Returns (vec_id, q8, nrm, centroid_id) rows ready to append as new
+    files under their centroid partitions (at 100 TB: streaming ingest
+    appends to inverted lists continuously and the quantizer retrains
+    on a slow cadence — exactly this split)."""
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    q = quantized_vectors(
+        new_df,
+        widen_reps=meta.get("widen_reps"),
+        embedding_col=embedding_col,
+        id_col=id_col,
+    ).filter(F.col("nrm") > 0)
+    return _assign_to_centroids(q, _centroid_rows(spark, path))
+
+
 def ensure_index(
     spark: SparkSession,
     sf_dir: str,
     widen_reps: int | None = None,
     n_centroids: int = 8,
     iters: int = 1,
+    subset_pred: str | None = None,
 ) -> str:
     """Idempotent DDL analog (reference graph.py:211-219): build the
     index for ``sf_dir``'s embeddings table if a current one doesn't
@@ -400,18 +512,24 @@ def ensure_index(
     st = os.stat(src)
     key = (
         f"{INDEX_FORMAT_VERSION}|{src}|{st.st_mtime_ns}|{st.st_size}"
-        f"|{n_centroids}|{iters}|{widen_reps}"
+        f"|{n_centroids}|{iters}|{widen_reps}|{subset_pred}"
     )
     digest = hashlib.sha1(key.encode()).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), f"ngr_ivf_{digest}")
     if not os.path.exists(os.path.join(path, "meta.json")):
         emb = spark.read.parquet(src)
+        if subset_pred is not None:
+            emb = emb.filter(F.expr(subset_pred))
         build_and_save(
             emb,
             path,
             n_centroids=n_centroids,
             iters=iters,
             widen_reps=widen_reps,
-            meta_extra={"source": src, "mtime_ns": st.st_mtime_ns},
+            meta_extra={
+                "source": src,
+                "mtime_ns": st.st_mtime_ns,
+                "subset_pred": subset_pred,
+            },
         )
     return path

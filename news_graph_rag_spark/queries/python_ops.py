@@ -1040,3 +1040,60 @@ def snapshot_diff_documents(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@register(
+    "maintenance_compaction_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                             || '|' || COALESCE(text, '')),
+                                         1, 12)) AS BIGINT)) AS BIGINT)
+             AS checksum
+    FROM documents
+    """,
+    doc="table maintenance: small-files compaction round trip "
+    "(maintenance.py compact_parquet — the job that keeps a "
+    "streaming-ingested table scannable; at 100 TB the difference "
+    "between 128 MB files and micro-batch shards is an IO-bound scan "
+    "vs a metadata-bound one). The entry stages documents as 32 tiny "
+    "files, compacts them with the atomic staged-swap rewrite, and "
+    "emits (row count, order-insensitive 48-bit md5 content checksum) "
+    "of the COMPACTED table; the oracle computes the same from the "
+    "source, so the gate certifies compaction is content-preserving "
+    "byte-for-byte. The entry itself raises if the rewrite didn't "
+    "actually reduce the file count.",
+)
+def maintenance_compaction_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ..maintenance import compact_parquet, parquet_file_count
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="ngr_compact_") + "/docs.parquet"
+    docs.repartition(32).write.mode("overwrite").parquet(path)
+    before = parquet_file_count(path)
+    compact_parquet(spark, path, target_file_bytes=128 << 20)
+    after = parquet_file_count(path)
+    if not after < before:
+        raise AssertionError(f"compaction did not reduce files: {before}->{after}")
+    back = spark.read.parquet(path)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.coalesce(F.col("text"), F.lit("")),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(h).cast("bigint").alias("checksum"),
+    )

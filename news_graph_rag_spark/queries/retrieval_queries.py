@@ -885,17 +885,25 @@ def _int_dot(x: F.Column, y: F.Column) -> F.Column:
 # ---------------------------------------------------------------------------
 
 
-def _ivf_int8_oracle(
+_IVF_DOT = (
+    "CAST(list_sum([{a}[i] * {b}[i] FOR i IN range(1, len({a}) + 1)]) "
+    "AS BIGINT)"
+)
+_IVF_SCORE = f"CAST({_IVF_DOT} AS DOUBLE) / sqrt(CAST({{n}} AS DOUBLE))"
+
+
+def _ivf_int8_build_cte(
     n_centroids: int = 8,
-    nprobe: int = 4,
-    k: int = 10,
     widen_reps: int | None = None,
-    probe_id: int = 0,
+    base_where: str = "TRUE",
 ) -> str:
-    """DuckDB re-implementation of the ivf-int8 build+search semantics
-    (pipeline/ann_index.py) with one Lloyd round. All comparisons happen
-    on exact integers or singly-rounded doubles, so this is bit-for-bit
-    the same index the Spark build persists."""
+    """Shared WITH-body recomputing the ivf-int8 BUILD semantics
+    (pipeline/ann_index.py, one Lloyd round) in DuckDB: defines
+    ``live`` (all quantized vectors), ``base`` (the indexed subset —
+    ``base_where`` mirrors ensure_index's subset_pred), ``c1n`` (the
+    trained centroids) and ``b1`` (the final assignments). All
+    comparisons happen on exact integers or singly-rounded doubles, so
+    this is bit-for-bit the same index the Spark build persists."""
     if widen_reps:
         widen = (
             f"flatten([list_transform(q8, x -> x * m) "
@@ -903,13 +911,7 @@ def _ivf_int8_oracle(
         )
     else:
         widen = "q8"
-    dot = (
-        "CAST(list_sum([{a}[i] * {b}[i] FOR i IN range(1, len({a}) + 1)]) "
-        "AS BIGINT)"
-    )
-    score = (
-        f"CAST({dot} AS DOUBLE) / sqrt(CAST({{n}} AS DOUBLE))"
-    )
+    dot, score = _IVF_DOT, _IVF_SCORE
     return f"""
     WITH q0 AS ({_Q8_SQL}),
     wq AS (SELECT vec_id, {widen} AS q8 FROM q0),
@@ -918,16 +920,17 @@ def _ivf_int8_oracle(
         SELECT vec_id, q8, {dot.format(a="q8", b="q8")} AS nrm FROM wq
       ) WHERE nrm > 0
     ),
+    base AS (SELECT * FROM live WHERE {base_where}),
     seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid,
              q8 AS c8, nrm AS cnrm
-      FROM live ORDER BY vec_id LIMIT {n_centroids}
+      FROM base ORDER BY vec_id LIMIT {n_centroids}
     ),
     b0 AS (  -- assignment to seeds: argmax dot/sqrt(cnrm), tie -> min cid
       SELECT vec_id, q8, nrm, cid FROM (
         SELECT l.vec_id, l.q8, l.nrm, s.cid,
                {score.format(a="l.q8", b="s.c8", n="s.cnrm")} AS score
-        FROM live l CROSS JOIN seeds s
+        FROM base l CROSS JOIN seeds s
       ) QUALIFY row_number() OVER (PARTITION BY vec_id
                                    ORDER BY score DESC, cid) = 1
     ),
@@ -955,10 +958,24 @@ def _ivf_int8_oracle(
       SELECT vec_id, q8, nrm, cid FROM (
         SELECT l.vec_id, l.q8, l.nrm, c.cid,
                {score.format(a="l.q8", b="c.c8", n="c.cnrm")} AS score
-        FROM live l CROSS JOIN c1n c
+        FROM base l CROSS JOIN c1n c
       ) QUALIFY row_number() OVER (PARTITION BY vec_id
                                    ORDER BY score DESC, cid) = 1
-    ),
+    )"""
+
+
+def _ivf_int8_oracle(
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    k: int = 10,
+    widen_reps: int | None = None,
+    probe_id: int = 0,
+) -> str:
+    """Build CTE + the SEARCH tail: probe ranking, partition-equivalent
+    candidate filter, exact-integer rank."""
+    dot, score = _IVF_DOT, _IVF_SCORE
+    return f"""
+    {_ivf_int8_build_cte(n_centroids, widen_reps)},
     probe AS (SELECT q8, nrm FROM live WHERE vec_id = {probe_id}),
     pc AS (  -- nprobe nearest centroids to the probe
       SELECT cid FROM (
@@ -1028,6 +1045,177 @@ def ann_ivf_wide_search_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     path = ensure_index(spark, sf, widen_reps=12, n_centroids=8, iters=1)
     return search_by_id(spark, path, probe_vec_id=0, k=10, nprobe=4)
+
+
+@register(
+    "ann_ivf_index_stats",
+    oracle=f"""
+    {_ivf_int8_build_cte(n_centroids=8)}
+    SELECT c.cid AS centroid_id,
+           CAST(c.cnrm AS BIGINT) AS cnrm,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_vectors
+    FROM c1n c LEFT JOIN (
+      SELECT cid, count(*) AS n FROM b1 GROUP BY cid
+    ) a ON a.cid = c.cid
+    """,
+    doc="index observability: per-inverted-list health stats of the "
+    "persistent ivf-int8 index (list sizes + centroid norms) — what an "
+    "operator watches to decide when lists are skewed enough to "
+    "retrain the coarse quantizer or re-shard hot lists. Search-only "
+    "against the materialized tables (the count comes from parquet "
+    "partition metadata-sized scans, never the raw embeddings); "
+    "VALUE-VERIFIED because the DuckDB oracle recomputes the identical "
+    "deterministic build and must produce the same list membership.",
+)
+def ann_ivf_index_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import ensure_index, load_index
+
+    path = ensure_index(spark, sf, widen_reps=None, n_centroids=8, iters=1)
+    assignments, centroids, _ = load_index(spark, path)
+    counts = assignments.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    return (
+        centroids.join(counts, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            "cnrm",
+            F.coalesce(F.col("n_vectors"), F.lit(0)).cast("bigint").alias(
+                "n_vectors"
+            ),
+        )
+    )
+
+
+_BATCH_PROBE_IDS = (0, 1, 2, 3, 4)
+
+
+@register(
+    "ann_ivf_batch_search_topk",
+    oracle=f"""
+    {_ivf_int8_build_cte(n_centroids=8)},
+    probes AS (
+      SELECT vec_id AS probe_id, q8 AS pq8
+      FROM live WHERE vec_id IN {_BATCH_PROBE_IDS}
+    ),
+    ppc AS (  -- per-probe nprobe nearest centroids
+      SELECT probe_id, cid FROM (
+        SELECT p.probe_id, c.cid,
+               {_IVF_SCORE.format(a="p.pq8", b="c.c8", n="c.cnrm")} AS score
+        FROM probes p CROSS JOIN c1n c
+      ) QUALIFY row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY score DESC, cid) <= 2
+    ),
+    cand AS (
+      SELECT pp.probe_id, b.vec_id, b.q8, b.nrm, p.pq8
+      FROM ppc pp
+      JOIN b1 b ON b.cid = pp.cid
+      JOIN probes p ON p.probe_id = pp.probe_id
+      WHERE b.vec_id <> pp.probe_id
+    ),
+    scored AS (
+      SELECT probe_id, vec_id,
+             {_IVF_DOT.format(a="q8", b="pq8")} AS dot,
+             {_IVF_SCORE.format(a="q8", b="pq8", n="nrm")} AS score
+      FROM cand
+    )
+    SELECT probe_id,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY score DESC, vec_id) AS INT)
+             AS rnk,
+           vec_id, dot
+    FROM scored
+    QUALIFY rnk <= 3
+    """,
+    doc="batch KNN against the persistent index — the realistic "
+    "serving shape (a retrieval layer scores a request BATCH, not one "
+    "vector at a time): 5 probes rank the driver-resident centroids, "
+    "the union of their probed lists is ONE partition-pruned scan, a "
+    "broadcast (probe, list) relation fans candidates only to the "
+    "probes that probed their list, and ranking is a PROBE-partitioned "
+    "window (never global). At 100 TB the cost is one scan of the "
+    "distinct probed lists regardless of batch size. VALUE-VERIFIED "
+    "like its single-probe siblings (exact-integer index arithmetic).",
+)
+def ann_ivf_batch_search_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import batch_search, ensure_index
+
+    path = ensure_index(spark, sf, widen_reps=None, n_centroids=8, iters=1)
+    return batch_search(
+        spark, path, list(_BATCH_PROBE_IDS), k=3, nprobe=2
+    )
+
+
+# the base/incoming split for incremental maintenance: ~3/4 of vectors
+# are indexed offline, the md5-bucket remainder arrives "later"
+_IVF_INCR_BASE = (
+    "substr(md5(CAST(vec_id AS {t})), 1, 1) NOT IN ('0', '1', '2', '3')"
+)
+
+
+@register(
+    "ann_ivf_incremental_assign",
+    oracle=f"""
+    {_ivf_int8_build_cte(n_centroids=8, base_where=_IVF_INCR_BASE.format(t="VARCHAR"))},
+    incoming AS (
+      SELECT * FROM live
+      WHERE NOT ({_IVF_INCR_BASE.format(t="VARCHAR")})
+    ),
+    new_assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT l.vec_id, c.cid,
+               {_IVF_SCORE.format(a="l.q8", b="c.c8", n="c.cnrm")} AS score
+        FROM incoming l CROSS JOIN c1n c
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY score DESC, cid) = 1
+    )
+    SELECT c.cid AS centroid_id,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n_base,
+           CAST(COALESCE(n.n, 0) AS BIGINT) AS n_new
+    FROM c1n c
+    LEFT JOIN (SELECT cid, count(*) AS n FROM b1 GROUP BY cid) b
+      ON b.cid = c.cid
+    LEFT JOIN (SELECT cid, count(*) AS n FROM new_assign GROUP BY cid) n
+      ON n.cid = c.cid
+    """,
+    doc="incremental index maintenance (the standard IVF insert path): "
+    "the index is built offline over ~3/4 of the vectors (md5-bucket "
+    "split), then the remaining vectors are assigned to the FROZEN "
+    "coarse quantizer without any rebuild or retraining — one map-only "
+    "Arrow argmax against the driver-resident centroids, zero shuffle. "
+    "At 100 TB this is how streaming ingest keeps the vector index "
+    "fresh: appends land in their inverted-list partitions "
+    "continuously while the quantizer retrains on a slow cadence. "
+    "Output is per-centroid (n_base, n_new) occupancy; VALUE-VERIFIED "
+    "— the DuckDB oracle recomputes the subset build plus the "
+    "frozen-quantizer assignment of the incoming set.",
+)
+def ann_ivf_incremental_assign(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import assign_new, ensure_index, load_index
+
+    pred = _IVF_INCR_BASE.format(t="string")
+    path = ensure_index(
+        spark, sf, widen_reps=None, n_centroids=8, iters=1, subset_pred=pred
+    )
+    assignments, centroids, _ = load_index(spark, path)
+    incoming = load(spark, sf, "embeddings").filter(~F.expr(pred))
+    newly = assign_new(spark, path, incoming)
+    base_counts = assignments.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_base")
+    )
+    new_counts = newly.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    return (
+        centroids.select("centroid_id")
+        .join(base_counts, "centroid_id", "left")
+        .join(new_counts, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.coalesce(F.col("n_base"), F.lit(0)).cast("bigint").alias("n_base"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+        )
+    )
 
 
 @register(

@@ -573,3 +573,33 @@ def test_bmp24_decode_rejects_unsupported():
         decode_bmp24(bytes(bad_bits))
     with _pytest.raises(ValueError, match="truncated"):
         decode_bmp24(bytes(good[:-2]))
+
+
+def test_ann_assign_new_matches_index_assignment(spark, tmp_path):
+    """Incremental insert (frozen coarse quantizer): a new vector
+    identical to an indexed one must land in the same inverted list —
+    assign_new reuses the index's own quantization (widen_reps from
+    meta) and centroid argmax."""
+    from news_graph_rag_spark.pipeline.ann_index import (
+        assign_new,
+        build_and_save,
+        load_index,
+    )
+
+    rows = [(i, [float((i % 7) + 1), float((i * 3) % 5 + 1)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "incr_idx")
+    build_and_save(df, path, n_centroids=3, iters=1, widen_reps=2)
+
+    assignments, _, meta = load_index(spark, path)
+    assert meta["widen_reps"] == 2
+    indexed = {r["vec_id"]: r["centroid_id"] for r in assignments.collect()}
+
+    clones = spark.createDataFrame(
+        [(1000 + i, emb) for i, emb in rows[:10]],
+        "vec_id long, embedding array<float>",
+    )
+    newly = {
+        r["vec_id"]: r["centroid_id"] for r in assign_new(spark, path, clones).collect()
+    }
+    assert newly == {1000 + i: indexed[i] for i in range(10)}
