@@ -296,9 +296,14 @@ def _run_family_inprocess(names: list[str]) -> None:
     for name in names:
         # warm THIS plan shape at the smallest SF immediately before
         # timing it (generated classes are cache-bounded, so a single
-        # up-front warmup pass gets evicted by later plans): the timed
-        # runs then measure steady-state execution, not per-shape JIT
+        # up-front warmup pass gets evicted by later plans), then ONE
+        # untimed run at the target SF: the first target-SF execution
+        # is systematically cold (page cache, JIT re-specialization at
+        # the larger input, Python-worker spin-up) and was the dominant
+        # contributor to >1.3x three-run spreads in the r7 shakedown
         reg[name].fn(spark, warmup_dir).count()
+        spark.catalog.clearCache()
+        reg[name].fn(spark, SF_DIR).count()
         runs: list[float] = []
         n = 0
         for _ in range(max(1, REPEATS)):

@@ -859,8 +859,13 @@ def partitioned_scan_pruning(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     ev = load(spark, sf, "events")
-    # stage once per (session, sf): partitioned layout is the "index"
-    tag = sf.strip("/").replace("/", "_")
+    # stage once per (source fingerprint): the partitioned layout is the
+    # "index". The tag covers the source file's mtime+size so a testdata
+    # regen can't serve a stale staged copy (same keying discipline as
+    # ann_index.ensure_index).
+    src = os.path.join(sf, "events.parquet")
+    st = os.stat(src)
+    tag = f"{sf.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}"
     stage = os.path.join(tempfile.gettempdir(), f"ngr_events_by_type_{tag}")
     marker = os.path.join(stage, "_SUCCESS")
     if not os.path.exists(marker):

@@ -467,3 +467,18 @@ def test_ann_search_prunes_index_partitions(spark, sf_dir, reg):
     assert part_lines
     assert any("centroid_id" in line for line in part_lines)
     assert "embeddings.parquet" not in plan  # search-only: index tables only
+
+
+def test_ann_batch_search_plan_shape(spark, sf_dir, reg):
+    """Batch KNN must broadcast the (probe, list) relation, prune the
+    index scan to the probed partitions, and rank with a
+    probe-partitioned window — no global window, no shuffle join."""
+    plan = plan_of(reg["ann_ivf_batch_search_topk"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("centroid_id" in l for l in part_lines)
+    specs = _window_specs(plan_of(
+        reg["ann_ivf_batch_search_topk"].fn(spark, sf_dir), "simple"
+    ))
+    assert specs and all("probe_id" in s.split(",")[0] for s in specs)
