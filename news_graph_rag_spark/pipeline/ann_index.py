@@ -199,6 +199,7 @@ def build_and_save(
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
     meta_extra: dict | None = None,
+    extra_tables: "dict[str, DataFrame] | None" = None,
 ) -> str:
     """The offline index-build job: quantize → seed → Lloyd →
     assign → write tables, committed by one atomic directory rename
@@ -236,6 +237,8 @@ def build_and_save(
             spark.createDataFrame(
                 cents, "centroid_id int, c8 array<int>, cnrm bigint"
             ).coalesce(1).write.parquet(os.path.join(staging, "centroids.parquet"))
+            for tname, tdf in (extra_tables or {}).items():
+                tdf.write.parquet(os.path.join(staging, f"{tname}.parquet"))
             meta = {
                 "format": INDEX_FORMAT_VERSION,
                 "n_centroids": n_centroids,
@@ -377,6 +380,133 @@ def search_by_id(
                 "score"
             ),
         )
+    return top_k_ranked(
+        scored, [F.desc("score"), F.asc("vec_id")], k
+    ).select("rnk", "vec_id", "dot")
+
+
+def build_uid_index(
+    df: DataFrame,
+    path: str,
+    uid_col: str = "uid",
+    embedding_col: str = "embedding",
+    **build_kwargs,
+) -> str:
+    """Index a table keyed by STRING uids (the reference's Chunk table,
+    graph.py:211-219: the vector index lives on Chunk.embedding with
+    'Chunk:xxxx' uids). vec_id = xxhash64(uid) — a stable 64-bit
+    surrogate (collision odds ~n²/2^65: negligible at any corpus the
+    uid scheme itself supports) — and a (vec_id, uid) map table is
+    published atomically WITH the index so search results translate
+    back to uids."""
+    mapped = df.select(
+        F.xxhash64(F.col(uid_col)).alias("vec_id"),
+        F.col(uid_col).alias("uid"),
+        F.col(embedding_col).alias("embedding"),
+    )
+    return build_and_save(
+        mapped.select("vec_id", "embedding"),
+        path,
+        extra_tables={"uid_map": mapped.select("vec_id", "uid")},
+        **build_kwargs,
+    )
+
+
+def search_uids_by_vector(
+    spark: SparkSession,
+    path: str,
+    query_vector,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """``search_by_vector`` against a uid-keyed index: same pruned
+    probe, then the k-row hit set BROADCASTS against the uid map (the
+    map is corpus-sized — it must never be the broadcast side) —
+    returns (rnk, uid, dot). This is the reference's retrieval call
+    shape (vector_index.ipynb: query embedding in, chunk ids out). At
+    100 TB you'd co-store uid in the assignment rows or point-look-up
+    the k ids in a keyed store; the map join here reads two pruned
+    columns once per request batch."""
+    hits = search_by_vector(spark, path, query_vector, k=k, nprobe=nprobe)
+    uid_map = spark.read.parquet(os.path.join(path, "uid_map.parquet"))
+    return (
+        uid_map.join(F.broadcast(hits), "vec_id")
+        .select("rnk", "uid", "dot")
+        .orderBy("rnk")
+    )
+
+
+def quantize_query(vector, widen_reps: int | None = None) -> "list[int]":
+    """Driver-side quantization of a float query vector with the SAME
+    int8 scheme the index stores (float32 promotion, floor(x·127/amax
+    + 0.5), optional integer block widening) — so an external query
+    vector scores against the index in the exact-integer domain."""
+    import numpy as np
+
+    x = np.asarray(vector, dtype=np.float32)
+    amax = np.abs(x).max() if x.size else np.float32(0.0)
+    if amax > 0:
+        q = np.floor(
+            x.astype(np.float64) * (127.0 / np.float64(amax)) + 0.5
+        ).astype(np.int64)
+    else:
+        q = np.zeros(x.size, dtype=np.int64)
+    if widen_reps:
+        q = (q[None, :] * np.arange(1, widen_reps + 1, dtype=np.int64)[:, None]).ravel()
+    return [int(v) for v in q]
+
+
+def search_by_vector(
+    spark: SparkSession,
+    path: str,
+    query_vector,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """THE serving call: search the persistent index with an arbitrary
+    float query vector (a request embedding — the reference's
+    ``db.index.vector.queryNodes`` shape, graph.py:211-219 /
+    vector_index.ipynb). The vector is quantized driver-side with the
+    index's own scheme (widen_reps from meta), centroids rank in-driver,
+    and the scan is the same partition-pruned nprobe probe as
+    ``search_by_id`` — zero index mutation, zero full scans. Returns
+    (rnk, vec_id, dot)."""
+    import numpy as np
+
+    from ..ranks import top_k_ranked
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    p = np.asarray(
+        quantize_query(query_vector, widen_reps=meta.get("widen_reps")),
+        dtype=np.int64,
+    )
+    if not (p != 0).any():
+        raise ValueError("query vector quantizes to all zeros")
+
+    cent_rows = _centroid_rows(spark, path)
+    C = np.asarray([r[1] for r in cent_rows], dtype=np.int64)
+    inv = np.sqrt(np.asarray([r[2] for r in cent_rows], dtype=np.float64))
+    cids = np.asarray([r[0] for r in cent_rows], dtype=np.int64)
+    scores = (C @ p).astype(np.float64) / inv
+    order = np.lexsort((cids, -scores))
+    probe_ids = [int(cids[i]) for i in order[:nprobe]]
+
+    assignments = spark.read.parquet(os.path.join(path, "assignments.parquet"))
+    cand = assignments.filter(F.col("centroid_id").isin(probe_ids))
+    pv = F.array(*[F.lit(int(v)) for v in p])
+    dot = F.aggregate(
+        F.zip_with(F.col("q8"), pv, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select("vec_id", dot.alias("dot"), "nrm").select(
+        "vec_id",
+        "dot",
+        (F.col("dot").cast("double") / F.sqrt(F.col("nrm").cast("double"))).alias(
+            "score"
+        ),
+    )
     return top_k_ranked(
         scored, [F.desc("score"), F.asc("vec_id")], k
     ).select("rnk", "vec_id", "dot")

@@ -162,3 +162,72 @@ def test_ppr_expand_is_deterministic(store):
     a = [(r["uid"], round(r["rank"], 12)) for r in ppr_expand(store, hits).collect()]
     b = [(r["uid"], round(r["rank"], 12)) for r in ppr_expand(store, hits).collect()]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Persistent-index retrieval over the CHUNK table (the reference's
+# vector-index surface: graph.py:211-219 + vector_index.ipynb)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_uid_index_search_by_vector(spark, tmp_path):
+    """Index Chunk.embedding under string uids, then search with a raw
+    float query vector (the serving call shape): the chunk whose
+    embedding IS the query must come back at rank 1, translated back
+    to its uid."""
+    from news_graph_rag_spark.graph_store import GraphStore
+    from news_graph_rag_spark.ingest.embedder import HashEmbedder
+    from news_graph_rag_spark.ingest.upserts import ingest_articles
+    from news_graph_rag_spark.pipeline.ann_index import (
+        build_uid_index,
+        search_uids_by_vector,
+    )
+
+    from fixtures import raw_articles_df
+
+    store = ingest_articles(
+        GraphStore.empty(spark),
+        raw_articles_df(spark),
+        encoder_factory=lambda: HashEmbedder(dim=32),
+    )
+    chunks = store["chunk"].select("uid", "embedding").cache()
+    n = chunks.count()
+    assert n > 5
+    path = str(tmp_path / "chunk_idx")
+    build_uid_index(chunks, path, n_centroids=4, iters=1)
+
+    probe = chunks.orderBy("uid").first()
+    hits = search_uids_by_vector(
+        spark, path, [float(x) for x in probe["embedding"]], k=3, nprobe=4
+    ).collect()
+    assert hits[0]["rnk"] == 1 and hits[0]["uid"] == probe["uid"]
+    assert len(hits) == 3 and all(h["uid"].startswith("Chunk:") for h in hits)
+    chunks.unpersist()
+
+
+def test_search_by_vector_matches_search_by_id(spark, sf_dir):
+    """For a query vector taken verbatim from an indexed row, the
+    by-vector search must rank the same neighbors as the by-id search
+    (the only difference is the probe row itself, which by-id
+    excludes)."""
+    from pyspark.sql import functions as SF
+
+    from news_graph_rag_spark.pipeline.ann_index import (
+        ensure_index,
+        search_by_id,
+        search_by_vector,
+    )
+
+    path = ensure_index(spark, sf_dir, n_centroids=8, iters=1)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(SF.col("vec_id") == 0).first()["embedding"]
+    by_vec = [
+        (r["vec_id"], r["dot"])
+        for r in search_by_vector(spark, path, [float(x) for x in q], k=11).collect()
+        if r["vec_id"] != 0
+    ][:10]
+    by_id = [
+        (r["vec_id"], r["dot"])
+        for r in search_by_id(spark, path, probe_vec_id=0, k=10).collect()
+    ]
+    assert by_vec == by_id
