@@ -89,6 +89,8 @@ HEADLINE = [
     "multimodal_audio_windows",
     "multimodal_wav_decode_stats",
     "multimodal_bmp_decode_stats",
+    "multimodal_png_decode_stats",
+    "multimodal_avi_frame_stats",
     "text_winnowing",
     "text_pii_redact",
     "importance_weighted_sample",

@@ -2,17 +2,24 @@
 columns with typed metadata (SURVEY driver brief).
 
 The Spark-side plumbing — schemas, Arrow-batched UDF signatures, batch
-shapes, partitioning — is real and tested. Decode status: AUDIO decode
-is REAL (``decode_wav_pcm`` — pure-stdlib RIFF/PCM chunk walker, plus a
-``encode_wav_pcm16`` writer; ``load_audio_decoder`` upgrades to
-soundfile when importable). IMAGE decode is REAL for uncompressed
-24-bit BMP (``decode_bmp24`` / ``encode_bmp24`` — pure-stdlib header
-parse, bottom-up BGR rows, 4-byte padding; oracle-backed round-trip in
-``multimodal_bmp_decode_stats``); compressed formats (JPEG/PNG) and
-VIDEO frames still require a codec library — ``decode_fn=None`` then
-uses a deterministic fake decoder (metadata-derived), and a real
-decoder (``load_image_decoder`` → PIL when importable) slots into the
-same ``mapInPandas`` operator unchanged.
+shapes, partitioning — is real and tested. Decode status by modality:
+
+- AUDIO: REAL (``decode_wav_pcm`` — pure-stdlib RIFF/PCM chunk walker,
+  plus an ``encode_wav_pcm16`` writer; ``load_audio_decoder`` upgrades
+  to soundfile when importable).
+- IMAGE: REAL for uncompressed 24-bit BMP (``decode_bmp24`` /
+  ``encode_bmp24`` — header parse, bottom-up BGR rows, 4-byte padding)
+  AND for compressed 8-bit RGB PNG (``decode_png_rgb8`` /
+  ``encode_png_rgb8`` — chunk CRCs, DEFLATE via stdlib zlib, all five
+  scanline unfilters), each with an oracle-backed round-trip entry.
+- VIDEO: REAL frame extraction for AVI containers with uncompressed
+  24-bit DIB frames (``decode_avi_dib`` / ``encode_avi_dib`` — RIFF
+  chunk-tree walk, stream-format gating, shared DIB row reader).
+- Codec-dependent formats (JPEG's DCT, H.264, ...) stay behind the
+  library seam: ``decode_fn=None`` uses a deterministic fake decoder
+  (metadata-derived, itself SQL-verified), and a real decoder
+  (``load_image_decoder`` → PIL when importable) slots into the same
+  ``mapInPandas`` operator unchanged.
 
 Scale notes: media bytes dominate row size → these operators must never
 shuffle the binary column. Every function here is map-only; outputs
@@ -179,16 +186,7 @@ def encode_bmp24(width: int, height: int, pixels: "list[tuple]") -> bytes:
 
     if len(pixels) != width * height:
         raise ValueError("pixel count != width*height")
-    row_pad = (4 - (3 * width) % 4) % 4
-    rows = []
-    for y in range(height - 1, -1, -1):  # bottom-up
-        row = bytearray()
-        for x in range(width):
-            r, g, b = pixels[y * width + x]
-            row += bytes((b, g, r))  # BGR
-        row += b"\x00" * row_pad
-        rows.append(bytes(row))
-    pixel_data = b"".join(rows)
+    pixel_data = _dib_body(width, height, pixels)
     info = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
     )
@@ -229,6 +227,16 @@ def decode_bmp24(data: bytes) -> "tuple[int, int, list[tuple]]":
     height = -height_raw if top_down else height_raw
     if width <= 0 or height <= 0:
         raise ValueError(f"bad dimensions {width}x{height_raw}")
+    return width, height, _unpack_dib_rows(buf, offset, width, height, top_down)
+
+
+def _unpack_dib_rows(
+    buf: bytes, offset: int, width: int, height: int, top_down: bool
+) -> "list[tuple]":
+    """Shared DIB pixel-array reader (BMP bodies and AVI '00db' video
+    frames use the same layout): BGR byte order, rows padded to 4
+    bytes, bottom-up unless ``top_down``. Returns row-major top-down
+    (r, g, b) tuples."""
     stride = 3 * width + (4 - (3 * width) % 4) % 4
     if offset + stride * height > len(buf):
         raise ValueError("truncated pixel data")
@@ -239,6 +247,272 @@ def decode_bmp24(data: bytes) -> "tuple[int, int, list[tuple]]":
         for x in range(width):
             b, g, r = buf[base + 3 * x : base + 3 * x + 3]
             pixels[y * width + x] = (r, g, b)
+    return pixels
+
+
+def _dib_body(width: int, height: int, pixels: "list[tuple]") -> bytes:
+    """Pack row-major top-down RGB pixels as a DIB pixel array
+    (bottom-up BGR rows, 4-byte padding) — the payload shared by BMP
+    files and AVI '00db' frames."""
+    row_pad = (4 - (3 * width) % 4) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels[y * width + x]
+            row += bytes((b, g, r))
+        row += b"\x00" * row_pad
+        rows.append(bytes(row))
+    return b"".join(rows)
+
+
+def encode_avi_dib(
+    width: int, height: int, frames: "list[list[tuple]]", fps: int = 10
+) -> bytes:
+    """Minimal AVI writer for uncompressed 24-bit DIB video (public
+    RIFF format; stdlib ``struct`` only — the video analog of
+    ``encode_wav_pcm16``): RIFF('AVI ') → LIST(hdrl){avih,
+    LIST(strl){strh 'vids'/'DIB ', strf BITMAPINFOHEADER}} →
+    LIST(movi){'00db' frames}. Each frame is row-major top-down
+    (r, g, b) pixels, stored in DIB layout."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    stride = 3 * width + (4 - (3 * width) % 4) % 4
+    frame_bytes = stride * height
+    n = len(frames)
+    avih = struct.pack(
+        "<10I",
+        1_000_000 // max(fps, 1),  # us per frame
+        frame_bytes * fps,  # max bytes/sec
+        0,  # padding granularity
+        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE-ish flags ok
+        n, 0, 1, frame_bytes, width, height,
+    ) + struct.pack("<4I", 0, 0, 0, 0)
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack("<10I", 0, 0, 0, 1, max(fps, 1), 0, n, frame_bytes, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(
+        b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)
+    ))
+    movi = lst(
+        b"movi",
+        b"".join(chunk(b"00db", _dib_body(width, height, f)) for f in frames),
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_dib(data: bytes) -> "tuple[int, int, list[list[tuple]]]":
+    """REAL video-frame extraction (no stub): walk an AVI container's
+    RIFF chunk tree — verify the 'AVI ' form, read the stream format
+    (BITMAPINFOHEADER inside LIST strl) and require uncompressed 24-bit
+    DIB, then collect the '00db'/'00dc' frame chunks from LIST movi in
+    order and unpack each through the shared DIB row reader. Returns
+    (width, height, frames) with frames as row-major top-down (r,g,b)
+    lists. Pure-stdlib chunk walker honoring RIFF's 2-byte alignment,
+    same discipline as ``decode_wav_pcm``; compressed codecs raise —
+    they stay behind the library seam."""
+    import struct
+
+    buf = bytes(data)
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+
+    strf = None
+    frames_raw: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal strf
+        pos = start
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_start, body_end = pos + 8, pos + 8 + clen
+            if body_end > end:
+                raise ValueError(f"truncated chunk {cid!r}")
+            if cid == b"LIST":
+                walk(body_start + 4, body_end)  # skip the list type tag
+            elif cid == b"strf":
+                strf = buf[body_start:body_end]
+            elif cid in (b"00db", b"00dc"):
+                frames_raw.append(buf[body_start:body_end])
+            pos = body_end + (clen % 2)  # chunks are 2-byte aligned
+
+    walk(12, len(buf))
+    if strf is None:
+        raise ValueError("missing strf stream format")
+    if len(strf) < 40:
+        raise ValueError("strf too short for BITMAPINFOHEADER")
+    _, width, height_raw, planes, bits, compression = struct.unpack_from(
+        "<IiiHHI", strf, 0
+    )
+    if planes != 1 or bits != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported AVI video encoding (planes={planes}, bits={bits}, "
+            f"compression={compression})"
+        )
+    top_down = height_raw < 0
+    height = -height_raw if top_down else height_raw
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad dimensions {width}x{height_raw}")
+    frames = [
+        _unpack_dib_rows(f, 0, width, height, top_down) for f in frames_raw
+    ]
+    return width, height, frames
+
+
+def encode_png_rgb8(width: int, height: int, pixels: "list[tuple]") -> bytes:
+    """Minimal PNG writer for 8-bit RGB (public format; stdlib
+    ``struct`` + ``zlib`` only). ``pixels`` row-major top-down,
+    ``(r, g, b)`` per pixel. Scanline filters CYCLE 0..4 by row
+    (None/Sub/Up/Average/Paeth) so a decoder must implement every
+    filter to round-trip this stream — that is deliberate: the
+    oracle-verified round trip then certifies all five unfilter
+    paths."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError("pixel count != width*height")
+    bpp = 3
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw_rows = [
+        bytes(v for x in range(width) for v in pixels[y * width + x])
+        for y in range(height)
+    ]
+    out = bytearray()
+    prev = bytes(bpp * width)
+    for y, row in enumerate(raw_rows):
+        f = y % 5
+        filt = bytearray()
+        for i, x in enumerate(row):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = (x - a) & 0xFF
+            elif f == 2:
+                v = (x - b) & 0xFF
+            elif f == 3:
+                v = (x - (a + b) // 2) & 0xFF
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (x - pred) & 0xFF
+            filt.append(v)
+        out += bytes([f]) + bytes(filt)
+        prev = row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb8(data: bytes) -> "tuple[int, int, list[tuple]]":
+    """REAL compressed-image decode (no stub, no library beyond stdlib
+    zlib): parse a PNG container — signature, chunk CRCs, IHDR —
+    inflate the IDAT stream and UNFILTER every scanline (all five
+    filter types: None/Sub/Up/Average/Paeth, per the PNG spec's
+    byte-predictor definitions). Supports 8-bit truecolor (colortype
+    2), non-interlaced; anything else raises, it does not fake.
+    Returns (width, height, pixels) row-major top-down (r, g, b). With
+    this, the image modality's decode seam is real for BOTH an
+    uncompressed container (BMP) and a DEFLATE-compressed one (PNG);
+    JPEG remains behind the library seam (no DCT codec in stdlib)."""
+    import struct
+    import zlib
+
+    buf = bytes(data)
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        (clen,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError(f"truncated chunk {ctype!r}")
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + clen)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in chunk {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    width, height, depth, ctype_v, comp, filt, interlace = ihdr
+    if depth != 8 or ctype_v != 2 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG encoding (depth={depth}, colortype={ctype_v}, "
+            f"interlace={interlace})"
+        )
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, 3 * width
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("IDAT length mismatch")
+    prev = bytearray(stride)
+    pixels: list[tuple] = []
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown filter type {f}")
+        for x in range(width):
+            pixels.append((line[3 * x], line[3 * x + 1], line[3 * x + 2]))
+        prev = line
     return width, height, pixels
 
 

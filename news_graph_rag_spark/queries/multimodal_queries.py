@@ -7,25 +7,24 @@ no media table — the operator shapes (binary column never shuffled,
 mapInPandas Arrow batches, metadata-only outputs) are exactly what a
 real media pipeline runs.
 
-Decode status by modality: AUDIO decode is REAL
-(``multimodal_wav_decode_stats`` round-trips actual RIFF/WAVE byte
-streams through the pure-stdlib PCM parser, oracle-backed); IMAGE
-decode is REAL for uncompressed 24-bit BMP
-(``multimodal_bmp_decode_stats`` round-trips actual BMP byte streams
-through the pure-stdlib header parser, oracle-backed with a
-position-weighted stat that catches row/channel/padding mistakes);
-compressed image formats (JPEG/PNG) and video-frame extraction remain
-the documented deterministic stand-in (`pipeline/multimodal.py`, no
-codec libs in this container; a real decoder slots into the same
-operators unchanged).
+Decode status by modality (all REAL, pure stdlib): AUDIO —
+``multimodal_wav_decode_stats`` round-trips actual RIFF/WAVE streams
+through the PCM chunk walker; IMAGE — ``multimodal_bmp_decode_stats``
+(uncompressed 24-bit BMP) and ``multimodal_png_decode_stats``
+(DEFLATE-compressed PNG, scanline filters cycling through all five
+types) round-trip actual byte streams, each with a position-weighted
+stat that catches row/channel/padding mistakes; VIDEO —
+``multimodal_avi_frame_stats`` walks an actual AVI RIFF chunk tree and
+extracts uncompressed DIB frames. Only codec-dependent formats (JPEG
+DCT, H.264) remain behind the library seam, and even that path's
+deterministic stand-in is SQL-verified (``multimodal_image_stats``).
 
-All five entries are oracle-backed: ``multimodal_frame_sample`` /
+All seven entries are oracle-backed: ``multimodal_frame_sample`` /
 ``multimodal_audio_windows`` are pure column ops (sequence + explode),
-``multimodal_wav_decode_stats`` / ``multimodal_bmp_decode_stats``
-verify real codec round trips, and ``multimodal_image_stats`` verifies
-the full decode->features chain by recomputing the deterministic
-sha256 stand-in stats in SQL. Semantics also unit-tested in
-tests/test_pipeline.py.
+the four codec entries verify real encode->decode round trips against
+generating-formula oracles, and ``multimodal_image_stats`` verifies
+the decode->features chain by recomputing the sha256 stand-in in SQL.
+Semantics also unit-tested in tests/test_pipeline.py.
 """
 
 from __future__ import annotations
@@ -252,6 +251,231 @@ def multimodal_bmp_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     return imgs.mapInPandas(
         run,
         "media_id long, width int, height int, sum_all long, "
+        "min_v long, max_v long, pos_weighted_r long",
+    )
+
+
+@register(
+    "multimodal_png_decode_stats",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id AS media_id,
+             n_chars % 12 + 5 AS w,
+             doc_id % 9 + 5 AS h
+      FROM documents
+    ),
+    px AS (  -- v = (3*media_id + 5x + 11y + 7c) % 256
+      SELECT media_id, w, h,
+             u.idx % 3 AS c,
+             (u.idx % (3 * w)) // 3 AS x,
+             u.idx // (3 * w) AS y,
+             (3 * media_id + 5 * ((u.idx % (3 * w)) // 3)
+                           + 11 * (u.idx // (3 * w))
+                           + 7 * (u.idx % 3)) % 256 AS v
+      FROM imgs, unnest(range(0, w * h * 3)) AS u(idx)
+    )
+    SELECT media_id,
+           CAST(max(w) AS INT) AS width,
+           CAST(max(h) AS INT) AS height,
+           CAST(SUM(v) AS BIGINT) AS sum_all,
+           CAST(MIN(v) AS BIGINT) AS min_v,
+           CAST(MAX(v) AS BIGINT) AS max_v,
+           CAST(SUM(CASE WHEN c = 1 THEN (y * w + x + 1) * v ELSE 0 END)
+                AS BIGINT) AS pos_weighted_g
+    FROM px GROUP BY media_id
+    """,
+    doc="multimodal with a REAL COMPRESSED-image decode (round 7; "
+    "stdlib zlib is a real DEFLATE codec): per document, synthesize a "
+    "deterministic RGB image (v(x,y,c) = (3·media_id + 5x + 11y + 7c) "
+    "% 256, h >= 5), ENCODE it as an actual PNG whose scanline filters "
+    "CYCLE through all five types (None/Sub/Up/Average/Paeth) so the "
+    "decoder's every unfilter path executes, then round-trip through "
+    "the pure-stdlib parser (pipeline/multimodal.py decode_png_rgb8 — "
+    "signature, per-chunk CRC32 verification, IHDR gating, inflate, "
+    "spec-exact byte predictors) and emit integer stats of the DECODED "
+    "pixels incl. a position-weighted green-channel sum. The DuckDB "
+    "oracle computes the same stats from the generating formula, so "
+    "the gate certifies DEFLATE round-trip + all five PNG filters "
+    "pixel-exactly. Map-only Arrow pass; bytes never shuffle. JPEG "
+    "stays behind the library seam (no DCT codec in stdlib).",
+)
+def multimodal_png_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.multimodal import decode_png_rgb8, encode_png_rgb8
+
+    imgs = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 12 + 5).cast("int").alias("w"),
+        (F.col("doc_id") % 9 + 5).cast("int").alias("h"),
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "width", "height",
+                    "sum_all", "min_v", "max_v", "pos_weighted_g",
+                )
+            }
+            for media_id, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                src = [
+                    tuple(
+                        (3 * media_id + 5 * x + 11 * y + 7 * c) % 256
+                        for c in range(3)
+                    )
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                dw, dh, pixels = decode_png_rgb8(
+                    encode_png_rgb8(int(w), int(h), src)
+                )
+                vals = [v for p in pixels for v in p]
+                out["media_id"].append(media_id)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["sum_all"].append(sum(vals))
+                out["min_v"].append(min(vals))
+                out["max_v"].append(max(vals))
+                out["pos_weighted_g"].append(
+                    sum(
+                        (y * dw + x + 1) * pixels[y * dw + x][1]
+                        for y in range(dh)
+                        for x in range(dw)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    **{
+                        k: pd.Series(out[k], dtype="int64")
+                        for k in ("sum_all", "min_v", "max_v", "pos_weighted_g")
+                    },
+                }
+            )
+
+    return imgs.mapInPandas(
+        run,
+        "media_id long, width int, height int, sum_all long, "
+        "min_v long, max_v long, pos_weighted_g long",
+    )
+
+
+@register(
+    "multimodal_avi_frame_stats",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id AS media_id,
+             n_chars % 8 + 3 AS w,
+             doc_id % 5 + 3 AS h,
+             doc_id % 3 + 2 AS nf
+      FROM documents
+    ),
+    px AS (  -- v = (media_id + 5f + 3x + 7y + 11c) % 256
+      SELECT media_id, w, h, f.fi AS frame_idx,
+             u.idx % 3 AS c,
+             (u.idx % (3 * w)) // 3 AS x,
+             u.idx // (3 * w) AS y,
+             (media_id + 5 * f.fi + 3 * ((u.idx % (3 * w)) // 3)
+                       + 7 * (u.idx // (3 * w))
+                       + 11 * (u.idx % 3)) % 256 AS v
+      FROM vids,
+           unnest(range(0, nf)) AS f(fi),
+           unnest(range(0, w * h * 3)) AS u(idx)
+    )
+    SELECT media_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(SUM(v) AS BIGINT) AS sum_all,
+           CAST(MIN(v) AS BIGINT) AS min_v,
+           CAST(MAX(v) AS BIGINT) AS max_v,
+           CAST(SUM(CASE WHEN c = 0 THEN (y * w + x + 1) * v ELSE 0 END)
+                AS BIGINT) AS pos_weighted_r
+    FROM px GROUP BY media_id, frame_idx
+    """,
+    doc="multimodal with a REAL VIDEO-frame extraction (round 7): per "
+    "document, synthesize a short uncompressed 24-bit DIB clip "
+    "(v(f,x,y,c) = (media_id + 5f + 3x + 7y + 11c) % 256, 2-4 frames), "
+    "ENCODE it as an actual AVI container (RIFF chunk tree: hdrl/avih, "
+    "strl/strh+strf, movi/00db), round-trip through the pure-stdlib "
+    "chunk-walking parser (pipeline/multimodal.py decode_avi_dib — "
+    "form verification, BITMAPINFOHEADER gating to BI_RGB 24-bit, "
+    "2-byte alignment, shared DIB row reader) and emit per-FRAME "
+    "integer stats incl. a position-weighted red sum that wrong "
+    "row/channel/padding handling cannot reproduce. The DuckDB oracle "
+    "computes the same stats from the generating formula — the gate "
+    "certifies container walk + frame extraction pixel-exactly. "
+    "Map-only Arrow pass; the video bytes never shuffle. Compressed "
+    "codecs (H.264 etc.) stay behind the library seam.",
+)
+def multimodal_avi_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.multimodal import decode_avi_dib, encode_avi_dib
+
+    vids = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 8 + 3).cast("int").alias("w"),
+        (F.col("doc_id") % 5 + 3).cast("int").alias("h"),
+        (F.col("doc_id") % 3 + 2).cast("int").alias("nf"),
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "frame_idx",
+                    "sum_all", "min_v", "max_v", "pos_weighted_r",
+                )
+            }
+            for media_id, w, h, nf in zip(
+                pdf["media_id"], pdf["w"], pdf["h"], pdf["nf"]
+            ):
+                src_frames = [
+                    [
+                        tuple(
+                            (media_id + 5 * fi + 3 * x + 7 * y + 11 * c) % 256
+                            for c in range(3)
+                        )
+                        for y in range(h)
+                        for x in range(w)
+                    ]
+                    for fi in range(nf)
+                ]
+                dw, dh, frames = decode_avi_dib(
+                    encode_avi_dib(int(w), int(h), src_frames)
+                )
+                for fi, pixels in enumerate(frames):
+                    vals = [v for p in pixels for v in p]
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(fi)
+                    out["sum_all"].append(sum(vals))
+                    out["min_v"].append(min(vals))
+                    out["max_v"].append(max(vals))
+                    out["pos_weighted_r"].append(
+                        sum(
+                            (y * dw + x + 1) * pixels[y * dw + x][0]
+                            for y in range(dh)
+                            for x in range(dw)
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    **{
+                        k: pd.Series(out[k], dtype="int64")
+                        for k in ("sum_all", "min_v", "max_v", "pos_weighted_r")
+                    },
+                }
+            )
+
+    return vids.mapInPandas(
+        run,
+        "media_id long, frame_idx int, sum_all long, "
         "min_v long, max_v long, pos_weighted_r long",
     )
 

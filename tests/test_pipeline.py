@@ -603,3 +603,91 @@ def test_ann_assign_new_matches_index_assignment(spark, tmp_path):
         r["vec_id"]: r["centroid_id"] for r in assign_new(spark, path, clones).collect()
     }
     assert newly == {1000 + i: indexed[i] for i in range(10)}
+
+
+# ---------------------------------------------------------------------------
+# PNG + AVI codecs (round 7: compressed-image + video-frame decode)
+# ---------------------------------------------------------------------------
+
+
+def test_png_rgb8_roundtrip_exercises_all_filters():
+    """Height >= 5 makes the encoder cycle scanline filters 0..4, so a
+    round trip proves every unfilter path (None/Sub/Up/Average/Paeth)
+    is spec-exact."""
+    import random
+
+    from news_graph_rag_spark.pipeline.multimodal import (
+        decode_png_rgb8,
+        encode_png_rgb8,
+    )
+
+    rng = random.Random(5)
+    for w, h in ((1, 6), (7, 5), (13, 11)):
+        px = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(w * h)
+        ]
+        data = encode_png_rgb8(w, h, px)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        assert decode_png_rgb8(data) == (w, h, px)
+
+
+def test_png_decode_rejects_corruption_and_unsupported():
+    import struct
+
+    import pytest as _pytest
+
+    from news_graph_rag_spark.pipeline.multimodal import (
+        decode_png_rgb8,
+        encode_png_rgb8,
+    )
+
+    good = bytearray(encode_png_rgb8(2, 2, [(1, 2, 3)] * 4))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png_rgb8(b"GIF89a" + bytes(good[6:]))
+    flipped = bytearray(good)
+    flipped[20] ^= 0xFF  # corrupt IHDR body -> CRC mismatch
+    with _pytest.raises(ValueError, match="bad CRC"):
+        decode_png_rgb8(bytes(flipped))
+    # rewrite colortype to 6 (RGBA) WITH a fixed-up CRC -> unsupported
+    import zlib
+
+    ihdr_body = bytearray(good[16:29])
+    ihdr_body[9] = 6
+    patched = (
+        bytes(good[:16])
+        + bytes(ihdr_body)
+        + struct.pack(">I", zlib.crc32(b"IHDR" + bytes(ihdr_body)) & 0xFFFFFFFF)
+        + bytes(good[33:])
+    )
+    with _pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png_rgb8(patched)
+
+
+def test_avi_dib_roundtrip_and_rejects():
+    import struct
+
+    import pytest as _pytest
+
+    from news_graph_rag_spark.pipeline.multimodal import (
+        decode_avi_dib,
+        encode_avi_dib,
+    )
+
+    w, h = 3, 2  # stride padding path (9 -> 12 bytes/row)
+    frames = [
+        [(fi * 10 + i, fi * 20 + i, fi * 30 + i) for i in range(w * h)]
+        for fi in range(3)
+    ]
+    avi = encode_avi_dib(w, h, frames, fps=5)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    assert decode_avi_dib(avi) == (w, h, frames)
+
+    with _pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi_dib(b"RIFF\x04\x00\x00\x00WAVE")
+    # rewrite the strf bit depth to 8 -> unsupported
+    i = avi.find(b"strf")
+    bad = bytearray(avi)
+    struct.pack_into("<H", bad, i + 8 + 14, 8)
+    with _pytest.raises(ValueError, match="unsupported AVI"):
+        decode_avi_dib(bytes(bad))

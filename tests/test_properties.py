@@ -250,3 +250,36 @@ def test_upsert_into_order_col_last_writer_deterministic(spark):
             ).collect()
         }
         assert got == {(1, "old1", 0), (2, "v-at-9", 9), (3, "n-at-7", 7)}
+
+
+def test_quantize_query_matches_index_kernel(spark):
+    """The driver-side query quantizer (search_by_vector's first step)
+    must produce bit-identical int8 vectors and norms to the index
+    build's Arrow kernel for ANY float input — including negatives,
+    subnormal-ish magnitudes, all-zero vectors, and widened variants —
+    or an external query would score in a different domain than the
+    index it probes."""
+    import random
+
+    from news_graph_rag_spark.pipeline.ann_index import (
+        quantize_query,
+        quantized_vectors,
+    )
+
+    rng = random.Random(77)
+    rows = [
+        (0, [0.0] * 8),
+        (1, [rng.uniform(-1e-30, 1e-30) for _ in range(8)]),
+        (2, [rng.gauss(0, 100) for _ in range(8)]),
+        (3, [-127.0, 127.0, 0.5, -0.5, 1e6, -1e6, 3.25, -0.125]),
+    ] + [(4 + i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(20)]
+    for reps in (None, 3):
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        kernel = {
+            r["vec_id"]: (list(r["q8"]), r["nrm"])
+            for r in quantized_vectors(df, widen_reps=reps).collect()
+        }
+        for vid, vec in rows:
+            q = quantize_query(vec, widen_reps=reps)
+            assert q == kernel[vid][0], (vid, reps)
+            assert sum(x * x for x in q) == kernel[vid][1], (vid, reps)
