@@ -87,6 +87,96 @@ def hybrid_top_k(
     )
 
 
+def build_chunk_token_index(
+    chunks: DataFrame,
+    uid_col: str = "uid",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted (token, uid, df) index over chunk text — the keyword
+    signal's candidate generator for ``hybrid_top_k_indexed``. Built
+    offline like the vector index; ``df`` (document frequency) lets the
+    query side skip stopword-grade tokens whose posting lists would
+    flood the candidate set."""
+    toks = chunks.select(
+        F.col(uid_col).alias("uid"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.regexp_replace(text_col, LUCENE_SPECIAL, " ")), r"\s+"),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("token"),
+    )
+    df_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return toks.join(df_counts, "token").select("token", "uid", "df")
+
+
+def hybrid_top_k_indexed(
+    chunks: DataFrame,
+    token_index: DataFrame,
+    ann_index_path: str,
+    query_vector: list[float],
+    query_text: str,
+    k: int = 5,
+    nprobe: int = 4,
+    cand_mult: int = 4,
+    max_df: int = 1000,
+    embedding_col: str = "embedding",
+    id_col: str = "uid",
+    text_col: str = "text",
+) -> DataFrame:
+    """The SCALE path for R3 hybrid search: candidate generation per
+    signal, exact fusion on the union — never a full-corpus scan.
+
+    - vector candidates: ``k·cand_mult`` hits from the persistent
+      ivf-int8 chunk index (partition-pruned nprobe probe,
+      pipeline/ann_index.py);
+    - keyword candidates: posting lists of the query's tokens from the
+      offline inverted index, skipping tokens with df > ``max_df``
+      (stopword-grade lists would flood the set);
+    - fusion: the union of candidates (a k-scaled set, broadcast) is
+      re-scored EXACTLY like ``hybrid_top_k`` — true cosine + keyword
+      overlap, max-normalized — and top-k'd.
+
+    Semantics note: normalization maxima come from the candidate set,
+    not the corpus. The vector max is the index's top hit (equals the
+    corpus max up to ANN recall) and the keyword max is attained inside
+    the keyword candidates by construction, so with adequate nprobe the
+    fused ranking matches the exact ``hybrid_top_k`` (asserted on the
+    fixtures corpus in tests/test_retrieval.py)."""
+    spark = chunks.sparkSession
+    # lazy import: retrieval <-> pipeline would otherwise cycle
+    from ..pipeline.ann_index import search_uids_by_vector
+
+    vec_cand = search_uids_by_vector(
+        spark, ann_index_path, query_vector, k=k * cand_mult, nprobe=nprobe
+    ).select("uid")
+    qtoks = [t for t in re.sub(LUCENE_SPECIAL, " ", query_text.lower()).split() if t]
+    if qtoks:
+        qdf = spark.createDataFrame([(t,) for t in set(qtoks)], "token string")
+        kw_cand = (
+            token_index.join(F.broadcast(qdf), "token")
+            .filter(F.col("df") <= max_df)
+            .select("uid")
+        )
+        cands = vec_cand.unionByName(kw_cand).distinct()
+    else:
+        cands = vec_cand.distinct()
+    sub = chunks.join(
+        F.broadcast(cands.withColumnRenamed("uid", id_col)), id_col, "left_semi"
+    )
+    return hybrid_top_k(
+        sub,
+        query_vector,
+        query_text,
+        k=k,
+        embedding_col=embedding_col,
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+
 def expand_chunk_hits(store: GraphStore, hits: DataFrame) -> DataFrame:
     """R4: hit chunks → (text, score, metadata) with article/source
     context (vector_index.ipynb raw 121-138 retrieval_query)."""

@@ -231,3 +231,50 @@ def test_search_by_vector_matches_search_by_id(spark, sf_dir):
         for r in search_by_id(spark, path, probe_vec_id=0, k=10).collect()
     ]
     assert by_vec == by_id
+
+
+def test_hybrid_indexed_matches_exact_on_fixtures(spark, tmp_path):
+    """The candidate-generation hybrid (persistent ANN index + inverted
+    token index) must reproduce the exact full-scan hybrid's top-k on
+    the fixtures corpus when nprobe covers the quantizer (adequate
+    recall) — same uids, same order."""
+    from news_graph_rag_spark.graph_store import GraphStore
+    from news_graph_rag_spark.ingest.embedder import HashEmbedder
+    from news_graph_rag_spark.ingest.upserts import ingest_articles
+    from news_graph_rag_spark.pipeline.ann_index import build_uid_index
+    from news_graph_rag_spark.retrieval.hybrid import (
+        build_chunk_token_index,
+        hybrid_top_k,
+        hybrid_top_k_indexed,
+    )
+
+    from fixtures import raw_articles_df
+
+    store = ingest_articles(
+        GraphStore.empty(spark),
+        raw_articles_df(spark),
+        encoder_factory=lambda: HashEmbedder(dim=32),
+    )
+    chunks = store["chunk"].select("uid", "text", "embedding").cache()
+    chunks.count()
+
+    path = str(tmp_path / "hybrid_idx")
+    build_uid_index(chunks, path, n_centroids=4, iters=1)
+    tok_idx = build_chunk_token_index(chunks).cache()
+
+    probe = chunks.orderBy("uid").first()
+    qv = [float(x) for x in probe["embedding"]]
+    qt = "European Union budget"
+
+    exact = [
+        r["uid"] for r in hybrid_top_k(chunks, qv, qt, k=3).collect()
+    ]
+    indexed = [
+        r["uid"]
+        for r in hybrid_top_k_indexed(
+            chunks, tok_idx, path, qv, qt, k=3, nprobe=4
+        ).collect()
+    ]
+    assert indexed == exact
+    chunks.unpersist()
+    tok_idx.unpersist()
