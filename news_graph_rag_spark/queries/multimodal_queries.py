@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import load, register
+from .catalog import load, register, spread
 
 
 def _fake_media(spark: SparkSession, sf: str) -> DataFrame:
@@ -189,7 +189,7 @@ def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
 def multimodal_bmp_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.multimodal import decode_bmp24, encode_bmp24
 
-    imgs = load(spark, sf, "documents").select(
+    imgs = spread(load(spark, sf, "documents")).select(
         F.col("doc_id").alias("media_id"),
         (F.col("n_chars") % 16 + 4).cast("int").alias("w"),
         (F.col("doc_id") % 12 + 4).cast("int").alias("h"),
@@ -302,7 +302,7 @@ def multimodal_bmp_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
 def multimodal_png_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.multimodal import decode_png_rgb8, encode_png_rgb8
 
-    imgs = load(spark, sf, "documents").select(
+    imgs = spread(load(spark, sf, "documents")).select(
         F.col("doc_id").alias("media_id"),
         (F.col("n_chars") % 12 + 5).cast("int").alias("w"),
         (F.col("doc_id") % 9 + 5).cast("int").alias("h"),
@@ -413,7 +413,7 @@ def multimodal_png_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
 def multimodal_avi_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.multimodal import decode_avi_dib, encode_avi_dib
 
-    vids = load(spark, sf, "documents").select(
+    vids = spread(load(spark, sf, "documents")).select(
         F.col("doc_id").alias("media_id"),
         (F.col("n_chars") % 8 + 3).cast("int").alias("w"),
         (F.col("doc_id") % 5 + 3).cast("int").alias("h"),
@@ -518,7 +518,7 @@ def multimodal_avi_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
 def multimodal_wav_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.multimodal import decode_wav_pcm, encode_wav_pcm16
 
-    clips = load(spark, sf, "documents").select(
+    clips = spread(load(spark, sf, "documents")).select(
         F.col("doc_id").alias("media_id"),
         (F.col("n_chars") % 600 + 10).cast("int").alias("n"),
     )
