@@ -224,6 +224,16 @@ def build_and_save(
         assigned = _assign_to_centroids(q, cents)
 
         staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
+        # REBUILD at an existing path: retire the old index first (a
+        # bare rename onto a non-empty dir would fail and silently keep
+        # the stale build). Crash between retire and publish restores
+        # the old index; ensure_index paths are fingerprint-immutable so
+        # this only triggers for caller-managed paths.
+        retired = None
+        if os.path.exists(os.path.join(path, "meta.json")):
+            retired = f"{path}.retired-{uuid.uuid4().hex[:8]}"
+            os.rename(path, retired)
+            _CENTROID_CACHE.pop(path, None)
         try:
             # one file per inverted list: hash-repartition on centroid_id
             # so each partitionBy directory gets exactly one writer task
@@ -256,8 +266,17 @@ def build_and_save(
                     pass  # concurrent builder won the race — identical index
                 else:
                     raise
+            # never serve the previous build's cached centroids
+            _CENTROID_CACHE.pop(path, None)
+            if retired is not None:
+                shutil.rmtree(retired, ignore_errors=True)
+                retired = None
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+            if retired is not None and not os.path.exists(
+                os.path.join(path, "meta.json")
+            ):
+                os.rename(retired, path)  # failed rebuild: restore old
     finally:
         q.unpersist()
     return path

@@ -691,3 +691,50 @@ def test_avi_dib_roundtrip_and_rejects():
     struct.pack_into("<H", bad, i + 8 + 14, 8)
     with _pytest.raises(ValueError, match="unsupported AVI"):
         decode_avi_dib(bytes(bad))
+
+
+def test_ann_index_rebuild_replaces_and_restores(spark, tmp_path, monkeypatch):
+    """A rebuild at an existing path must actually REPLACE the index
+    (not silently keep the stale one), must invalidate the resident
+    centroid cache, and a rebuild that crashes must restore the old
+    index intact."""
+    import os
+
+    from news_graph_rag_spark.pipeline import ann_index
+
+    def table(vals):
+        return spark.createDataFrame(
+            [(i, [float(v), float(v + 1)]) for i, v in enumerate(vals)],
+            "vec_id long, embedding array<float>",
+        )
+
+    path = str(tmp_path / "re_idx")
+    ann_index.build_and_save(table([1, 2, 3, 4]), path, n_centroids=2, iters=1)
+    first = {r["vec_id"] for r in ann_index.load_index(spark, path)[0].collect()}
+    ann_index._centroid_rows(spark, path)  # populate the resident cache
+
+    # rebuild with MORE vectors: the new index must be served
+    ann_index.build_and_save(
+        table([1, 2, 3, 4, 5, 6]), path, n_centroids=2, iters=1
+    )
+    second = {r["vec_id"] for r in ann_index.load_index(spark, path)[0].collect()}
+    assert first < second and len(second) == 6
+    assert path not in ann_index._CENTROID_CACHE  # cache invalidated
+
+    # crashing rebuild: old index restored, no leftovers
+    real_rename = os.rename
+
+    def exploding_rename(src, dst):
+        if dst == path and src.startswith(path + ".staging"):
+            raise RuntimeError("simulated crash at publish")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(ann_index.os, "rename", exploding_rename)
+    try:
+        ann_index.build_and_save(table([9]), path, n_centroids=1, iters=1)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(ann_index.os, "rename", real_rename)
+    restored = {r["vec_id"] for r in ann_index.load_index(spark, path)[0].collect()}
+    assert restored == second
+    assert [d for d in os.listdir(str(tmp_path)) if ".retired" in d] == []
