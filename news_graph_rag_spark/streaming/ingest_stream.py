@@ -38,10 +38,15 @@ def streaming_ingest(
 
     Each micro-batch re-applies the idempotent MERGE upserts against the
     current store and persists — exactly-once per key even on replays,
-    because every upsert is keyed on content-hash uids. The save is
-    staged (``save_atomic``): the updated tables still lazily read the
-    live parquet paths, so a plain overwrite would delete its own input
-    mid-scan on any batch that starts from an existing store.
+    because every upsert is keyed on content-hash uids. The save is the
+    version-pointer commit (``save_atomic``, round 7): the batch writes
+    a NEW version directory (the updated tables still lazily read the
+    CURRENT version — distinct directories, so there is no
+    read-path/overwrite conflict) and publishes with one atomic pointer
+    replace. Readers therefore see whole committed stores only, a crash
+    anywhere mid-batch leaves the previous commit intact, and the
+    checkpoint's batch replay converges (crash-interruption tested in
+    tests/test_ingest.py).
     """
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
