@@ -57,6 +57,7 @@ HEADLINE = [
     "vector_topk_cosine",
     "hybrid_search_rrf",
     "hybrid_search_maxnorm",
+    "hybrid_search_indexed",
     "knn_classify",
     "ann_ivf_search_topk",
     "fuzzy_entity_lookup",

@@ -1087,6 +1087,150 @@ def ann_ivf_index_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_HYBRID_IDX_CANDS = 60  # k(15) x cand_mult(4) vector candidates
+
+
+def _hybrid_indexed_oracle(n_centroids: int = 8, nprobe: int = 4) -> str:
+    kw_list = ", ".join(f"'{k}'" for k in _KEYWORDS)
+    return f"""
+    {_ivf_int8_build_cte(n_centroids)},
+    probe AS (SELECT q8, nrm FROM live WHERE vec_id = 0),
+    pc AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               {_IVF_SCORE.format(a="p.q8", b="c.c8", n="c.cnrm")} AS score
+        FROM c1n c CROSS JOIN probe p
+      ) ORDER BY score DESC, cid LIMIT {nprobe}
+    ),
+    vcand AS (  -- the index's top k*mult candidates (int-exact ranking)
+      SELECT vec_id FROM (
+        SELECT b.vec_id,
+               {_IVF_SCORE.format(a="b.q8", b="p.q8", n="b.nrm")} AS score
+        FROM b1 b JOIN pc ON b.cid = pc.cid CROSS JOIN probe p
+      ) ORDER BY score DESC, vec_id LIMIT {_HYBRID_IDX_CANDS}
+    ),
+    kwq AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> list_contains([{kw_list}], t))) AS BIGINT) AS kw_hits
+      FROM documents
+    ),
+    candx AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT vec_id AS doc_id FROM vcand
+        UNION ALL
+        SELECT doc_id FROM kwq WHERE kw_hits > 0
+      ) WHERE doc_id <> 0
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    vec AS (
+      SELECT vec_id AS doc_id,
+             list_cosine_similarity(embedding, qv) AS vec_score
+      FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+    ),
+    joined AS (
+      SELECT c.doc_id, k.kw_hits, v.vec_score
+      FROM candx c JOIN kwq k USING (doc_id) JOIN vec v USING (doc_id)
+    ),
+    m AS (SELECT max(kw_hits) AS kmax, max(vec_score) AS vmax FROM joined),
+    fused AS (
+      SELECT doc_id, kw_hits,
+             greatest(
+               CASE WHEN vmax > 0 THEN vec_score / vmax ELSE 0 END,
+               CASE WHEN kmax > 0 THEN CAST(kw_hits AS DOUBLE) / kmax ELSE 0 END
+             ) AS score
+      FROM joined CROSS JOIN m
+    )
+    SELECT doc_id, kw_hits,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
+    FROM fused
+    QUALIFY rnk <= 15
+    """
+
+
+@register(
+    "hybrid_search_indexed",
+    oracle=_hybrid_indexed_oracle(),
+    doc="R3 through the SCALE path, VALUE-VERIFIED (the bucketed-path-"
+    "is-the-verified-path discipline of near_dup_lsh_banded, applied "
+    "to hybrid retrieval): candidates come from the PERSISTENT ivf-int8 "
+    "index (top k·4 by exact-integer ranking, partition-pruned nprobe "
+    "probe — never a corpus cosine scan) unioned with the keyword "
+    "signal's hit set; the exact max-normalize fusion then scores ONLY "
+    "the candidate union. Semantics note vs hybrid_search_maxnorm: "
+    "normalization maxima come from the candidate set, not the corpus "
+    "(the vector max is the index's top hit, the keyword max is in the "
+    "keyword candidates by construction). The DuckDB oracle recomputes "
+    "the identical index, candidate generation, and fusion, so the "
+    "whole scale path hash-matches.",
+)
+def hybrid_search_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import ensure_index, search_by_vector
+
+    path = ensure_index(spark, sf, widen_reps=None, n_centroids=8, iters=1)
+    emb = load(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    vec_cand = search_by_vector(
+        spark, path, qv, k=_HYBRID_IDX_CANDS, nprobe=4
+    ).select(F.col("vec_id").alias("doc_id"))
+
+    docs = load(spark, sf, "documents")
+    kw_arr = F.array(*[F.lit(k) for k in _KEYWORDS])
+    kw = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: F.array_contains(kw_arr, t))
+        )
+        .cast("bigint")
+        .alias("kw_hits"),
+    )
+    cands = (
+        vec_cand.unionByName(kw.filter(F.col("kw_hits") > 0).select("doc_id"))
+        .filter(F.col("doc_id") != 0)
+        .distinct()
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    vec_rows = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    # join candidates FIRST, score after: the float cosine is evaluated
+    # for candidate rows only — the full-corpus cosine scan is exactly
+    # what the index is there to avoid
+    joined = (
+        F.broadcast(cands)
+        .join(kw, "doc_id")
+        .join(vec_rows, "doc_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            "kw_hits",
+            cosine_col(F.col("embedding"), F.col("qv")).alias("vec_score"),
+        )
+    )
+    maxes = joined.agg(
+        F.max("kw_hits").alias("kmax"), F.max("vec_score").alias("vmax")
+    )
+    fused = (
+        joined.crossJoin(F.broadcast(maxes))
+        .withColumn(
+            "score",
+            F.greatest(
+                F.when(
+                    F.col("vmax") > 0, F.col("vec_score") / F.col("vmax")
+                ).otherwise(F.lit(0.0)),
+                F.when(
+                    F.col("kmax") > 0,
+                    F.col("kw_hits").cast("double") / F.col("kmax"),
+                ).otherwise(F.lit(0.0)),
+            ),
+        )
+        .select("doc_id", "kw_hits", "score")
+    )
+    return top_k_ranked(fused, [F.desc("score"), F.asc("doc_id")], 15).select(
+        "doc_id", "kw_hits", "rnk"
+    )
+
+
 _BATCH_PROBE_IDS = (0, 1, 2, 3, 4)
 
 
