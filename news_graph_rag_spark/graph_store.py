@@ -86,6 +86,10 @@ class GraphStore:
     def __init__(self, spark: SparkSession, tables: dict[str, DataFrame] | None = None):
         self.spark = spark
         self.tables: dict[str, DataFrame] = dict(tables or {})
+        # cached intermediates still feeding this store's lazy tables
+        # (set by ingest_articles); released once the tables
+        # materialize — see localized()
+        self.pending_caches: list[DataFrame] = []
 
     # -- construction -----------------------------------------------------
 
@@ -130,6 +134,17 @@ class GraphStore:
         return store
 
     def save(self, root: str, mode: str = "overwrite") -> None:
+        """Plain flat-layout writer (``root/<name>.parquet``). Refuses a
+        root already committed by ``save_atomic``: flat files written
+        next to a ``_CURRENT`` pointer would be invisible to ``load``
+        (which resolves the pointer) — silent staleness; fail loudly
+        instead."""
+        if self._current_version(root) is not None:
+            raise ValueError(
+                f"{root} uses the versioned layout (_CURRENT pointer); "
+                "use save_atomic — a flat save here would be invisible "
+                "to load()"
+            )
         for name, df in self.tables.items():
             df.write.mode(mode).parquet(os.path.join(root, f"{name}.parquet"))
 
@@ -155,10 +170,20 @@ class GraphStore:
            complete NEW store. No mixed/torn multi-table state is
            reachable, and a replayed micro-batch (idempotent
            content-hash MERGE) converges on retry.
-        3. Version dirs other than current + its predecessor are
-           garbage-collected (the predecessor stays for readers that
-           resolved the pointer just before the swap; production keeps
-           a retention window for time travel the same way).
+        3. Version dirs at least TWO sequence numbers behind the new
+           commit are garbage-collected. Keeping seq >= n-1 covers (a)
+           readers that resolved the pointer just before the swap and
+           (b) a concurrent writer's in-flight version (it read the
+           same predecessor, so its sequence is >= n — GC by
+           membership in a keep-set would delete it mid-write; GC by
+           sequence age cannot). Concurrent commits race benignly:
+           both versions are complete, the last pointer replace wins,
+           and the loser's version ages out at seq+2. Production keeps
+           a longer retention window for time travel the same way.
+        4. After the commit, this store object's tables re-point at
+           the COMMITTED files, so the load → merge → save loop can
+           reuse one store object across many commits without its lazy
+           plans dangling on a version that step 3 later collects.
         """
         current = self._current_version(root)
         n = 0
@@ -170,6 +195,7 @@ class GraphStore:
                 n = 0
         version = f"v_{n + 1:012d}_{uuid.uuid4().hex[:8]}"
         vdir = os.path.join(root, version)
+        tmp = None
         try:
             for name, df in self.tables.items():
                 df.write.mode("overwrite").parquet(
@@ -184,30 +210,64 @@ class GraphStore:
             os.replace(tmp, os.path.join(root, self._POINTER))  # THE commit
         except BaseException:
             shutil.rmtree(vdir, ignore_errors=True)
+            if tmp is not None and os.path.exists(tmp):
+                os.remove(tmp)  # never litter failed pointer stages
             raise
-        # GC: keep current + immediate predecessor
-        keep = {version, current}
+        # step 4: serve the committed files from this object, and
+        # release the ingest intermediates the committed write just
+        # materialized
+        for name in list(self.tables):
+            path = os.path.join(vdir, f"{name}.parquet")
+            if os.path.exists(path):
+                self.tables[name] = self.spark.read.parquet(path)
+        for df in self.pending_caches:
+            df.unpersist()
+        self.pending_caches = []
+        # step 3 GC: sequence-age based (see docstring); also sweep
+        # pointer-staging files orphaned by CRASHED committers — but
+        # only stale ones (age-gated), never a live concurrent
+        # committer's in-flight tmp
+        import time as _time
+
         for entry in os.listdir(root):
-            if entry.startswith("v_") and entry not in keep:
+            if entry.startswith(self._POINTER + ".tmp_"):
+                p = os.path.join(root, entry)
+                try:
+                    if _time.time() - os.path.getmtime(p) > 300:
+                        os.remove(p)
+                except OSError:
+                    pass
+            if not entry.startswith("v_"):
+                continue
+            try:
+                seq = int(entry.split("_")[1])
+            except (IndexError, ValueError):
+                continue
+            if seq <= n - 1:  # new commit is n+1; keep n+1, n, in-flight >= n+1
                 shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
 
     def localized(self) -> "GraphStore":
         """Return a new store whose tables are eagerly localCheckpointed.
 
-        Cuts lineage and materializes every table NOW, so upstream
-        caches (e.g. a crawl micro-batch's validated DataFrame) can be
-        unpersisted without forcing recomputation later. Long ingest
-        loops call this every N batches; production crawls interleave
-        ``save()`` instead (parquet is the durable checkpoint — the
-        foreachBatch streaming path already does).
+        Cuts lineage and materializes every table NOW, then releases
+        the ingest pipeline's cached intermediates (``pending_caches``
+        from ingest_articles — raw batch, chunked text, NER hits) plus
+        any caller caches, since nothing lazy reads them anymore. Long
+        ingest loops call this every N batches; production crawls
+        interleave ``save_atomic()`` instead (parquet is the durable
+        checkpoint — the foreachBatch streaming path already does).
         """
-        return GraphStore(
+        out = GraphStore(
             self.spark,
             {
                 name: df.localCheckpoint(eager=True)
                 for name, df in self.tables.items()
             },
         )
+        for df in self.pending_caches:
+            df.unpersist()
+        self.pending_caches = []
+        return out
 
     # -- access -----------------------------------------------------------
 

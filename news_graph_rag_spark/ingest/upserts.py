@@ -71,8 +71,13 @@ def ingest_articles(
     """
     tables = dict(store.tables)
     spark = store.spark
+    # carry forward the input store's unreleased caches (chained
+    # ingests discard intermediate store objects) + this batch's own;
+    # unpersisted by GraphStore.localized()/save_atomic()
+    pending_caches = list(store.pending_caches)
 
     raw = raw_articles.cache()
+    pending_caches.append(raw)
 
     # ---- D1: articles (uid = content hash of url; utils.py:10-11 analog)
     articles_new = raw.select(
@@ -101,6 +106,7 @@ def ingest_articles(
             "embedding", F.lit(None).cast("array<float>")
         )
     chunks_flat = chunks_flat.cache()
+    pending_caches.append(chunks_flat)
 
     chunk_rows = chunks_flat.select(
         "uid", "text", "category", "section", "position", "embedding"
@@ -171,6 +177,7 @@ def ingest_articles(
     # ---- L5-L6 + D6: NER → entity nodes + MENTIONS edges
     if ner_model_factory is not None:
         found = find_entities(chunks_flat, ner_model_factory).cache()
+        pending_caches.append(found)
         for label, table in ENTITY_TABLE_FOR_LABEL.items():
             ents = found.filter(F.col("label") == label).select(
                 content_uid(label.title(), F.col("name")).alias("uid"), "name"
@@ -185,7 +192,15 @@ def ingest_articles(
             tables["mentions"], mentions, ["src_uid", "dst_uid"]
         )
 
-    return GraphStore(spark, tables)
+    out = GraphStore(spark, tables)
+    # the intermediates cached above (raw, chunks_flat, NER hits) feed
+    # the returned LAZY tables; the consumer that materializes the
+    # store releases them (GraphStore.localized() does, and so does
+    # crawl_and_ingest's periodic flush) — without this hand-off every
+    # ingested batch would leak three cached DataFrames for the life of
+    # the session (round-7 review finding)
+    out.pending_caches = pending_caches
+    return out
 
 
 def upsert_into(

@@ -221,14 +221,28 @@ def build_and_save(
         for _ in range(iters):
             assigned = _assign_to_centroids(q, cents)
             cents = _lloyd_round_int(assigned, dim)
+            if not cents:
+                # every centroid mean floored to the zero vector (e.g.
+                # symmetric ±v data with one seed) — fail with a clear
+                # error instead of an executor-side argmax crash
+                raise ValueError(
+                    "IVF build collapsed: all centroids became zero-norm "
+                    "after a Lloyd round; use more centroids or iters=0"
+                )
         assigned = _assign_to_centroids(q, cents)
 
         staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
         # REBUILD at an existing path: retire the old index first (a
         # bare rename onto a non-empty dir would fail and silently keep
-        # the stale build). Crash between retire and publish restores
-        # the old index; ensure_index paths are fingerprint-immutable so
-        # this only triggers for caller-managed paths.
+        # the stale build). The restore on failure is IN-PROCESS only:
+        # a hard kill between retire and publish leaves no index at
+        # ``path`` (the old copy survives aside as ``*.retired-*`` for
+        # manual recovery), and concurrent searches during any rebuild
+        # can observe the missing-path window. In-place rebuilds are
+        # therefore for single-writer, offline maintenance; for
+        # zero-downtime rebuilds, build to a NEW path and switch
+        # readers (exactly what ensure_index's fingerprint-immutable
+        # paths do).
         retired = None
         if os.path.exists(os.path.join(path, "meta.json")):
             retired = f"{path}.retired-{uuid.uuid4().hex[:8]}"

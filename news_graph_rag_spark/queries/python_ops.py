@@ -1065,12 +1065,20 @@ def snapshot_diff_documents(spark: SparkSession, sf: str) -> DataFrame:
     "actually reduce the file count.",
 )
 def maintenance_compaction_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import os
     import tempfile
 
     from ..maintenance import compact_parquet, parquet_file_count
 
     docs = load(spark, sf, "documents").select("doc_id", "text")
-    path = tempfile.mkdtemp(prefix="ngr_compact_") + "/docs.parquet"
+    # ONE reusable staging dir per source fingerprint (overwritten to
+    # the 32-file layout each run, then compacted in place) — a fresh
+    # mkdtemp per invocation would leak a full table copy every run
+    # (bench alone executes this entry ~5x per family run)
+    src = os.path.join(sf, "documents.parquet")
+    st = os.stat(src)
+    tag = f"{sf.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}"
+    path = os.path.join(tempfile.gettempdir(), f"ngr_compact_{tag}", "docs.parquet")
     docs.repartition(32).write.mode("overwrite").parquet(path)
     before = parquet_file_count(path)
     compact_parquet(spark, path, target_file_bytes=128 << 20)

@@ -140,11 +140,17 @@ def hybrid_top_k_indexed(
       overlap, max-normalized — and top-k'd.
 
     Semantics note: normalization maxima come from the candidate set,
-    not the corpus. The vector max is the index's top hit (equals the
-    corpus max up to ANN recall) and the keyword max is attained inside
-    the keyword candidates by construction, so with adequate nprobe the
-    fused ranking matches the exact ``hybrid_top_k`` (asserted on the
-    fixtures corpus in tests/test_retrieval.py)."""
+    not the corpus, and the ``max_df`` cap is a real trade: a document
+    matched ONLY by dropped stopword-grade tokens is not a candidate at
+    all, and if such a document carried the corpus keyword max, the
+    candidate kmax is lower than the exact path's. The equivalence
+    condition is therefore: adequate nprobe for vector recall AND every
+    query token within the df cap — under those, the fused ranking
+    matches the exact ``hybrid_top_k`` (asserted on the fixtures corpus
+    in tests/test_retrieval.py). This is the standard stopword
+    compromise every inverted-index engine makes; raise ``max_df`` (or
+    pre-strip stopwords from queries) when exactness on common-token
+    queries matters more than bounded posting lists."""
     spark = chunks.sparkSession
     # lazy import: retrieval <-> pipeline would otherwise cycle
     from ..pipeline.ann_index import search_uids_by_vector

@@ -299,12 +299,13 @@ def test_save_atomic_crash_mid_table_write_leaves_old_store(spark, tmp_path):
         bad.save_atomic(root)
     loaded = GraphStore.load(spark, root)
     assert [r["title"] for r in loaded["article"].collect()] == ["base"]
-    leftovers = [
-        d
-        for d in os.listdir(root)
-        if d.startswith("v_") and not os.path.exists(os.path.join(root, "_CURRENT"))
-    ]
-    assert leftovers == []  # aborted version cleaned; pointer still valid
+    # the aborted version dir was cleaned: the only v_* left is the one
+    # the (still-valid) pointer names; no pointer-staging litter either
+    with open(os.path.join(root, "_CURRENT")) as f:
+        committed = f.read().strip()
+    vdirs = [d for d in os.listdir(root) if d.startswith("v_")]
+    assert vdirs == [committed]
+    assert [d for d in os.listdir(root) if d.startswith("_CURRENT.tmp")] == []
 
 
 def test_save_atomic_versions_gc_and_predecessor_survives(spark, tmp_path):
