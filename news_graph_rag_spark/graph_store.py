@@ -257,6 +257,11 @@ class GraphStore:
         interleave ``save_atomic()`` instead (parquet is the durable
         checkpoint — the foreachBatch streaming path already does).
         """
+        def _persistent_ids() -> set[int]:
+            jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
+            return {int(k) for k in jmap.keySet().toArray()}
+
+        before = _persistent_ids()
         out = GraphStore(
             self.spark,
             {
@@ -264,10 +269,29 @@ class GraphStore:
                 for name, df in self.tables.items()
             },
         )
+        # record the checkpoint generation's block-manager RDD ids so a
+        # later caller can release them once superseded
+        # (DataFrame.unpersist does NOT free localCheckpoint blocks —
+        # they belong to the checkpointed RDD, not the plan cache).
+        # Diff-based capture assumes single-threaded checkpointing,
+        # which the ingest loop is.
+        out.checkpoint_rdd_ids = sorted(_persistent_ids() - before)
         for df in self.pending_caches:
             df.unpersist()
         self.pending_caches = []
         return out
+
+    def release_checkpoints(self) -> None:
+        """Free this store's localCheckpoint blocks (recorded by
+        ``localized()``). Call ONLY when a newer generation has been
+        materialized — the blocks ARE this store's table data."""
+        jsc = self.spark.sparkContext._jsc.sc()
+        for rid in getattr(self, "checkpoint_rdd_ids", []):
+            try:
+                jsc.unpersistRDD(rid, False)
+            except Exception:
+                pass
+        self.checkpoint_rdd_ids = []
 
     # -- access -----------------------------------------------------------
 

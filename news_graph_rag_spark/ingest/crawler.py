@@ -175,23 +175,34 @@ def crawl_and_ingest(
     of the reference's ``error_log.log`` append.
 
     Every ``checkpoint_every`` batches (and once at the end) the store
-    is eagerly localCheckpointed and the batches' cached DataFrames are
-    unpersisted, so neither cached blocks nor lineage grow without bound
-    over a long crawl. Production crawls checkpoint to parquet instead
-    (``store.save_atomic``), which the streaming foreachBatch path does.
+    is eagerly localCheckpointed; the batches' cached DataFrames AND
+    the previous checkpoint generation's blocks are then unpersisted,
+    so cached-block usage is bounded by ONE checkpoint generation (the
+    live store's own tables) regardless of crawl length — asserted via
+    the block manager in tests/test_crawler_app.py. Production crawls
+    checkpoint to parquet instead (``store.save_atomic``), which the
+    streaming foreachBatch path does.
     """
     spark = store.spark
     n_valid = n_rejected = 0
     pending: list = []
+    prev_store = None
 
     def _flush_pending():
-        nonlocal store
+        nonlocal store, prev_store
         # materialize the store FIRST (cuts lineage back to the
         # checkpoint), then drop the batch caches it no longer reads
-        store = store.localized()
+        # and the SUPERSEDED checkpoint generation's blocks (the new
+        # generation was materialized from them eagerly, so nothing
+        # lazy reads them anymore)
+        new_store = store.localized()
         for df in pending:
             df.unpersist()
         pending.clear()
+        if prev_store is not None:
+            prev_store.release_checkpoints()
+        prev_store = new_store
+        store = new_store
 
     for batch in _batches(articles, batch_size):
         raw = spark.createDataFrame(batch, schema=_raw_schema())

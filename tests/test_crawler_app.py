@@ -223,3 +223,40 @@ def test_crawl_uses_fundus_when_present(monkeypatch):
     assert len(out) == 3
     assert calls["publishers"] == ("DE", "UK")
     assert calls["max_articles"] == 3
+
+
+def test_crawl_and_ingest_releases_all_caches(spark):
+    """Round-7 review finding: the crawl loop's docstring promises
+    bounded cached blocks, but ingest_articles caches three
+    intermediates per batch (raw, chunks, NER hits) that only the
+    pending_caches hand-off releases. Assert the promise directly: no
+    NEW persistent RDDs survive a multi-batch crawl."""
+    jsc = spark.sparkContext._jsc.sc()
+    # other module-scoped fixtures may hold caches — measure the delta
+    before = jsc.getPersistentRDDs().size()
+    store = GraphStore.empty(spark)
+    store, n_valid, _ = crawl_and_ingest(
+        store,
+        [make_article(100 + i) for i in range(6)],
+        batch_size=2,
+        checkpoint_every=2,
+    )
+    assert n_valid == 6 and store["article"].count() == 6
+    after = jsc.getPersistentRDDs().size()
+    # the only surviving blocks are the LIVE store's own checkpointed
+    # tables (one generation) — batch caches, ingest intermediates, and
+    # superseded checkpoint generations are all gone
+    residual = after - before
+    assert residual <= len(store.tables), f"crawl leaked {residual} cached RDD(s)"
+
+    # and the residual does not grow with crawl length: a second,
+    # longer crawl leaves the same one-generation footprint
+    store2, n2, _ = crawl_and_ingest(
+        GraphStore.empty(spark),
+        [make_article(200 + i) for i in range(10)],
+        batch_size=2,
+        checkpoint_every=2,
+    )
+    assert n2 == 10
+    residual2 = jsc.getPersistentRDDs().size() - after
+    assert residual2 <= len(store2.tables), f"longer crawl leaked {residual2}"
