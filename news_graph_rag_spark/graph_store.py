@@ -133,6 +133,42 @@ class GraphStore:
                 store.tables[name] = spark.read.parquet(path)
         return store
 
+    @classmethod
+    def list_versions(cls, root: str) -> "list[str]":
+        """Version directories currently on disk, oldest first, with
+        the committed one last-resolvable via ``_CURRENT``. Under the
+        default retention that is at most {predecessor, current}; a
+        longer retention window (skip GC externally) makes every kept
+        commit time-travelable."""
+        try:
+            entries = os.listdir(root)
+        except OSError:
+            return []
+        out = []
+        for e in entries:
+            if not e.startswith("v_"):
+                continue
+            try:
+                seq = int(e.split("_")[1])
+            except (IndexError, ValueError):
+                continue
+            out.append((seq, e))
+        return [e for _, e in sorted(out)]
+
+    @classmethod
+    def load_version(cls, spark: SparkSession, root: str, version: str) -> "GraphStore":
+        """Time-travel read: load a specific retained version directory
+        (from ``list_versions``) instead of the committed pointer."""
+        base = os.path.join(root, version)
+        if not os.path.isdir(base):
+            raise FileNotFoundError(f"version {version!r} not present under {root}")
+        store = cls.empty(spark)
+        for name in ALL_TABLES:
+            path = os.path.join(base, f"{name}.parquet")
+            if os.path.exists(path):
+                store.tables[name] = spark.read.parquet(path)
+        return store
+
     def save(self, root: str, mode: str = "overwrite") -> None:
         """Plain flat-layout writer (``root/<name>.parquet``). Refuses a
         root already committed by ``save_atomic``: flat files written

@@ -320,3 +320,22 @@ def test_save_atomic_versions_gc_and_predecessor_survives(spark, tmp_path):
     vdirs = sorted(d for d in os.listdir(root) if d.startswith("v_"))
     assert len(vdirs) == 2  # current + predecessor only
     assert GraphStore.load(spark, root)["article"].count() == 4
+
+
+def test_save_atomic_time_travel_predecessor_readable(spark, tmp_path):
+    """The retained predecessor version is time-travel readable while
+    the pointer serves the new commit — and list_versions orders them."""
+    from news_graph_rag_spark.graph_store import GraphStore
+
+    root = str(tmp_path / "tt")
+    _mini_store(spark, ["v1-only"]).save_atomic(root)
+    _mini_store(spark, ["v1-only", "v2-added"]).save_atomic(root)
+
+    versions = GraphStore.list_versions(root)
+    assert len(versions) == 2
+    old = GraphStore.load_version(spark, root, versions[0])
+    new = GraphStore.load(spark, root)
+    assert [r["title"] for r in old["article"].collect()] == ["v1-only"]
+    assert new["article"].count() == 2
+    with pytest.raises(FileNotFoundError):
+        GraphStore.load_version(spark, root, "v_000000000099_dead")
