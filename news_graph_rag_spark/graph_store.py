@@ -115,6 +115,38 @@ class GraphStore:
             return None
         return name or None
 
+    _COMPLETE = "_COMPLETE"  # per-version completeness marker
+
+    @staticmethod
+    def _parse_seq(name: str) -> int | None:
+        """Sequence number of a ``v_<seq>_<nonce>`` version dir name,
+        or None for anything else. The ONE place the naming scheme is
+        parsed — list_versions, save_atomic, and GC all go through it."""
+        if not name.startswith("v_"):
+            return None
+        try:
+            return int(name.split("_")[1])
+        except (IndexError, ValueError):
+            return None
+
+    @classmethod
+    def _load_dir(cls, spark: SparkSession, base: str, versioned: bool) -> "GraphStore":
+        """Shared per-table directory loader. For versioned dirs,
+        refuse one whose completeness marker is missing (a torn dir —
+        e.g. a multi-writer violation — must fail loudly, never be
+        served as silently-empty tables)."""
+        if versioned and not os.path.exists(os.path.join(base, cls._COMPLETE)):
+            raise ValueError(
+                f"version dir {base} has no completeness marker — torn or "
+                "still being written; refusing to serve it as empty tables"
+            )
+        store = cls.empty(spark)
+        for name in ALL_TABLES:
+            path = os.path.join(base, f"{name}.parquet")
+            if os.path.exists(path):
+                store.tables[name] = spark.read.parquet(path)
+        return store
+
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "GraphStore":
         """Load the committed store state.
@@ -126,12 +158,7 @@ class GraphStore:
         when no pointer exists."""
         version = cls._current_version(root)
         base = root if version is None else os.path.join(root, version)
-        store = cls.empty(spark)
-        for name in ALL_TABLES:
-            path = os.path.join(base, f"{name}.parquet")
-            if os.path.exists(path):
-                store.tables[name] = spark.read.parquet(path)
-        return store
+        return cls._load_dir(spark, base, versioned=version is not None)
 
     @classmethod
     def list_versions(cls, root: str) -> "list[str]":
@@ -144,15 +171,11 @@ class GraphStore:
             entries = os.listdir(root)
         except OSError:
             return []
-        out = []
-        for e in entries:
-            if not e.startswith("v_"):
-                continue
-            try:
-                seq = int(e.split("_")[1])
-            except (IndexError, ValueError):
-                continue
-            out.append((seq, e))
+        out = [
+            (seq, e)
+            for e in entries
+            if (seq := cls._parse_seq(e)) is not None
+        ]
         return [e for _, e in sorted(out)]
 
     @classmethod
@@ -162,12 +185,7 @@ class GraphStore:
         base = os.path.join(root, version)
         if not os.path.isdir(base):
             raise FileNotFoundError(f"version {version!r} not present under {root}")
-        store = cls.empty(spark)
-        for name in ALL_TABLES:
-            path = os.path.join(base, f"{name}.parquet")
-            if os.path.exists(path):
-                store.tables[name] = spark.read.parquet(path)
-        return store
+        return cls._load_dir(spark, base, versioned=True)
 
     def save(self, root: str, mode: str = "overwrite") -> None:
         """Plain flat-layout writer (``root/<name>.parquet``). Refuses a
@@ -206,29 +224,28 @@ class GraphStore:
            complete NEW store. No mixed/torn multi-table state is
            reachable, and a replayed micro-batch (idempotent
            content-hash MERGE) converges on retry.
-        3. Version dirs at least TWO sequence numbers behind the new
-           commit are garbage-collected. Keeping seq >= n-1 covers (a)
-           readers that resolved the pointer just before the swap and
-           (b) a concurrent writer's in-flight version (it read the
-           same predecessor, so its sequence is >= n — GC by
-           membership in a keep-set would delete it mid-write; GC by
-           sequence age cannot). Concurrent commits race benignly:
-           both versions are complete, the last pointer replace wins,
-           and the loser's version ages out at seq+2. Production keeps
-           a longer retention window for time travel the same way.
+        3. One nominal WRITER owns a store root (the streaming
+           foreachBatch query, or one ingest job) — the multi-writer
+           coordination a lakehouse table format does with a lock/CAS
+           service is out of scope here. The GC is still
+           sequence-AGE-based (delete only versions two or more behind
+           the new commit, i.e. seq <= n-1 when committing n+1) so the
+           common accidental overlap — ONE concurrent committer that
+           read the same predecessor — is never collected mid-write.
+           Defense in depth for deeper violations (a writer stalled
+           across several foreign commits): every version carries a
+           ``_COMPLETE`` marker written after all tables and verified
+           together with the table dirs immediately before the pointer
+           replace, and readers REFUSE a marker-less version — a torn
+           directory fails loudly instead of being served as empty
+           tables.
         4. After the commit, this store object's tables re-point at
            the COMMITTED files, so the load → merge → save loop can
            reuse one store object across many commits without its lazy
-           plans dangling on a version that step 3 later collects.
+           plans dangling on a version that GC later collects.
         """
         current = self._current_version(root)
-        n = 0
-        if current is not None:
-            parts = current.split("_")  # v_<seq>_<nonce>
-            try:
-                n = int(parts[1])
-            except (IndexError, ValueError):
-                n = 0
+        n = (self._parse_seq(current) or 0) if current is not None else 0
         version = f"v_{n + 1:012d}_{uuid.uuid4().hex[:8]}"
         vdir = os.path.join(root, version)
         tmp = None
@@ -236,6 +253,21 @@ class GraphStore:
             for name, df in self.tables.items():
                 df.write.mode("overwrite").parquet(
                     os.path.join(vdir, f"{name}.parquet")
+                )
+            with open(os.path.join(vdir, self._COMPLETE), "w") as f:
+                f.write(version)
+            # pre-publish verification: if a GC (or anything else)
+            # removed part of this version while we wrote it, abort the
+            # commit instead of publishing a torn directory
+            missing = [
+                name
+                for name in self.tables
+                if not os.path.exists(os.path.join(vdir, f"{name}.parquet"))
+            ]
+            if missing:
+                raise RuntimeError(
+                    f"version {version} lost table dirs {missing} before "
+                    "publish (concurrent GC? multiple writers on one root?)"
                 )
             os.makedirs(root, exist_ok=True)
             tmp = os.path.join(root, self._POINTER + f".tmp_{uuid.uuid4().hex[:8]}")
@@ -273,11 +305,8 @@ class GraphStore:
                         os.remove(p)
                 except OSError:
                     pass
-            if not entry.startswith("v_"):
-                continue
-            try:
-                seq = int(entry.split("_")[1])
-            except (IndexError, ValueError):
+            seq = self._parse_seq(entry)
+            if seq is None:
                 continue
             if seq <= n - 1:  # new commit is n+1; keep n+1, n, in-flight >= n+1
                 shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
@@ -293,25 +322,26 @@ class GraphStore:
         interleave ``save_atomic()`` instead (parquet is the durable
         checkpoint — the foreachBatch streaming path already does).
         """
-        def _persistent_ids() -> set[int]:
-            jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
-            return {int(k) for k in jmap.keySet().toArray()}
-
-        before = _persistent_ids()
-        out = GraphStore(
-            self.spark,
-            {
-                name: df.localCheckpoint(eager=True)
-                for name, df in self.tables.items()
-            },
-        )
-        # record the checkpoint generation's block-manager RDD ids so a
+        checkpointed = {
+            name: df.localCheckpoint(eager=True)
+            for name, df in self.tables.items()
+        }
+        out = GraphStore(self.spark, checkpointed)
+        # record EXACTLY this generation's block-manager RDD ids so a
         # later caller can release them once superseded
         # (DataFrame.unpersist does NOT free localCheckpoint blocks —
         # they belong to the checkpointed RDD, not the plan cache).
-        # Diff-based capture assumes single-threaded checkpointing,
-        # which the ingest loop is.
-        out.checkpoint_rdd_ids = sorted(_persistent_ids() - before)
+        # The id is read off each frame's own LogicalRDD plan node —
+        # never a global persistent-RDD diff, which under a concurrent
+        # cache on the shared session would capture (and later free)
+        # someone else's only copy of their data.
+        ids = []
+        for df in checkpointed.values():
+            try:
+                ids.append(int(df._jdf.queryExecution().analyzed().rdd().id()))
+            except Exception:
+                pass  # non-LogicalRDD plan: nothing to release later
+        out.checkpoint_rdd_ids = sorted(ids)
         for df in self.pending_caches:
             df.unpersist()
         self.pending_caches = []
