@@ -60,11 +60,86 @@ def ask(chat: GraphChat, question: str) -> tuple[str, str]:
     return chat.last.get("sql", ""), answer
 
 
+def _index_main(argv: list[str], spark=None) -> int:
+    """Vector-index operations CLI — the DDL/ops surface of the
+    persistent chunk index (reference graph.py:211-219's CREATE VECTOR
+    INDEX, as commands):
+
+      index build  <graph_root> <index_path>   build over Chunk.embedding
+      index stats  <index_path>                per-list occupancy
+      index search <index_path> <chunk_uid> [k]  kNN by an indexed chunk
+    """
+    from pyspark.sql import functions as F
+
+    from .pipeline import ann_index
+
+    if spark is None:
+        from .session import get_spark
+
+        spark = get_spark()
+    if not argv:
+        print(_index_main.__doc__)
+        return 2
+    cmd, *rest = argv
+    if cmd == "build":
+        graph_root, index_path = rest[0], rest[1]
+        store = GraphStore.load(spark, graph_root)
+        chunks = store["chunk"].filter(F.col("embedding").isNotNull()).select(
+            "uid", "embedding"
+        )
+        ann_index.build_uid_index(chunks, index_path)
+        assignments, centroids, meta = ann_index.load_index(spark, index_path)
+        print(
+            f"built {meta['format']} over {assignments.count()} vectors, "
+            f"{centroids.count()} lists -> {index_path}"
+        )
+        return 0
+    if cmd == "stats":
+        (index_path,) = rest
+        assignments, _, meta = ann_index.load_index(spark, index_path)
+        counts = (
+            assignments.groupBy("centroid_id")
+            .count()
+            .orderBy("centroid_id")
+            .collect()
+        )
+        print(f"format={meta['format']} dim={meta['dim']}")
+        for r in counts:
+            print(f"list {r['centroid_id']}: {r['count']} vectors")
+        return 0
+    if cmd == "search":
+        index_path, uid = rest[0], rest[1]
+        k = int(rest[2]) if len(rest) > 2 else 5
+        # uid -> surrogate vec_id with the same hash the build used
+        vec_id = spark.range(1).select(
+            F.xxhash64(F.lit(uid)).alias("h")
+        ).first()["h"]
+        hits = ann_index.search_by_id(spark, index_path, int(vec_id), k=k)
+        uid_map = spark.read.parquet(os.path.join(index_path, "uid_map.parquet"))
+        rows = (
+            uid_map.join(F.broadcast(hits), "vec_id")
+            .orderBy("rnk")
+            .select("rnk", "uid", "dot")
+            .collect()
+        )
+        for r in rows:
+            print(f"{r['rnk']:3d}  {r['uid']}  dot={r['dot']}")
+        return 0
+    print(_index_main.__doc__)
+    return 2
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
-        print("usage: python -m news_graph_rag_spark.app <question...>")
+        print(
+            "usage: python -m news_graph_rag_spark.app <question...>\n"
+            "       python -m news_graph_rag_spark.app index "
+            "build|stats|search ..."
+        )
         return 2
+    if argv[0] == "index":
+        return _index_main(argv[1:])
     question = " ".join(argv)
     chat = build_chat()
     sql, answer = ask(chat, question)

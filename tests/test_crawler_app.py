@@ -260,3 +260,39 @@ def test_crawl_and_ingest_releases_all_caches(spark):
     assert n2 == 10
     residual2 = jsc.getPersistentRDDs().size() - after
     assert residual2 <= len(store2.tables), f"longer crawl leaked {residual2}"
+
+
+def test_index_cli_build_stats_search(spark, tmp_path, capsys):
+    """The ops CLI drives the persistent chunk index end-to-end: build
+    over a saved store's Chunk.embedding, print list stats, and search
+    by an indexed chunk uid — the searched chunk comes back rank 1."""
+    from news_graph_rag_spark.app import _index_main
+    from news_graph_rag_spark.ingest.embedder import HashEmbedder
+    from news_graph_rag_spark.ingest.upserts import ingest_articles
+
+    import fixtures
+
+    store = ingest_articles(
+        GraphStore.empty(spark),
+        fixtures.raw_articles_df(spark),
+        encoder_factory=lambda: HashEmbedder(dim=16),
+    )
+    root = str(tmp_path / "graph")
+    store.save_atomic(root)
+    idx = str(tmp_path / "chunk_idx")
+
+    assert _index_main(["build", root, idx], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "ivf-int8" in out and idx in out
+
+    assert _index_main(["stats", idx], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "list " in out and "dim=16" in out
+
+    some_uid = store["chunk"].orderBy("uid").first()["uid"]
+    assert _index_main(["search", idx, some_uid, "3"], spark=spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3 and all("Chunk:" in line for line in out)
+
+    assert _index_main([], spark=spark) == 2  # usage
+    capsys.readouterr()

@@ -339,3 +339,70 @@ def test_save_atomic_time_travel_predecessor_readable(spark, tmp_path):
     assert new["article"].count() == 2
     with pytest.raises(FileNotFoundError):
         GraphStore.load_version(spark, root, "v_000000000099_dead")
+
+
+def test_save_atomic_random_crash_retry_converges(spark, tmp_path, monkeypatch):
+    """System-level exactly-once sweep: inject a failure at a random
+    protocol stage (a table's write job, the pointer fsync, the pointer
+    replace) on every other attempt, retrying after each crash. At all
+    times load() must return a complete previously-committed state, and
+    the final retry must converge to the intended data."""
+    import os
+    import random
+
+    from news_graph_rag_spark import graph_store as gs
+    from news_graph_rag_spark.graph_store import ALL_TABLES
+
+    root = str(tmp_path / "sweep")
+    rng = random.Random(13)
+    real_replace, real_fsync = os.replace, os.fsync
+    committed_titles = None  # what load() must show at every point
+
+    def boom_kernel(batches):
+        raise RuntimeError("injected table-write crash")
+        yield  # pragma: no cover
+
+    for step in range(1, 6):
+        titles = [f"t{j}" for j in range(step)]
+        target = _mini_store(spark, titles)
+        fail = rng.choice(["table", "fsync", "replace", None])
+        if fail == "table":
+            schema = ALL_TABLES["chunk"]
+            target["chunk"] = spark.createDataFrame(
+                [("Chunk:x", "t", "paragraph", 0, 0, None)], schema
+            ).mapInPandas(boom_kernel, schema)
+        elif fail == "fsync":
+            monkeypatch.setattr(
+                gs.os, "fsync", lambda fd: (_ for _ in ()).throw(OSError("ENOSPC"))
+            )
+        elif fail == "replace":
+            def exploding(src, dst):
+                if dst.endswith(gs.GraphStore._POINTER):
+                    raise RuntimeError("crash at publish")
+                return real_replace(src, dst)
+
+            monkeypatch.setattr(gs.os, "replace", exploding)
+
+        try:
+            target.save_atomic(root)
+            committed_titles = titles
+        except Exception:
+            pass  # crashed attempt: commit state must be unchanged
+        finally:
+            monkeypatch.setattr(gs.os, "replace", real_replace)
+            monkeypatch.setattr(gs.os, "fsync", real_fsync)
+
+        loaded = sorted(
+            r["title"] for r in GraphStore.load(spark, root)["article"].collect()
+        ) if committed_titles is not None else None
+        if committed_titles is not None:
+            assert loaded == sorted(committed_titles), f"step {step} ({fail})"
+
+        if fail is not None:  # retry cleanly — must converge
+            _mini_store(spark, titles).save_atomic(root)
+            committed_titles = titles
+            got = sorted(
+                r["title"]
+                for r in GraphStore.load(spark, root)["article"].collect()
+            )
+            assert got == sorted(titles), f"retry after {fail} at step {step}"
