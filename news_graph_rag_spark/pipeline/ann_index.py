@@ -656,6 +656,35 @@ def assign_new(
     return _assign_to_centroids(q, _centroid_rows(spark, path))
 
 
+def append_vectors(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """The WRITE half of incremental maintenance: quantize + assign new
+    vectors against the frozen quantizer (``assign_new``) and APPEND
+    them as new files inside their inverted-list partitions
+    (partitionBy append — each list directory gains files, nothing is
+    rewritten, searches see the union immediately because partition
+    pruning reads whole list directories). Returns the number of rows
+    appended. Centroids are untouched, so the resident centroid cache
+    stays valid; when occupancy skew (ann_ivf_index_stats) says the
+    quantizer is stale, rebuild to a NEW fingerprint path. NOTE: an
+    appended index no longer equals the from-scratch deterministic
+    build, so it belongs to caller-managed paths — appending to an
+    ensure_index path would desync the oracle-verified entries."""
+    assigned = assign_new(
+        spark, path, new_df, embedding_col=embedding_col, id_col=id_col
+    )
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(
+        os.path.join(path, "assignments.parquet")
+    )
+    appended = assigned.count()
+    return int(appended)
+
+
 def ensure_index(
     spark: SparkSession,
     sf_dir: str,

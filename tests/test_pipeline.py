@@ -738,3 +738,43 @@ def test_ann_index_rebuild_replaces_and_restores(spark, tmp_path, monkeypatch):
     restored = {r["vec_id"] for r in ann_index.load_index(spark, path)[0].collect()}
     assert restored == second
     assert [d for d in os.listdir(str(tmp_path)) if ".retired" in d] == []
+
+
+def test_ann_append_vectors_searchable_without_rebuild(spark, tmp_path):
+    """Incremental WRITE path: appended vectors land inside their
+    inverted-list partitions and are immediately searchable — no
+    rebuild, centroids untouched."""
+    from news_graph_rag_spark.pipeline.ann_index import (
+        append_vectors,
+        build_and_save,
+        load_index,
+        search_by_id,
+    )
+
+    rows = [(i, [float((i % 5) + 1), float((i * 7) % 11 + 1)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "appendable")
+    build_and_save(df, path, n_centroids=3, iters=1)
+    before_cents = sorted(
+        tuple(r) for r in load_index(spark, path)[1].collect()
+    )
+
+    # append exact clones of the first 5 vectors under new ids
+    clones = spark.createDataFrame(
+        [(500 + i, emb) for i, emb in rows[:5]],
+        "vec_id long, embedding array<float>",
+    )
+    n = append_vectors(spark, path, clones)
+    assert n == 5
+    assignments, centroids, _ = load_index(spark, path)
+    assert assignments.count() == 35
+    # centroids byte-identical (frozen quantizer)
+    assert sorted(tuple(r) for r in centroids.collect()) == before_cents
+
+    # the clone of vector 0 ties its original exactly -> must appear in
+    # a search probing vector 0 (same quantized vector, same dot)
+    hits = search_by_id(spark, path, probe_vec_id=0, k=35, nprobe=3).collect()
+    by_id = {r["vec_id"]: r["dot"] for r in hits}
+    assert 500 in by_id
+    top = max(hits, key=lambda r: (r["dot"], -r["vec_id"]))
+    assert by_id[500] == top["dot"]  # clone scores exactly the max
