@@ -371,13 +371,23 @@ def _run_parent() -> None:
     here = os.path.abspath(__file__)
     for idx, names in enumerate(_families()):
         env = dict(os.environ, SPARK_GRAFT_BENCH_FAMILY=str(idx))
-        proc = subprocess.run(
-            [sys.executable, here],
-            env=env,
-            stdout=subprocess.PIPE,
-            stderr=sys.stderr,
-            timeout=int(os.environ.get("SPARK_GRAFT_BENCH_FAMILY_TIMEOUT", "1800")),
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, here],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=sys.stderr,
+                timeout=int(
+                    os.environ.get("SPARK_GRAFT_BENCH_FAMILY_TIMEOUT", "1800")
+                ),
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"#! family {idx} ({names[0]}..{names[-1]}) HUNG past the "
+                "timeout — likely a stuck query in this range",
+                file=sys.stderr,
+            )
+            sys.exit(1)
         line = ""
         for cand in reversed(proc.stdout.decode().splitlines()):
             if cand.startswith('{"metric"'):

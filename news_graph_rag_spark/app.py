@@ -81,6 +81,11 @@ def _index_main(argv: list[str], spark=None) -> int:
         print(_index_main.__doc__)
         return 2
     cmd, *rest = argv
+    arity = {"build": (2, 2), "stats": (1, 1), "search": (2, 3)}
+    lo_hi = arity.get(cmd)
+    if lo_hi is None or not (lo_hi[0] <= len(rest) <= lo_hi[1]):
+        print(_index_main.__doc__)
+        return 2
     if cmd == "build":
         graph_root, index_path = rest[0], rest[1]
         store = GraphStore.load(spark, graph_root)

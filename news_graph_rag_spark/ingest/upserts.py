@@ -224,20 +224,25 @@ def upsert_into(
     keeps an arbitrary row otherwise, which is nondeterministic across
     retries/partitionings.
     """
-    updates = updates.select(*existing.columns)
     if order_col is not None:
         from pyspark.sql.window import Window
 
-        non_key = [c for c in existing.columns if c not in keys]
-        w = Window.partitionBy(*keys).orderBy(
-            F.desc(order_col), F.xxhash64(*non_key)
-        )
+        # pick winners BEFORE projecting to the stored schema: the
+        # ordering column may live only on the update batch (an event
+        # timestamp not persisted in the table) — projecting first
+        # would drop it and crash the window (round-7 review). The
+        # hash tiebreaker uses the batch's non-key columns; when there
+        # are none, tied rows are identical and any winner is fine.
+        non_key = [c for c in updates.columns if c not in keys]
+        tiebreak = [F.xxhash64(*non_key)] if non_key else []
+        w = Window.partitionBy(*keys).orderBy(F.desc(order_col), *tiebreak)
         updates = (
             updates.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+            .select(*existing.columns)
         )
     else:
-        updates = updates.dropDuplicates(keys)
+        updates = updates.select(*existing.columns).dropDuplicates(keys)
     kept = existing.join(updates.select(*keys), keys, "left_anti")
     return kept.unionByName(updates)

@@ -232,22 +232,7 @@ def build_and_save(
         assigned = _assign_to_centroids(q, cents)
 
         staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
-        # REBUILD at an existing path: retire the old index first (a
-        # bare rename onto a non-empty dir would fail and silently keep
-        # the stale build). The restore on failure is IN-PROCESS only:
-        # a hard kill between retire and publish leaves no index at
-        # ``path`` (the old copy survives aside as ``*.retired-*`` for
-        # manual recovery), and concurrent searches during any rebuild
-        # can observe the missing-path window. In-place rebuilds are
-        # therefore for single-writer, offline maintenance; for
-        # zero-downtime rebuilds, build to a NEW path and switch
-        # readers (exactly what ensure_index's fingerprint-immutable
-        # paths do).
         retired = None
-        if os.path.exists(os.path.join(path, "meta.json")):
-            retired = f"{path}.retired-{uuid.uuid4().hex[:8]}"
-            os.rename(path, retired)
-            _CENTROID_CACHE.pop(path, None)
         try:
             # one file per inverted list: hash-repartition on centroid_id
             # so each partitionBy directory gets exactly one writer task
@@ -273,6 +258,17 @@ def build_and_save(
             }
             with open(os.path.join(staging, "meta.json"), "w") as f:
                 json.dump(meta, f)
+            # REBUILD at an existing path: the old index is retired ONLY
+            # NOW, after the full staging write — searches keep working
+            # for the whole (long) build and the unprotected window is
+            # two renames, not the build. A hard kill inside that window
+            # still strands the old copy as ``*.retired-*`` (restored on
+            # in-process failure below); zero-downtime rebuilds belong
+            # on a NEW fingerprint path (ensure_index's scheme).
+            if os.path.exists(os.path.join(path, "meta.json")):
+                retired = f"{path}.retired-{uuid.uuid4().hex[:8]}"
+                os.rename(path, retired)
+                _CENTROID_CACHE.pop(path, None)
             try:
                 os.rename(staging, path)  # atomic publish
             except OSError:
@@ -327,6 +323,40 @@ def _centroid_rows(spark: SparkSession, path: str) -> list[tuple]:
     return rows
 
 
+def _rank_probe_lists(p, cent_rows: "list[tuple]", nprobe: int) -> "list[int]":
+    """The ONE implementation of centroid ranking for every search
+    path: score = dot/sqrt(cnrm) (exact ints + singly-rounded IEEE),
+    order by score desc then centroid_id — bit-for-bit what the DuckDB
+    oracles recompute, so keep all callers on this helper."""
+    import numpy as np
+
+    C = np.asarray([r[1] for r in cent_rows], dtype=np.int64)
+    inv = np.sqrt(np.asarray([r[2] for r in cent_rows], dtype=np.float64))
+    cids = np.asarray([r[0] for r in cent_rows], dtype=np.int64)
+    scores = (C @ np.asarray(p, dtype=np.int64)).astype(np.float64) / inv
+    order = np.lexsort((cids, -scores))
+    return [int(cids[i]) for i in order[:nprobe]]
+
+
+def _jvm_scored(cand: DataFrame, p) -> DataFrame:
+    """The ONE JVM candidate-scoring projection (dot as exact bigint
+    fold, score = dot/sqrt(nrm)) shared by every search path — the
+    arithmetic the oracles must match bit-for-bit."""
+    pv = F.array(*[F.lit(int(v)) for v in p])
+    dot = F.aggregate(
+        F.zip_with(F.col("q8"), pv, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return cand.select("vec_id", dot.alias("dot"), "nrm").select(
+        "vec_id",
+        "dot",
+        (F.col("dot").cast("double") / F.sqrt(F.col("nrm").cast("double"))).alias(
+            "score"
+        ),
+    )
+
+
 def search_by_id(
     spark: SparkSession,
     path: str,
@@ -365,14 +395,7 @@ def search_by_id(
         raise ValueError(f"probe vec_id {probe_vec_id} not in index (or zero-norm)")
     p = np.asarray(probe_row["q8"], dtype=np.int64)
 
-    cent_rows = _centroid_rows(spark, path)
-    C = np.asarray([r[1] for r in cent_rows], dtype=np.int64)
-    cnrm = np.asarray([r[2] for r in cent_rows], dtype=np.float64)
-    scores = (C @ p).astype(np.float64) / np.sqrt(cnrm)
-    cids = np.asarray([r[0] for r in cent_rows], dtype=np.int64)
-    order = np.lexsort((cids, -scores))  # score desc, centroid_id asc
-    probe_ids = [int(cids[i]) for i in order[:nprobe]]
-
+    probe_ids = _rank_probe_lists(p, _centroid_rows(spark, path), nprobe)
     cand = assignments.filter(F.col("centroid_id").isin(probe_ids)).filter(
         F.col("vec_id") != probe_vec_id
     )
@@ -400,19 +423,7 @@ def search_by_id(
             score_kernel, "vec_id long, dot bigint, score double"
         )
     else:
-        pv = F.array(*[F.lit(int(v)) for v in p])
-        dot = F.aggregate(
-            F.zip_with(F.col("q8"), pv, lambda a, b: a * b),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        scored = cand.select("vec_id", dot.alias("dot"), "nrm").select(
-            "vec_id",
-            "dot",
-            (F.col("dot").cast("double") / F.sqrt(F.col("nrm").cast("double"))).alias(
-                "score"
-            ),
-        )
+        scored = _jvm_scored(cand, p)
     return top_k_ranked(
         scored, [F.desc("score"), F.asc("vec_id")], k
     ).select("rnk", "vec_id", "dot")
@@ -517,31 +528,11 @@ def search_by_vector(
     if not (p != 0).any():
         raise ValueError("query vector quantizes to all zeros")
 
-    cent_rows = _centroid_rows(spark, path)
-    C = np.asarray([r[1] for r in cent_rows], dtype=np.int64)
-    inv = np.sqrt(np.asarray([r[2] for r in cent_rows], dtype=np.float64))
-    cids = np.asarray([r[0] for r in cent_rows], dtype=np.int64)
-    scores = (C @ p).astype(np.float64) / inv
-    order = np.lexsort((cids, -scores))
-    probe_ids = [int(cids[i]) for i in order[:nprobe]]
-
+    probe_ids = _rank_probe_lists(p, _centroid_rows(spark, path), nprobe)
     assignments = spark.read.parquet(os.path.join(path, "assignments.parquet"))
     cand = assignments.filter(F.col("centroid_id").isin(probe_ids))
-    pv = F.array(*[F.lit(int(v)) for v in p])
-    dot = F.aggregate(
-        F.zip_with(F.col("q8"), pv, lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    scored = cand.select("vec_id", dot.alias("dot"), "nrm").select(
-        "vec_id",
-        "dot",
-        (F.col("dot").cast("double") / F.sqrt(F.col("nrm").cast("double"))).alias(
-            "score"
-        ),
-    )
     return top_k_ranked(
-        scored, [F.desc("score"), F.asc("vec_id")], k
+        _jvm_scored(cand, p), [F.desc("score"), F.asc("vec_id")], k
     ).select("rnk", "vec_id", "dot")
 
 
@@ -579,15 +570,10 @@ def batch_search(
         raise ValueError(f"probe vec_ids not in index (or zero-norm): {missing}")
 
     cent_rows = _centroid_rows(spark, path)
-    C = np.asarray([r[1] for r in cent_rows], dtype=np.int64)
-    inv = np.sqrt(np.asarray([r[2] for r in cent_rows], dtype=np.float64))
-    cids = np.asarray([r[0] for r in cent_rows], dtype=np.int64)
-
-    probe_lists: dict[int, list[int]] = {}
-    for pid, p in probes.items():
-        scores = (C @ p).astype(np.float64) / inv
-        order = np.lexsort((cids, -scores))
-        probe_lists[pid] = [int(cids[i]) for i in order[:nprobe]]
+    probe_lists: dict[int, list[int]] = {
+        pid: _rank_probe_lists(p, cent_rows, nprobe)
+        for pid, p in probes.items()
+    }
 
     all_lists = sorted({c for lists in probe_lists.values() for c in lists})
     cand = assignments.filter(F.col("centroid_id").isin(all_lists))
@@ -677,11 +663,18 @@ def append_vectors(
     ensure_index path would desync the oracle-verified entries."""
     assigned = assign_new(
         spark, path, new_df, embedding_col=embedding_col, id_col=id_col
-    )
-    assigned.write.mode("append").partitionBy("centroid_id").parquet(
-        os.path.join(path, "assignments.parquet")
-    )
-    appended = assigned.count()
+    ).persist()
+    try:
+        # count BEFORE the write off the same persisted evaluation: a
+        # second lazy evaluation could see different rows if new_df
+        # reads a live source (the streaming-ingest use case), and
+        # would re-run the whole quantize+assign pipeline anyway
+        appended = assigned.count()
+        assigned.write.mode("append").partitionBy("centroid_id").parquet(
+            os.path.join(path, "assignments.parquet")
+        )
+    finally:
+        assigned.unpersist()
     return int(appended)
 
 

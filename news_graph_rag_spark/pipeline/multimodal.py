@@ -333,10 +333,11 @@ def decode_avi_dib(data: bytes) -> "tuple[int, int, list[list[tuple]]]":
         raise ValueError("not a RIFF/AVI stream")
 
     strf = None
+    in_vids = False  # the last strh seen was a 'vids' stream header
     frames_raw: list[bytes] = []
 
     def walk(start: int, end: int) -> None:
-        nonlocal strf
+        nonlocal strf, in_vids
         pos = start
         while pos + 8 <= end:
             cid = buf[pos : pos + 4]
@@ -346,8 +347,15 @@ def decode_avi_dib(data: bytes) -> "tuple[int, int, list[list[tuple]]]":
                 raise ValueError(f"truncated chunk {cid!r}")
             if cid == b"LIST":
                 walk(body_start + 4, body_end)  # skip the list type tag
+            elif cid == b"strh":
+                # stream header: its fccType says whose strf follows —
+                # without this, a multi-stream AVI (video + audio) would
+                # overwrite the video format with the audio one
+                # (last-strf-wins, round-7 review) and reject the file
+                in_vids = buf[body_start : body_start + 4] == b"vids"
             elif cid == b"strf":
-                strf = buf[body_start:body_end]
+                if in_vids and strf is None:
+                    strf = buf[body_start:body_end]
             elif cid in (b"00db", b"00dc"):
                 frames_raw.append(buf[body_start:body_end])
             pos = body_end + (clen % 2)  # chunks are 2-byte aligned

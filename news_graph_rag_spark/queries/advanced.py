@@ -858,25 +858,13 @@ def partitioned_scan_pruning(spark: SparkSession, sf: str) -> DataFrame:
     import os
     import tempfile
 
+    from .catalog import fingerprint_stage_dir
+
     ev = load(spark, sf, "events")
     # stage once per (source fingerprint): the partitioned layout is the
-    # "index". The tag covers the source file's mtime+size so a testdata
-    # regen can't serve a stale staged copy (same keying discipline as
-    # ann_index.ensure_index); superseded fingerprints of the same
-    # source are swept so regens don't accumulate staged copies.
-    import glob
-    import shutil
-
-    src = os.path.join(sf, "events.parquet")
-    st = os.stat(src)
-    prefix = sf.strip("/").replace("/", "_")
-    tag = f"{prefix}_{st.st_mtime_ns}_{st.st_size}"
-    stage = os.path.join(tempfile.gettempdir(), f"ngr_events_by_type_{tag}")
-    for stale in glob.glob(
-        os.path.join(tempfile.gettempdir(), f"ngr_events_by_type_{prefix}_*")
-    ):
-        if stale != stage:
-            shutil.rmtree(stale, ignore_errors=True)
+    # "index" — fingerprint_stage_dir guarantees regen freshness and
+    # sweeps superseded staged copies
+    stage = fingerprint_stage_dir(os.path.join(sf, "events.parquet"), "events_by_type")
     marker = os.path.join(stage, "_SUCCESS")
     if not os.path.exists(marker):
         ev.write.mode("overwrite").partitionBy("event_type").parquet(stage)

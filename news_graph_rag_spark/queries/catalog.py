@@ -145,6 +145,34 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def fingerprint_stage_dir(src_path: str, kind: str) -> str:
+    """ONE implementation of the fingerprint-keyed /tmp staging-dir
+    discipline (mirrors ann_index.ensure_index): the dir name covers
+    the source file's path, mtime, and size — a testdata regen can
+    never be served from a stale staged copy — and superseded
+    fingerprints of the SAME source are swept so regens don't
+    accumulate table copies. Shared by partitioned_scan_pruning and
+    maintenance_compaction_roundtrip (round-7 review: two drifting
+    copies of this logic)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    st = os.stat(src_path)
+    prefix = os.path.dirname(src_path).strip("/").replace("/", "_")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"ngr_{kind}_{prefix}_{st.st_mtime_ns}_{st.st_size}",
+    )
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"ngr_{kind}_{prefix}_*")
+    ):
+        if stale != base:
+            shutil.rmtree(stale, ignore_errors=True)
+    return base
+
+
 def load_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all TESTDATA tables as temp views (for spark.sql paths)."""
     for t in TABLES:

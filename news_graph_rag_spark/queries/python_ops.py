@@ -1071,25 +1071,13 @@ def maintenance_compaction_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     from ..maintenance import compact_parquet, parquet_file_count
 
     docs = load(spark, sf, "documents").select("doc_id", "text")
+    from .catalog import fingerprint_stage_dir
+
     # ONE reusable staging dir per source fingerprint (overwritten to
     # the 32-file layout each run, then compacted in place) — a fresh
-    # mkdtemp per invocation would leak a full table copy every run
-    # (bench alone executes this entry ~5x per family run)
-    import glob
-    import shutil
-
-    src = os.path.join(sf, "documents.parquet")
-    st = os.stat(src)
-    prefix = sf.strip("/").replace("/", "_")
-    tag = f"{prefix}_{st.st_mtime_ns}_{st.st_size}"
-    base = os.path.join(tempfile.gettempdir(), f"ngr_compact_{tag}")
-    # sweep superseded fingerprints of the SAME source dir (testdata
-    # regen changes mtime/size) so old full-table copies don't pile up
-    for stale in glob.glob(
-        os.path.join(tempfile.gettempdir(), f"ngr_compact_{prefix}_*")
-    ):
-        if stale != base:
-            shutil.rmtree(stale, ignore_errors=True)
+    # mkdtemp per invocation would leak a full table copy every run;
+    # fingerprint_stage_dir also sweeps superseded fingerprints
+    base = fingerprint_stage_dir(os.path.join(sf, "documents.parquet"), "compact")
     path = os.path.join(base, "docs.parquet")
     docs.repartition(32).write.mode("overwrite").parquet(path)
     before = parquet_file_count(path)

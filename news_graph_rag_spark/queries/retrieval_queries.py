@@ -847,16 +847,22 @@ def ann_ivf_wide_topk(spark: SparkSession, sf: str) -> DataFrame:
         hits = ivf_search(
             assignments, centroids, [float(x) for x in probe], k=10, nprobe=4
         )
-        # materialize the probe-list scan while the widened cache is hot,
-        # then release the cache: library callers (tests, driver_mimic)
-        # must not leak a 768-d cached table past this call (ADVICE r6)
-        hits = hits.filter(F.col("vec_id") != 0).select(
-            "vec_id", "score"
-        ).localCheckpoint(eager=True)
+        # materialize the <=10-row hit set ON THE DRIVER while the
+        # widened cache is hot, then release the cache. (An eager
+        # localCheckpoint here leaked its blocks for the JVM's lifetime
+        # — neither DataFrame.unpersist nor clearCache frees them;
+        # round-7 review. k rows collect for free.)
+        hit_rows = [
+            (int(r["vec_id"]), float(r["score"]))
+            for r in hits.filter(F.col("vec_id") != 0)
+            .select("vec_id", "score")
+            .collect()
+        ]
     finally:
         df.unpersist()
+    hits_df = spark.createDataFrame(hit_rows, "vec_id long, score double")
     return top_k_ranked(
-        hits, [F.desc("score"), F.asc("vec_id")], k=10
+        hits_df, [F.desc("score"), F.asc("vec_id")], k=10
     ).select("rnk", "vec_id")
 
 

@@ -29,11 +29,18 @@ from .vector import cosine
 
 
 def _keyword_score(text_col: F.Column, query: str) -> F.Column:
-    """Normalized keyword-hit count of query tokens in the text."""
+    """Normalized keyword-hit count of query tokens in the text. The
+    TEXT side strips LUCENE_SPECIAL exactly like the query side and
+    like build_chunk_token_index — scorer and candidate generator must
+    tokenize identically, or an index-fetched candidate (posted under
+    'art' from 'state-of-the-art') would score zero here (round-7
+    review)."""
     qtoks = [t for t in re.sub(LUCENE_SPECIAL, " ", query.lower()).split() if t]
     if not qtoks:
         return F.lit(0.0)
-    toks = F.split(F.lower(text_col), r"\s+")
+    toks = F.split(
+        F.lower(F.regexp_replace(text_col, LUCENE_SPECIAL, " ")), r"\s+"
+    )
     arr = F.array(*[F.lit(t) for t in qtoks])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
     return hits.cast("double") / F.lit(float(len(qtoks)))

@@ -778,3 +778,39 @@ def test_ann_append_vectors_searchable_without_rebuild(spark, tmp_path):
     assert 500 in by_id
     top = max(hits, key=lambda r: (r["dot"], -r["vec_id"]))
     assert by_id[500] == top["dot"]  # clone scores exactly the max
+
+
+def test_avi_decode_ignores_non_video_streams():
+    """A second stream (audio strl with a WAVEFORMATEX-sized strf)
+    after the video stream must not shadow the video format —
+    first-vids-strf wins (round-7 review)."""
+    import struct
+
+    from news_graph_rag_spark.pipeline.multimodal import (
+        decode_avi_dib,
+        encode_avi_dib,
+    )
+
+    w, h = 2, 2
+    frames = [[(i, i + 1, i + 2) for i in range(w * h)]]
+    avi = bytearray(encode_avi_dib(w, h, frames))
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    audio_strl = chunk(
+        b"LIST",
+        b"strl"
+        + chunk(b"strh", b"auds" + b"\x00" * 52)
+        + chunk(b"strf", struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)),
+    )
+    # splice the audio strl right before LIST movi and fix the RIFF size
+    i = avi.find(b"LIST" + struct.pack("<I", 0), 0)  # not present; find movi
+    i = avi.find(b"movi") - 8
+    patched = bytes(avi[:i]) + audio_strl + bytes(avi[i:])
+    patched = (
+        b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    )
+    assert decode_avi_dib(patched) == (w, h, frames)

@@ -283,3 +283,21 @@ def test_quantize_query_matches_index_kernel(spark):
             q = quantize_query(vec, widen_reps=reps)
             assert q == kernel[vid][0], (vid, reps)
             assert sum(x * x for x in q) == kernel[vid][1], (vid, reps)
+
+
+def test_upsert_into_order_col_not_in_stored_schema(spark):
+    """The ordering column may exist only on the update batch (an event
+    timestamp the table doesn't persist) — winners are picked before
+    the projection drops it (round-7 review)."""
+    from news_graph_rag_spark.ingest.upserts import upsert_into
+
+    existing = spark.createDataFrame([(1, "old")], "id long, v string")
+    updates = spark.createDataFrame(
+        [(1, "at5", 5), (1, "at9", 9), (2, "n1", 1)],
+        "id long, v string, event_ts long",
+    )
+    got = {
+        (r.id, r.v)
+        for r in upsert_into(existing, updates, ["id"], order_col="event_ts").collect()
+    }
+    assert got == {(1, "at9"), (2, "n1")}
