@@ -115,18 +115,15 @@ def _index_main(argv: list[str], spark=None) -> int:
     if cmd == "search":
         index_path, uid = rest[0], rest[1]
         k = int(rest[2]) if len(rest) > 2 else 5
-        # uid -> surrogate vec_id with the same hash the build used
+        # uid -> surrogate vec_id with the same hash the build used;
+        # uid translation itself lives in ONE place
+        # (ann_index.search_uids_by_id), shared with library callers
         vec_id = spark.range(1).select(
             F.xxhash64(F.lit(uid)).alias("h")
         ).first()["h"]
-        hits = ann_index.search_by_id(spark, index_path, int(vec_id), k=k)
-        uid_map = spark.read.parquet(os.path.join(index_path, "uid_map.parquet"))
-        rows = (
-            uid_map.join(F.broadcast(hits), "vec_id")
-            .orderBy("rnk")
-            .select("rnk", "uid", "dot")
-            .collect()
-        )
+        rows = ann_index.search_uids_by_id(
+            spark, index_path, int(vec_id), k=k
+        ).collect()
         for r in rows:
             print(f"{r['rnk']:3d}  {r['uid']}  dot={r['dot']}")
         return 0

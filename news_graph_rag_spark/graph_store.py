@@ -131,15 +131,24 @@ class GraphStore:
 
     @classmethod
     def _load_dir(cls, spark: SparkSession, base: str, versioned: bool) -> "GraphStore":
-        """Shared per-table directory loader. For versioned dirs,
-        refuse one whose completeness marker is missing (a torn dir —
-        e.g. a multi-writer violation — must fail loudly, never be
-        served as silently-empty tables)."""
+        """Shared per-table directory loader. A versioned dir must
+        carry the completeness marker OR (for commits written before
+        the marker existed) every table directory — a torn dir (e.g. a
+        multi-writer violation partially collected by GC) must fail
+        loudly, never be served as silently-empty tables, while a
+        healthy pre-marker commit keeps loading."""
         if versioned and not os.path.exists(os.path.join(base, cls._COMPLETE)):
-            raise ValueError(
-                f"version dir {base} has no completeness marker — torn or "
-                "still being written; refusing to serve it as empty tables"
-            )
+            missing = [
+                name
+                for name in ALL_TABLES
+                if not os.path.exists(os.path.join(base, f"{name}.parquet"))
+            ]
+            if missing:
+                raise ValueError(
+                    f"version dir {base} has no completeness marker and is "
+                    f"missing tables {missing} — torn or still being "
+                    "written; refusing to serve them as empty"
+                )
         store = cls.empty(spark)
         for name in ALL_TABLES:
             path = os.path.join(base, f"{name}.parquet")

@@ -323,16 +323,27 @@ def _centroid_rows(spark: SparkSession, path: str) -> list[tuple]:
     return rows
 
 
-def _rank_probe_lists(p, cent_rows: "list[tuple]", nprobe: int) -> "list[int]":
-    """The ONE implementation of centroid ranking for every search
-    path: score = dot/sqrt(cnrm) (exact ints + singly-rounded IEEE),
-    order by score desc then centroid_id — bit-for-bit what the DuckDB
-    oracles recompute, so keep all callers on this helper."""
+def _centroid_arrays(cent_rows: "list[tuple]"):
+    """(C, inv_key, cids) numpy arrays for a centroid table — built
+    ONCE per request/batch, since the Python-list → ndarray conversion
+    is O(k·d) and must not repeat per probe (round-7 review)."""
     import numpy as np
 
     C = np.asarray([r[1] for r in cent_rows], dtype=np.int64)
     inv = np.sqrt(np.asarray([r[2] for r in cent_rows], dtype=np.float64))
     cids = np.asarray([r[0] for r in cent_rows], dtype=np.int64)
+    return C, inv, cids
+
+
+def _rank_probe_lists(p, arrays, nprobe: int) -> "list[int]":
+    """The ONE implementation of centroid ranking for every search
+    path: score = dot/sqrt(cnrm) (exact ints + singly-rounded IEEE),
+    order by score desc then centroid_id — bit-for-bit what the DuckDB
+    oracles recompute, so keep all callers on this helper. ``arrays``
+    comes from ``_centroid_arrays``."""
+    import numpy as np
+
+    C, inv, cids = arrays
     scores = (C @ np.asarray(p, dtype=np.int64)).astype(np.float64) / inv
     order = np.lexsort((cids, -scores))
     return [int(cids[i]) for i in order[:nprobe]]
@@ -395,7 +406,9 @@ def search_by_id(
         raise ValueError(f"probe vec_id {probe_vec_id} not in index (or zero-norm)")
     p = np.asarray(probe_row["q8"], dtype=np.int64)
 
-    probe_ids = _rank_probe_lists(p, _centroid_rows(spark, path), nprobe)
+    probe_ids = _rank_probe_lists(
+        p, _centroid_arrays(_centroid_rows(spark, path)), nprobe
+    )
     cand = assignments.filter(F.col("centroid_id").isin(probe_ids)).filter(
         F.col("vec_id") != probe_vec_id
     )
@@ -480,6 +493,27 @@ def search_uids_by_vector(
     )
 
 
+def search_uids_by_id(
+    spark: SparkSession,
+    path: str,
+    probe_vec_id: int,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """``search_by_id`` against a uid-keyed index, hits translated
+    back to uids — the ONE home of the uid-map join (hit set
+    broadcasts; the corpus-sized map never does). Used by the index
+    ops CLI and any by-uid lookup (vec_id = xxhash64(uid), the build's
+    surrogate)."""
+    hits = search_by_id(spark, path, probe_vec_id, k=k, nprobe=nprobe)
+    uid_map = spark.read.parquet(os.path.join(path, "uid_map.parquet"))
+    return (
+        uid_map.join(F.broadcast(hits), "vec_id")
+        .select("rnk", "uid", "dot")
+        .orderBy("rnk")
+    )
+
+
 def quantize_query(vector, widen_reps: int | None = None) -> "list[int]":
     """Driver-side quantization of a float query vector with the SAME
     int8 scheme the index stores (float32 promotion, floor(x·127/amax
@@ -528,7 +562,9 @@ def search_by_vector(
     if not (p != 0).any():
         raise ValueError("query vector quantizes to all zeros")
 
-    probe_ids = _rank_probe_lists(p, _centroid_rows(spark, path), nprobe)
+    probe_ids = _rank_probe_lists(
+        p, _centroid_arrays(_centroid_rows(spark, path)), nprobe
+    )
     assignments = spark.read.parquet(os.path.join(path, "assignments.parquet"))
     cand = assignments.filter(F.col("centroid_id").isin(probe_ids))
     return top_k_ranked(
@@ -569,10 +605,9 @@ def batch_search(
     if missing:
         raise ValueError(f"probe vec_ids not in index (or zero-norm): {missing}")
 
-    cent_rows = _centroid_rows(spark, path)
+    arrays = _centroid_arrays(_centroid_rows(spark, path))  # once per batch
     probe_lists: dict[int, list[int]] = {
-        pid: _rank_probe_lists(p, cent_rows, nprobe)
-        for pid, p in probes.items()
+        pid: _rank_probe_lists(p, arrays, nprobe) for pid, p in probes.items()
     }
 
     all_lists = sorted({c for lists in probe_lists.values() for c in lists})

@@ -334,10 +334,12 @@ def decode_avi_dib(data: bytes) -> "tuple[int, int, list[list[tuple]]]":
 
     strf = None
     in_vids = False  # the last strh seen was a 'vids' stream header
+    stream_ordinal = -1  # strh chunks appear in stream-index order
+    vids_stream = None  # ordinal of the video stream = its frame-id prefix
     frames_raw: list[bytes] = []
 
     def walk(start: int, end: int) -> None:
-        nonlocal strf, in_vids
+        nonlocal strf, in_vids, stream_ordinal, vids_stream
         pos = start
         while pos + 8 <= end:
             cid = buf[pos : pos + 4]
@@ -349,15 +351,20 @@ def decode_avi_dib(data: bytes) -> "tuple[int, int, list[list[tuple]]]":
                 walk(body_start + 4, body_end)  # skip the list type tag
             elif cid == b"strh":
                 # stream header: its fccType says whose strf follows —
-                # without this, a multi-stream AVI (video + audio) would
-                # overwrite the video format with the audio one
-                # (last-strf-wins, round-7 review) and reject the file
+                # and its ORDINAL is the 2-digit prefix of that stream's
+                # frame chunks ('NNdb'). Without both, a multi-stream
+                # AVI (audio before video) would take the wrong strf or
+                # silently collect zero frames (round-7 review).
+                stream_ordinal += 1
                 in_vids = buf[body_start : body_start + 4] == b"vids"
+                if in_vids and vids_stream is None:
+                    vids_stream = stream_ordinal
             elif cid == b"strf":
                 if in_vids and strf is None:
                     strf = buf[body_start:body_end]
-            elif cid in (b"00db", b"00dc"):
-                frames_raw.append(buf[body_start:body_end])
+            elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
+                if vids_stream is not None and int(cid[:2]) == vids_stream:
+                    frames_raw.append(buf[body_start:body_end])
             pos = body_end + (clen % 2)  # chunks are 2-byte aligned
 
     walk(12, len(buf))

@@ -856,7 +856,6 @@ def intersect_except_customers(spark: SparkSession, sf: str) -> DataFrame:
 )
 def partitioned_scan_pruning(spark: SparkSession, sf: str) -> DataFrame:
     import os
-    import tempfile
 
     from .catalog import fingerprint_stage_dir
 

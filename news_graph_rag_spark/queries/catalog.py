@@ -155,18 +155,24 @@ def fingerprint_stage_dir(src_path: str, kind: str) -> str:
     maintenance_compaction_roundtrip (round-7 review: two drifting
     copies of this logic)."""
     import glob
+    import hashlib
     import os
     import shutil
     import tempfile
 
     st = os.stat(src_path)
-    prefix = os.path.dirname(src_path).strip("/").replace("/", "_")
+    # key on a HASH of the full source path, not a flattened path
+    # string: 'a/b' and 'a/b_v2' flatten ambiguously, so a prefix glob
+    # on the flattened form could sweep a DIFFERENT source's live
+    # staging dir (round-7 review). The hash makes the sweep glob
+    # match only this exact source's generations.
+    src_key = hashlib.sha1(os.path.abspath(src_path).encode()).hexdigest()[:12]
     base = os.path.join(
         tempfile.gettempdir(),
-        f"ngr_{kind}_{prefix}_{st.st_mtime_ns}_{st.st_size}",
+        f"ngr_{kind}_{src_key}_{st.st_mtime_ns}_{st.st_size}",
     )
     for stale in glob.glob(
-        os.path.join(tempfile.gettempdir(), f"ngr_{kind}_{prefix}_*")
+        os.path.join(tempfile.gettempdir(), f"ngr_{kind}_{src_key}_*")
     ):
         if stale != base:
             shutil.rmtree(stale, ignore_errors=True)

@@ -1066,7 +1066,6 @@ def snapshot_diff_documents(spark: SparkSession, sf: str) -> DataFrame:
 )
 def maintenance_compaction_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     import os
-    import tempfile
 
     from ..maintenance import compact_parquet, parquet_file_count
 

@@ -814,3 +814,48 @@ def test_avi_decode_ignores_non_video_streams():
         b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
     )
     assert decode_avi_dib(patched) == (w, h, frames)
+
+
+def test_avi_decode_video_as_second_stream():
+    """Audio stream FIRST (legal ordering): the video stream is ordinal
+    1, so its frames are tagged '01db' — the decoder must follow the
+    strh ordinal to the right frame ids instead of hardcoding stream 00
+    (round-7 review: hardcoding returned zero frames silently)."""
+    import struct
+
+    from news_graph_rag_spark.pipeline.multimodal import (
+        _dib_body,
+        decode_avi_dib,
+    )
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    w, h = 2, 2
+    frames = [[(9, 8, 7), (6, 5, 4), (3, 2, 1), (0, 1, 2)]]
+    strf_vid = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 2835, 2835, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", b"\x00" * 56)
+        + lst(  # stream 0: audio
+            b"strl",
+            chunk(b"strh", b"auds" + b"\x00" * 52)
+            + chunk(b"strf", struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)),
+        )
+        + lst(  # stream 1: video
+            b"strl",
+            chunk(b"strh", b"vids" + b"DIB " + b"\x00" * 48)
+            + chunk(b"strf", strf_vid),
+        ),
+    )
+    movi = lst(b"movi", chunk(b"01db", _dib_body(w, h, frames[0])))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert decode_avi_dib(avi) == (w, h, frames)
