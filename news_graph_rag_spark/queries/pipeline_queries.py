@@ -285,7 +285,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     bands = docs.select("doc_id", "text").mapInPandas(
         _minhash_kernel(NUM_MINHASHES, band_rows=BAND_ROWS),
         "doc_id long, band int, band_hash string",
-    )
+    ).filter(F.col("band_hash").isNotNull())
+    # ^ NULL-text docs get NULL band keys; the oracle's equi-join never
+    # matches NULL, but groupBy would bucket them together and emit
+    # pairs the oracle doesn't (same guard decontaminate_fuzzy_lsh
+    # carries; latent until the testdata contains NULL text)
     # bucket members → all ordered pairs within the bucket; members are
     # sorted so doc_a < doc_b by construction
     buckets = (
@@ -1009,8 +1013,16 @@ def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
     )
+    # the running sum consumes COALESCE(n_tokens, 0): SQL window SUM
+    # skips NULLs (a NULL-text doc occupies zero tokens but still gets
+    # the bin its position lands in, per the oracle's COALESCE), while
+    # an un-coalesced NULL would poison the exclusive cumsum into a
+    # NULL bin_id (round-7 review)
     cum = global_cumsum(
-        toks, [F.asc("doc_id")], F.col("n_tokens"), cumsum_col="_excl",
+        toks.withColumn("_nt0", F.coalesce(F.col("n_tokens"), F.lit(0))),
+        [F.asc("doc_id")],
+        F.col("_nt0"),
+        cumsum_col="_excl",
         inclusive=False,
     )
     return cum.select(
@@ -1275,13 +1287,19 @@ def pmi_bigrams_topk(spark: SparkSession, sf: str) -> DataFrame:
 def repetition_ratio_filter(spark: SparkSession, sf: str) -> DataFrame:
     docs = spread(load(spark, sf, "documents"))
     shs = shingle_array(F.col("text"))
+    # DuckDB's list_distinct STRIPS NULL elements while Spark's
+    # array_distinct keeps them — for a NULL-text doc (shs = [NULL])
+    # the engines disagreed on n_distinct/flagged (round-7 review);
+    # filtering nulls out of the distinct set matches the oracle and is
+    # a no-op for real shingles (split never yields NULL)
+    n_distinct = F.size(
+        F.filter(F.array_distinct(shs), lambda x: x.isNotNull())
+    )
     return docs.select(
         "doc_id",
         F.size(shs).cast("bigint").alias("n_shingles"),
-        F.size(F.array_distinct(shs)).cast("bigint").alias("n_distinct"),
-        (
-            (F.size(shs) - F.size(F.array_distinct(shs))) * 10 >= F.size(shs)
-        ).alias("flagged"),
+        n_distinct.cast("bigint").alias("n_distinct"),
+        ((F.size(shs) - n_distinct) * 10 >= F.size(shs)).alias("flagged"),
     )
 
 
@@ -1415,13 +1433,19 @@ def text_winnowing(spark: SparkSession, sf: str) -> DataFrame:
             ids: list[int] = []
             fps: list[str] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = (text or "").split(" ")
+                if not isinstance(text, str):
+                    # NULL text: the oracle's [md5(NULL)] = [NULL],
+                    # list_distinct strips it, unnest emits NOTHING —
+                    # the ''-coercion used to invent an md5('') row
+                    # (round-7 review)
+                    continue
+                toks = text.split(" ")
                 if len(toks) >= 3:
                     shs = [
                         " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
                     ]
                 else:
-                    shs = [text or ""]
+                    shs = [text]
                 hs = [hashlib.md5(s.encode()).hexdigest() for s in shs]
                 if len(hs) >= w:
                     sel = {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
@@ -1606,7 +1630,14 @@ def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
             hs: list[str] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if not isinstance(text, str):  # NULL text (None/NaN)
-                    text = ""
+                    # oracle: spans = [md5(NULL)] = [NULL] — one span
+                    # row whose NULL hash can never equi-join into the
+                    # dup set. Coercing to '' made two NULL docs (or a
+                    # NULL + an empty doc) share md5('') and flag each
+                    # other (round-7 review).
+                    ids.append(doc_id)
+                    hs.append(None)
+                    continue
                 toks = text.split(" ")
                 if len(toks) >= 5:
                     seen = set()
@@ -1739,7 +1770,7 @@ def boilerplate_strip_rebuild(spark: SparkSession, sf: str) -> DataFrame:
     tagged = blk.join(
         hot.withColumn("is_hot", F.lit(True)), "h", "left"
     ).select("doc_id", "pos", "block", F.coalesce("is_hot", F.lit(False)).alias("is_hot"))
-    return tagged.groupBy("doc_id").agg(
+    reb = tagged.groupBy("doc_id").agg(
         F.concat_ws(
             " ",
             F.transform(
@@ -1752,9 +1783,21 @@ def boilerplate_strip_rebuild(spark: SparkSession, sf: str) -> DataFrame:
                 lambda s: s["block"],
             ),
         ).alias("cleaned"),
-        F.sum(F.when(F.col("is_hot"), 1).otherwise(0))
+        F.sum(F.when(~F.col("is_hot"), 1).otherwise(0))
         .cast("bigint")
-        .alias("n_removed"),
+        .alias("n_kept"),
+    )
+    # mirror the oracle's base LEFT JOIN: a NULL-text doc produces no
+    # blocks (posexplode of a NULL array emits nothing) but must still
+    # appear in the output as ('', NULL) — dropping it diverged from
+    # the oracle (round-7 review, latent until testdata carries NULLs)
+    base = docs.select("doc_id", n_blocks.cast("bigint").alias("n_blocks"))
+    return base.join(reb, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        (F.col("n_blocks") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
     )
 
 
@@ -1830,6 +1873,8 @@ def heavy_hitter_tokens(spark: SparkSession, sf: str) -> DataFrame:
         rows = 0
         for pdf in batches:
             for text in pdf["text"]:
+                if not isinstance(text, str):
+                    continue  # NULL text: no tokens (oracle: split(NULL) -> none)
                 for tok in text.split(" "):
                     if tok:
                         rows += 1

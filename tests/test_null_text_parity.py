@@ -1,0 +1,68 @@
+"""NULL-text oracle parity (round-7 review): the shipped testdata has
+zero NULL-text rows, so engine divergences on NULL documents were
+latent — but the catalog docstrings claim NULL parity and a testdata
+regen could introduce NULLs at any round. This suite runs the
+text-kernel entries over a synthetic documents table WITH NULL, empty,
+duplicate, and short texts and compares Spark against the SAME DuckDB
+oracle the driver uses, value-exactly."""
+
+from __future__ import annotations
+
+import pytest
+
+ENTRIES = [
+    "heavy_hitter_tokens",
+    "dedup_minhash_lsh_pairs",
+    "dedup_canonicalize",
+    "dedup_substring_spans",
+    "text_winnowing",
+    "repetition_ratio_filter",
+    "pack_sequences",
+    "boilerplate_strip_rebuild",
+]
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path_factory.mktemp("null_sf")
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = {
+        "doc_id": [0, 1, 2, 3, 4, 5, 6, 7],
+        "text": [
+            dup,
+            dup,  # exact dup pair -> real LSH/substring signal
+            None,
+            None,  # TWO null docs: the bucketing trap
+            "",  # empty string: distinct from NULL in both engines
+            "one two",  # < 3 tokens: whole-text shingle branch
+            "x x x x x x x x x x x x",  # heavy repetition
+            "unique words only here appear once each time",
+        ],
+        "n_chars": [len(dup), len(dup), None, None, 0, 7, 23, 44],
+        "source": ["s1"] * 8,
+        "lang": ["en"] * 8,
+    }
+    pq.write_table(pa.table(rows), str(root / "documents.parquet"))
+    return str(root)
+
+
+@pytest.mark.parametrize("name", ENTRIES)
+def test_null_text_oracle_parity(spark, null_sf_dir, name):
+    import duckdb
+
+    from news_graph_rag_spark.queries import registry
+
+    q = registry()[name]
+    got = sorted(
+        tuple(None if v is None else v for v in r) for r in q.fn(spark, null_sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{null_sf_dir}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want, f"{name}: spark {got[:6]} vs oracle {want[:6]}"
