@@ -160,6 +160,7 @@ HEADLINE = [
 # JSON line; the guard never changes the exit code at non-matching SF.
 GUARD_RATIO = 1.5
 GUARD_MIN_SEC = 1.0
+GUARD_MAX_SPREAD = 1.3
 
 
 def _previous_round_times() -> tuple[str, float | None, dict[str, float]]:
@@ -195,15 +196,34 @@ def _previous_round_times() -> tuple[str, float | None, dict[str, float]]:
                     parsed = None
             if not isinstance(parsed, dict):
                 # tail may be truncated mid-dict at the front; scrape
-                # whatever complete "name": seconds pairs survive
-                pairs = re.findall(r'"([a-z][a-z0-9_]+)": ([0-9]+\.[0-9]+)', tail)
-                qs = {
-                    k: float(v)
-                    for k, v in pairs
-                    if k not in ("value", "sf", "metric", "unit")
-                }
-                if qs:
-                    parsed = {"sf": doc.get("sf"), "queries": qs}
+                # whatever complete "name": seconds pairs survive — but
+                # ONLY pairs that are provably inside the "queries"
+                # dict. The r7 artifact proved a tail can consist
+                # entirely of the "spread" dict (values ~1.0-1.3), and
+                # feeding those to the guard as seconds mass-produces
+                # false flags. Since r8 the emitter prints "queries" as
+                # the LAST key, so a suffix tail is either (a) marked by
+                # the '"queries"' label, or (b) entirely inside the
+                # queries dict with NO other top-level label visible.
+                # The r7 spread-only shape fails both tests ('"data":' /
+                # '"sf":' follow it) and is correctly discarded.
+                j = tail.rfind('"queries"')
+                if j < 0 and not any(
+                    m in tail
+                    for m in ('"spread":', '"data":', '"sf":', '"metric":')
+                ):
+                    j = 0  # pure suffix of the (last-key) queries dict
+                if j >= 0:
+                    pairs = re.findall(
+                        r'"([a-z][a-z0-9_]+)": ([0-9]+\.[0-9]+)', tail[j:]
+                    )
+                    qs = {
+                        k: float(v)
+                        for k, v in pairs
+                        if k not in ("value", "sf", "metric", "unit")
+                    }
+                    if qs:
+                        parsed = {"sf": doc.get("sf"), "queries": qs}
     if not isinstance(parsed, dict):  # crashed round (e.g. r04 rc=1)
         return best[1], None, {}
     return (
@@ -217,7 +237,9 @@ def _previous_round_times() -> tuple[str, float | None, dict[str, float]]:
     )
 
 
-def _regression_guard(times: dict[str, float]) -> None:
+def _regression_guard(
+    times: dict[str, float], spreads: dict[str, float] | None = None
+) -> None:
     path, prev_sf, prev = _previous_round_times()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     if not prev or str(prev_sf) != sf:
@@ -226,6 +248,18 @@ def _regression_guard(times: dict[str, float]) -> None:
     for name, now in times.items():
         before = prev.get(name)
         if before is None or max(now, before) < GUARD_MIN_SEC:
+            continue
+        # the harness's own trust model (module docstring): a three-run
+        # spread above ~1.3 flags a timing you shouldn't trust — so the
+        # guard must not hard-flag it either (VERDICT r7 #6)
+        if spreads and spreads.get(name, 1.0) > GUARD_MAX_SPREAD:
+            if now > before * GUARD_RATIO:
+                print(
+                    f"# info: {name} {before:.2f}s -> {now:.2f}s but "
+                    f"spread {spreads[name]:.2f} > {GUARD_MAX_SPREAD} — "
+                    "timing untrusted, not flagged",
+                    file=sys.stderr,
+                )
             continue
         if now > before * GUARD_RATIO:
             regressed.append((name, before, now))
@@ -404,20 +438,25 @@ def _run_parent() -> None:
         times.update(doc["queries"])
         spreads.update(doc.get("spread", {}))
 
-    _regression_guard(times)
+    _regression_guard(times, spreads)
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # "queries" MUST be the LAST key: the driver archives only a
+    # 2000-char stdout tail, and r7's record lost the times because the
+    # spread/data/sf suffix pushed them out. Last-key placement keeps
+    # the per-query seconds in any suffix truncation, and the scrape
+    # fallback in _previous_round_times keys off the '"queries"' marker.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
                 "spread": spreads,
                 "data": _data_stats(SF_DIR),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": times,
             }
         )
     )

@@ -44,6 +44,88 @@ def test_median_helper(bench):
     assert bench._median([4.0, 1.0]) == 2.5
 
 
+def _write_driver_doc(tmp_path, round_no, line, keep=2000):
+    """Mimic the driver: archive only the LAST `keep` chars of stdout."""
+    import json
+
+    doc = {"n": round_no, "rc": 0, "sf": 0.1, "tail": line[-keep:]}
+    (tmp_path / f"BENCH_r{round_no:02d}.json").write_text(json.dumps(doc))
+
+
+def _synthetic_bench_line(queries, spread):
+    """Reproduce the emitter's key order: "queries" LAST (r7 lesson)."""
+    import json
+
+    return json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(queries.values()), 3),
+            "unit": "sec",
+            "spread": spread,
+            "data": {"documents_rows": 60000, "documents_text_bytes": 1.0e8},
+            "sf": 0.1,
+            "queries": queries,
+        }
+    )
+
+
+def test_truncated_tail_recovers_times_not_spreads(bench, tmp_path, monkeypatch):
+    """VERDICT r7 #1: a 2000-char suffix truncation must still recover
+    per-query SECONDS. With "queries" emitted last, the tail keeps the
+    marker + times even when the front (metric/value/spread) is gone."""
+    queries = {f"q{i:03d}_{'x' * 20}": 1.0 + i / 100 for i in range(90)}
+    spread = {k: 1.1 for k in queries}
+    line = _synthetic_bench_line(queries, spread)
+    assert len(line) > 2000  # truncation actually bites
+    _write_driver_doc(tmp_path, 42, line)
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    path, sf, times = bench._previous_round_times()
+    assert path.endswith("BENCH_r42.json")
+    assert sf == 0.1
+    # every query whose pair survived the cut parses back as its TIME
+    assert times, "no times recovered from truncated tail"
+    for k, v in times.items():
+        assert v == queries[k], f"{k}: scraped {v}, emitted {queries[k]}"
+    # the fully-survived suffix should recover the vast majority
+    assert len(times) > len(queries) * 0.5
+
+
+def test_spread_only_tail_yields_no_times(bench, tmp_path, monkeypatch):
+    """The r7 artifact: tail truncated inside the spread dict, no
+    '"queries"' marker anywhere. The scraper must NOT feed those
+    spread values (~1.0-1.3) to the guard as seconds."""
+    import json
+
+    # emulate the poisoned r7 shape: tail is mid-spread-dict onward,
+    # with data/sf after it and no "queries" marker at all
+    spread_frag = ", ".join(f'"q{i:03d}": 1.1' for i in range(60))
+    tail = spread_frag + '}, "data": {"documents_rows": 60000}, "sf": 0.1}'
+    doc = {"n": 7, "rc": 0, "sf": 0.1, "tail": tail[-2000:]}
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps(doc))
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    _, _, times = bench._previous_round_times()
+    assert times == {}  # guard silently skips; never false-flags
+
+
+def test_guard_skips_untrusted_high_spread(bench, monkeypatch, capsys):
+    """VERDICT r7 #6: a query whose CURRENT spread exceeds 1.3 is the
+    harness's own 'do not trust this timing' signal — the guard reports
+    it as info, not as a REGRESSION."""
+    monkeypatch.setattr(
+        bench,
+        "_previous_round_times",
+        lambda: ("BENCH_r07.json", 0.1, {"fast": 1.0, "noisy": 1.0}),
+    )
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
+    bench._regression_guard(
+        {"fast": 2.0, "noisy": 2.0}, {"fast": 1.05, "noisy": 2.5}
+    )
+    err = capsys.readouterr().err
+    assert "REGRESSION fast" in err  # trusted timing still flagged
+    assert "REGRESSION noisy" not in err  # untrusted timing softened
+    assert "timing untrusted" in err
+
+
 def test_data_stats_shape(bench):
     stats = bench._data_stats("/root/testdata/sf0.001")
     if stats:  # duckdb present in this environment

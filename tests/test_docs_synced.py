@@ -45,6 +45,29 @@ def test_catalog_md_lists_every_entry():
         )
 
 
+def test_driver_first50_prefix_pinned():
+    """The external driver grades the FIRST 50 registry entries, in
+    registration order (VERDICT r7 #5). An innocent import/decorator
+    reorder would silently shift which entries get driver-graded and
+    orphan their committed evidence. Pin the prefix to the key order of
+    the most recent committed CORRECTNESS round; if an intentional
+    reorder ever happens, this test is the place where it's declared."""
+    import glob
+    import json
+
+    best = max(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    with open(best) as f:
+        graded = list(json.load(f).keys())
+    reg_prefix = list(registry())[: len(graded)]
+    assert reg_prefix == graded, (
+        f"registry order drifted vs {os.path.basename(best)}: "
+        f"first diff at {next(i for i, (a, b) in enumerate(zip(reg_prefix, graded)) if a != b)}"
+    )
+
+
 def test_bench_headline_names_resolve():
     """bench.py must never name a query the registry doesn't have —
     the whole bench run dies on the first KeyError (round 4 produced no
