@@ -148,6 +148,8 @@ HEADLINE = [
     "maintenance_compaction_roundtrip",
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
+    # round-8: tombstone-aware search (the delete half of maintenance)
+    "ann_ivf_search_tombstoned",
 ]
 
 
@@ -291,6 +293,7 @@ def _prebuild_indexes(spark, sf_dirs) -> None:
         {"widen_reps": None},
         {"widen_reps": 12},
         {"widen_reps": None, "subset_pred": _IVF_INCR_BASE.format(t="string")},
+        {"widen_reps": None, "variant": "tombstone-demo-v1"},
     ]
     for sf_dir in sf_dirs:
         for kw in builds:

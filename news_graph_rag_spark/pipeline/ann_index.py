@@ -190,6 +190,50 @@ def _lloyd_round_int(assigned: DataFrame, dim: int) -> list[tuple]:
     return sorted(cents, key=lambda t: t[0])
 
 
+_STRANDED_SWEEP_AGE_S = 300.0
+
+
+def _recover_stranded(path: str) -> None:
+    """Crash hygiene at build start (round-7 advice): a hard kill in a
+    rebuild's two-rename window leaves NO live index at ``path`` with
+    the old copy stranded as ``*.retired-*`` (the in-process restore
+    can't run on SIGKILL), and killed builds strand ``*.staging-*``
+    dirs. Restore the newest complete retired copy if the live path is
+    missing, then age-sweep stale staging/retired siblings (same 300 s
+    gate as GraphStore.save_atomic's pointer-tmp sweep, so a build
+    actually in flight is never swept)."""
+    import time
+
+    parent, base = os.path.dirname(path) or ".", os.path.basename(path)
+    if not os.path.isdir(parent):
+        return
+    sibs = [
+        os.path.join(parent, n)
+        for n in os.listdir(parent)
+        if n.startswith(base + ".retired-") or n.startswith(base + ".staging-")
+    ]
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        retired = [
+            s
+            for s in sibs
+            if ".retired-" in s and os.path.exists(os.path.join(s, "meta.json"))
+        ]
+        if retired:
+            newest = max(retired, key=os.path.getmtime)
+            try:
+                os.rename(newest, path)
+                sibs.remove(newest)
+            except OSError:
+                pass  # concurrent recovery won — live copy exists now
+    now = time.time()
+    for s in sibs:
+        try:
+            if now - os.path.getmtime(s) > _STRANDED_SWEEP_AGE_S:
+                shutil.rmtree(s, ignore_errors=True)
+        except OSError:
+            continue
+
+
 def build_and_save(
     emb_df: DataFrame,
     path: str,
@@ -200,11 +244,21 @@ def build_and_save(
     id_col: str = "vec_id",
     meta_extra: dict | None = None,
     extra_tables: "dict[str, DataFrame] | None" = None,
+    max_rows_per_file: int | None = None,
 ) -> str:
     """The offline index-build job: quantize → seed → Lloyd →
     assign → write tables, committed by one atomic directory rename
-    (readers see the complete index or nothing)."""
+    (readers see the complete index or nothing).
+
+    ``max_rows_per_file`` shards long inverted lists across multiple
+    files (VERDICT r7 #7): lists whose row count exceeds it get
+    ``ceil(rows / max_rows_per_file)`` deterministic vec_id-salted
+    writer buckets, so at 100 TB a hot list's scan parallelism scales
+    with its size instead of serializing through one file. Search
+    results are identical — partition pruning reads whole list
+    DIRECTORIES, however many files they hold."""
     spark = emb_df.sparkSession
+    _recover_stranded(path)
     q = quantized_vectors(
         emb_df, widen_reps=widen_reps, embedding_col=embedding_col, id_col=id_col
     ).filter(F.col("nrm") > 0)
@@ -237,12 +291,46 @@ def build_and_save(
             # one file per inverted list: hash-repartition on centroid_id
             # so each partitionBy directory gets exactly one writer task
             # (a search's file-listing cost then scales with nprobe, not
-            # with the build's shuffle width). Production shards long
-            # lists across more files by salting the repartition; at
-            # exhibit scale one file per list is the fast layout.
-            assigned.repartition(n_centroids, "centroid_id").write.partitionBy(
-                "centroid_id"
-            ).parquet(os.path.join(staging, "assignments.parquet"))
+            # with the build's shuffle width). With max_rows_per_file,
+            # long lists are salted across ceil(rows/max) writer buckets
+            # instead — the sharded layout for hot lists at scale.
+            to_write = assigned
+            n_writers = n_centroids
+            if max_rows_per_file:
+                import math
+
+                counts = {
+                    int(r["centroid_id"]): int(r["cnt"])
+                    for r in assigned.groupBy("centroid_id")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .collect()
+                }
+                shards = {
+                    cid: max(1, math.ceil(n / max_rows_per_file))
+                    for cid, n in counts.items()
+                }
+                if any(s > 1 for s in shards.values()):
+                    shard_rel = spark.createDataFrame(
+                        [(cid, s) for cid, s in shards.items()],
+                        "centroid_id int, _shards int",
+                    )
+                    to_write = (
+                        assigned.join(F.broadcast(shard_rel), "centroid_id")
+                        .withColumn(
+                            "_salt",
+                            F.pmod(F.col("vec_id"), F.col("_shards")).cast("int"),
+                        )
+                        .drop("_shards")
+                    )
+                    n_writers = sum(shards.values())
+                    to_write = to_write.repartition(
+                        n_writers, "centroid_id", "_salt"
+                    ).drop("_salt")
+            if to_write is assigned:
+                to_write = assigned.repartition(n_writers, "centroid_id")
+            to_write.write.partitionBy("centroid_id").parquet(
+                os.path.join(staging, "assignments.parquet")
+            )
             spark.createDataFrame(
                 cents, "centroid_id int, c8 array<int>, cnrm bigint"
             ).coalesce(1).write.parquet(os.path.join(staging, "centroids.parquet"))
@@ -299,6 +387,146 @@ def load_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame, di
     assignments = spark.read.parquet(os.path.join(path, "assignments.parquet"))
     centroids = spark.read.parquet(os.path.join(path, "centroids.parquet"))
     return assignments, centroids, meta
+
+
+# ---------------------------------------------------------------------------
+# The DELETE half of incremental maintenance (VERDICT r7 #3). Reference
+# analog: Neo4j's vector index tracks node deletes automatically
+# (graph.py:211-219 semantics — a purged Chunk stops matching
+# db.index.vector.queryNodes). The Spark-native split:
+#
+# - delete_vectors / delete_uids  -> append the ids to a TOMBSTONE table
+#   inside the index directory (bounded: a forget-set, never the corpus)
+# - every search path anti-joins the BROADCAST tombstone set, so purged
+#   vectors stop being servable the moment the tombstone lands — no
+#   rewrite on the serving path
+# - compact_tombstones          -> folds tombstones into the inverted
+#   lists offline, rewriting ONLY the affected centroid partitions with
+#   the same staged-swap discipline as maintenance.compact_parquet, then
+#   retires the tombstone table
+# ---------------------------------------------------------------------------
+
+
+def _tombstone_dir(path: str) -> str:
+    return os.path.join(path, "tombstones.parquet")
+
+
+def _has_tombstones(path: str) -> bool:
+    d = _tombstone_dir(path)
+    return os.path.isdir(d) and any(
+        f.endswith(".parquet") for f in os.listdir(d)
+    )
+
+
+def tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """The live tombstone set (vec_id long, distinct), or None."""
+    if not _has_tombstones(path):
+        return None
+    return spark.read.parquet(_tombstone_dir(path)).select("vec_id").distinct()
+
+
+def _live_only(spark: SparkSession, path: str, assignments: DataFrame) -> DataFrame:
+    """Serve-time delete mask: anti-join the broadcast tombstone set.
+    The tombstone table is a forget-set (bounded), so the anti-join is
+    a broadcast against the (already partition-pruned) candidate scan —
+    no extra shuffle, no full-corpus work."""
+    ts = tombstones(spark, path)
+    if ts is None:
+        return assignments
+    return assignments.join(F.broadcast(ts), "vec_id", "left_anti")
+
+
+def delete_vectors(spark: SparkSession, path: str, vec_ids) -> int:
+    """Tombstone `vec_ids` (an iterable of ints or a DataFrame with a
+    ``vec_id`` column): they disappear from every search path
+    immediately (broadcast anti-join), and are physically removed at
+    the next ``compact_tombstones``. Idempotent: re-deleting an already
+    tombstoned id is harmless (the set is distinct at read time).
+    Returns the number of distinct ids written this call."""
+    if isinstance(vec_ids, DataFrame):
+        df = vec_ids.select(F.col("vec_id").cast("long")).distinct()
+    else:
+        df = spark.createDataFrame(
+            [(int(v),) for v in vec_ids], "vec_id long"
+        ).distinct()
+    df = df.persist()
+    try:
+        n = df.count()
+        if n:
+            df.coalesce(1).write.mode("append").parquet(_tombstone_dir(path))
+    finally:
+        df.unpersist()
+    return int(n)
+
+
+def delete_uids(spark: SparkSession, path: str, uids) -> int:
+    """The GDPR wiring for uid-keyed indexes (build_uid_index): a
+    forget-set of STRING uids (iterable or a DataFrame with a ``uid``
+    column) maps through the build's own surrogate (vec_id =
+    xxhash64(uid)) and tombstones those rows — so a purge cascade
+    (queries/pipeline_queries.purge_user_cascade's shape) reaches the
+    persistent ANN index too, not just the base tables."""
+    if isinstance(uids, DataFrame):
+        df = uids.select(F.xxhash64(F.col("uid")).alias("vec_id"))
+    else:
+        df = spark.createDataFrame([(str(u),) for u in uids], "uid string").select(
+            F.xxhash64(F.col("uid")).alias("vec_id")
+        )
+    return delete_vectors(spark, path, df)
+
+
+def compact_tombstones(spark: SparkSession, path: str) -> int:
+    """Fold the tombstone set into the inverted lists: rewrite ONLY the
+    centroid partitions that actually contain tombstoned rows (at 100 TB
+    a forget-set touches a handful of lists, not the index), each with
+    the staged-write + rename swap discipline of
+    ``maintenance.compact_parquet`` (readers of a list see the old files
+    or the new ones, never a mix), then retire the tombstone table.
+    Search results are identical before and after — the serve-time
+    anti-join and the physical rewrite apply the same mask. Returns the
+    number of rows physically removed."""
+    ts = tombstones(spark, path)
+    if ts is None:
+        return 0
+    apath = os.path.join(path, "assignments.parquet")
+    assignments = spark.read.parquet(apath)
+    # which lists are affected? join the bounded tombstone set against
+    # the assignments — result is <= n_centroids rows
+    hit = (
+        assignments.join(F.broadcast(ts), "vec_id", "left_semi")
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    removed = 0
+    for r in hit:
+        cid, n_dead = int(r["centroid_id"]), int(r["_n"])
+        part_dir = os.path.join(apath, f"centroid_id={cid}")
+        part = spark.read.parquet(part_dir)
+        n_files = max(
+            1, sum(1 for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        )
+        kept = part.join(F.broadcast(ts), "vec_id", "left_anti")
+        staging = f"{part_dir}__compact_{uuid.uuid4().hex[:8]}"
+        retired = f"{part_dir}__old_{uuid.uuid4().hex[:8]}"
+        try:
+            # keep the list's file-count shape (sharding survives)
+            kept.repartition(n_files).write.mode("overwrite").parquet(staging)
+            os.rename(part_dir, retired)
+            os.rename(staging, part_dir)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        shutil.rmtree(retired, ignore_errors=True)
+        removed += n_dead
+    # tombstones are folded in — retire the table (swap-out, then rm:
+    # a concurrent search holding the old DataFrame either read the
+    # tombstones before (mask applied twice — harmless) or sees none)
+    tdir = _tombstone_dir(path)
+    retired_ts = f"{tdir}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(tdir, retired_ts)
+    shutil.rmtree(retired_ts, ignore_errors=True)
+    return int(removed)
 
 
 # centroid tables are k-row immutable metadata keyed by an index path
@@ -396,9 +624,13 @@ def search_by_id(
 
     from ..ranks import top_k_ranked
 
-    assignments = spark.read.parquet(os.path.join(path, "assignments.parquet"))
+    assignments = _live_only(
+        spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
+    )
     # column-pruned point lookup: reads only the q8 column, and the
-    # vec_id predicate is pushed to the parquet scan (row-group stats)
+    # vec_id predicate is pushed to the parquet scan (row-group stats).
+    # A tombstoned probe is "not in index" by design: deleted vectors
+    # neither appear in results nor serve as probes.
     probe_row = (
         assignments.filter(F.col("vec_id") == probe_vec_id).select("q8").first()
     )
@@ -565,7 +797,9 @@ def search_by_vector(
     probe_ids = _rank_probe_lists(
         p, _centroid_arrays(_centroid_rows(spark, path)), nprobe
     )
-    assignments = spark.read.parquet(os.path.join(path, "assignments.parquet"))
+    assignments = _live_only(
+        spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
+    )
     cand = assignments.filter(F.col("centroid_id").isin(probe_ids))
     return top_k_ranked(
         _jvm_scored(cand, p), [F.desc("score"), F.asc("vec_id")], k
@@ -594,7 +828,9 @@ def batch_search(
 
     from pyspark.sql.window import Window
 
-    assignments = spark.read.parquet(os.path.join(path, "assignments.parquet"))
+    assignments = _live_only(
+        spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
+    )
     probes = {
         int(r["vec_id"]): np.asarray(r["q8"], dtype=np.int64)
         for r in assignments.filter(
@@ -720,6 +956,7 @@ def ensure_index(
     n_centroids: int = 8,
     iters: int = 1,
     subset_pred: str | None = None,
+    variant: str | None = None,
 ) -> str:
     """Idempotent DDL analog (reference graph.py:211-219): build the
     index for ``sf_dir``'s embeddings table if a current one doesn't
@@ -734,6 +971,13 @@ def ensure_index(
         f"{INDEX_FORMAT_VERSION}|{src}|{st.st_mtime_ns}|{st.st_size}"
         f"|{n_centroids}|{iters}|{widen_reps}|{subset_pred}"
     )
+    # ``variant`` gives a caller a PRIVATE copy of an otherwise-identical
+    # index — required by any entry that MUTATES its index (tombstones,
+    # appends): mutating the shared fingerprint path would desync every
+    # other oracle-verified entry served from it. Appended only when set
+    # so existing fingerprints stay stable.
+    if variant is not None:
+        key += f"|variant={variant}"
     digest = hashlib.sha1(key.encode()).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), f"ngr_ivf_{digest}")
     if not os.path.exists(os.path.join(path, "meta.json")):

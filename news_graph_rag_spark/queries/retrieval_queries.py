@@ -976,9 +976,14 @@ def _ivf_int8_oracle(
     k: int = 10,
     widen_reps: int | None = None,
     probe_id: int = 0,
+    dead_where: str = "FALSE",
 ) -> str:
     """Build CTE + the SEARCH tail: probe ranking, partition-equivalent
-    candidate filter, exact-integer rank."""
+    candidate filter, exact-integer rank. ``dead_where`` recomputes a
+    TOMBSTONE mask (pipeline/ann_index.delete_vectors): the index is
+    built over ALL vectors (deletes happen after the build and never
+    retrain the quantizer), but tombstoned rows are excluded from the
+    candidate set — exactly the serve-time broadcast anti-join."""
     dot, score = _IVF_DOT, _IVF_SCORE
     return f"""
     {_ivf_int8_build_cte(n_centroids, widen_reps)},
@@ -992,7 +997,7 @@ def _ivf_int8_oracle(
     ),
     cand AS (
       SELECT b.vec_id, b.q8, b.nrm FROM b1 b JOIN pc ON b.cid = pc.cid
-      WHERE b.vec_id <> {probe_id}
+      WHERE b.vec_id <> {probe_id} AND NOT ({dead_where.format(v="b.vec_id")})
     ),
     scored AS (
       SELECT c.vec_id,
@@ -1573,3 +1578,49 @@ def near_dup_canonicalize_embedding(spark: SparkSession, sf: str) -> DataFrame:
             .alias("canonical_id"),
         )
     )
+
+
+_TOMB_PRED = "{v} % 7 = 3"
+
+
+@register(
+    "ann_ivf_search_tombstoned",
+    oracle=_ivf_int8_oracle(
+        n_centroids=8, nprobe=4, k=10, dead_where=_TOMB_PRED
+    ),
+    doc="the DELETE half of incremental index maintenance (VERDICT r7 "
+    "#3; reference analog: Neo4j's vector index tracks node deletes, "
+    "graph.py:211-219 semantics): a deterministic forget-set "
+    "(vec_id % 7 = 3) is tombstoned into a PRIVATE copy of the "
+    "persistent ivf-int8 index (ensure_index variant= — mutating the "
+    "shared fingerprint path would desync the other search entries), "
+    "and the search anti-joins the BROADCAST tombstone table over the "
+    "partition-pruned candidate scan, so purged vectors stop being "
+    "servable the moment the tombstone lands, with no index rewrite on "
+    "the serving path. compact_tombstones folds the mask in offline "
+    "per affected list (tests assert identical results before/after). "
+    "VALUE-VERIFIED: the DuckDB oracle recomputes the identical "
+    "build over ALL vectors (deletes never retrain the quantizer) "
+    "and applies the same mask to the candidate set.",
+)
+def ann_ivf_search_tombstoned(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import (
+        _has_tombstones,
+        delete_vectors,
+        ensure_index,
+        load_index,
+        search_by_id,
+    )
+
+    path = ensure_index(
+        spark, sf, widen_reps=None, n_centroids=8, iters=1,
+        variant="tombstone-demo-v1",
+    )
+    if not _has_tombstones(path):
+        dead = (
+            load_index(spark, path)[0]
+            .filter(F.expr(_TOMB_PRED.format(v="vec_id")))
+            .select("vec_id")
+        )
+        delete_vectors(spark, path, dead)
+    return search_by_id(spark, path, probe_vec_id=0, k=10, nprobe=4)
