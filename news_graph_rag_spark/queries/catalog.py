@@ -171,11 +171,26 @@ def fingerprint_stage_dir(src_path: str, kind: str) -> str:
         tempfile.gettempdir(),
         f"ngr_{kind}_{src_key}_{st.st_mtime_ns}_{st.st_size}",
     )
+    # AGE-GATED sweep of superseded generations (round-7 advice): a
+    # lazy DataFrame returned before a mid-session testdata regen still
+    # reads the PREVIOUS staged copy at execution time, so deleting it
+    # the instant a new fingerprint appears can fail (or torn-read) an
+    # in-flight plan. Same 300 s gate as save_atomic's pointer-tmp
+    # sweep: old generations are retired once no plan from this session
+    # window can still reference them.
+    import time
+
+    now = time.time()
     for stale in glob.glob(
         os.path.join(tempfile.gettempdir(), f"ngr_{kind}_{src_key}_*")
     ):
-        if stale != base:
-            shutil.rmtree(stale, ignore_errors=True)
+        if stale == base:
+            continue
+        try:
+            if now - os.path.getmtime(stale) > 300.0:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            continue
     return base
 
 

@@ -46,6 +46,27 @@ def null_sf_dir(tmp_path_factory):
         "lang": ["en"] * 8,
     }
     pq.write_table(pa.table(rows), str(root / "documents.parquet"))
+    # a tiny embeddings table so index-driven entries (hybrid search)
+    # can run over the SAME null-text corpus: deterministic nonzero
+    # vectors, one per doc
+    import random
+
+    rng = random.Random(3)
+    emb = {
+        "vec_id": rows["doc_id"],
+        "embedding": [
+            [rng.uniform(0.1, 1.0) for _ in range(8)] for _ in rows["doc_id"]
+        ],
+    }
+    pq.write_table(
+        pa.table(
+            emb,
+            schema=pa.schema(
+                [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+            ),
+        ),
+        str(root / "embeddings.parquet"),
+    )
     return str(root)
 
 
@@ -66,3 +87,28 @@ def test_null_text_oracle_parity(spark, null_sf_dir, name):
     )
     want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
     assert got == want, f"{name}: spark {got[:6]} vs oracle {want[:6]}"
+
+
+def test_hybrid_indexed_null_text_parity(spark, null_sf_dir):
+    """The round-8 token-index kernel (array_distinct(split) postings +
+    df cap) meets NULL documents: a NULL text must produce NO postings
+    in both engines (explode(NULL) vs unnest(NULL)), yet its doc can
+    still arrive as a VECTOR candidate, putting a NULL kw_hits through
+    the fusion's greatest() — this asserts the full entry stays
+    value-exact on that corpus."""
+    import duckdb
+
+    from news_graph_rag_spark.queries import registry
+
+    q = registry()["hybrid_search_indexed"]
+    got = sorted(
+        tuple(None if v is None else v for v in r)
+        for r in q.fn(spark, null_sf_dir).collect()
+    )
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{null_sf_dir}/{t}.parquet'"
+        )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want, f"spark {got[:6]} vs oracle {want[:6]}"

@@ -1032,3 +1032,31 @@ def test_avi_decode_video_as_second_stream():
     body = b"AVI " + hdrl + movi
     avi = b"RIFF" + struct.pack("<I", len(body)) + body
     assert decode_avi_dib(avi) == (w, h, frames)
+
+
+def test_fingerprint_stage_dir_age_gated_sweep(tmp_path, monkeypatch):
+    """Round-7 advice #5: superseded staged generations must survive
+    the 300 s reference window (a lazy DataFrame from before a testdata
+    regen still reads the old copy at execution time) and only then be
+    swept."""
+    import os
+    import tempfile
+
+    from news_graph_rag_spark.queries.catalog import fingerprint_stage_dir
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    src = tmp_path / "documents.parquet"
+    src.write_bytes(b"v1")
+    base1 = fingerprint_stage_dir(str(src), "agegate")
+    os.makedirs(base1)
+
+    # regen the source -> new fingerprint; the old generation is YOUNG
+    src.write_bytes(b"v2-longer")
+    base2 = fingerprint_stage_dir(str(src), "agegate")
+    assert base2 != base1
+    assert os.path.isdir(base1), "young superseded generation was swept"
+
+    # age the old generation past the gate -> the next call sweeps it
+    os.utime(base1, (1.0, 1.0))
+    fingerprint_stage_dir(str(src), "agegate")
+    assert not os.path.exists(base1)
