@@ -233,8 +233,25 @@ def upsert_into(
         # would drop it and crash the window (round-7 review). The
         # hash tiebreaker uses the batch's non-key columns; when there
         # are none, tied rows are identical and any winner is fine.
+        # Each column hashes with an explicit NULL marker (round-7
+        # advice): Spark's xxhash64 SKIPS null inputs, so distinct rows
+        # like (a=NULL, b='x') and (a='x', b=NULL) would hash equal and
+        # leave the winner partition-order dependent across retries.
+        # coalesce(cast-to-string, sentinel) makes NULL hash as a value
+        # (the sentinel starts with \x00 — unreachable for real data).
         non_key = [c for c in updates.columns if c not in keys]
-        tiebreak = [F.xxhash64(*non_key)] if non_key else []
+        tiebreak = (
+            [
+                F.xxhash64(
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+                        for c in non_key
+                    ]
+                )
+            ]
+            if non_key
+            else []
+        )
         w = Window.partitionBy(*keys).orderBy(F.desc(order_col), *tiebreak)
         updates = (
             updates.withColumn("_rn", F.row_number().over(w))

@@ -293,7 +293,9 @@ def encode_avi_dib(
         1_000_000 // max(fps, 1),  # us per frame
         frame_bytes * fps,  # max bytes/sec
         0,  # padding granularity
-        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE-ish flags ok
+        0,  # dwFlags=0: no idx1 chunk is written, so AVIF_HASINDEX
+        # (0x10) must NOT be set — a strict player trusting the flag
+        # would fail to seek or reject the file (round-7 advice)
         n, 0, 1, frame_bytes, width, height,
     ) + struct.pack("<4I", 0, 0, 0, 0)
     strh = (
@@ -476,6 +478,11 @@ def decode_png_rgb8(data: bytes) -> "tuple[int, int, list[tuple]]":
         ctype = buf[pos + 4 : pos + 8]
         body = buf[pos + 8 : pos + 8 + clen]
         if len(body) < clen:
+            raise ValueError(f"truncated chunk {ctype!r}")
+        # guard the 4-byte CRC field too (round-7 advice): a stream cut
+        # INSIDE the CRC would otherwise escape as struct.error instead
+        # of the decoder's documented ValueError contract
+        if pos + 12 + clen > len(buf):
             raise ValueError(f"truncated chunk {ctype!r}")
         (crc,) = struct.unpack_from(">I", buf, pos + 8 + clen)
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:

@@ -835,6 +835,11 @@ def test_png_decode_rejects_corruption_and_unsupported():
     )
     with _pytest.raises(ValueError, match="unsupported PNG"):
         decode_png_rgb8(patched)
+    # round-7 advice: a stream cut INSIDE a chunk's 4-byte CRC field
+    # must raise the contract ValueError, never escape as struct.error
+    cut_in_crc = bytes(good[:31])  # IHDR CRC is bytes 29..33
+    with _pytest.raises(ValueError, match="truncated chunk"):
+        decode_png_rgb8(cut_in_crc)
 
 
 def test_avi_dib_roundtrip_and_rejects():

@@ -252,6 +252,36 @@ def test_upsert_into_order_col_last_writer_deterministic(spark):
         assert got == {(1, "old1", 0), (2, "v-at-9", 9), (3, "n-at-7", 7)}
 
 
+def test_upsert_into_null_swapped_ties_deterministic(spark):
+    """Round-7 advice #2: Spark's xxhash64 SKIPS null inputs, so
+    distinct tied rows like (a=NULL, b='x') and (a='x', b=NULL) hashed
+    identically under the old tiebreak and the winner depended on
+    partition order. With per-column NULL markers, the winner is the
+    same row under every physical partitioning AND input order."""
+    from news_graph_rag_spark.ingest.upserts import upsert_into
+
+    existing = spark.createDataFrame(
+        [(9, "z", "z", 0)], "id long, a string, b string, ver long"
+    )
+    rows = [(1, None, "x", 5), (1, "x", None, 5)]  # NULL-swapped tie
+    winners = set()
+    for order in (rows, rows[::-1]):
+        for n_parts in (1, 5):
+            updates = spark.createDataFrame(
+                order, "id long, a string, b string, ver long"
+            ).repartition(n_parts)
+            got = {
+                (r.id, r.a, r.b)
+                for r in upsert_into(
+                    existing, updates, ["id"], order_col="ver"
+                ).collect()
+                if r.id == 1
+            }
+            assert len(got) == 1
+            winners |= got
+    assert len(winners) == 1, f"winner varied across runs: {winners}"
+
+
 def test_quantize_query_matches_index_kernel(spark):
     """The driver-side query quantizer (search_by_vector's first step)
     must produce bit-identical int8 vectors and norms to the index
