@@ -149,7 +149,9 @@ HEADLINE = [
     # end-to-end ingest throughput (chunk + NER + embed + D1-D8 upserts)
     "graph_ingest_roundtrip",
     # round-8: tombstone-aware search (the delete half of maintenance)
+    # and the real baseline-JPEG round-trip
     "ann_ivf_search_tombstoned",
+    "multimodal_jpeg_decode_stats",
 ]
 
 

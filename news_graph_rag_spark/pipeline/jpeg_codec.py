@@ -1,0 +1,544 @@
+"""Pure-stdlib(+numpy) BASELINE JPEG codec: sequential DCT, Huffman
+entropy coding, 4:4:4 (no chroma subsampling), 8-bit, 3 components.
+
+This closes the last multimodal stand-in (VERDICT r7 #8): the repo's
+other codecs (WAV, BMP, PNG, AVI) are real and oracle-verified;
+JPEG previously sat behind a try-import library seam. This module is a
+REAL JPEG implementation — actual markers (SOI/APP0/DQT/SOF0/DHT/SOS/
+EOI), actual Huffman entropy coding with byte stuffing, actual
+quantized DCT — whose every arithmetic step is EXACT INTEGER, which is
+what makes it SQL-verifiable (the repo's exact-integer oracle
+discipline, same as the ivf-int8 index):
+
+- the color transforms are fixed-point integer (scaled by 2^16, the
+  same approach production codecs use — libjpeg's jccolor/jdcolor are
+  fixed-point too; constants re-derived from the ITU-R BT.601 floats,
+  not copied):
+      Y  = rdiv(19595 R + 38470 G +  7471 B, 65536)
+      Cb = 128 + rdiv(-11059 R - 21709 G + 32768 B, 65536)
+      Cr = 128 + rdiv( 32768 R - 27439 G -  5329 B, 65536)
+  (each row's coefficients sum EXACTLY to the fixed-point one, so flat
+  gray stays flat); inverse with 91881/22554/46802/116130.
+- the 2-D DCT/IDCT use one integer cosine table
+  A[u][x] = round(0.5 c(u) cos((2x+1)uπ/16) · 2^11) applied as exact
+  int64 matrix products (A S Aᵀ) with ONE symmetric rounding division
+  by 2^22 at the end — no intermediate float anywhere. The table is
+  magnitude-paired (A[u][7-x] = ±A[u][x]), so a FLAT block has every
+  AC coefficient EXACTLY zero and a closed-form DC:
+      DC  = rdiv(s · 5792², 2^22)          (5792 = Σ_x A[0][x])
+      s'  = rdiv(DC_q · Q[0] · 724², 2^22) (724  = A[0][x])
+  — the whole encode→decode chain for flat blocks is a five-step
+  integer formula a DuckDB oracle can recompute verbatim, while the
+  entropy layer (DC-diff Huffman, EOB runs, byte stuffing, marker
+  parse) is fully exercised by real bytes.
+- quantization uses the Annex K example luminance/chrominance tables
+  (the de-facto "quality 50" tables every JPEG tool ships).
+- Huffman tables are CUSTOM flat-length tables (12 DC symbols at 4
+  bits, 162 AC symbols at 8 bits) written into DHT — legal per the
+  spec (decoders must read DHT; optimizing encoders emit custom
+  tables routinely) and far simpler to get right than transcribing
+  Annex K's 300+ constants. The decoder reads whatever DHT declares,
+  so it decodes other baseline 4:4:4 streams' tables too.
+
+Scope (documented): baseline sequential only (SOF0), 8-bit, exactly
+3 components, 1x1 sampling (4:4:4), no restart markers, no
+progressive/arithmetic coding — anything else raises ValueError.
+H.264 remains the one library-seam format (SCALE.md residuals).
+
+Reference parity note: the reference repo has no media pipeline at all
+(SURVEY.md §2 — this family is part of the training-data extension);
+cited here per the multimodal family's convention.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# ---------------------------------------------------------------------------
+# Constants
+# ---------------------------------------------------------------------------
+
+_K_BITS = 11  # cosine table scale = 2^11
+_K = 1 << _K_BITS
+_KK = 1 << (2 * _K_BITS)  # one descale after the exact 2-D product
+
+# Annex K example quantization tables (row-major, natural order)
+QUANT_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+QUANT_CHR = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+
+def _zigzag_order() -> list[int]:
+    """Natural index for each zigzag position, derived from the
+    standard diagonal walk (generated, not transcribed)."""
+    order = []
+    for d in range(15):  # anti-diagonals
+        rng = range(d + 1) if d < 8 else range(d - 7, 8)
+        idx = [(d - j, j) for j in rng]  # bottom-left -> top-right
+        if d % 2 == 1:
+            idx.reverse()  # odd diagonals run top-right -> bottom-left
+        order.extend(r * 8 + c for r, c in idx)
+    return order
+
+
+ZIGZAG = _zigzag_order()
+
+
+def _cos_table():
+    """A[u][x] = round(0.5 * c(u) * cos((2x+1) u pi / 16) * 2^11).
+    Magnitude-paired across x <-> 7-x, so flat blocks have exactly-zero
+    AC coefficients (module docstring)."""
+    import numpy as np
+
+    A = np.zeros((8, 8), dtype=np.int64)
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            v = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0) * _K
+            # round-half-away-from-zero keeps |A[u][x]| == |A[u][7-x]|
+            A[u][x] = int(math.copysign(math.floor(abs(v) + 0.5), v))
+    return A
+
+
+def _rdiv(a, b: int):
+    """Symmetric (round-half-away-from-zero) integer division — the
+    ONE rounding used everywhere, and the exact expression the DuckDB
+    oracles mirror. Works on ints and int64 ndarrays."""
+    try:
+        import numpy as np
+
+        if isinstance(a, np.ndarray):
+            h = b // 2
+            return np.where(a >= 0, (a + h) // b, -((-a + h) // b))
+    except ImportError:  # pragma: no cover
+        pass
+    return (a + b // 2) // b if a >= 0 else -((-a + b // 2) // b)
+
+
+# fixed-point color constants (docstring derivation)
+_Y_R, _Y_G, _Y_B = 19595, 38470, 7471
+_CB_R, _CB_G = 11059, 21709
+_CR_G, _CR_B = 27439, 5329
+_R_CR = 91881
+_G_CB, _G_CR = 22554, 46802
+_B_CB = 116130
+
+
+def rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    y = _rdiv(_Y_R * r + _Y_G * g + _Y_B * b, 65536)
+    cb = 128 + _rdiv(-_CB_R * r - _CB_G * g + 32768 * b, 65536)
+    cr = 128 + _rdiv(32768 * r - _CR_G * g - _CR_B * b, 65536)
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    return clamp(y), clamp(cb), clamp(cr)
+
+
+def ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    r = y + _rdiv(_R_CR * (cr - 128), 65536)
+    g = y - _rdiv(_G_CB * (cb - 128) + _G_CR * (cr - 128), 65536)
+    b = y + _rdiv(_B_CB * (cb - 128), 65536)
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    return clamp(r), clamp(g), clamp(b)
+
+
+# ---------------------------------------------------------------------------
+# Huffman tables (custom flat-length; BITS/HUFFVAL written into DHT)
+# ---------------------------------------------------------------------------
+
+_DC_SYMBOLS = list(range(12))  # categories 0..11
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_DC_BITS = [0, 0, 0, 12] + [0] * 12  # 12 codes of length 4
+_AC_BITS = [0] * 7 + [162] + [0] * 8  # 162 codes of length 8
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """sym -> (code, length) per the JPEG canonical-code rule."""
+    out = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_ENC = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
+_AC_ENC = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
+    real marker (leaves it for the caller)."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        b = self.buf
+        if self.pos >= len(b):
+            raise ValueError("truncated entropy segment")
+        v = b[self.pos]
+        if v == 0xFF:
+            if self.pos + 1 >= len(b):
+                raise ValueError("truncated entropy segment")
+            nxt = b[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2  # stuffed data byte
+            else:
+                raise ValueError("marker inside entropy segment")
+        else:
+            self.pos += 1
+        # mask consumed history so the accumulator stays bounded over
+        # arbitrarily long scans
+        self._acc = ((self._acc & ((1 << self._n) - 1)) << 8) | v
+        self._n += 8
+
+    def bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG sign-extension: t-bit magnitude back to a signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def encode_jpeg_rgb8(width: int, height: int, pixels: list) -> bytes:
+    """``pixels`` is a row-major list of (r, g, b). Baseline 4:4:4,
+    Annex K quant tables, custom flat Huffman tables. Edges pad by
+    replication to the 8-multiple MCU grid (decoder crops back)."""
+    import numpy as np
+
+    if width <= 0 or height <= 0 or len(pixels) != width * height:
+        raise ValueError("pixels must be width*height RGB tuples")
+    A = _cos_table()
+    rgb = np.asarray(pixels, dtype=np.int64).reshape(height, width, 3)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = _rdiv(_Y_R * r + _Y_G * g + _Y_B * b, 65536)
+    cb = 128 + _rdiv(-_CB_R * r - _CB_G * g + 32768 * b, 65536)
+    cr = 128 + _rdiv(32768 * r - _CR_G * g - _CR_B * b, 65536)
+    planes = [np.clip(p, 0, 255) for p in (y, cb, cr)]
+
+    bw, bh = -(-width // 8), -(-height // 8)
+    qtabs = [
+        np.asarray(QUANT_LUM, dtype=np.int64).reshape(8, 8),
+        np.asarray(QUANT_CHR, dtype=np.int64).reshape(8, 8),
+    ]
+    writer = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, plane in enumerate(planes):
+                # edge-replicated 8x8 block
+                ys = np.clip(np.arange(by * 8, by * 8 + 8), 0, height - 1)
+                xs = np.clip(np.arange(bx * 8, bx * 8 + 8), 0, width - 1)
+                S = plane[np.ix_(ys, xs)] - 128
+                F = _rdiv(A @ S @ A.T, _KK)
+                q = qtabs[0 if ci == 0 else 1]
+                Fq = _rdiv(F, q)
+                zz = [int(Fq.flat[i]) for i in ZIGZAG]
+                # DC diff
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                t = _category(diff)
+                code, ln = _DC_ENC[t]
+                writer.put(code, ln)
+                if t:
+                    writer.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+                # AC run-lengths
+                run = 0
+                last_nz = 0
+                for i in range(63, 0, -1):
+                    if zz[i]:
+                        last_nz = i
+                        break
+                for i in range(1, last_nz + 1):
+                    v = zz[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, n = _AC_ENC[0xF0]
+                        writer.put(c, n)
+                        run -= 16
+                    t = _category(v)
+                    c, n = _AC_ENC[(run << 4) | t]
+                    writer.put(c, n)
+                    writer.put(v if v > 0 else v + (1 << t) - 1, t)
+                    run = 0
+                if last_nz < 63:
+                    c, n = _AC_ENC[0x00]  # EOB
+                    writer.put(c, n)
+    scan = writer.flush()
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(
+        0xFFDB,
+        b"\x00" + bytes(QUANT_LUM[i] for i in ZIGZAG)
+        + b"\x01" + bytes(QUANT_CHR[i] for i in ZIGZAG),
+    )
+    out += _seg(
+        0xFFC0,  # SOF0: baseline sequential
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _seg(
+        0xFFC4,
+        dht(0, 0, _DC_BITS, _DC_SYMBOLS)
+        + dht(1, 0, _AC_BITS, _AC_SYMBOLS)
+        + dht(0, 1, _DC_BITS, _DC_SYMBOLS)
+        + dht(1, 1, _AC_BITS, _AC_SYMBOLS),
+    )
+    out += _seg(
+        0xFFDA,
+        bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
+    )
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
+    """Parse a baseline JPEG stream and return (width, height, pixels)
+    with ``pixels`` a row-major list of (r, g, b). Accepts any baseline
+    sequential 8-bit 3-component 4:4:4 stream (tables come from the
+    stream's own DQT/DHT); anything else raises ValueError."""
+    import numpy as np
+
+    buf = data
+    if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    qtabs: dict[int, "np.ndarray"] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    scan_comps = None
+    A = _cos_table()
+    izz = ZIGZAG
+
+    while True:
+        if pos + 4 > len(buf):
+            raise ValueError("truncated JPEG (no SOS)")
+        if buf[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = struct.unpack_from(">H", buf, pos)[0]
+        if marker == 0xFFD9:
+            raise ValueError("EOI before scan data")
+        (ln,) = struct.unpack_from(">H", buf, pos + 2)
+        if pos + 2 + ln > len(buf):
+            raise ValueError("truncated segment")
+        body = buf[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xFFDB:  # DQT (possibly several tables)
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                if pq != 0:
+                    raise ValueError("unsupported 16-bit quant table")
+                tab = np.zeros(64, dtype=np.int64)
+                for i in range(64):
+                    tab[izz[i]] = body[o + 1 + i]
+                qtabs[tq] = tab.reshape(8, 8)
+                o += 65
+        elif marker == 0xFFC4:  # DHT (possibly several tables)
+            o = 0
+            while o < len(body):
+                cls, tid = body[o] >> 4, body[o] & 0xF
+                bits = list(body[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17 : o + 17 + n])
+                enc = _canonical_codes(bits, vals)
+                htabs[(cls, tid)] = {
+                    (lnn, code): sym for sym, (code, lnn) in enc.items()
+                }
+                o += 17 + n
+        elif marker == 0xFFC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc != 3:
+                raise ValueError("unsupported precision/component count")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise ValueError("unsupported chroma subsampling (not 4:4:4)")
+                comps.append((cid, tq))
+            sof = (w, h, comps)
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise ValueError("unsupported JPEG coding process (not baseline)")
+        elif marker == 0xFFDD:
+            raise ValueError("restart intervals not supported")
+        elif marker == 0xFFDA:  # SOS
+            ns = body[0]
+            if ns != 3:
+                raise ValueError("scan must cover 3 components")
+            scan_comps = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            break
+        # else: APPn / COM — skipped
+    if sof is None:
+        raise ValueError("missing SOF0")
+    width, height, comps = sof
+    cid_to_q = dict(comps)
+
+    reader = _BitReader(buf, pos)
+
+    def huff_decode(tab: dict) -> int:
+        code, lnn = 0, 0
+        for _ in range(16):
+            code = (code << 1) | reader.bit()
+            lnn += 1
+            sym = tab.get((lnn, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    bw, bh = -(-width // 8), -(-height // 8)
+    planes = [
+        np.zeros((bh * 8, bw * 8), dtype=np.int64) for _ in range(3)
+    ]
+    pred = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, (cid, dct, act) in enumerate(scan_comps):
+                dtab, atab = htabs.get((0, dct)), htabs.get((1, act))
+                if dtab is None or atab is None:
+                    raise ValueError("scan references undefined Huffman table")
+                q = qtabs.get(cid_to_q[cid])
+                if q is None:
+                    raise ValueError("scan references undefined quant table")
+                zz = [0] * 64
+                t = huff_decode(dtab)
+                diff = _extend(reader.receive(t), t)
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                i = 1
+                while i < 64:
+                    sym = huff_decode(atab)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    i += run
+                    if i > 63:
+                        raise ValueError("AC run overflows block")
+                    zz[i] = _extend(reader.receive(size), size)
+                    i += 1
+                Fq = np.zeros(64, dtype=np.int64)
+                for k in range(64):
+                    Fq[izz[k]] = zz[k]
+                F = Fq.reshape(8, 8) * q
+                S = _rdiv(A.T @ F @ A, _KK)
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = S
+    y = np.clip(planes[0][:height, :width] + 128, 0, 255)
+    cb = np.clip(planes[1][:height, :width] + 128, 0, 255)
+    cr = np.clip(planes[2][:height, :width] + 128, 0, 255)
+    r = np.clip(y + _rdiv(_R_CR * (cr - 128), 65536), 0, 255)
+    g = np.clip(
+        y - _rdiv(_G_CB * (cb - 128) + _G_CR * (cr - 128), 65536), 0, 255
+    )
+    b = np.clip(y + _rdiv(_B_CB * (cb - 128), 65536), 0, 255)
+    out = np.stack([r, g, b], axis=-1).reshape(-1, 3)
+    return width, height, [tuple(int(v) for v in px) for px in out]
+
+
+def flat_block_roundtrip_rgb(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """The closed-form decode of an 8x8 FLAT block with color (r,g,b)
+    — the exact chain the DuckDB oracle recomputes (module docstring):
+    color → DC (5792² / 2^22) → Annex-K DC quant roundtrip → IDCT
+    (724² / 2^22) → inverse color. Used by tests to pin the codec to
+    its oracle formula."""
+    y, cb, cr = rgb_to_ycbcr(r, g, b)
+    out = []
+    for comp, q0 in ((y, QUANT_LUM[0]), (cb, QUANT_CHR[0]), (cr, QUANT_CHR[0])):
+        s = comp - 128
+        dc = _rdiv(s * 5792 * 5792, _KK)
+        dcq = _rdiv(dc, q0)
+        s2 = _rdiv(dcq * q0 * 724 * 724, _KK)
+        out.append(max(0, min(255, s2 + 128)))
+    return ycbcr_to_rgb(out[0], out[1], out[2])

@@ -15,11 +15,13 @@ shapes, partitioning — is real and tested. Decode status by modality:
 - VIDEO: REAL frame extraction for AVI containers with uncompressed
   24-bit DIB frames (``decode_avi_dib`` / ``encode_avi_dib`` — RIFF
   chunk-tree walk, stream-format gating, shared DIB row reader).
-- Codec-dependent formats (JPEG's DCT, H.264, ...) stay behind the
-  library seam: ``decode_fn=None`` uses a deterministic fake decoder
-  (metadata-derived, itself SQL-verified), and a real decoder
-  (``load_image_decoder`` → PIL when importable) slots into the same
-  ``mapInPandas`` operator unchanged.
+- JPEG: REAL baseline codec in ``pipeline/jpeg_codec.py`` (round 8:
+  sequential DCT, Huffman entropy coding, 4:4:4 — exact-integer
+  arithmetic, oracle-verified on flat blocks). Only H.264 stays
+  behind the library seam: ``decode_fn=None`` uses a deterministic
+  fake decoder (metadata-derived, itself SQL-verified), and a real
+  decoder (``load_image_decoder`` → PIL when importable) slots into
+  the same ``mapInPandas`` operator unchanged.
 
 Scale notes: media bytes dominate row size → these operators must never
 shuffle the binary column. Every function here is map-only; outputs
@@ -204,8 +206,8 @@ def decode_bmp24(data: bytes) -> "tuple[int, int, list[tuple]]":
     parser, the image analog of ``decode_wav_pcm``: magic and header
     sizes are verified, anything but BI_RGB 24-bit raises — it does
     not fake. This closes the round-6 'image decode is stubbed' caveat
-    for the BMP format; JPEG/PNG still require a real codec library
-    via ``load_image_decoder``."""
+    for the BMP format; PNG decodes via ``decode_png_rgb8`` and JPEG
+    via ``pipeline/jpeg_codec.py`` (round 8)."""
     import struct
 
     buf = bytes(data)
@@ -463,7 +465,8 @@ def decode_png_rgb8(data: bytes) -> "tuple[int, int, list[tuple]]":
     Returns (width, height, pixels) row-major top-down (r, g, b). With
     this, the image modality's decode seam is real for BOTH an
     uncompressed container (BMP) and a DEFLATE-compressed one (PNG);
-    JPEG remains behind the library seam (no DCT codec in stdlib)."""
+    baseline JPEG decodes via ``pipeline/jpeg_codec.py`` (round 8),
+    leaving H.264 as the one library-seam format."""
     import struct
     import zlib
 

@@ -15,9 +15,11 @@ through the PCM chunk walker; IMAGE — ``multimodal_bmp_decode_stats``
 types) round-trip actual byte streams, each with a position-weighted
 stat that catches row/channel/padding mistakes; VIDEO —
 ``multimodal_avi_frame_stats`` walks an actual AVI RIFF chunk tree and
-extracts uncompressed DIB frames. Only codec-dependent formats (JPEG
-DCT, H.264) remain behind the library seam, and even that path's
-deterministic stand-in is SQL-verified (``multimodal_image_stats``).
+extracts uncompressed DIB frames; ``multimodal_jpeg_decode_stats``
+(round 8) round-trips actual baseline JPEG streams through
+``pipeline/jpeg_codec.py``. Only H.264 remains behind the library
+seam, and even that path's deterministic stand-in is SQL-verified
+(``multimodal_image_stats``).
 
 All seven entries are oracle-backed: ``multimodal_frame_sample`` /
 ``multimodal_audio_windows`` are pure column ops (sequence + explode),
@@ -296,8 +298,8 @@ def multimodal_bmp_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     "pixels incl. a position-weighted green-channel sum. The DuckDB "
     "oracle computes the same stats from the generating formula, so "
     "the gate certifies DEFLATE round-trip + all five PNG filters "
-    "pixel-exactly. Map-only Arrow pass; bytes never shuffle. JPEG "
-    "stays behind the library seam (no DCT codec in stdlib).",
+    "pixel-exactly. Map-only Arrow pass; bytes never shuffle. Baseline "
+    "JPEG decodes via pipeline/jpeg_codec.py (round 8).",
 )
 def multimodal_png_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.multimodal import decode_png_rgb8, encode_png_rgb8
@@ -556,4 +558,170 @@ def multimodal_wav_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
         run,
         "media_id long, n_samples long, sample_rate long, "
         "sum_sq long, min_s long, max_s long",
+    )
+
+
+def _jpeg_rdiv(a: str, b: int) -> str:
+    """DuckDB spelling of jpeg_codec._rdiv (round-half-away integer
+    division) — operands are BIGINTs, `//` floors nonnegative values."""
+    return (
+        f"(CASE WHEN ({a}) >= 0 THEN (({a}) + {b // 2}) // {b} "
+        f"ELSE -((-({a}) + {b // 2}) // {b}) END)"
+    )
+
+
+def _jpeg_clamp(e: str) -> str:
+    return f"least(greatest({e}, 0), 255)"
+
+
+def _jpeg_dc_roundtrip(comp: str, q0: int) -> str:
+    """Closed-form decode of a FLAT block's channel (jpeg_codec module
+    docstring): s -> DC (5792^2/2^22) -> Annex-K DC quant roundtrip ->
+    IDCT (724^2/2^22) -> +128, clamp."""
+    dc = _jpeg_rdiv(f"(({comp}) - 128) * 33547264", 4194304)
+    dcq = _jpeg_rdiv(dc, q0)
+    s2 = _jpeg_rdiv(f"({dcq}) * {q0} * 524176", 4194304)
+    return _jpeg_clamp(f"({s2}) + 128")
+
+
+_JPEG_ORACLE = f"""
+    WITH imgs AS (
+      SELECT doc_id AS media_id,
+             n_chars % 3 + 1 AS wb,
+             doc_id % 3 + 1 AS hb
+      FROM documents
+    ),
+    blocks AS (
+      SELECT media_id, wb, hb,
+             CAST(u.i % wb AS BIGINT) AS bx,
+             CAST(u.i // wb AS BIGINT) AS by
+      FROM imgs, unnest(range(0, wb * hb)) AS u(i)
+    ),
+    colors AS (  -- flat source color per 8x8 block
+      SELECT *,
+             (3 * media_id + 17 * bx + 29 * by) % 256 AS r,
+             (5 * media_id + 13 * bx + 23 * by + 7) % 256 AS g,
+             (7 * media_id + 11 * bx + 19 * by + 14) % 256 AS b
+      FROM blocks
+    ),
+    ycc AS (  -- the codec's fixed-point forward color transform
+      SELECT *,
+        {_jpeg_clamp(_jpeg_rdiv("19595*r + 38470*g + 7471*b", 65536))} AS y,
+        {_jpeg_clamp("128 + " + _jpeg_rdiv("-11059*r - 21709*g + 32768*b", 65536))} AS cb,
+        {_jpeg_clamp("128 + " + _jpeg_rdiv("32768*r - 27439*g - 5329*b", 65536))} AS cr
+      FROM colors
+    ),
+    rt AS (  -- DC-only DCT+quant roundtrip per channel (flat block)
+      SELECT *,
+        {_jpeg_dc_roundtrip("y", 16)} AS y2,
+        {_jpeg_dc_roundtrip("cb", 17)} AS cb2,
+        {_jpeg_dc_roundtrip("cr", 17)} AS cr2
+      FROM ycc
+    ),
+    dec AS (  -- inverse color transform = the decoded flat RGB
+      SELECT *,
+        {_jpeg_clamp("y2 + " + _jpeg_rdiv("91881 * (cr2 - 128)", 65536))} AS r2,
+        {_jpeg_clamp("y2 - " + _jpeg_rdiv("22554*(cb2-128) + 46802*(cr2-128)", 65536))} AS g2,
+        {_jpeg_clamp("y2 + " + _jpeg_rdiv("116130 * (cb2 - 128)", 65536))} AS b2
+      FROM rt
+    )
+    SELECT media_id,
+           CAST(8 * max(wb) AS INT) AS width,
+           CAST(8 * max(hb) AS INT) AS height,
+           CAST(SUM(64 * (r2 + g2 + b2)) AS BIGINT) AS sum_all,
+           CAST(MIN(least(r2, g2, b2)) AS BIGINT) AS min_v,
+           CAST(MAX(greatest(r2, g2, b2)) AS BIGINT) AS max_v,
+           CAST(SUM(g2 * (64 * (8 * by * 8 * wb + 8 * bx + 1)
+                          + 224 * (8 * wb + 1))) AS BIGINT) AS pos_weighted_g
+    FROM dec GROUP BY media_id
+    """
+
+
+@register(
+    "multimodal_jpeg_decode_stats",
+    oracle=_JPEG_ORACLE,
+    doc="multimodal with a REAL BASELINE-JPEG decode (round 8, VERDICT "
+    "r7 #8 — the last image-codec stand-in closed): per document, "
+    "synthesize an image whose 8x8 blocks are flat colors from a "
+    "deterministic formula, ENCODE it as an actual baseline JPEG "
+    "(SOI/DQT/SOF0/DHT/SOS markers, Annex K quant tables, custom "
+    "flat-length Huffman tables in DHT, byte-stuffed entropy segment, "
+    "4:4:4), then round-trip through the full parser "
+    "(pipeline/jpeg_codec.py — marker walk, DHT canonical-code "
+    "decode, dequant, integer IDCT, fixed-point color transforms) and "
+    "emit integer stats of the DECODED pixels incl. a "
+    "position-weighted green sum. Because the codec's arithmetic is "
+    "EXACT INTEGER end-to-end and a flat block keeps only its DC "
+    "coefficient (the cosine table is magnitude-paired, so every AC "
+    "is exactly zero), the DuckDB oracle recomputes the decoded "
+    "pixels in closed form — color transform, 5792^2/2^22 DC, "
+    "Annex-K DC quant roundtrip, 724^2/2^22 IDCT, inverse transform "
+    "— and the gate certifies the whole encode->decode chain "
+    "VALUE-exactly. AC coefficients and lossy general images are "
+    "covered by tolerance round-trip tests (tests/test_pipeline.py). "
+    "Map-only Arrow pass over spread() partitions; bytes never "
+    "shuffle. H.264 remains the one library-seam format.",
+)
+def multimodal_jpeg_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.jpeg_codec import decode_jpeg_rgb8, encode_jpeg_rgb8
+
+    imgs = spread(load(spark, sf, "documents")).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 3 + 1).cast("int").alias("wb"),
+        (F.col("doc_id") % 3 + 1).cast("int").alias("hb"),
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "width", "height",
+                    "sum_all", "min_v", "max_v", "pos_weighted_g",
+                )
+            }
+            for media_id, wb, hb in zip(pdf["media_id"], pdf["wb"], pdf["hb"]):
+                W, H = 8 * int(wb), 8 * int(hb)
+                src = [
+                    (
+                        (3 * media_id + 17 * (x // 8) + 29 * (y // 8)) % 256,
+                        (5 * media_id + 13 * (x // 8) + 23 * (y // 8) + 7) % 256,
+                        (7 * media_id + 11 * (x // 8) + 19 * (y // 8) + 14) % 256,
+                    )
+                    for y in range(H)
+                    for x in range(W)
+                ]
+                dw, dh, pixels = decode_jpeg_rgb8(encode_jpeg_rgb8(W, H, src))
+                vals = [v for p in pixels for v in p]
+                out["media_id"].append(media_id)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["sum_all"].append(sum(vals))
+                out["min_v"].append(min(vals))
+                out["max_v"].append(max(vals))
+                out["pos_weighted_g"].append(
+                    sum(
+                        (y * dw + x + 1) * pixels[y * dw + x][1]
+                        for y in range(dh)
+                        for x in range(dw)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    **{
+                        k: pd.Series(out[k], dtype="int64")
+                        for k in ("sum_all", "min_v", "max_v", "pos_weighted_g")
+                    },
+                }
+            )
+
+    return imgs.mapInPandas(
+        run,
+        "media_id long, width int, height int, sum_all long, "
+        "min_v long, max_v long, pos_weighted_g long",
     )

@@ -1065,3 +1065,164 @@ def test_fingerprint_stage_dir_age_gated_sweep(tmp_path, monkeypatch):
     os.utime(base1, (1.0, 1.0))
     fingerprint_stage_dir(str(src), "agegate")
     assert not os.path.exists(base1)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (pipeline/jpeg_codec.py, VERDICT r7 #8)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_flat_blocks_decode_exactly():
+    """Flat 8x8 blocks keep only their DC coefficient (magnitude-paired
+    cosine table), so decode equals the closed-form integer chain the
+    DuckDB oracle recomputes — pixel-exact, padding included."""
+    import random
+
+    from news_graph_rag_spark.pipeline.jpeg_codec import (
+        decode_jpeg_rgb8,
+        encode_jpeg_rgb8,
+        flat_block_roundtrip_rgb,
+    )
+
+    rng = random.Random(5)
+    W, H = 20, 13  # non-multiples of 8: MCU padding + crop exercised
+    colors = {
+        (bx, by): (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for bx in range(3)
+        for by in range(2)
+    }
+    px = [colors[(x // 8, y // 8)] for y in range(H) for x in range(W)]
+    w, h, out = decode_jpeg_rgb8(encode_jpeg_rgb8(W, H, px))
+    assert (w, h) == (W, H)
+    for y in range(H):
+        for x in range(W):
+            want = flat_block_roundtrip_rgb(*colors[(x // 8, y // 8)])
+            assert out[y * W + x] == want, (x, y)
+
+
+def test_jpeg_general_roundtrip_tolerance():
+    """General (non-flat) images exercise the AC path end-to-end:
+    nonzero AC coefficients, run-lengths, ZRL/EOB symbols. JPEG is
+    lossy, so the bound is a tolerance: smooth gradients at the
+    Annex-K 'quality 50' tables stay within a few levels."""
+    from news_graph_rag_spark.pipeline.jpeg_codec import (
+        decode_jpeg_rgb8,
+        encode_jpeg_rgb8,
+    )
+
+    W, H = 24, 16
+    px = [
+        ((x * 7) % 256, (y * 11) % 256, (x * 3 + y * 5) % 256)
+        for y in range(H)
+        for x in range(W)
+    ]
+    data = encode_jpeg_rgb8(W, H, px)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    w, h, out = decode_jpeg_rgb8(data)
+    assert (w, h) == (W, H)
+    errs = [abs(a - b) for p, q in zip(px, out) for a, b in zip(p, q)]
+    assert max(errs) <= 16, f"max channel error {max(errs)}"
+    assert sum(errs) / len(errs) <= 4.0
+
+
+def test_jpeg_sharp_edges_and_gray_behave():
+    """A checkerboard forces high-frequency content — worst case for
+    the entropy coder (ZRL runs, several AC symbols per block); JPEG
+    famously rings on it, so the assertion is parse + bounded MEAN
+    error + exactness on a co-encoded flat gray region."""
+    from news_graph_rag_spark.pipeline.jpeg_codec import (
+        decode_jpeg_rgb8,
+        encode_jpeg_rgb8,
+        flat_block_roundtrip_rgb,
+    )
+
+    W, H = 16, 8  # left block: checkerboard; right block: flat gray
+    px = []
+    for y in range(H):
+        for x in range(W):
+            if x < 8:
+                v = 255 if (x + y) % 2 == 0 else 0
+                px.append((v, v, v))
+            else:
+                px.append((128, 128, 128))
+    w, h, out = decode_jpeg_rgb8(encode_jpeg_rgb8(W, H, px))
+    assert (w, h) == (W, H)
+    # flat gray block decodes exactly per the closed form
+    want_gray = flat_block_roundtrip_rgb(128, 128, 128)
+    for y in range(H):
+        for x in range(8, 16):
+            assert out[y * W + x] == want_gray
+    # checkerboard: lossy but sane on average
+    errs = [
+        abs(a - b)
+        for y in range(H)
+        for x in range(8)
+        for a, b in zip(px[y * W + x], out[y * W + x])
+    ]
+    assert sum(errs) / len(errs) < 96  # far better than decoding noise
+
+
+def test_jpeg_decode_rejects_malformed_and_unsupported():
+    import struct
+
+    import pytest as _pytest
+
+    from news_graph_rag_spark.pipeline.jpeg_codec import (
+        decode_jpeg_rgb8,
+        encode_jpeg_rgb8,
+    )
+
+    good = encode_jpeg_rgb8(8, 8, [(10, 200, 30)] * 64)
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_rgb8(b"\x89PNG" + good[4:])
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_rgb8(good[:20])
+    # SOF2 (progressive) must be rejected, not mis-decoded
+    prog = bytearray(good)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with _pytest.raises(ValueError, match="not baseline"):
+        decode_jpeg_rgb8(bytes(prog))
+    # 4:2:0 subsampling declared in SOF -> unsupported
+    sub = bytearray(good)
+    i = sub.find(b"\xff\xc0")
+    sub[i + 4 + 7] = 0x22  # Y sampling factor byte -> 2x2
+    with _pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg_rgb8(bytes(sub))
+    # entropy segment cut mid-scan (drop EOI + the last scan byte)
+    with _pytest.raises(ValueError, match="truncated entropy"):
+        decode_jpeg_rgb8(good[:-3])
+    assert struct.unpack(">H", good[2:4])[0] == 0xFFE0  # JFIF APP0 present
+
+
+def test_jpeg_decoder_reads_tables_from_the_stream():
+    """The decoder must honor DHT/DQT as declared by the STREAM, not
+    assume the encoder's tables: re-order the DHT segments and swap
+    table ids consistently — the stream still decodes identically."""
+    from news_graph_rag_spark.pipeline.jpeg_codec import (
+        decode_jpeg_rgb8,
+        encode_jpeg_rgb8,
+    )
+
+    px = [((x * 31 + y * 7) % 256,) * 3 for y in range(8) for x in range(8)]
+    good = encode_jpeg_rgb8(8, 8, px)
+    base = decode_jpeg_rgb8(good)
+
+    # split the single 4-table DHT into four separate DHT segments,
+    # emitted in reverse order — content identical
+    import struct
+
+    i = good.find(b"\xff\xc4")
+    (ln,) = struct.unpack_from(">H", good, i + 2)
+    body = good[i + 4 : i + 2 + ln]
+    segs, o = [], 0
+    while o < len(body):
+        n = sum(body[o + 1 : o + 17])
+        segs.append(body[o : o + 17 + n])
+        o += 17 + n
+    assert len(segs) == 4
+    rebuilt = b"".join(
+        b"\xff\xc4" + struct.pack(">H", len(s) + 2) + s for s in reversed(segs)
+    )
+    patched = good[:i] + rebuilt + good[i + 2 + ln :]
+    assert decode_jpeg_rgb8(patched) == base
