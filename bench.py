@@ -152,6 +152,8 @@ HEADLINE = [
     # and the real baseline-JPEG round-trip
     "ann_ivf_search_tombstoned",
     "multimodal_jpeg_decode_stats",
+    "hll_registers_users",
+    "cmsketch_user_counts",
 ]
 
 

@@ -65,9 +65,13 @@ def _index_main(argv: list[str], spark=None) -> int:
     persistent chunk index (reference graph.py:211-219's CREATE VECTOR
     INDEX, as commands):
 
-      index build  <graph_root> <index_path>   build over Chunk.embedding
-      index stats  <index_path>                per-list occupancy
-      index search <index_path> <chunk_uid> [k]  kNN by an indexed chunk
+      index build   <graph_root> <index_path>   build over Chunk.embedding
+      index stats   <index_path>                per-list occupancy
+      index search  <index_path> <chunk_uid> [k]  kNN by an indexed chunk
+      index delete  <index_path> <chunk_uid>...  tombstone chunks (GDPR
+                    purge path — gone from every search immediately)
+      index compact <index_path>                fold tombstones into the
+                    inverted lists (per-list rewrite, atomic swap)
     """
     from pyspark.sql import functions as F
 
@@ -81,7 +85,13 @@ def _index_main(argv: list[str], spark=None) -> int:
         print(_index_main.__doc__)
         return 2
     cmd, *rest = argv
-    arity = {"build": (2, 2), "stats": (1, 1), "search": (2, 3)}
+    arity = {
+        "build": (2, 2),
+        "stats": (1, 1),
+        "search": (2, 3),
+        "delete": (2, 10_000),
+        "compact": (1, 1),
+    }
     lo_hi = arity.get(cmd)
     if lo_hi is None or not (lo_hi[0] <= len(rest) <= lo_hi[1]):
         print(_index_main.__doc__)
@@ -108,9 +118,21 @@ def _index_main(argv: list[str], spark=None) -> int:
             .orderBy("centroid_id")
             .collect()
         )
-        print(f"format={meta['format']} dim={meta['dim']}")
+        ts = ann_index.tombstones(spark, index_path)
+        n_dead = ts.count() if ts is not None else 0
+        print(f"format={meta['format']} dim={meta['dim']} tombstones={n_dead}")
         for r in counts:
             print(f"list {r['centroid_id']}: {r['count']} vectors")
+        return 0
+    if cmd == "delete":
+        index_path, *uids = rest
+        n = ann_index.delete_uids(spark, index_path, uids)
+        print(f"tombstoned {n} uids in {index_path} (compact to fold in)")
+        return 0
+    if cmd == "compact":
+        (index_path,) = rest
+        removed = ann_index.compact_tombstones(spark, index_path)
+        print(f"compacted {index_path}: {removed} rows removed")
         return 0
     if cmd == "search":
         index_path, uid = rest[0], rest[1]

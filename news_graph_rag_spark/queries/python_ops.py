@@ -1104,3 +1104,177 @@ def maintenance_compaction_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(h).cast("bigint").alias("checksum"),
     )
+
+
+def hll_estimate(
+    registers: "dict[int, int]", m: int = 256
+) -> float:
+    """Driver-side HLL readout over the VALUE-VERIFIED register state
+    (``hll_registers_users``): alpha_m * m^2 / sum(2^-M[j]) with the
+    standard small-range linear-counting correction. The distributed
+    part — building the mergeable register state — is the entry; this
+    scalar fold over <= m integers is a client-side readout (like the
+    A4 string-agg), error-bound-tested in tests/test_pipeline.py."""
+    import math
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    zeros = m - len(registers)
+    s = float(zeros) + sum(2.0 ** -r for r in registers.values())
+    e = alpha * m * m / s
+    if e <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return e
+
+
+@register(
+    "hll_registers_users",
+    oracle="""
+    WITH hashed AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    parts AS (
+      SELECT event_type,
+             h // 281474976710656 AS ridx,
+             h % 281474976710656 AS w
+      FROM hashed
+    )
+    SELECT event_type,
+           CAST(ridx AS INT) AS register_idx,
+           CAST(max(CASE WHEN w = 0 THEN 49
+                         ELSE 49 - length(bin(w)) END) AS INT) AS max_rho
+    FROM parts GROUP BY event_type, ridx
+    """,
+    doc="sketch with CROSS-ENGINE VALUE PARITY (round 8; the portable "
+    "complement of approx_distinct_users, whose engine-native HLL++ "
+    "state is rows-only by design): a from-scratch HyperLogLog whose "
+    "MERGEABLE REGISTER STATE is exact integers — h = top 56 bits of "
+    "md5(user_id) (identical hex in Spark and DuckDB), register index "
+    "= top 8 bits, max_rho = leading-zero rank of the remaining 48 "
+    "bits via length(bin(w)) (both engines drop leading zeros). The "
+    "register build is the distributed part and the whole point at "
+    "100 TB: map-side partial MAX per (event_type, register), one "
+    "shuffle of <= 256 rows per group instead of the full user-id "
+    "shuffle an exact distinct needs; states merge by element-wise "
+    "max (union semantics), so shards/windows combine without "
+    "re-reading data. The scalar estimate is a driver-side readout "
+    "(hll_estimate, <= m integers), error-bound-tested vs exact "
+    "distinct. The DuckDB oracle recomputes the identical registers, "
+    "so the sketch state itself is hash-verified — not just "
+    "bound-tested.",
+)
+def hll_registers_users(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 14), 16, 10
+    ).cast("long")
+    w = F.col("h").bitwiseAND(F.lit((1 << 48) - 1))
+    rho = (
+        F.when(w == 0, F.lit(49))
+        .otherwise(F.lit(49) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        ev.select("event_type", h.alias("h"))
+        .select(
+            "event_type",
+            F.shiftright(F.col("h"), 48).cast("int").alias("register_idx"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "register_idx")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+    )
+
+
+@register(
+    "cmsketch_user_counts",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(user_id AS VARCHAR) AS u, user_id
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    cells AS (  -- each observation lands in d=4 hashed columns
+      SELECT d.i AS i,
+             CAST(('0x' || substr(md5(CAST(d.i AS VARCHAR) || ':' || u), 1, 8))
+                  AS BIGINT) % 512 AS col
+      FROM ev, unnest([0, 1, 2, 3]) AS d(i)
+    ),
+    counters AS (
+      SELECT i, col, CAST(count(*) AS BIGINT) AS c
+      FROM cells GROUP BY i, col
+    ),
+    q AS (SELECT DISTINCT user_id, CAST(user_id AS VARCHAR) AS u
+          FROM ev WHERE user_id < 20),
+    probes AS (
+      SELECT q.user_id, d.i AS i,
+             CAST(('0x' || substr(md5(CAST(d.i AS VARCHAR) || ':' || q.u), 1, 8))
+                  AS BIGINT) % 512 AS col
+      FROM q, unnest([0, 1, 2, 3]) AS d(i)
+    ),
+    est AS (
+      SELECT p.user_id, min(c.c) AS est_count
+      FROM probes p JOIN counters c ON p.i = c.i AND p.col = c.col
+      GROUP BY p.user_id
+    ),
+    exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+      FROM ev WHERE user_id < 20 GROUP BY user_id
+    )
+    SELECT e.user_id, x.exact_count, e.est_count
+    FROM est e JOIN exact x USING (user_id)
+    """,
+    doc="sketch with FULL cross-engine value parity — state AND "
+    "readout (round 8; stronger than the HLL entry, whose estimate is "
+    "a float readout): a from-scratch count-min sketch over event "
+    "user activity. d=4 rows x w=512 columns; cell = md5('i:user') "
+    "mod w (identical hex in both engines), counters = one groupBy "
+    "count of the exploded cells — EXACT integers. The readout is "
+    "min over the d probed counters, also exact, so the DuckDB "
+    "oracle recomputes sketch AND estimates bit-for-bit, and the "
+    "entry returns est alongside exact to exhibit the one-sided "
+    "overestimate guarantee (est >= exact, asserted in tests). At "
+    "100 TB: the sketch is the aggregation — d*w = 2048 counters "
+    "per key-space regardless of cardinality (map-side partial "
+    "counts, tiny shuffle), counters broadcast to the probe join; "
+    "states merge by cell-wise SUM across shards/windows.",
+)
+def cmsketch_user_counts(spark: SparkSession, sf: str) -> DataFrame:
+    ev = (
+        load(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.col("user_id").cast("string").alias("u"))
+    )
+
+    def cell(i_col, u_col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(i_col.cast("string"), F.lit(":"), u_col)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long") % 512
+
+    d = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
+    cells = ev.select(d, "u").select("i", cell(F.col("i"), F.col("u")).alias("col"))
+    counters = cells.groupBy("i", "col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    q = ev.filter(F.col("user_id") < 20).select("user_id", "u").distinct()
+    probes = q.select("user_id", "u", d).select(
+        "user_id", "i", cell(F.col("i"), F.col("u")).alias("col")
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["i", "col"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_count"))
+    )
+    exact = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+    )
+    return est.join(exact, "user_id").select(
+        "user_id", "exact_count", "est_count"
+    )

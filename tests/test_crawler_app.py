@@ -296,3 +296,20 @@ def test_index_cli_build_stats_search(spark, tmp_path, capsys):
 
     assert _index_main([], spark=spark) == 2  # usage
     capsys.readouterr()
+
+    # round 8: the delete half through the same CLI — tombstone the
+    # top hit, it vanishes from search; compact folds it in physically
+    top_uid = None
+    assert _index_main(["search", idx, some_uid, "3"], spark=spark) == 0
+    top_uid = capsys.readouterr().out.strip().splitlines()[0].split()[1]
+    assert _index_main(["delete", idx, top_uid], spark=spark) == 0
+    assert "tombstoned 1" in capsys.readouterr().out
+    assert _index_main(["stats", idx], spark=spark) == 0
+    assert "tombstones=1" in capsys.readouterr().out
+    assert _index_main(["search", idx, some_uid, "3"], spark=spark) == 0
+    masked = capsys.readouterr().out
+    assert top_uid not in masked
+    assert _index_main(["compact", idx], spark=spark) == 0
+    assert "1 rows removed" in capsys.readouterr().out
+    assert _index_main(["search", idx, some_uid, "3"], spark=spark) == 0
+    assert capsys.readouterr().out == masked  # identical post-fold

@@ -1226,3 +1226,47 @@ def test_jpeg_decoder_reads_tables_from_the_stream():
     )
     patched = good[:i] + rebuilt + good[i + 2 + ln :]
     assert decode_jpeg_rgb8(patched) == base
+
+
+def test_hll_registers_estimate_error_bound(spark, sf_dir):
+    """The portable HLL's register state is hash-verified by the driver
+    gate; this test closes the loop on the READOUT: the driver-side
+    estimate over those registers lands within the sketch's standard
+    error envelope (m=256 -> ~6.5% std error; assert 3 sigma) of the
+    exact per-event_type distinct user count."""
+    from news_graph_rag_spark.queries import registry
+    from news_graph_rag_spark.queries.catalog import load
+    from news_graph_rag_spark.queries.python_ops import hll_estimate
+
+    rows = registry()["hll_registers_users"].fn(spark, sf_dir).collect()
+    regs: dict[str, dict[int, int]] = {}
+    for r in rows:
+        regs.setdefault(r["event_type"], {})[r["register_idx"]] = r["max_rho"]
+
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(regs) == set(exact)
+    for et, n in exact.items():
+        est = hll_estimate(regs[et])
+        rel = abs(est - n) / max(n, 1)
+        assert rel < 0.20, f"{et}: exact {n}, est {est:.0f} ({rel:.1%})"
+
+
+def test_cmsketch_overestimate_guarantee(spark, sf_dir):
+    """Count-min's one-sided error: every estimate >= the exact count
+    (collisions only ADD), and with d=4 x w=512 over this key space
+    most probes should be collision-free (est == exact for some)."""
+    from news_graph_rag_spark.queries import registry
+
+    rows = registry()["cmsketch_user_counts"].fn(spark, sf_dir).collect()
+    assert rows, "no probe users under id 20"
+    assert all(r["est_count"] >= r["exact_count"] for r in rows)
+    assert any(r["est_count"] == r["exact_count"] for r in rows)
