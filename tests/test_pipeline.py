@@ -957,6 +957,24 @@ def test_ann_append_vectors_searchable_without_rebuild(spark, tmp_path):
     top = max(hits, key=lambda r: (r["dot"], -r["vec_id"]))
     assert by_id[500] == top["dot"]  # clone scores exactly the max
 
+    # round 8: the full maintenance cycle on one index — DELETE an
+    # APPENDED vector, serve-time mask hides it, compaction folds it in
+    from news_graph_rag_spark.pipeline.ann_index import (
+        compact_tombstones,
+        delete_vectors,
+    )
+
+    assert delete_vectors(spark, path, [500]) == 1
+    masked = {r["vec_id"] for r in
+              search_by_id(spark, path, 0, 35, 3).collect()}
+    assert 500 not in masked
+    assert compact_tombstones(spark, path) == 1
+    assignments2, centroids2, _ = load_index(spark, path)
+    assert assignments2.count() == 34
+    assert sorted(tuple(r) for r in centroids2.collect()) == before_cents
+    after = {r["vec_id"] for r in search_by_id(spark, path, 0, 35, 3).collect()}
+    assert after == masked  # physical fold == serve-time mask
+
 
 def test_avi_decode_ignores_non_video_streams():
     """A second stream (audio strl with a WAVEFORMATEX-sized strf)
