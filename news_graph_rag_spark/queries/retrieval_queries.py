@@ -1243,16 +1243,26 @@ def hybrid_search_indexed(spark: SparkSession, sf: str) -> DataFrame:
     vec_rows = emb.filter(F.col("vec_id") != 0).select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
-    # join candidates FIRST, score after: BOTH the kw_hits token count
-    # and the float cosine are evaluated for candidate rows only — the
-    # full-corpus scans are exactly what the two indexes avoid
-    kw = docs.select(
-        "doc_id",
-        F.size(
-            F.filter(F.split(F.col("text"), " "), lambda t: F.array_contains(kw_arr, t))
+    # join candidates FIRST, project after: BOTH the kw_hits token
+    # count and the float cosine are evaluated for candidate rows only
+    # — projecting the split() expression below the join would compute
+    # it corpus-wide inside the same codegen stage (the full-corpus
+    # scan the two indexes exist to avoid), so the tokenize sits ABOVE
+    # the broadcast join on the already-filtered rows
+    kw = (
+        docs.select("doc_id", "text")
+        .join(F.broadcast(cands), "doc_id")
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.array_contains(kw_arr, t),
+                )
+            )
+            .cast("bigint")
+            .alias("kw_hits"),
         )
-        .cast("bigint")
-        .alias("kw_hits"),
     )
     joined = (
         F.broadcast(cands)

@@ -469,6 +469,25 @@ def test_ann_search_prunes_index_partitions(spark, sf_dir, reg):
     assert "embeddings.parquet" not in plan  # search-only: index tables only
 
 
+def test_ann_tombstoned_search_keeps_pruning(spark, sf_dir, reg):
+    """The tombstone mask (round 8) is a broadcast LEFT-ANTI join over
+    the candidate scan — it must NOT defeat partition pruning: the
+    centroid_id IN (probes) predicate still reaches the index scan as
+    a PartitionFilter, the anti-join builds on the (bounded) tombstone
+    side, and the raw embeddings table stays out of the plan."""
+    df = reg["ann_ivf_search_tombstoned"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    part_lines = [
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    ]
+    assert any(
+        "centroid_id" in line and "IN" in line for line in part_lines
+    ), "partition pruning lost under the tombstone anti-join"
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "embeddings.parquet" not in plan
+
+
 def test_ann_batch_search_plan_shape(spark, sf_dir, reg):
     """Batch KNN must broadcast the (probe, list) relation, prune the
     index scan to the probed partitions, and rank with a
