@@ -1100,6 +1100,7 @@ def ann_ivf_index_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 _HYBRID_IDX_CANDS = 60  # k(15) x cand_mult(4) vector candidates
 _HYBRID_MAX_DF = 1000  # posting lists above this df are stopword-grade
+_TOK_BUCKETS = 16  # crc32(token) partition buckets of the token index
 
 
 def _hybrid_indexed_oracle(n_centroids: int = 8, nprobe: int = 4) -> str:
@@ -1207,28 +1208,47 @@ def hybrid_search_indexed(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     # offline DDL analog for the KEYWORD signal: materialize the
-    # (token, doc_id, df) inverted index once per source fingerprint
-    # (at 100 TB: bucket the postings by token so a query's lists are a
-    # few buckets; at exhibit scale one parquet dir with token-predicate
-    # pushdown is the same read pattern)
-    tok_dir = fingerprint_stage_dir(os.path.join(sf, "documents.parquet"), "tokidx")
+    # (token, doc_id, df) inverted index once per source fingerprint,
+    # PARTITIONED by a crc32(token) bucket — the keyword analog of the
+    # vector index's centroid_id partitioning: a query's tokens map to
+    # buckets DRIVER-SIDE (zlib.crc32 == Spark's crc32, tested), so the
+    # lookup is a PARTITION-PRUNED scan of its few buckets, never the
+    # whole posting table (plan-asserted in tests/test_plans.py)
+    tok_dir = fingerprint_stage_dir(os.path.join(sf, "documents.parquet"), "tokidx2")
     if not os.path.exists(os.path.join(tok_dir, "_SUCCESS")):
         toks = docs.select(
             "doc_id",
             F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
         )
         tdf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-        toks.join(tdf, "token").select("token", "doc_id", "df").write.mode(
-            "overwrite"
-        ).parquet(tok_dir)
+        (
+            toks.join(tdf, "token")
+            .select(
+                "token",
+                "doc_id",
+                "df",
+                F.pmod(F.crc32(F.col("token").cast("binary")), F.lit(_TOK_BUCKETS))
+                .cast("int")
+                .alias("tok_bucket"),
+            )
+            .repartition(_TOK_BUCKETS, "tok_bucket")
+            .write.mode("overwrite")
+            .partitionBy("tok_bucket")
+            .parquet(tok_dir)
+        )
     toki = spark.read.parquet(tok_dir)
 
+    import zlib
+
     kw_arr = F.array(*[F.lit(k) for k in _KEYWORDS])
-    # posting-list candidate generation: token IN (...) is pushed to
-    # the parquet scan; the df cap drops stopword-grade lists
+    kw_buckets = sorted({zlib.crc32(k.encode()) % _TOK_BUCKETS for k in _KEYWORDS})
+    # posting-list candidate generation: the bucket IN-list prunes
+    # partitions, token IN (...) is pushed within them, the df cap
+    # drops stopword-grade lists
     kw_cand = (
         toki.filter(
-            F.col("token").isin(list(_KEYWORDS))
+            F.col("tok_bucket").isin(kw_buckets)
+            & F.col("token").isin(list(_KEYWORDS))
             & (F.col("df") <= _HYBRID_MAX_DF)
         )
         .select("doc_id")

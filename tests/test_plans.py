@@ -488,6 +488,21 @@ def test_ann_tombstoned_search_keeps_pruning(spark, sf_dir, reg):
     assert "embeddings.parquet" not in plan
 
 
+def test_hybrid_token_index_scan_is_partition_pruned(spark, sf_dir, reg):
+    """The keyword signal's posting lookup (round 8) must prune the
+    bucketed token index to the query tokens' crc32 buckets — the
+    keyword analog of the vector index's centroid_id pruning — with the
+    token IN predicate pushed inside the surviving partitions."""
+    plan = plan_of(reg["hybrid_search_indexed"].fn(spark, sf_dir))
+    part_lines = [
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    ]
+    assert any(
+        "tok_bucket" in line and "IN" in line for line in part_lines
+    ), "token-index scan not partition-pruned"
+    assert "token#" in plan and "spark,join,stream" in plan  # pushed IN-list
+
+
 def test_ann_batch_search_plan_shape(spark, sf_dir, reg):
     """Batch KNN must broadcast the (probe, list) relation, prune the
     index scan to the probed partitions, and rank with a
