@@ -949,6 +949,62 @@ def append_vectors(
     return int(appended)
 
 
+def apply_changelog(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    op_col: str = "op",
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    order_col: str | None = None,
+) -> dict:
+    """Apply a CDC batch to a caller-managed index — the index-side
+    complement of the ``cdc_apply_changelog`` table pattern, completing
+    the maintenance story: streaming ingest appends
+    (``append_vectors``), purges tombstone (``delete_vectors``), and a
+    keyed changelog does both. ``changes`` carries (id, op, embedding)
+    with op 'U' (upsert) or 'D' (delete); with ``order_col`` the LAST
+    op per key wins (row_number over desc — same total-order-per-key
+    rule as the table entry, so replays are idempotent).
+
+    Update semantics are MERGE-ON-WRITE: the tombstone mask is keyed by
+    vec_id, so a re-appended key would mask its own new row — instead
+    the batch tombstones every touched key, COMPACTS the affected lists
+    (physically dropping the old generations), then appends the upsert
+    rows against the frozen quantizer. Deletes stay visible-immediately
+    (the tombstone half); updates become visible at the compact+append,
+    which is one bounded per-list rewrite per batch — the standard
+    merge-on-write trade for batch CDC cadence. Returns
+    ``{"deleted": n, "upserted": n}``."""
+    if order_col is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(id_col).orderBy(F.desc(order_col))
+        changes = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    changes = changes.persist()
+    try:
+        # tombstone EVERY touched key (deleting a key that was never
+        # indexed is a no-op at search time), fold physically, then
+        # append the new versions
+        delete_vectors(
+            spark, path, changes.select(F.col(id_col).cast("long").alias("vec_id"))
+        )
+        compact_tombstones(spark, path)
+        ups = changes.filter(F.upper(F.col(op_col)) != "D").select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(embedding_col).alias("embedding"),
+        )
+        n_up = append_vectors(spark, path, ups)
+        n_del = changes.filter(F.upper(F.col(op_col)) == "D").count()
+    finally:
+        changes.unpersist()
+    return {"deleted": int(n_del), "upserted": int(n_up)}
+
+
 def ensure_index(
     spark: SparkSession,
     sf_dir: str,

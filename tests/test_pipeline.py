@@ -1288,3 +1288,49 @@ def test_cmsketch_overestimate_guarantee(spark, sf_dir):
     assert rows, "no probe users under id 20"
     assert all(r["est_count"] >= r["exact_count"] for r in rows)
     assert any(r["est_count"] == r["exact_count"] for r in rows)
+
+
+def test_ann_apply_changelog_upsert_delete(spark, tmp_path):
+    """CDC -> index maintenance: a keyed changelog with out-of-order
+    ops applies last-op-per-key — updates re-embed (merge-on-write:
+    tombstone + compact + append), deletes vanish, untouched keys keep
+    their exact rows, and the quantizer stays frozen."""
+    from news_graph_rag_spark.pipeline import ann_index
+
+    df = _clustered_vec_table(spark, dim=8, per=10, clusters=2)
+    path = str(tmp_path / "idx_cdc")
+    ann_index.build_and_save(df, path, n_centroids=2, iters=1)
+    cents_before = sorted(
+        tuple(r) for r in ann_index.load_index(spark, path)[1].collect()
+    )
+    vec_of = {r["vec_id"]: list(r["embedding"]) for r in df.collect()}
+
+    # key 3: stale update at t=1, delete at t=2 -> net DELETE
+    # key 5: delete at t=1, update at t=2 (cluster-1 vector) -> net UPDATE
+    # key 999: brand-new insert
+    changes = spark.createDataFrame(
+        [
+            (3, "U", vec_of[3], 1),
+            (3, "D", None, 2),
+            (5, "D", None, 1),
+            (5, "U", vec_of[15], 2),  # move key 5 onto cluster 1
+            (999, "U", vec_of[12], 1),
+        ],
+        "vec_id long, op string, embedding array<float>, ts int",
+    )
+    out = ann_index.apply_changelog(spark, path, changes, order_col="ts")
+    assert out == {"deleted": 1, "upserted": 2}
+    assert not ann_index._has_tombstones(path)  # folded in
+
+    assignments, centroids, _ = ann_index.load_index(spark, path)
+    assert sorted(tuple(r) for r in centroids.collect()) == cents_before
+    ids = {r["vec_id"] for r in assignments.select("vec_id").collect()}
+    assert 3 not in ids and 5 in ids and 999 in ids
+    assert len(ids) == 20  # 20 originals - deleted key 3 + new key 999
+
+    # key 5 now scores exactly like vector 15 (same embedding, frozen
+    # quantizer): probe 12 (cluster 1) must rank both together
+    hits = {r["vec_id"]: r["dot"] for r in
+            ann_index.search_by_id(spark, path, 12, 21, 2).collect()}
+    assert 5 in hits and 999 in hits and 3 not in hits
+    assert hits[5] == hits[15]  # re-embedded onto 15's exact vector
