@@ -41,9 +41,10 @@ discipline, same as the ivf-int8 index):
   so it decodes other baseline 4:4:4 streams' tables too.
 
 Scope (documented): baseline sequential only (SOF0), 8-bit, exactly
-3 components, 1x1 sampling (4:4:4), no restart markers, no
-progressive/arithmetic coding — anything else raises ValueError.
-H.264 remains the one library-seam format (SCALE.md residuals).
+3 components, 1x1 sampling (4:4:4), restart markers supported
+(DRI + RST0-7, encode and decode), no progressive/arithmetic coding —
+anything else raises ValueError. H.264 remains the one library-seam
+format (SCALE.md residuals).
 
 Reference parity note: the reference repo has no media pipeline at all
 (SURVEY.md §2 — this family is part of the training-data extension);
@@ -204,10 +205,20 @@ class _BitWriter:
             self._n -= 8
         self._acc &= (1 << self._n) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad the current byte with 1-bits (the spec's fill bits)."""
         if self._n:
             pad = 8 - self._n
-            self.put((1 << pad) - 1, pad)  # pad with 1-bits
+            self.put((1 << pad) - 1, pad)
+
+    def marker(self, m: int) -> None:
+        """Byte-align and emit a raw marker (RSTn) — marker bytes are
+        NOT stuffed."""
+        self.align()
+        self.out += bytes([0xFF, m])
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -247,6 +258,16 @@ class _BitReader:
         self._n -= 1
         return (self._acc >> self._n) & 1
 
+    def restart(self, m: int) -> None:
+        """Consume an expected RSTm marker: discard the current byte's
+        fill bits, then the two marker bytes."""
+        self._acc, self._n = 0, 0  # byte-align (drop fill bits)
+        if self.pos + 2 > len(self.buf) or self.buf[self.pos] != 0xFF or self.buf[
+            self.pos + 1
+        ] != (0xD0 + (m & 7)):
+            raise ValueError(f"expected RST{m & 7} marker")
+        self.pos += 2
+
     def receive(self, n: int) -> int:
         v = 0
         for _ in range(n):
@@ -274,10 +295,16 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def encode_jpeg_rgb8(width: int, height: int, pixels: list) -> bytes:
+def encode_jpeg_rgb8(
+    width: int, height: int, pixels: list, restart_interval: int | None = None
+) -> bytes:
     """``pixels`` is a row-major list of (r, g, b). Baseline 4:4:4,
     Annex K quant tables, custom flat Huffman tables. Edges pad by
-    replication to the 8-multiple MCU grid (decoder crops back)."""
+    replication to the 8-multiple MCU grid (decoder crops back).
+    ``restart_interval`` emits a DRI segment and RST0-7 markers every
+    N MCUs (DC predictors reset at each) — the spec's error-resilience
+    mechanism, and what lets a 100 TB decode job SPLIT one scan across
+    tasks at restart boundaries."""
     import numpy as np
 
     if width <= 0 or height <= 0 or len(pixels) != width * height:
@@ -297,8 +324,14 @@ def encode_jpeg_rgb8(width: int, height: int, pixels: list) -> bytes:
     ]
     writer = _BitWriter()
     pred = [0, 0, 0]
+    mcu_idx, rst_m = 0, 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                writer.marker(0xD0 + rst_m)
+                rst_m = (rst_m + 1) & 7
+                pred = [0, 0, 0]
+            mcu_idx += 1
             for ci, plane in enumerate(planes):
                 # edge-replicated 8x8 block
                 ys = np.clip(np.arange(by * 8, by * 8 + 8), 0, height - 1)
@@ -348,6 +381,8 @@ def encode_jpeg_rgb8(width: int, height: int, pixels: list) -> bytes:
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     out += _seg(
         0xFFDB,
         b"\x00" + bytes(QUANT_LUM[i] for i in ZIGZAG)
@@ -394,6 +429,7 @@ def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
     htabs: dict[tuple[int, int], dict] = {}
     sof = None
     scan_comps = None
+    dri = 0
     A = _cos_table()
     izz = ZIGZAG
 
@@ -447,8 +483,10 @@ def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError("unsupported JPEG coding process (not baseline)")
-        elif marker == 0xFFDD:
-            raise ValueError("restart intervals not supported")
+        elif marker == 0xFFDD:  # DRI
+            if len(body) != 2:
+                raise ValueError("malformed DRI segment")
+            dri = struct.unpack(">H", body)[0]
         elif marker == 0xFFDA:  # SOS
             ns = body[0]
             if ns != 3:
@@ -481,8 +519,14 @@ def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
         np.zeros((bh * 8, bw * 8), dtype=np.int64) for _ in range(3)
     ]
     pred = [0, 0, 0]
+    mcu_idx, rst_m = 0, 0
     for by in range(bh):
         for bx in range(bw):
+            if dri and mcu_idx and mcu_idx % dri == 0:
+                reader.restart(rst_m)
+                rst_m = (rst_m + 1) & 7
+                pred = [0, 0, 0]
+            mcu_idx += 1
             for ci, (cid, dct, act) in enumerate(scan_comps):
                 dtab, atab = htabs.get((0, dct)), htabs.get((1, act))
                 if dtab is None or atab is None:

@@ -1334,3 +1334,35 @@ def test_ann_apply_changelog_upsert_delete(spark, tmp_path):
             ann_index.search_by_id(spark, path, 12, 21, 2).collect()}
     assert 5 in hits and 999 in hits and 3 not in hits
     assert hits[5] == hits[15]  # re-embedded onto 15's exact vector
+
+
+def test_jpeg_restart_markers_roundtrip_and_reject():
+    """DRI/RSTn support: restart-coded streams decode IDENTICALLY to
+    the plain scan (DC predictors reset at each marker on both sides),
+    every interval produces real RST bytes, and a marker out of
+    sequence raises the contract ValueError."""
+    from news_graph_rag_spark.pipeline.jpeg_codec import (
+        decode_jpeg_rgb8,
+        encode_jpeg_rgb8,
+    )
+
+    import pytest as _pytest
+
+    W, H = 40, 24  # 5x3 = 15 MCUs
+    px = [
+        ((x * 7) % 256, (y * 11) % 256, (x * 3 + y * 5) % 256)
+        for y in range(H)
+        for x in range(W)
+    ]
+    plain = decode_jpeg_rgb8(encode_jpeg_rgb8(W, H, px))
+    for ri in (1, 2, 7):
+        data = encode_jpeg_rgb8(W, H, px, restart_interval=ri)
+        assert b"\xff\xdd" in data  # DRI segment present
+        assert any(bytes([0xFF, 0xD0 + m]) in data for m in range(8))
+        assert decode_jpeg_rgb8(data) == plain, f"ri={ri} diverged"
+
+    bad = bytearray(encode_jpeg_rgb8(W, H, px, restart_interval=2))
+    i = max(bad.find(b"\xff\xd0"), bad.find(b"\xff\xd1"))
+    bad[i + 1] = 0xD7  # out-of-sequence restart number
+    with _pytest.raises(ValueError, match="expected RST"):
+        decode_jpeg_rgb8(bytes(bad))
