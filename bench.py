@@ -154,6 +154,7 @@ HEADLINE = [
     "multimodal_jpeg_decode_stats",
     "hll_registers_users",
     "cmsketch_user_counts",
+    "bloom_decontaminate_stats",
 ]
 
 

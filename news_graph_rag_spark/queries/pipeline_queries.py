@@ -2356,3 +2356,118 @@ def dataset_card_by_source(spark: SparkSession, sf: str) -> DataFrame:
             F.count_distinct("lang").cast("bigint").alias("n_langs"),
         )
     )
+
+
+_BLOOM_BITS = 16384  # m = 2^14
+_BLOOM_K = 4
+
+
+@register(
+    "bloom_decontaminate_stats",
+    oracle=f"""
+    WITH fps AS (
+      -- prefix fingerprint (first 3 tokens): coarse enough that real
+      -- cross-split collisions exist in the corpus, so the candidate
+      -- and confirm paths carry rows (md5-of-whole-text found zero)
+      SELECT doc_id,
+             md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS fp,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+      FROM documents WHERE text IS NOT NULL
+    ),
+    test_fp AS (SELECT DISTINCT fp FROM fps WHERE h > 'd'),
+    train AS (SELECT doc_id, fp FROM fps WHERE h <= 'd'),
+    bloom AS (  -- the sketch state: SET bit positions, exact integers
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(k.i AS VARCHAR) || ':' || fp), 1, 8))
+                  AS BIGINT) % {_BLOOM_BITS} AS pos
+      FROM test_fp, unnest([0, 1, 2, 3]) AS k(i)
+    ),
+    probes AS (
+      SELECT t.doc_id, t.fp, k.i AS i,
+             CAST(('0x' || substr(md5(CAST(k.i AS VARCHAR) || ':' || t.fp), 1, 8))
+                  AS BIGINT) % {_BLOOM_BITS} AS pos
+      FROM train t, unnest([0, 1, 2, 3]) AS k(i)
+    ),
+    cand AS (  -- train docs whose EVERY probe hits a set bit
+      SELECT doc_id, fp FROM (
+        SELECT p.doc_id, p.fp, count(*) AS hits
+        FROM probes p JOIN bloom b USING (pos)
+        GROUP BY p.doc_id, p.fp
+      ) WHERE hits = {_BLOOM_K}
+    ),
+    confirmed AS (
+      SELECT c.doc_id FROM cand c JOIN test_fp x USING (fp)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM train) AS n_train,
+           (SELECT CAST(count(*) AS BIGINT) FROM test_fp) AS n_test_fp,
+           (SELECT CAST(count(*) AS BIGINT) FROM bloom) AS n_bits_set,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM confirmed) AS n_confirmed
+    """,
+    doc="portable BLOOM FILTER as a decontamination pre-filter, with "
+    "cross-engine value parity for the sketch state AND the readout "
+    "(round 8, the md5-parity family of hll_registers_users / "
+    "cmsketch_user_counts): the held-out split's document fingerprints "
+    "set k=4 md5-derived bits in an m=2^14 filter; a train document is "
+    "a CANDIDATE only if all 4 of its probe bits are set, and "
+    "candidates alone take the exact fingerprint semi-join. Returns "
+    "(n_train, n_test_fp, n_bits_set, n_candidates, n_confirmed) — "
+    "every number exact, so the DuckDB oracle recomputes the filter "
+    "bit-for-bit and the entry exhibits the guarantee n_candidates >= "
+    "n_confirmed with zero false NEGATIVES. At 100 TB this is the "
+    "standard shape for cheap cross-split checks: the bit-set is KBs "
+    "(broadcast everywhere, mergeable by OR), the expensive exact "
+    "join runs only on the candidate sliver, and Spark's own runtime "
+    "bloom pruning (spark.sql.optimizer.runtime.bloomFilter) applies "
+    "the same idea inside joins automatically.",
+)
+def bloom_decontaminate_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    fps = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3))).alias(
+            "fp"
+        ),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("h"),
+    )
+    test_fp = fps.filter(F.col("h") > "d").select("fp").distinct()
+    train = fps.filter(F.col("h") <= "d").select("doc_id", "fp")
+
+    ks = F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("i")
+
+    def pos(i_col, fp_col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(i_col.cast("string"), F.lit(":"), fp_col)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long") % _BLOOM_BITS
+
+    bloom = (
+        test_fp.select(ks, "fp")
+        .select(pos(F.col("i"), F.col("fp")).alias("pos"))
+        .distinct()
+    )
+    probes = train.select("doc_id", "fp", ks).select(
+        "doc_id", "fp", pos(F.col("i"), F.col("fp")).alias("pos")
+    )
+    # the bit-set is the broadcast side — it is the KB-sized sketch
+    cand = (
+        probes.join(F.broadcast(bloom), "pos")
+        .groupBy("doc_id", "fp")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == _BLOOM_K)
+    )
+    confirmed = cand.join(F.broadcast(test_fp), "fp", "left_semi")
+
+    def n(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    return (
+        n(train, "n_train")
+        .crossJoin(n(test_fp, "n_test_fp"))
+        .crossJoin(n(bloom, "n_bits_set"))
+        .crossJoin(n(cand, "n_candidates"))
+        .crossJoin(n(confirmed, "n_confirmed"))
+    )

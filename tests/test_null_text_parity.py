@@ -19,6 +19,7 @@ ENTRIES = [
     "repetition_ratio_filter",
     "pack_sequences",
     "boilerplate_strip_rebuild",
+    "bloom_decontaminate_stats",  # round 8: NULL docs must drop from fps
 ]
 
 
