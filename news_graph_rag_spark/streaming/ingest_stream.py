@@ -197,3 +197,46 @@ def stream_static_enrich(
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, stream[key_col] == dim[dim_key_col], "inner")
+
+
+def streaming_index_append(
+    emb_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """readStream(embeddings) → foreachBatch(append_vectors) — the
+    streaming half of the ANN index's maintenance split (the quantizer
+    is FROZEN; pipeline/ann_index.append_vectors assigns each
+    micro-batch map-only against the resident centroids and appends new
+    files inside the inverted-list partitions, so rows are searchable
+    at the next request with no rebuild). The index must already exist
+    (the offline DDL build); checkpointing makes replays re-append the
+    same vec_ids, which searches tolerate (duplicate rows tie-rank and
+    the periodic compaction/changelog path dedups) — for exactly-once
+    keys route the stream through ``apply_changelog`` per batch
+    instead, at merge-on-write cost."""
+    from ..pipeline.ann_index import append_vectors
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        append_vectors(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            id_col=id_col,
+            embedding_col=embedding_col,
+        )
+
+    writer = emb_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        # drain-what's-available then stop (streaming_ingest's default):
+        # a cron-style incremental append job; continuous mode is the
+        # trigger_seconds path
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

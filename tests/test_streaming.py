@@ -399,3 +399,40 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_streaming_index_append_searchable(spark, tmp_path):
+    """Streaming half of ANN maintenance (round 8): a file stream of
+    new embeddings appends into the persistent index via foreachBatch;
+    after the stream drains, the appended vectors are searchable with
+    exact scores and the quantizer is untouched."""
+    from news_graph_rag_spark.pipeline import ann_index
+    from news_graph_rag_spark.streaming.ingest_stream import (
+        streaming_index_append,
+    )
+
+    base = [(i, [float((i % 4) + 1), float((i * 3) % 7 + 1)]) for i in range(20)]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "stream_idx")
+    ann_index.build_and_save(df, idx, n_centroids=2, iters=1)
+    cents = sorted(tuple(r) for r in ann_index.load_index(spark, idx)[1].collect())
+
+    # new arrivals: exact clones of vectors 0 and 1 under fresh ids
+    new_dir = str(tmp_path / "incoming")
+    spark.createDataFrame(
+        [(100, base[0][1]), (101, base[1][1])],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(new_dir)
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(
+        new_dir
+    )
+    q = streaming_index_append(stream, idx, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    assignments, centroids, _ = ann_index.load_index(spark, idx)
+    assert assignments.count() == 22
+    assert sorted(tuple(r) for r in centroids.collect()) == cents  # frozen
+    hits = {r["vec_id"]: r["dot"] for r in
+            ann_index.search_by_id(spark, idx, 0, 22, 2).collect()}
+    assert 100 in hits
+    assert hits[100] == max(hits.values())  # clone of the probe ties max
