@@ -41,10 +41,14 @@ discipline, same as the ivf-int8 index):
   so it decodes other baseline 4:4:4 streams' tables too.
 
 Scope (documented): baseline sequential only (SOF0), 8-bit, exactly
-3 components, 1x1 sampling (4:4:4), restart markers supported
-(DRI + RST0-7, encode and decode), no progressive/arithmetic coding —
-anything else raises ValueError. H.264 remains the one library-seam
-format (SCALE.md residuals).
+3 components, 4:4:4 and 4:2:0 sampling (the two dominant real-world
+modes; 4:2:0 = 2x2 Y blocks + box-downsampled chroma per 16x16 MCU,
+replication upsample on decode), restart markers supported (DRI +
+RST0-7, encode and decode), no progressive/arithmetic coding —
+anything else raises ValueError. Flat-block exactness holds for BOTH
+modes (a flat 16x16 macroblock box-downsamples to a flat chroma
+block, so the same closed form applies). H.264 remains the one
+library-seam format (SCALE.md residuals).
 
 Reference parity note: the reference repo has no media pipeline at all
 (SURVEY.md §2 — this family is part of the training-data extension);
@@ -295,12 +299,66 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
+def _encode_block(writer: "_BitWriter", A, S, q, pred: list, ci: int) -> None:
+    """FDCT + quantize + Huffman-encode one 8x8 block (level-shifted
+    samples in ``S``), updating the component's DC predictor."""
+    F = _rdiv(A @ S @ A.T, _KK)
+    Fq = _rdiv(F, q)
+    zz = [int(Fq.flat[i]) for i in ZIGZAG]
+    diff = zz[0] - pred[ci]
+    pred[ci] = zz[0]
+    t = _category(diff)
+    code, ln = _DC_ENC[t]
+    writer.put(code, ln)
+    if t:
+        writer.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, n = _AC_ENC[0xF0]
+            writer.put(c, n)
+            run -= 16
+        t = _category(v)
+        c, n = _AC_ENC[(run << 4) | t]
+        writer.put(c, n)
+        writer.put(v if v > 0 else v + (1 << t) - 1, t)
+        run = 0
+    if last_nz < 63:
+        c, n = _AC_ENC[0x00]  # EOB
+        writer.put(c, n)
+
+
+def _pad_replicate(plane, H: int, W: int):
+    """Edge-replicate ``plane`` up to (H, W)."""
+    import numpy as np
+
+    h, w = plane.shape
+    return plane[
+        np.ix_(np.clip(np.arange(H), 0, h - 1), np.clip(np.arange(W), 0, w - 1))
+    ]
+
+
 def encode_jpeg_rgb8(
-    width: int, height: int, pixels: list, restart_interval: int | None = None
+    width: int,
+    height: int,
+    pixels: list,
+    restart_interval: int | None = None,
+    subsampling: str = "444",
 ) -> bytes:
-    """``pixels`` is a row-major list of (r, g, b). Baseline 4:4:4,
-    Annex K quant tables, custom flat Huffman tables. Edges pad by
-    replication to the 8-multiple MCU grid (decoder crops back).
+    """``pixels`` is a row-major list of (r, g, b). Baseline, Annex K
+    quant tables, custom flat Huffman tables. Edges pad by replication
+    to the MCU grid (decoder crops back). ``subsampling`` is '444'
+    (one block per component per MCU) or '420' (the dominant real-world
+    mode: 2x2 Y blocks + one box-downsampled Cb and Cr per 16x16 MCU).
     ``restart_interval`` emits a DRI segment and RST0-7 markers every
     N MCUs (DC predictors reset at each) — the spec's error-resilience
     mechanism, and what lets a 100 TB decode job SPLIT one scan across
@@ -309,6 +367,8 @@ def encode_jpeg_rgb8(
 
     if width <= 0 or height <= 0 or len(pixels) != width * height:
         raise ValueError("pixels must be width*height RGB tuples")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     A = _cos_table()
     rgb = np.asarray(pixels, dtype=np.int64).reshape(height, width, 3)
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
@@ -317,7 +377,6 @@ def encode_jpeg_rgb8(
     cr = 128 + _rdiv(32768 * r - _CR_G * g - _CR_B * b, 65536)
     planes = [np.clip(p, 0, 255) for p in (y, cb, cr)]
 
-    bw, bh = -(-width // 8), -(-height // 8)
     qtabs = [
         np.asarray(QUANT_LUM, dtype=np.int64).reshape(8, 8),
         np.asarray(QUANT_CHR, dtype=np.int64).reshape(8, 8),
@@ -325,54 +384,46 @@ def encode_jpeg_rgb8(
     writer = _BitWriter()
     pred = [0, 0, 0]
     mcu_idx, rst_m = 0, 0
-    for by in range(bh):
-        for bx in range(bw):
-            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
-                writer.marker(0xD0 + rst_m)
-                rst_m = (rst_m + 1) & 7
-                pred = [0, 0, 0]
-            mcu_idx += 1
-            for ci, plane in enumerate(planes):
-                # edge-replicated 8x8 block
-                ys = np.clip(np.arange(by * 8, by * 8 + 8), 0, height - 1)
-                xs = np.clip(np.arange(bx * 8, bx * 8 + 8), 0, width - 1)
-                S = plane[np.ix_(ys, xs)] - 128
-                F = _rdiv(A @ S @ A.T, _KK)
-                q = qtabs[0 if ci == 0 else 1]
-                Fq = _rdiv(F, q)
-                zz = [int(Fq.flat[i]) for i in ZIGZAG]
-                # DC diff
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
-                t = _category(diff)
-                code, ln = _DC_ENC[t]
-                writer.put(code, ln)
-                if t:
-                    writer.put(diff if diff > 0 else diff + (1 << t) - 1, t)
-                # AC run-lengths
-                run = 0
-                last_nz = 0
-                for i in range(63, 0, -1):
-                    if zz[i]:
-                        last_nz = i
-                        break
-                for i in range(1, last_nz + 1):
-                    v = zz[i]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        c, n = _AC_ENC[0xF0]
-                        writer.put(c, n)
-                        run -= 16
-                    t = _category(v)
-                    c, n = _AC_ENC[(run << 4) | t]
-                    writer.put(c, n)
-                    writer.put(v if v > 0 else v + (1 << t) - 1, t)
-                    run = 0
-                if last_nz < 63:
-                    c, n = _AC_ENC[0x00]  # EOB
-                    writer.put(c, n)
+
+    def maybe_restart():
+        nonlocal mcu_idx, rst_m, pred
+        if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+            writer.marker(0xD0 + rst_m)
+            rst_m = (rst_m + 1) & 7
+            pred = [0, 0, 0]
+        mcu_idx += 1
+
+    if subsampling == "444":
+        bw, bh = -(-width // 8), -(-height // 8)
+        padded = [_pad_replicate(p, bh * 8, bw * 8) for p in planes]
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                for ci, plane in enumerate(padded):
+                    S = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128
+                    _encode_block(writer, A, S, qtabs[0 if ci == 0 else 1], pred, ci)
+    else:  # 420: 16x16 MCU = 4 Y blocks + 1 Cb + 1 Cr (box-downsampled)
+        bw, bh = -(-width // 16), -(-height // 16)
+        H, W = bh * 16, bw * 16
+        yp = _pad_replicate(planes[0], H, W)
+        # box downsample with the codec's symmetric rounding: values
+        # are nonneg so (sum + 2) // 4
+        def down(p):
+            p = _pad_replicate(p, H, W)
+            s = p.reshape(H // 2, 2, W // 2, 2).sum(axis=(1, 3))
+            return (s + 2) // 4
+
+        cbd, crd = down(planes[1]), down(planes[2])
+        for my in range(bh):
+            for mx in range(bw):
+                maybe_restart()
+                for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):  # raster
+                    y0, x0 = my * 16 + dy * 8, mx * 16 + dx * 8
+                    S = yp[y0 : y0 + 8, x0 : x0 + 8] - 128
+                    _encode_block(writer, A, S, qtabs[0], pred, 0)
+                for ci, cp in ((1, cbd), (2, crd)):
+                    S = cp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128
+                    _encode_block(writer, A, S, qtabs[1], pred, ci)
     scan = writer.flush()
 
     def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
@@ -388,10 +439,11 @@ def encode_jpeg_rgb8(
         b"\x00" + bytes(QUANT_LUM[i] for i in ZIGZAG)
         + b"\x01" + bytes(QUANT_CHR[i] for i in ZIGZAG),
     )
+    y_samp = 0x11 if subsampling == "444" else 0x22
     out += _seg(
         0xFFC0,  # SOF0: baseline sequential
         struct.pack(">BHHB", 8, height, width, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, y_samp, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     out += _seg(
         0xFFC4,
@@ -474,12 +526,16 @@ def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
             if prec != 8 or nc != 3:
                 raise ValueError("unsupported precision/component count")
             comps = []
+            samps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise ValueError("unsupported chroma subsampling (not 4:4:4)")
                 comps.append((cid, tq))
-            sof = (w, h, comps)
+                samps.append(samp)
+            if samps not in ([0x11, 0x11, 0x11], [0x22, 0x11, 0x11]):
+                raise ValueError(
+                    "unsupported chroma subsampling (only 4:4:4 and 4:2:0)"
+                )
+            sof = (w, h, comps, samps[0] == 0x22)
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError("unsupported JPEG coding process (not baseline)")
@@ -499,7 +555,7 @@ def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
         # else: APPn / COM — skipped
     if sof is None:
         raise ValueError("missing SOF0")
-    width, height, comps = sof
+    width, height, comps, is420 = sof
     cid_to_q = dict(comps)
 
     reader = _BitReader(buf, pos)
@@ -514,54 +570,85 @@ def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
                 return sym
         raise ValueError("invalid Huffman code")
 
-    bw, bh = -(-width // 8), -(-height // 8)
-    planes = [
-        np.zeros((bh * 8, bw * 8), dtype=np.int64) for _ in range(3)
-    ]
+    def decode_block(ci: int, cid: int, dct: int, act: int):
+        dtab, atab = htabs.get((0, dct)), htabs.get((1, act))
+        if dtab is None or atab is None:
+            raise ValueError("scan references undefined Huffman table")
+        q = qtabs.get(cid_to_q[cid])
+        if q is None:
+            raise ValueError("scan references undefined quant table")
+        zz = [0] * 64
+        t = huff_decode(dtab)
+        diff = _extend(reader.receive(t), t)
+        pred[ci] += diff
+        zz[0] = pred[ci]
+        i = 1
+        while i < 64:
+            sym = huff_decode(atab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, size = sym >> 4, sym & 0xF
+            i += run
+            if i > 63:
+                raise ValueError("AC run overflows block")
+            zz[i] = _extend(reader.receive(size), size)
+            i += 1
+        Fq = np.zeros(64, dtype=np.int64)
+        for k in range(64):
+            Fq[izz[k]] = zz[k]
+        F = Fq.reshape(8, 8) * q
+        return _rdiv(A.T @ F @ A, _KK)
+
     pred = [0, 0, 0]
     mcu_idx, rst_m = 0, 0
-    for by in range(bh):
-        for bx in range(bw):
-            if dri and mcu_idx and mcu_idx % dri == 0:
-                reader.restart(rst_m)
-                rst_m = (rst_m + 1) & 7
-                pred = [0, 0, 0]
-            mcu_idx += 1
-            for ci, (cid, dct, act) in enumerate(scan_comps):
-                dtab, atab = htabs.get((0, dct)), htabs.get((1, act))
-                if dtab is None or atab is None:
-                    raise ValueError("scan references undefined Huffman table")
-                q = qtabs.get(cid_to_q[cid])
-                if q is None:
-                    raise ValueError("scan references undefined quant table")
-                zz = [0] * 64
-                t = huff_decode(dtab)
-                diff = _extend(reader.receive(t), t)
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                i = 1
-                while i < 64:
-                    sym = huff_decode(atab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    i += run
-                    if i > 63:
-                        raise ValueError("AC run overflows block")
-                    zz[i] = _extend(reader.receive(size), size)
-                    i += 1
-                Fq = np.zeros(64, dtype=np.int64)
-                for k in range(64):
-                    Fq[izz[k]] = zz[k]
-                F = Fq.reshape(8, 8) * q
-                S = _rdiv(A.T @ F @ A, _KK)
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = S
-    y = np.clip(planes[0][:height, :width] + 128, 0, 255)
-    cb = np.clip(planes[1][:height, :width] + 128, 0, 255)
-    cr = np.clip(planes[2][:height, :width] + 128, 0, 255)
+
+    def maybe_restart():
+        nonlocal mcu_idx, rst_m, pred
+        if dri and mcu_idx and mcu_idx % dri == 0:
+            reader.restart(rst_m)
+            rst_m = (rst_m + 1) & 7
+            pred = [0, 0, 0]
+        mcu_idx += 1
+
+    if not is420:
+        bw, bh = -(-width // 8), -(-height // 8)
+        planes = [np.zeros((bh * 8, bw * 8), dtype=np.int64) for _ in range(3)]
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                for ci, (cid, dct, act) in enumerate(scan_comps):
+                    planes[ci][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = decode_block(ci, cid, dct, act)
+        yp, cbp, crp = planes
+    else:  # 4:2:0: 16x16 MCU = 4 Y blocks + Cb + Cr
+        bw, bh = -(-width // 16), -(-height // 16)
+        yp = np.zeros((bh * 16, bw * 16), dtype=np.int64)
+        cbd = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+        crd = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+        cid_y, dct_y, act_y = scan_comps[0]
+        for my in range(bh):
+            for mx in range(bw):
+                maybe_restart()
+                for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    y0, x0 = my * 16 + dy * 8, mx * 16 + dx * 8
+                    yp[y0 : y0 + 8, x0 : x0 + 8] = decode_block(
+                        0, cid_y, dct_y, act_y
+                    )
+                for ci, plane in ((1, cbd), (2, crd)):
+                    cid, dct, act = scan_comps[ci]
+                    plane[
+                        my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
+                    ] = decode_block(ci, cid, dct, act)
+        # chroma upsample by pixel replication (box inverse)
+        cbp = np.repeat(np.repeat(cbd, 2, axis=0), 2, axis=1)
+        crp = np.repeat(np.repeat(crd, 2, axis=0), 2, axis=1)
+    y = np.clip(yp[:height, :width] + 128, 0, 255)
+    cb = np.clip(cbp[:height, :width] + 128, 0, 255)
+    cr = np.clip(crp[:height, :width] + 128, 0, 255)
     r = np.clip(y + _rdiv(_R_CR * (cr - 128), 65536), 0, 255)
     g = np.clip(
         y - _rdiv(_G_CB * (cb - 128) + _G_CR * (cr - 128), 65536), 0, 255

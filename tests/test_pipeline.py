@@ -1201,10 +1201,10 @@ def test_jpeg_decode_rejects_malformed_and_unsupported():
     prog[i + 1] = 0xC2
     with _pytest.raises(ValueError, match="not baseline"):
         decode_jpeg_rgb8(bytes(prog))
-    # 4:2:0 subsampling declared in SOF -> unsupported
+    # an unsupported sampling combination (4x4 luma) in the SOF
     sub = bytearray(good)
     i = sub.find(b"\xff\xc0")
-    sub[i + 4 + 7] = 0x22  # Y sampling factor byte -> 2x2
+    sub[i + 4 + 7] = 0x33  # Y sampling factor byte -> 3x3
     with _pytest.raises(ValueError, match="subsampling"):
         decode_jpeg_rgb8(bytes(sub))
     # entropy segment cut mid-scan (drop EOI + the last scan byte)
@@ -1366,3 +1366,59 @@ def test_jpeg_restart_markers_roundtrip_and_reject():
     bad[i + 1] = 0xD7  # out-of-sequence restart number
     with _pytest.raises(ValueError, match="expected RST"):
         decode_jpeg_rgb8(bytes(bad))
+
+
+def test_jpeg_420_subsampling_roundtrips():
+    """4:2:0 — the dominant real-world JPEG mode: 16x16 MCUs of four Y
+    blocks plus box-downsampled chroma. Flat MACROBLOCKS stay exact
+    (flat chroma downsamples to flat, same closed form), general images
+    land in tolerance, restarts compose, and 4:2:2 is rejected."""
+    import random
+
+    import pytest as _pytest
+
+    from news_graph_rag_spark.pipeline.jpeg_codec import (
+        decode_jpeg_rgb8,
+        encode_jpeg_rgb8,
+        flat_block_roundtrip_rgb,
+    )
+
+    rng = random.Random(9)
+    W, H = 36, 20  # pads to 48x32 (3x2 MCUs), crops back
+    colors = {
+        (mx, my): (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for mx in range(3)
+        for my in range(2)
+    }
+    px = [colors[(x // 16, y // 16)] for y in range(H) for x in range(W)]
+    w, h, out = decode_jpeg_rgb8(encode_jpeg_rgb8(W, H, px, subsampling="420"))
+    assert (w, h) == (W, H)
+    for y in range(H):
+        for x in range(W):
+            assert out[y * W + x] == flat_block_roundtrip_rgb(
+                *colors[(x // 16, y // 16)]
+            )
+
+    W2, H2 = 32, 32
+    px2 = [
+        ((x * 5) % 256, (y * 9) % 256, (x * 2 + y * 3) % 256)
+        for y in range(H2)
+        for x in range(W2)
+    ]
+    d420 = encode_jpeg_rgb8(W2, H2, px2, subsampling="420")
+    d444 = encode_jpeg_rgb8(W2, H2, px2)
+    assert len(d420) < len(d444)  # subsampling actually saves bytes
+    w2, h2, o2 = decode_jpeg_rgb8(d420)
+    errs = [abs(a - b) for p, q in zip(px2, o2) for a, b in zip(p, q)]
+    assert sum(errs) / len(errs) < 16
+
+    d3 = encode_jpeg_rgb8(W2, H2, px2, subsampling="420", restart_interval=2)
+    assert decode_jpeg_rgb8(d3) == (w2, h2, o2)
+
+    bad = bytearray(d420)
+    i = bad.find(b"\xff\xc0")
+    bad[i + 4 + 7] = 0x21  # declare 4:2:2
+    with _pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg_rgb8(bytes(bad))
+    with _pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg_rgb8(4, 4, [(0, 0, 0)] * 16, subsampling="422")
