@@ -152,6 +152,7 @@ HEADLINE = [
     # and the real baseline-JPEG round-trip
     "ann_ivf_search_tombstoned",
     "multimodal_jpeg_decode_stats",
+    "multimodal_jpeg420_decode_stats",
     "hll_registers_users",
     "cmsketch_user_counts",
     "bloom_decontaminate_stats",

@@ -725,3 +725,140 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
         "media_id long, width int, height int, sum_all long, "
         "min_v long, max_v long, pos_weighted_g long",
     )
+
+
+_JPEG420_ORACLE = f"""
+    WITH imgs AS (
+      SELECT doc_id AS media_id,
+             n_chars % 2 + 1 AS wb,   -- macroblocks (16x16)
+             doc_id % 2 + 1 AS hb
+      FROM documents
+    ),
+    blocks AS (
+      SELECT media_id, wb, hb,
+             CAST(u.i % wb AS BIGINT) AS bx,
+             CAST(u.i // wb AS BIGINT) AS by
+      FROM imgs, unnest(range(0, wb * hb)) AS u(i)
+    ),
+    colors AS (  -- flat source color per 16x16 MACROBLOCK
+      SELECT *,
+             (3 * media_id + 17 * bx + 29 * by) % 256 AS r,
+             (5 * media_id + 13 * bx + 23 * by + 7) % 256 AS g,
+             (7 * media_id + 11 * bx + 19 * by + 14) % 256 AS b
+      FROM blocks
+    ),
+    ycc AS (
+      SELECT *,
+        {_jpeg_clamp(_jpeg_rdiv("19595*r + 38470*g + 7471*b", 65536))} AS y,
+        {_jpeg_clamp("128 + " + _jpeg_rdiv("-11059*r - 21709*g + 32768*b", 65536))} AS cb,
+        {_jpeg_clamp("128 + " + _jpeg_rdiv("32768*r - 27439*g - 5329*b", 65536))} AS cr
+      FROM colors
+    ),
+    rt AS (  -- flat macroblock: chroma box-downsample of flat IS flat,
+             -- so the 4:4:4 closed form applies unchanged per channel
+      SELECT *,
+        {_jpeg_dc_roundtrip("y", 16)} AS y2,
+        {_jpeg_dc_roundtrip("cb", 17)} AS cb2,
+        {_jpeg_dc_roundtrip("cr", 17)} AS cr2
+      FROM ycc
+    ),
+    dec AS (
+      SELECT *,
+        {_jpeg_clamp("y2 + " + _jpeg_rdiv("91881 * (cr2 - 128)", 65536))} AS r2,
+        {_jpeg_clamp("y2 - " + _jpeg_rdiv("22554*(cb2-128) + 46802*(cr2-128)", 65536))} AS g2,
+        {_jpeg_clamp("y2 + " + _jpeg_rdiv("116130 * (cb2 - 128)", 65536))} AS b2
+      FROM rt
+    )
+    SELECT media_id,
+           CAST(16 * max(wb) AS INT) AS width,
+           CAST(16 * max(hb) AS INT) AS height,
+           CAST(SUM(256 * (r2 + g2 + b2)) AS BIGINT) AS sum_all,
+           CAST(MIN(least(r2, g2, b2)) AS BIGINT) AS min_v,
+           CAST(MAX(greatest(r2, g2, b2)) AS BIGINT) AS max_v,
+           CAST(SUM(g2 * (256 * (16 * by * 16 * wb + 16 * bx + 1)
+                          + 1920 * (16 * wb + 1))) AS BIGINT) AS pos_weighted_g
+    FROM dec GROUP BY media_id
+    """
+
+
+@register(
+    "multimodal_jpeg420_decode_stats",
+    oracle=_JPEG420_ORACLE,
+    doc="the JPEG codec's 4:2:0 mode (the dominant real-world "
+    "sampling), VALUE-VERIFIED like the 4:4:4 entry: per document, "
+    "flat 16x16 MACROBLOCK images encode as actual subsampled "
+    "baseline JPEGs (four Y blocks + box-downsampled Cb/Cr per MCU) "
+    "and round-trip through the full parser with replication "
+    "upsample. A flat macroblock's chroma box-downsample is flat, so "
+    "the decoded pixels obey the SAME closed-form integer chain as "
+    "4:4:4 and the DuckDB oracle recomputes them exactly — the "
+    "subsampled scan structure (block order, per-MCU chroma, the "
+    "byte-stuffed entropy layout) is what this entry newly "
+    "certifies. Position-weighted sum per 16x16 block: "
+    "256·(yW+x+1 at block origin) + 1920·(W+1) with W = 16·wb.",
+)
+def multimodal_jpeg420_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.jpeg_codec import decode_jpeg_rgb8, encode_jpeg_rgb8
+
+    imgs = spread(load(spark, sf, "documents")).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 2 + 1).cast("int").alias("wb"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("hb"),
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "width", "height",
+                    "sum_all", "min_v", "max_v", "pos_weighted_g",
+                )
+            }
+            for media_id, wb, hb in zip(pdf["media_id"], pdf["wb"], pdf["hb"]):
+                W, H = 16 * int(wb), 16 * int(hb)
+                src = [
+                    (
+                        (3 * media_id + 17 * (x // 16) + 29 * (y // 16)) % 256,
+                        (5 * media_id + 13 * (x // 16) + 23 * (y // 16) + 7) % 256,
+                        (7 * media_id + 11 * (x // 16) + 19 * (y // 16) + 14) % 256,
+                    )
+                    for y in range(H)
+                    for x in range(W)
+                ]
+                dw, dh, pixels = decode_jpeg_rgb8(
+                    encode_jpeg_rgb8(W, H, src, subsampling="420")
+                )
+                vals = [v for p in pixels for v in p]
+                out["media_id"].append(media_id)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["sum_all"].append(sum(vals))
+                out["min_v"].append(min(vals))
+                out["max_v"].append(max(vals))
+                out["pos_weighted_g"].append(
+                    sum(
+                        (y * dw + x + 1) * pixels[y * dw + x][1]
+                        for y in range(dh)
+                        for x in range(dw)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    **{
+                        k: pd.Series(out[k], dtype="int64")
+                        for k in ("sum_all", "min_v", "max_v", "pos_weighted_g")
+                    },
+                }
+            )
+
+    return imgs.mapInPandas(
+        run,
+        "media_id long, width int, height int, sum_all long, "
+        "min_v long, max_v long, pos_weighted_g long",
+    )
