@@ -383,6 +383,55 @@ class GraphStore:
         for name, df in self.tables.items():
             df.createOrReplaceTempView(prefix + name)
 
+    def detach_delete(
+        self, uids, index_path: str | None = None
+    ) -> "GraphStore":
+        """Cypher ``DETACH DELETE`` semantics (the reference's Neo4j
+        store: deleting a node removes it and every relationship
+        touching it, and the vector index tracks the delete
+        automatically — graph.py:211-219): drop ``uids`` from every
+        node table and every edge whose src_uid OR dst_uid is in the
+        set, via BROADCAST anti-joins (a forget-set is always small
+        relative to the graph — the purge-cascade discipline). With
+        ``index_path``, the uids are tombstoned in the persistent ANN
+        index too (pipeline/ann_index.delete_uids), so purged chunks
+        stop being vector-searchable immediately. Returns a NEW lazy
+        GraphStore; persist with ``save_atomic``."""
+        if isinstance(uids, DataFrame):
+            forget = uids.select(
+                F.col("uid").cast("string").alias("_fuid")
+            ).distinct()
+        else:
+            forget = self.spark.createDataFrame(
+                [(str(u),) for u in uids], "_fuid string"
+            ).distinct()
+        out: dict[str, DataFrame] = {}
+        for name, df in self.tables.items():
+            if name in NODE_SCHEMAS:
+                out[name] = df.join(
+                    F.broadcast(forget), df["uid"] == forget["_fuid"], "left_anti"
+                )
+            else:
+                kept = df.join(
+                    F.broadcast(forget),
+                    df["src_uid"] == forget["_fuid"],
+                    "left_anti",
+                )
+                out[name] = kept.join(
+                    F.broadcast(forget),
+                    kept["dst_uid"] == forget["_fuid"],
+                    "left_anti",
+                )
+        if index_path is not None:
+            from .pipeline.ann_index import delete_uids
+
+            delete_uids(
+                self.spark,
+                index_path,
+                forget.select(F.col("_fuid").alias("uid")),
+            )
+        return GraphStore(self.spark, out)
+
     # -- S6: schema introspection (chat.py:64) ----------------------------
 
     def schema_string(self) -> str:

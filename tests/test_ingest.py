@@ -406,3 +406,72 @@ def test_save_atomic_random_crash_retry_converges(spark, tmp_path, monkeypatch):
                 for r in GraphStore.load(spark, root)["article"].collect()
             )
             assert got == sorted(titles), f"retry after {fail} at step {step}"
+
+
+def test_detach_delete_removes_nodes_edges_and_index(spark, tmp_path):
+    """Cypher DETACH DELETE semantics (round 8): deleting uids drops
+    the nodes, every edge touching them in either direction, leaves
+    the rest intact, and (with index_path) tombstones the uids in the
+    persistent ANN index so they stop being vector-searchable."""
+    import fixtures
+
+    from news_graph_rag_spark.graph_store import GraphStore
+    from news_graph_rag_spark.ingest.embedder import HashEmbedder
+    from news_graph_rag_spark.ingest.upserts import ingest_articles
+    from news_graph_rag_spark.pipeline import ann_index
+    from pyspark.sql import functions as F
+
+    store = ingest_articles(
+        GraphStore.empty(spark),
+        fixtures.raw_articles_df(spark),
+        encoder_factory=lambda: HashEmbedder(dim=16),
+    )
+    idx = str(tmp_path / "chunk_idx")
+    chunks = store["chunk"].filter(F.col("embedding").isNotNull()).select(
+        "uid", "embedding"
+    )
+    ann_index.build_uid_index(chunks, idx, n_centroids=2, iters=1)
+
+    victim_chunk = store["contains"].orderBy("dst_uid").first()["dst_uid"]
+    victim_article = store["published"].orderBy("dst_uid").first()["dst_uid"]
+    before_counts = {n: store[n].count() for n in store.tables}
+    touched_edges = {
+        n: store[n]
+        .filter(
+            (F.col("src_uid").isin(victim_chunk, victim_article))
+            | (F.col("dst_uid").isin(victim_chunk, victim_article))
+        )
+        .count()
+        for n in ("contains", "mentions", "published", "authored", "has_topic")
+    }
+    assert touched_edges["contains"] > 0 and touched_edges["published"] > 0
+
+    purged = store.detach_delete([victim_chunk, victim_article], index_path=idx)
+
+    assert purged["chunk"].filter(F.col("uid") == victim_chunk).count() == 0
+    assert purged["article"].filter(F.col("uid") == victim_article).count() == 0
+    for n, n_touched in touched_edges.items():
+        assert purged[n].count() == before_counts[n] - n_touched, n
+        assert (
+            purged[n]
+            .filter(
+                (F.col("src_uid").isin(victim_chunk, victim_article))
+                | (F.col("dst_uid").isin(victim_chunk, victim_article))
+            )
+            .count()
+            == 0
+        )
+    # untouched node tables keep their counts minus exactly the victims
+    assert purged["chunk"].count() == before_counts["chunk"] - 1
+    assert purged["article"].count() == before_counts["article"] - 1
+    assert purged["person"].count() == before_counts["person"]
+
+    # the purged chunk is no longer vector-searchable
+    probe = chunks.filter(F.col("uid") == victim_chunk).first()["embedding"]
+    served = [
+        r["uid"]
+        for r in ann_index.search_uids_by_vector(
+            spark, idx, [float(x) for x in probe], k=10, nprobe=2
+        ).collect()
+    ]
+    assert victim_chunk not in served
