@@ -156,6 +156,7 @@ HEADLINE = [
     "hll_registers_users",
     "cmsketch_user_counts",
     "bloom_decontaminate_stats",
+    "histogram_quantiles_priority",
 ]
 
 

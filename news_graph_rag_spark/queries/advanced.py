@@ -2712,3 +2712,93 @@ def profile_orders_columns(spark: SparkSession, sf: str) -> DataFrame:
             "AS (column_name, n_null, n_distinct)"
         )
     )
+
+
+@register(
+    "histogram_quantiles_priority",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS prio,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    h AS (
+      SELECT prio,
+             cents // 5000000 AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(max(cents) AS BIGINT) AS bmax
+      FROM b GROUP BY prio, cents // 5000000
+    ),
+    c AS (
+      SELECT *, SUM(n) OVER (PARTITION BY prio ORDER BY bucket) AS cum
+      FROM h
+    ),
+    t AS (SELECT prio, CAST(SUM(n) AS BIGINT) AS total FROM h GROUP BY prio),
+    p AS (SELECT unnest([50, 95, 99]) AS pct),
+    j AS (
+      SELECT c.prio, c.bucket, c.bmax, c.cum, p.pct,
+             (t.total * p.pct + 99) // 100 AS target
+      FROM c JOIN t USING (prio) CROSS JOIN p
+    )
+    SELECT prio AS o_orderpriority,
+           CAST(pct AS INT) AS pct,
+           CAST(min(bucket) AS BIGINT) AS est_bucket,
+           CAST(arg_min(bmax, bucket) AS BIGINT) AS est_max_cents
+    FROM j WHERE cum >= target
+    GROUP BY prio, pct
+    """,
+    doc="approximate quantiles with FULL cross-engine value parity — "
+    "the portable complement of approx_quantiles_value (whose "
+    "engine-native sketch is rows-only by design): per order "
+    "priority, build the exact-cents equi-width histogram "
+    "(histogram_totalprice's integer bucketing — membership can never "
+    "disagree across engines), cumulative-sum the BOUNDED bucket "
+    "table, and read p50/p95/p99 as the first bucket whose cumulative "
+    "count reaches ceil(p·total) (integer target arithmetic), "
+    "reporting that bucket and its observed max-cents as the "
+    "estimate. Every quantity is an exact integer, so the DuckDB "
+    "oracle recomputes readout AND state bit-for-bit; tests assert "
+    "the estimate brackets the exact sort-based percentile. At "
+    "100 TB: one map-side-combinable aggregate over the data, then a "
+    "window over ~120 BUCKETS per group — the global sort an exact "
+    "percentile needs never happens; two-pass refinement (re-bucket "
+    "inside the answer bucket) converges to exact cents in O(log "
+    "range) passes of the same shape.",
+)
+def histogram_quantiles_priority(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    b = load(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("prio"), cents.alias("cents")
+    )
+    h = (
+        b.withColumn("bucket", F.expr("cents div 5000000"))
+        .groupBy("prio", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("cents").cast("bigint").alias("bmax"),
+        )
+    )
+    # the window runs over the HISTOGRAM (<= ~120 buckets per group),
+    # never the raw rows — that is the whole point of the sketch
+    c = h.withColumn(
+        "cum", F.sum("n").over(Window.partitionBy("prio").orderBy("bucket"))
+    )
+    t = h.groupBy("prio").agg(F.sum("n").cast("bigint").alias("total"))
+    p = spark.createDataFrame([(50,), (95,), (99,)], "pct int")
+    j = (
+        c.join(F.broadcast(t), "prio")
+        .crossJoin(F.broadcast(p))
+        .withColumn("target", F.expr("(total * pct + 99) div 100"))
+        .filter(F.col("cum") >= F.col("target"))
+    )
+    return j.groupBy("prio", "pct").agg(
+        F.min("bucket").cast("bigint").alias("est_bucket"),
+        F.min_by("bmax", "bucket").cast("bigint").alias("est_max_cents"),
+    ).select(
+        F.col("prio").alias("o_orderpriority"),
+        F.col("pct").cast("int").alias("pct"),
+        "est_bucket",
+        "est_max_cents",
+    )

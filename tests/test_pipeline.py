@@ -1422,3 +1422,35 @@ def test_jpeg_420_subsampling_roundtrips():
         decode_jpeg_rgb8(bytes(bad))
     with _pytest.raises(ValueError, match="subsampling"):
         encode_jpeg_rgb8(4, 4, [(0, 0, 0)] * 16, subsampling="422")
+
+
+def test_histogram_quantiles_bracket_exact(spark, sf_dir):
+    """The histogram quantile readout is hash-verified by the gate;
+    this closes the loop on ACCURACY: for each (priority, pct) the
+    estimate's bucket must CONTAIN the exact sort-based percentile
+    (est_max_cents >= exact >= bucket lower edge)."""
+    from news_graph_rag_spark.queries import registry
+    from news_graph_rag_spark.queries.catalog import load
+
+    est = {
+        (r["o_orderpriority"], r["pct"]): (r["est_bucket"], r["est_max_cents"])
+        for r in registry()["histogram_quantiles_priority"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    rows = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("prio"), cents.alias("cents"))
+        .collect()
+    )
+    by_prio: dict[str, list[int]] = {}
+    for r in rows:
+        by_prio.setdefault(r["prio"], []).append(r["cents"])
+    for prio, vals in by_prio.items():
+        vals.sort()
+        for pct in (50, 95, 99):
+            k = -(-len(vals) * pct // 100)  # ceil rank
+            exact = vals[k - 1]
+            bucket, bmax = est[(prio, pct)]
+            assert bucket * 5_000_000 <= exact <= bmax, (prio, pct)
