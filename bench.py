@@ -157,6 +157,7 @@ HEADLINE = [
     "cmsketch_user_counts",
     "bloom_decontaminate_stats",
     "histogram_quantiles_priority",
+    "exact_percentile_multipass",
 ]
 
 

@@ -2802,3 +2802,120 @@ def histogram_quantiles_priority(spark: SparkSession, sf: str) -> DataFrame:
         "est_bucket",
         "est_max_cents",
     )
+
+
+@register(
+    "exact_percentile_multipass",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS prio,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT prio, cents,
+             row_number() OVER (PARTITION BY prio ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY prio) AS n
+      FROM b
+    )
+    SELECT prio AS o_orderpriority,
+           CAST(cents AS BIGINT) AS p95_cents
+    FROM r WHERE rn = (n * 95 + 99) // 100
+    """,
+    doc="EXACT distributed percentile WITHOUT a global sort (round 8; "
+    "the refinement pass histogram_quantiles_priority's doc promises): "
+    "per order priority, the exact ceil-rank p95 of the cents column "
+    "is found by iterative histogram refinement — each pass buckets "
+    "the per-group candidate range into <=256 equi-width integer "
+    "buckets (one map-side-combinable aggregate, candidate-range "
+    "filter pushed to the scan), the driver walks the <=256-row "
+    "result to locate the bucket containing the target rank, and the "
+    "range narrows 256x per pass, so O(log_256(range)) ~ 4 passes "
+    "pinpoint the exact value. The raw rows NEVER shuffle and the "
+    "driver only ever sees bucket counts — the classic "
+    "selection-by-partition algorithm expressed Spark-first. The "
+    "oracle is the straightforward rank window, so the driver gate "
+    "value-verifies exactness, not an approximation.",
+)
+def exact_percentile_multipass(spark: SparkSession, sf: str) -> DataFrame:
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    b = (
+        load(spark, sf, "orders")
+        .select(F.col("o_orderpriority").alias("prio"), cents.alias("cents"))
+    )
+    b = b.persist()
+    try:
+        # pass 0: per-group bounds and target ceil-rank k
+        init = (
+            b.groupBy("prio")
+            .agg(
+                F.min("cents").alias("lo"),
+                F.max("cents").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        state = {
+            r["prio"]: {
+                "lo": int(r["lo"]),
+                "hi": int(r["hi"]),
+                "k": (int(r["n"]) * 95 + 99) // 100,  # ceil rank, 1-based
+            }
+            for r in init
+        }
+        answers: dict[str, int] = {}
+        while True:
+            live = {p: s for p, s in state.items() if p not in answers}
+            for p, s in list(live.items()):
+                if s["lo"] == s["hi"]:
+                    answers[p] = s["lo"]
+                    del live[p]
+            if not live:
+                break
+            ranges = spark.createDataFrame(
+                [
+                    (
+                        p,
+                        s["lo"],
+                        s["hi"],
+                        max(1, (s["hi"] - s["lo"] + 1 + 255) // 256),
+                    )
+                    for p, s in live.items()
+                ],
+                "prio string, lo long, hi long, w long",
+            )
+            counts = (
+                b.join(F.broadcast(ranges), "prio")
+                .filter(F.col("cents").between(F.col("lo"), F.col("hi")))
+                .select(
+                    "prio",
+                    F.expr("(cents - lo) div w").alias("bucket"),
+                )
+                .groupBy("prio", "bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            per_prio: dict[str, dict[int, int]] = {}
+            for r in counts:
+                per_prio.setdefault(r["prio"], {})[int(r["bucket"])] = int(r["n"])
+            for p, s in live.items():
+                w = max(1, (s["hi"] - s["lo"] + 1 + 255) // 256)
+                k = s["k"]
+                for bkt in sorted(per_prio.get(p, {})):
+                    n = per_prio[p][bkt]
+                    if k <= n:
+                        s["lo"], s["hi"] = (
+                            s["lo"] + bkt * w,
+                            min(s["hi"], s["lo"] + (bkt + 1) * w - 1),
+                        )
+                        s["k"] = k
+                        break
+                    k -= n
+                else:  # pragma: no cover — rank beyond range is impossible
+                    raise AssertionError("target rank not found in any bucket")
+    finally:
+        b.unpersist()
+    return spark.createDataFrame(
+        sorted((p, v) for p, v in answers.items()),
+        "o_orderpriority string, p95_cents long",
+    )
