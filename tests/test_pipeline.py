@@ -1454,3 +1454,65 @@ def test_histogram_quantiles_bracket_exact(spark, sf_dir):
             exact = vals[k - 1]
             bucket, bmax = est[(prio, pct)]
             assert bucket * 5_000_000 <= exact <= bmax, (prio, pct)
+
+
+def test_bpe_train_matches_reference_and_applies(spark):
+    """Distributed BPE (round 8): merge rules learned from the
+    word-frequency table must match the classic single-machine
+    algorithm (Sennrich-style, ties lexicographic) EXACTLY, training
+    must be deterministic under repartitioning, and application must
+    reproduce training's own segmentation on the training corpus."""
+    from collections import Counter
+
+    from news_graph_rag_spark.pipeline.bpe import EOW, apply_bpe, train_bpe
+
+    corpus = [
+        (0, "low lower lowest low low"),
+        (1, "new newer newest new new new"),
+        (2, "wide wider widest low new"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges = train_bpe(docs, num_merges=12)
+
+    # naive reference on the same word-frequency table
+    wc = Counter(w for _, t in corpus for w in t.lower().split())
+    vocab = {tuple(w) + (EOW,): n for w, n in wc.items()}
+    ref = []
+    for _ in range(12):
+        pc = Counter()
+        for syms, n in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pc[p] += n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        ref.append(best)
+        a, b = best
+        new: dict = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + n
+        vocab = new
+    assert merges == ref
+
+    # deterministic under physical partitioning
+    assert train_bpe(docs.repartition(7), num_merges=12) == merges
+
+    # application: every token is a learned symbol; frequent whole
+    # words collapse to single tokens; NULL text tokenizes to empty
+    out = {r["doc_id"]: r for r in apply_bpe(docs, merges).collect()}
+    assert "low" + EOW in out[0]["tokens"]
+    assert "new" + EOW in out[1]["tokens"]
+    assert all(r["n_tokens"] == len(r["tokens"]) for r in out.values())
+    with_null = spark.createDataFrame(
+        [(9, None)], "doc_id long, text string"
+    )
+    nr = apply_bpe(with_null, merges).collect()[0]
+    assert nr["n_tokens"] == 0 and nr["tokens"] == []
