@@ -114,6 +114,15 @@ def train_bpe(
         "n",
     )
     syms = syms.localCheckpoint()  # cut the corpus out of the lineage
+
+    def _ckpt_rdd_id(df: DataFrame) -> int | None:
+        try:
+            return int(df._jdf.queryExecution().analyzed().rdd().id())
+        except Exception:
+            return None
+
+    spark = docs.sparkSession
+    live_ckpt = _ckpt_rdd_id(syms)
     merges: list[tuple[str, str]] = []
     prev = syms
     for round_no in range(num_merges):
@@ -135,10 +144,25 @@ def train_bpe(
             _merge_kernel(a, b), "syms array<string>, n bigint"
         )
         if (round_no + 1) % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint()
-            # superseded checkpoint generations release with the
-            # DataFrame; lineage is bounded either way
+            nxt = nxt.localCheckpoint(eager=True)
+            # release the SUPERSEDED checkpoint generation now that the
+            # new one is materialized (the crawler/graph_algos
+            # discipline — otherwise every generation's blocks live
+            # until session end)
+            if live_ckpt is not None:
+                try:
+                    spark.sparkContext._jsc.sc().unpersistRDD(live_ckpt, False)
+                except Exception:
+                    pass
+            live_ckpt = _ckpt_rdd_id(nxt)
         prev = nxt
+    # training is done and the merges are collected — nothing lazy
+    # references the final checkpoint either
+    if live_ckpt is not None:
+        try:
+            spark.sparkContext._jsc.sc().unpersistRDD(live_ckpt, False)
+        except Exception:
+            pass
     return merges
 
 

@@ -1516,3 +1516,20 @@ def test_bpe_train_matches_reference_and_applies(spark):
     )
     nr = apply_bpe(with_null, merges).collect()[0]
     assert nr["n_tokens"] == 0 and nr["tokens"] == []
+
+
+def test_bpe_training_releases_checkpoint_blocks(spark):
+    """train_bpe's per-round localCheckpoints must not accumulate for
+    the life of the session (the round-7 crawl-loop leak class): after
+    training, the persistent-RDD count returns to its baseline."""
+    from news_graph_rag_spark.pipeline.bpe import train_bpe
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * (i % 3 + 1)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    train_bpe(docs, num_merges=20, checkpoint_every=4)
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before, f"leaked {after - before} checkpoint RDDs"
