@@ -158,6 +158,7 @@ HEADLINE = [
     "bloom_decontaminate_stats",
     "histogram_quantiles_priority",
     "exact_percentile_multipass",
+    "ann_ivf_filtered_search_topk",
 ]
 
 

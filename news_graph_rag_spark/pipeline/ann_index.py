@@ -806,6 +806,56 @@ def search_by_vector(
     ).select("rnk", "vec_id", "dot")
 
 
+def search_by_vector_filtered(
+    spark: SparkSession,
+    path: str,
+    query_vector,
+    allowed: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """FILTERED vector search — the metadata-constrained serving shape
+    (e.g. 'nearest chunks WITHIN this source/tenant/date range'):
+    ``allowed`` is a DataFrame with a ``vec_id`` column naming the
+    eligible subset. The filter applies as a PRE-filter on the
+    partition-pruned candidate scan (broadcast semi-join BEFORE
+    ranking), so the top-k is exact over the allowed set inside the
+    probed lists — never the post-filter trap where filtering after
+    ranking returns fewer than k (or none) for selective predicates.
+    Tombstones still apply. At 100 TB the allowed set is either a
+    broadcastable id list (this path) or a predicate on attributes
+    co-stored in the assignment rows (same plan shape, no join)."""
+    import numpy as np
+
+    from ..ranks import top_k_ranked
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    p = np.asarray(
+        quantize_query(query_vector, widen_reps=meta.get("widen_reps")),
+        dtype=np.int64,
+    )
+    if not (p != 0).any():
+        raise ValueError("query vector quantizes to all zeros")
+    probe_ids = _rank_probe_lists(
+        p, _centroid_arrays(_centroid_rows(spark, path)), nprobe
+    )
+    assignments = _live_only(
+        spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
+    )
+    cand = (
+        assignments.filter(F.col("centroid_id").isin(probe_ids))
+        .join(
+            F.broadcast(allowed.select(F.col("vec_id").cast("long").alias("vec_id"))),
+            "vec_id",
+            "left_semi",
+        )
+    )
+    return top_k_ranked(
+        _jvm_scored(cand, p), [F.desc("score"), F.asc("vec_id")], k
+    ).select("rnk", "vec_id", "dot")
+
+
 def batch_search(
     spark: SparkSession,
     path: str,

@@ -977,14 +977,21 @@ def _ivf_int8_oracle(
     widen_reps: int | None = None,
     probe_id: int = 0,
     dead_where: str = "FALSE",
+    allow_where: str = "TRUE",
+    exclude_probe: bool = True,
 ) -> str:
     """Build CTE + the SEARCH tail: probe ranking, partition-equivalent
     candidate filter, exact-integer rank. ``dead_where`` recomputes a
     TOMBSTONE mask (pipeline/ann_index.delete_vectors): the index is
     built over ALL vectors (deletes happen after the build and never
     retrain the quantizer), but tombstoned rows are excluded from the
-    candidate set — exactly the serve-time broadcast anti-join."""
+    candidate set — exactly the serve-time broadcast anti-join.
+    ``allow_where`` recomputes a FILTERED-search eligible set
+    (search_by_vector_filtered's broadcast semi-join pre-filter);
+    ``exclude_probe=False`` matches the by-vector serving paths, which
+    never id-exclude (the probe is an external query vector there)."""
     dot, score = _IVF_DOT, _IVF_SCORE
+    probe_excl = f"b.vec_id <> {probe_id}" if exclude_probe else "TRUE"
     return f"""
     {_ivf_int8_build_cte(n_centroids, widen_reps)},
     probe AS (SELECT q8, nrm FROM live WHERE vec_id = {probe_id}),
@@ -997,7 +1004,8 @@ def _ivf_int8_oracle(
     ),
     cand AS (
       SELECT b.vec_id, b.q8, b.nrm FROM b1 b JOIN pc ON b.cid = pc.cid
-      WHERE b.vec_id <> {probe_id} AND NOT ({dead_where.format(v="b.vec_id")})
+      WHERE {probe_excl} AND NOT ({dead_where.format(v="b.vec_id")})
+        AND ({allow_where.format(v="b.vec_id")})
     ),
     scored AS (
       SELECT c.vec_id,
@@ -1701,3 +1709,36 @@ def ann_ivf_search_tombstoned(spark: SparkSession, sf: str) -> DataFrame:
         )
         delete_vectors(spark, path, dead)
     return search_by_id(spark, path, probe_vec_id=0, k=10, nprobe=4)
+
+
+_ALLOW_PRED = "{v} % 3 = 0"
+
+
+@register(
+    "ann_ivf_filtered_search_topk",
+    oracle=_ivf_int8_oracle(
+        n_centroids=8, nprobe=4, k=10, probe_id=1,
+        allow_where=_ALLOW_PRED, exclude_probe=False,
+    ),
+    doc="FILTERED vector search (round 8) — the metadata-constrained "
+    "serving shape ('nearest chunks WITHIN this tenant/source/date "
+    "range'): an eligible-id set (vec_id % 3 = 0, a deterministic "
+    "stand-in for any attribute predicate) applies as a BROADCAST "
+    "semi-join PRE-filter on the partition-pruned candidate scan, "
+    "BEFORE ranking — so the top-k is exact over the allowed subset "
+    "inside the probed lists, never the post-filter trap where "
+    "filtering after ranking under-fills k for selective predicates. "
+    "The probe is vec 1's embedding served through the external-"
+    "query-vector path (driver-side quantization with the index's own "
+    "scheme). VALUE-VERIFIED: the DuckDB oracle recomputes the build, "
+    "the probe ranking, and the same eligibility mask on the "
+    "candidate set.",
+)
+def ann_ivf_filtered_search_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import ensure_index, search_by_vector_filtered
+
+    path = ensure_index(spark, sf, widen_reps=None, n_centroids=8, iters=1)
+    emb = load(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    allowed = emb.filter(F.expr(_ALLOW_PRED.format(v="vec_id"))).select("vec_id")
+    return search_by_vector_filtered(spark, path, qv, allowed, k=10, nprobe=4)

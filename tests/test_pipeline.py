@@ -1533,3 +1533,41 @@ def test_bpe_training_releases_checkpoint_blocks(spark):
     train_bpe(docs, num_merges=20, checkpoint_every=4)
     after = jsc.getPersistentRDDs().size()
     assert after <= before, f"leaked {after - before} checkpoint RDDs"
+
+
+def test_ann_filtered_search_prefilters_not_postfilters(spark, tmp_path):
+    """search_by_vector_filtered must fill k from the ALLOWED subset
+    (pre-filter before ranking): with a selective predicate, a
+    post-filter of the unfiltered top-k would under-fill, but the
+    pre-filter returns exactly k allowed ids — and every returned id
+    is allowed."""
+    from news_graph_rag_spark.pipeline import ann_index
+
+    df = _clustered_vec_table(spark, dim=8, per=40, clusters=2)
+    path = str(tmp_path / "idx_filter")
+    ann_index.build_and_save(df, path, n_centroids=2, iters=1)
+    qv = [r["embedding"] for r in df.filter("vec_id = 0").collect()][0]
+
+    allowed = df.filter("vec_id % 10 = 7").select("vec_id")  # 8 of 80
+    got = ann_index.search_by_vector_filtered(
+        spark, path, qv, allowed, k=5, nprobe=2
+    ).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == 5
+    assert all(v % 10 == 7 for v in ids)
+    # the unfiltered top-5 shares ~nothing with the allowed set — a
+    # post-filter would have returned far fewer than k
+    unfiltered = {
+        r["vec_id"]
+        for r in ann_index.search_by_vector(spark, path, qv, k=5, nprobe=2).collect()
+    }
+    assert len(unfiltered & set(ids)) < 5
+    # tombstones compose: delete an allowed winner, it vanishes
+    ann_index.delete_vectors(spark, path, [ids[0]])
+    again = [
+        r["vec_id"]
+        for r in ann_index.search_by_vector_filtered(
+            spark, path, qv, allowed, k=5, nprobe=2
+        ).collect()
+    ]
+    assert ids[0] not in again and len(again) == 5
