@@ -240,3 +240,42 @@ def streaming_index_append(
         # trigger_seconds path
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_hll_registers(
+    events_stream: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Streaming distinct-count sketch: maintain the portable HLL
+    registers (queries/python_ops.hll_registers_users' md5 scheme)
+    incrementally over a stream. The register state merges by MAX, so
+    the aggregation is a plain streaming groupBy — Spark keeps one row
+    of state per (key, register) (bounded: <= 256·|keys|, KBs — the
+    sketch IS the state), and each micro-batch folds in map-side.
+    Complete-mode output at any trigger is exactly the registers the
+    batch build would produce on the data seen so far (parity-tested);
+    the driver-side ``hll_estimate`` readout prices distincts without
+    ever shuffling ids. This is the at-scale shape for live
+    cardinality dashboards: exact streaming distinct needs state per
+    ID; the sketch needs state per REGISTER."""
+    ev = events_stream.filter(F.col(id_col).isNotNull())
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 14), 16, 10
+    ).cast("long")
+    w = F.col("h").bitwiseAND(F.lit((1 << 48) - 1))
+    rho = (
+        F.when(w == 0, F.lit(49))
+        .otherwise(F.lit(49) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        ev.select(F.col(key_col).alias("key"), h.alias("h"))
+        .select(
+            "key",
+            F.shiftright(F.col("h"), 48).cast("int").alias("register_idx"),
+            rho.alias("rho"),
+        )
+        .groupBy("key", "register_idx")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+    )

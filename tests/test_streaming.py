@@ -436,3 +436,47 @@ def test_streaming_index_append_searchable(spark, tmp_path):
             ann_index.search_by_id(spark, idx, 0, 22, 2).collect()}
     assert 100 in hits
     assert hits[100] == max(hits.values())  # clone of the probe ties max
+
+
+def test_streaming_hll_registers_match_batch(spark, sf_dir, tmp_path):
+    """The streaming HLL register state after draining a replayed
+    events stream must EQUAL the batch entry's registers — sketch
+    states merge by max, so micro-batch order cannot matter."""
+    from news_graph_rag_spark.queries import registry
+    from news_graph_rag_spark.streaming.ingest_stream import (
+        streaming_hll_registers,
+    )
+
+    batch = {
+        (r["event_type"], r["register_idx"]): r["max_rho"]
+        for r in registry()["hll_registers_users"].fn(spark, sf_dir).collect()
+    }
+
+    from news_graph_rag_spark.queries.catalog import load
+
+    # replay in several files so register maxes really merge across
+    # micro-batches
+    src = str(tmp_path / "events_src")
+    load(spark, sf_dir, "events").select("event_type", "user_id").repartition(
+        4
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        streaming_hll_registers(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_regs")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r["key"], r["register_idx"]): r["max_rho"]
+            for r in spark.sql("SELECT * FROM hll_regs").collect()
+        }
+    finally:
+        q.stop()
+    assert streamed == batch
