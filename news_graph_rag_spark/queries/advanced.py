@@ -2826,11 +2826,11 @@ def histogram_quantiles_priority(spark: SparkSession, sf: str) -> DataFrame:
     "the refinement pass histogram_quantiles_priority's doc promises): "
     "per order priority, the exact ceil-rank p95 of the cents column "
     "is found by iterative histogram refinement — each pass buckets "
-    "the per-group candidate range into <=256 equi-width integer "
+    "the per-group candidate range into <=1024 equi-width integer "
     "buckets (one map-side-combinable aggregate, candidate-range "
-    "filter pushed to the scan), the driver walks the <=256-row "
+    "filter pushed to the scan), the driver walks the <=1024-row "
     "result to locate the bucket containing the target rank, and the "
-    "range narrows 256x per pass, so O(log_256(range)) ~ 4 passes "
+    "range narrows 1024x per pass, so O(log_1024(range)) ~ 3 passes "
     "pinpoint the exact value. The raw rows NEVER shuffle and the "
     "driver only ever sees bucket counts — the classic "
     "selection-by-partition algorithm expressed Spark-first. The "
@@ -2878,7 +2878,7 @@ def exact_percentile_multipass(spark: SparkSession, sf: str) -> DataFrame:
                         p,
                         s["lo"],
                         s["hi"],
-                        max(1, (s["hi"] - s["lo"] + 1 + 255) // 256),
+                        max(1, (s["hi"] - s["lo"] + 1 + 1023) // 1024),
                     )
                     for p, s in live.items()
                 ],
@@ -2899,7 +2899,7 @@ def exact_percentile_multipass(spark: SparkSession, sf: str) -> DataFrame:
             for r in counts:
                 per_prio.setdefault(r["prio"], {})[int(r["bucket"])] = int(r["n"])
             for p, s in live.items():
-                w = max(1, (s["hi"] - s["lo"] + 1 + 255) // 256)
+                w = max(1, (s["hi"] - s["lo"] + 1 + 1023) // 1024)
                 k = s["k"]
                 for bkt in sorted(per_prio.get(p, {})):
                     n = per_prio[p][bkt]
