@@ -159,6 +159,7 @@ HEADLINE = [
     "histogram_quantiles_priority",
     "exact_percentile_multipass",
     "ann_ivf_filtered_search_topk",
+    "dynamic_partition_pruning_join",
 ]
 
 

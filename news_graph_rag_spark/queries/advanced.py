@@ -2919,3 +2919,61 @@ def exact_percentile_multipass(spark: SparkSession, sf: str) -> DataFrame:
         sorted((p, v) for p, v in answers.items()),
         "o_orderpriority string, p95_cents long",
     )
+
+
+@register(
+    "dynamic_partition_pruning_join",
+    oracle="""
+    WITH sel AS (
+      SELECT DISTINCT event_type FROM events
+      WHERE substr(md5(event_type), 1, 1) <= '7'
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+    FROM events e JOIN sel USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="DYNAMIC partition pruning (round 8; the runtime complement of "
+    "partitioned_scan_pruning's static I2 exhibit): the fact side is "
+    "the events table staged partitionBy(event_type), the dim side is "
+    "a small staged (event_type, tag) table, and the QUERY's only "
+    "filter is on the dim attribute (tag = md5 prefix — deliberately "
+    "not derivable from the join key by constraint propagation, which "
+    "would degrade this to static pruning). Catalyst inserts a "
+    "dynamicpruning subquery into the fact scan's PartitionFilters "
+    "(SubqueryAdaptiveBroadcast reusing the dim broadcast — "
+    "plan-asserted in tests/test_plans.py), so the fact reads ONLY "
+    "the partitions the filtered dim selects, discovered at RUNTIME. "
+    "At 100 TB this is the star-schema workhorse: partition-eliminate "
+    "a fact table by any dim predicate without materializing "
+    "per-predicate layouts.",
+)
+def dynamic_partition_pruning_join(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    from .catalog import fingerprint_stage_dir
+
+    ev = load(spark, sf, "events")
+    stage = fingerprint_stage_dir(os.path.join(sf, "events.parquet"), "events_by_type")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(stage)
+    dim_dir = fingerprint_stage_dir(
+        os.path.join(sf, "events.parquet"), "event_type_dim"
+    )
+    if not os.path.exists(os.path.join(dim_dir, "_SUCCESS")):
+        ev.select("event_type").distinct().select(
+            "event_type", F.substring(F.md5("event_type"), 1, 1).alias("tag")
+        ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+    fact = spark.read.parquet(stage)
+    sel = spark.read.parquet(dim_dir).filter(F.col("tag") <= "7")
+    return (
+        fact.join(sel, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,3)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

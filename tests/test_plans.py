@@ -503,6 +503,17 @@ def test_hybrid_token_index_scan_is_partition_pruned(spark, sf_dir, reg):
     assert "token#" in plan and "spark,join,stream" in plan  # pushed IN-list
 
 
+def test_dynamic_partition_pruning_fires(spark, sf_dir, reg):
+    """The DPP entry's fact scan must carry a RUNTIME pruning subquery
+    (dynamicpruning / SubqueryAdaptiveBroadcast) in its
+    PartitionFilters — not a statically-derived predicate: the dim
+    filter is on a non-key attribute precisely so constraint
+    propagation can't pre-prune."""
+    df = reg["dynamic_partition_pruning_join"].fn(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "dynamicpruning" in plan.lower(), "no DPP subquery in the fact scan"
+
+
 def test_ann_batch_search_plan_shape(spark, sf_dir, reg):
     """Batch KNN must broadcast the (probe, list) relation, prune the
     index scan to the probed partitions, and rank with a
