@@ -405,9 +405,24 @@ def encode_png_rgb8(width: int, height: int, pixels: "list[tuple]") -> bytes:
     import struct
     import zlib
 
+    return _encode_png(width, height, pixels, grayscale=False)
+
+
+def encode_png_gray8(width: int, height: int, values: "list[int]") -> bytes:
+    """Grayscale (colortype 0) PNG writer — same cycling-filter
+    discipline as ``encode_png_rgb8`` at bpp=1 (round 8), so the
+    round trip exercises every unfilter path in the 1-byte-pixel
+    geometry too."""
+    return _encode_png(width, height, values, grayscale=True)
+
+
+def _encode_png(width: int, height: int, pixels, grayscale: bool) -> bytes:
+    import struct
+    import zlib
+
     if len(pixels) != width * height:
         raise ValueError("pixel count != width*height")
-    bpp = 3
+    bpp = 1 if grayscale else 3
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -417,11 +432,19 @@ def encode_png_rgb8(width: int, height: int, pixels: "list[tuple]") -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    raw_rows = [
-        bytes(v for x in range(width) for v in pixels[y * width + x])
-        for y in range(height)
-    ]
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 0 if grayscale else 2, 0, 0, 0
+    )
+    if grayscale:
+        raw_rows = [
+            bytes(int(pixels[y * width + x]) & 0xFF for x in range(width))
+            for y in range(height)
+        ]
+    else:
+        raw_rows = [
+            bytes(v for x in range(width) for v in pixels[y * width + x])
+            for y in range(height)
+        ]
     out = bytearray()
     prev = bytes(bpp * width)
     for y, row in enumerate(raw_rows):
@@ -461,8 +484,10 @@ def decode_png_rgb8(data: bytes) -> "tuple[int, int, list[tuple]]":
     inflate the IDAT stream and UNFILTER every scanline (all five
     filter types: None/Sub/Up/Average/Paeth, per the PNG spec's
     byte-predictor definitions). Supports 8-bit truecolor (colortype
-    2), non-interlaced; anything else raises, it does not fake.
-    Returns (width, height, pixels) row-major top-down (r, g, b). With
+    2) AND 8-bit grayscale (colortype 0, round 8 — luma replicated to
+    RGB on output), non-interlaced; anything else raises, it does not
+    fake. Returns (width, height, pixels) row-major top-down
+    (r, g, b). With
     this, the image modality's decode seam is real for BOTH an
     uncompressed container (BMP) and a DEFLATE-compressed one (PNG);
     baseline JPEG decodes via ``pipeline/jpeg_codec.py`` (round 8),
@@ -500,13 +525,15 @@ def decode_png_rgb8(data: bytes) -> "tuple[int, int, list[tuple]]":
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     width, height, depth, ctype_v, comp, filt, interlace = ihdr
-    if depth != 8 or ctype_v != 2 or comp != 0 or filt != 0 or interlace != 0:
+    if depth != 8 or ctype_v not in (0, 2) or comp != 0 or filt != 0 \
+            or interlace != 0:
         raise ValueError(
             f"unsupported PNG encoding (depth={depth}, colortype={ctype_v}, "
             f"interlace={interlace})"
         )
     raw = zlib.decompress(bytes(idat))
-    bpp, stride = 3, 3 * width
+    bpp = 3 if ctype_v == 2 else 1
+    stride = bpp * width
     if len(raw) != (stride + 1) * height:
         raise ValueError("IDAT length mismatch")
     prev = bytearray(stride)
@@ -535,8 +562,12 @@ def decode_png_rgb8(data: bytes) -> "tuple[int, int, list[tuple]]":
                 line[i] = (line[i] + pred) & 0xFF
         elif f != 0:
             raise ValueError(f"unknown filter type {f}")
-        for x in range(width):
-            pixels.append((line[3 * x], line[3 * x + 1], line[3 * x + 2]))
+        if bpp == 3:
+            for x in range(width):
+                pixels.append((line[3 * x], line[3 * x + 1], line[3 * x + 2]))
+        else:  # grayscale: replicate luma
+            for x in range(width):
+                pixels.append((line[x], line[x], line[x]))
         prev = line
     return width, height, pixels
 

@@ -1604,3 +1604,20 @@ def test_jpeg_grayscale_roundtrips():
     assert all(p[0] == p[1] == p[2] for p in o2)
     d3 = encode_jpeg_gray8(24, 16, vals2, restart_interval=2)
     assert decode_jpeg_rgb8(d3) == (w2, h2, o2)
+
+
+def test_png_grayscale_roundtrip_all_filters():
+    """Colortype-0 PNG (round 8): lossless round-trip with the filter
+    types cycling by row in the 1-byte-pixel geometry (Sub/Average/
+    Paeth reference the previous BYTE = previous PIXEL at bpp=1 —
+    a different predictor topology than RGB's bpp=3), luma replicated
+    to RGB on decode; >= 5 rows so every filter executes."""
+    from news_graph_rag_spark.pipeline.multimodal import (
+        decode_png_rgb8,
+        encode_png_gray8,
+    )
+
+    for w, h in ((6, 11), (1, 7), (16, 5)):
+        vals = [(x * 13 + y * 29 + w) % 256 for y in range(h) for x in range(w)]
+        got = decode_png_rgb8(encode_png_gray8(w, h, vals))
+        assert got == (w, h, [(v, v, v) for v in vals])
