@@ -725,6 +725,32 @@ def search_uids_by_vector(
     )
 
 
+def search_uids_by_vector_filtered(
+    spark: SparkSession,
+    path: str,
+    query_vector,
+    allowed_uids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """``search_by_vector_filtered`` against a uid-keyed index: the
+    allowed set arrives as STRING uids (e.g. 'the chunks of this
+    article/source' — the reference-flavored scoped retrieval), maps
+    through the build's xxhash64 surrogate, pre-filters the pruned
+    candidate scan, and the k-row hit set broadcasts back against the
+    uid map. Returns (rnk, uid, dot)."""
+    allowed = allowed_uids.select(F.xxhash64(F.col("uid")).alias("vec_id"))
+    hits = search_by_vector_filtered(
+        spark, path, query_vector, allowed, k=k, nprobe=nprobe
+    )
+    uid_map = spark.read.parquet(os.path.join(path, "uid_map.parquet"))
+    return (
+        uid_map.join(F.broadcast(hits), "vec_id")
+        .select("rnk", "uid", "dot")
+        .orderBy("rnk")
+    )
+
+
 def search_uids_by_id(
     spark: SparkSession,
     path: str,

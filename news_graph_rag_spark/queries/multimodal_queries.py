@@ -682,31 +682,30 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
                     "sum_all", "min_v", "max_v", "pos_weighted_g",
                 )
             }
+            import numpy as np
+
             for media_id, wb, hb in zip(pdf["media_id"], pdf["wb"], pdf["hb"]):
                 W, H = 8 * int(wb), 8 * int(hb)
-                src = [
-                    (
-                        (3 * media_id + 17 * (x // 8) + 29 * (y // 8)) % 256,
-                        (5 * media_id + 13 * (x // 8) + 23 * (y // 8) + 7) % 256,
-                        (7 * media_id + 11 * (x // 8) + 19 * (y // 8) + 14) % 256,
-                    )
-                    for y in range(H)
-                    for x in range(W)
-                ]
+                bx = np.arange(W, dtype=np.int64) // 8
+                by = np.arange(H, dtype=np.int64)[:, None] // 8
+                src = np.stack(
+                    [
+                        (3 * media_id + 17 * bx + 29 * by) % 256,
+                        (5 * media_id + 13 * bx + 23 * by + 7) % 256,
+                        (7 * media_id + 11 * bx + 19 * by + 14) % 256,
+                    ],
+                    axis=-1,
+                ).reshape(-1, 3)
                 dw, dh, pixels = decode_jpeg_rgb8(encode_jpeg_rgb8(W, H, src))
-                vals = [v for p in pixels for v in p]
+                arr = np.asarray(pixels, dtype=np.int64)
                 out["media_id"].append(media_id)
                 out["width"].append(dw)
                 out["height"].append(dh)
-                out["sum_all"].append(sum(vals))
-                out["min_v"].append(min(vals))
-                out["max_v"].append(max(vals))
+                out["sum_all"].append(int(arr.sum()))
+                out["min_v"].append(int(arr.min()))
+                out["max_v"].append(int(arr.max()))
                 out["pos_weighted_g"].append(
-                    sum(
-                        (y * dw + x + 1) * pixels[y * dw + x][1]
-                        for y in range(dh)
-                        for x in range(dw)
-                    )
+                    int(np.dot(np.arange(1, dw * dh + 1, dtype=np.int64), arr[:, 1]))
                 )
             yield pd.DataFrame(
                 {
@@ -817,33 +816,32 @@ def multimodal_jpeg420_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
                     "sum_all", "min_v", "max_v", "pos_weighted_g",
                 )
             }
+            import numpy as np
+
             for media_id, wb, hb in zip(pdf["media_id"], pdf["wb"], pdf["hb"]):
                 W, H = 16 * int(wb), 16 * int(hb)
-                src = [
-                    (
-                        (3 * media_id + 17 * (x // 16) + 29 * (y // 16)) % 256,
-                        (5 * media_id + 13 * (x // 16) + 23 * (y // 16) + 7) % 256,
-                        (7 * media_id + 11 * (x // 16) + 19 * (y // 16) + 14) % 256,
-                    )
-                    for y in range(H)
-                    for x in range(W)
-                ]
+                bx = np.arange(W, dtype=np.int64) // 16
+                by = np.arange(H, dtype=np.int64)[:, None] // 16
+                src = np.stack(
+                    [
+                        (3 * media_id + 17 * bx + 29 * by) % 256,
+                        (5 * media_id + 13 * bx + 23 * by + 7) % 256,
+                        (7 * media_id + 11 * bx + 19 * by + 14) % 256,
+                    ],
+                    axis=-1,
+                ).reshape(-1, 3)
                 dw, dh, pixels = decode_jpeg_rgb8(
                     encode_jpeg_rgb8(W, H, src, subsampling="420")
                 )
-                vals = [v for p in pixels for v in p]
+                arr = np.asarray(pixels, dtype=np.int64)
                 out["media_id"].append(media_id)
                 out["width"].append(dw)
                 out["height"].append(dh)
-                out["sum_all"].append(sum(vals))
-                out["min_v"].append(min(vals))
-                out["max_v"].append(max(vals))
+                out["sum_all"].append(int(arr.sum()))
+                out["min_v"].append(int(arr.min()))
+                out["max_v"].append(int(arr.max()))
                 out["pos_weighted_g"].append(
-                    sum(
-                        (y * dw + x + 1) * pixels[y * dw + x][1]
-                        for y in range(dh)
-                        for x in range(dw)
-                    )
+                    int(np.dot(np.arange(1, dw * dh + 1, dtype=np.int64), arr[:, 1]))
                 )
             yield pd.DataFrame(
                 {
