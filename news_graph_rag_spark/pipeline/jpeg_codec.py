@@ -41,9 +41,9 @@ discipline, same as the ivf-int8 index):
   so it decodes other baseline 4:4:4 streams' tables too.
 
 Scope (documented): baseline sequential only (SOF0), 8-bit, 1
-(grayscale) or 3 components, 4:4:4 and 4:2:0 sampling (the dominant
-real-world modes; 4:2:0 = 2x2 Y blocks + box-downsampled chroma per
-16x16 MCU, replication upsample on decode), restart markers supported
+(grayscale) or 3 components, 4:4:4, 4:2:2 and 4:2:0 sampling (the
+real-world trio; subsampled chroma is box-downsampled per MCU and
+replication-upsampled on decode), restart markers supported
 (DRI + RST0-7, encode and decode), no progressive/arithmetic coding —
 anything else raises ValueError. Flat-block exactness holds for EVERY
 mode (a flat 16x16 macroblock box-downsamples to a flat chroma block,
@@ -367,8 +367,8 @@ def encode_jpeg_rgb8(
 
     if width <= 0 or height <= 0 or len(pixels) != width * height:
         raise ValueError("pixels must be width*height RGB tuples")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
     A = _cos_table()
     rgb = np.asarray(pixels, dtype=np.int64).reshape(height, width, 3)
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
@@ -402,6 +402,27 @@ def encode_jpeg_rgb8(
                 for ci, plane in enumerate(padded):
                     S = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128
                     _encode_block(writer, A, S, qtabs[0 if ci == 0 else 1], pred, ci)
+    elif subsampling == "422":  # 16x8 MCU = 2 Y blocks + H-downsampled C
+        bw, bh = -(-width // 16), -(-height // 8)
+        H, W = bh * 8, bw * 16
+        yp = _pad_replicate(planes[0], H, W)
+
+        def down_h(p):
+            p = _pad_replicate(p, H, W)
+            s2 = p.reshape(H, W // 2, 2).sum(axis=2)
+            return (s2 + 1) // 2
+
+        cbd, crd = down_h(planes[1]), down_h(planes[2])
+        for my in range(bh):
+            for mx in range(bw):
+                maybe_restart()
+                for dx in (0, 1):
+                    y0, x0 = my * 8, mx * 16 + dx * 8
+                    S = yp[y0 : y0 + 8, x0 : x0 + 8] - 128
+                    _encode_block(writer, A, S, qtabs[0], pred, 0)
+                for ci, cp in ((1, cbd), (2, crd)):
+                    S = cp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128
+                    _encode_block(writer, A, S, qtabs[1], pred, ci)
     else:  # 420: 16x16 MCU = 4 Y blocks + 1 Cb + 1 Cr (box-downsampled)
         bw, bh = -(-width // 16), -(-height // 16)
         H, W = bh * 16, bw * 16
@@ -439,7 +460,7 @@ def encode_jpeg_rgb8(
         b"\x00" + bytes(QUANT_LUM[i] for i in ZIGZAG)
         + b"\x01" + bytes(QUANT_CHR[i] for i in ZIGZAG),
     )
-    y_samp = 0x11 if subsampling == "444" else 0x22
+    y_samp = {"444": 0x11, "422": 0x21, "420": 0x22}[subsampling]
     out += _seg(
         0xFFC0,  # SOF0: baseline sequential
         struct.pack(">BHHB", 8, height, width, 3)
@@ -595,11 +616,19 @@ def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, tq))
                 samps.append(samp)
-            if samps not in ([0x11], [0x11, 0x11, 0x11], [0x22, 0x11, 0x11]):
+            modes = {
+                (0x11,): "gray",
+                (0x11, 0x11, 0x11): "444",
+                (0x22, 0x11, 0x11): "420",
+                (0x21, 0x11, 0x11): "422",
+            }
+            mode = modes.get(tuple(samps))
+            if mode is None:
                 raise ValueError(
-                    "unsupported chroma subsampling (only 4:4:4 and 4:2:0)"
+                    "unsupported chroma subsampling "
+                    "(only 4:4:4, 4:2:2 and 4:2:0)"
                 )
-            sof = (w, h, comps, samps[0] == 0x22)
+            sof = (w, h, comps, mode)
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError("unsupported JPEG coding process (not baseline)")
@@ -619,7 +648,7 @@ def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
         # else: APPn / COM — skipped
     if sof is None:
         raise ValueError("missing SOF0")
-    width, height, comps, is420 = sof
+    width, height, comps, mode = sof
     cid_to_q = dict(comps)
 
     reader = _BitReader(buf, pos)
@@ -690,7 +719,7 @@ def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
         v = np.clip(gp[:height, :width] + 128, 0, 255)
         out = np.stack([v, v, v], axis=-1).reshape(-1, 3)
         return width, height, [tuple(int(x) for x in px) for px in out]
-    if not is420:
+    if mode == '444':
         bw, bh = -(-width // 8), -(-height // 8)
         planes = [np.zeros((bh * 8, bw * 8), dtype=np.int64) for _ in range(3)]
         for by in range(bh):
@@ -701,6 +730,28 @@ def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
                         by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
                     ] = decode_block(ci, cid, dct, act)
         yp, cbp, crp = planes
+    elif mode == '422':  # 16x8 MCU = 2 Y blocks + Cb + Cr (H-downsampled)
+        bw, bh = -(-width // 16), -(-height // 8)
+        yp = np.zeros((bh * 8, bw * 16), dtype=np.int64)
+        cbd = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+        crd = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+        cid_y, dct_y, act_y = scan_comps[0]
+        for my in range(bh):
+            for mx in range(bw):
+                maybe_restart()
+                for dx in (0, 1):
+                    y0, x0 = my * 8, mx * 16 + dx * 8
+                    yp[y0 : y0 + 8, x0 : x0 + 8] = decode_block(
+                        0, cid_y, dct_y, act_y
+                    )
+                for ci, plane in ((1, cbd), (2, crd)):
+                    cid, dct, act = scan_comps[ci]
+                    plane[
+                        my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
+                    ] = decode_block(ci, cid, dct, act)
+        # horizontal-only replication upsample
+        cbp = np.repeat(cbd, 2, axis=1)
+        crp = np.repeat(crd, 2, axis=1)
     else:  # 4:2:0: 16x16 MCU = 4 Y blocks + Cb + Cr
         bw, bh = -(-width // 16), -(-height // 16)
         yp = np.zeros((bh * 16, bw * 16), dtype=np.int64)

@@ -1417,11 +1417,11 @@ def test_jpeg_420_subsampling_roundtrips():
 
     bad = bytearray(d420)
     i = bad.find(b"\xff\xc0")
-    bad[i + 4 + 7] = 0x21  # declare 4:2:2
+    bad[i + 4 + 7] = 0x12  # 1x2 vertical-only sampling: not in the trio
     with _pytest.raises(ValueError, match="subsampling"):
         decode_jpeg_rgb8(bytes(bad))
     with _pytest.raises(ValueError, match="subsampling"):
-        encode_jpeg_rgb8(4, 4, [(0, 0, 0)] * 16, subsampling="422")
+        encode_jpeg_rgb8(4, 4, [(0, 0, 0)] * 16, subsampling="411")
 
 
 def test_histogram_quantiles_bracket_exact(spark, sf_dir):
@@ -1621,3 +1621,50 @@ def test_png_grayscale_roundtrip_all_filters():
         vals = [(x * 13 + y * 29 + w) % 256 for y in range(h) for x in range(w)]
         got = decode_png_rgb8(encode_png_gray8(w, h, vals))
         assert got == (w, h, [(v, v, v) for v in vals])
+
+
+def test_jpeg_422_subsampling_roundtrips():
+    """4:2:2 (2x1 sampling — the broadcast-video mode) completes the
+    sampling trio: 16x8 MCUs of two Y blocks plus horizontally
+    box-downsampled chroma. Flat 16x8 macroblocks decode exactly per
+    the closed form, sizes order 444 > 422 > 420 on the same image,
+    and restarts compose."""
+    import random
+
+    from news_graph_rag_spark.pipeline.jpeg_codec import (
+        decode_jpeg_rgb8,
+        encode_jpeg_rgb8,
+        flat_block_roundtrip_rgb,
+    )
+
+    rng = random.Random(12)
+    W, H = 36, 12  # pads to 48x16 (3x2 MCUs of 16x8), crops back
+    colors = {
+        (mx, my): (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for mx in range(3)
+        for my in range(2)
+    }
+    px = [colors[(x // 16, y // 8)] for y in range(H) for x in range(W)]
+    w, h, out = decode_jpeg_rgb8(encode_jpeg_rgb8(W, H, px, subsampling="422"))
+    assert (w, h) == (W, H)
+    for y in range(H):
+        for x in range(W):
+            assert out[y * W + x] == flat_block_roundtrip_rgb(
+                *colors[(x // 16, y // 8)]
+            )
+
+    W2, H2 = 32, 16
+    px2 = [
+        ((x * 5) % 256, (y * 9) % 256, (x * 2 + y * 3) % 256)
+        for y in range(H2)
+        for x in range(W2)
+    ]
+    d444 = encode_jpeg_rgb8(W2, H2, px2)
+    d422 = encode_jpeg_rgb8(W2, H2, px2, subsampling="422")
+    d420 = encode_jpeg_rgb8(W2, H2, px2, subsampling="420")
+    assert len(d444) > len(d422) > len(d420)
+    w2, h2, o2 = decode_jpeg_rgb8(d422)
+    errs = [abs(a - b) for p, q in zip(px2, o2) for a, b in zip(p, q)]
+    assert sum(errs) / len(errs) < 8
+    d3 = encode_jpeg_rgb8(W2, H2, px2, subsampling="422", restart_interval=3)
+    assert decode_jpeg_rgb8(d3) == (w2, h2, o2)
