@@ -35,22 +35,30 @@ from pyspark.sql import functions as F
 EOW = "</w>"
 
 
-def _word_symbols(word: str) -> tuple:
-    return tuple(word) + (EOW,)
+# the ONE whitespace definition, shared verbatim by training (JVM
+# regex) and application (Python re): ASCII whitespace only — the JVM's
+# \s is ASCII while Python's str.split() is Unicode-aware, and a
+# divergence would train merges on word shapes application never sees
+# (e.g. U+00A0 in scraped news text).
+WHITESPACE = "[ \t\n\x0b\f\r]+"
 
 
 def word_counts(
     docs: DataFrame, text_col: str = "text", lowercase: bool = True
 ) -> DataFrame:
-    """The ONE corpus pass: whitespace-split word frequencies."""
+    """The ONE corpus pass: whitespace-split word frequencies. The
+    empty-token filter runs as a plain row predicate AFTER explode
+    (whole-stage codegen) rather than an interpreted array HOF —
+    this is the pass that touches the full corpus."""
     col = F.col(text_col)
     if lowercase:
         col = F.lower(col)
-    toks = F.explode(
-        F.filter(F.split(col, r"\s+"), lambda t: t != "")
-    ).alias("word")
-    return docs.select(toks).groupBy("word").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    toks = F.explode(F.split(col, WHITESPACE)).alias("word")
+    return (
+        docs.select(toks)
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
 
 
@@ -101,11 +109,12 @@ def train_bpe(
     num_merges: int = 50,
     text_col: str = "text",
     checkpoint_every: int = 8,
+    lowercase: bool = True,
 ) -> "list[tuple[str, str]]":
     """Learn ``num_merges`` merge rules. Deterministic: the merged pair
     each round is the (count DESC, a ASC, b ASC) argmax. Stops early
     when no adjacent pair remains."""
-    wc = word_counts(docs, text_col=text_col)
+    wc = word_counts(docs, text_col=text_col, lowercase=lowercase)
     syms = wc.select(
         F.concat(
             F.filter(F.split(F.col("word"), ""), lambda c: c != ""),
@@ -143,7 +152,7 @@ def train_bpe(
         nxt = prev.mapInPandas(
             _merge_kernel(a, b), "syms array<string>, n bigint"
         )
-        if (round_no + 1) % checkpoint_every == 0:
+        if (round_no + 1) % checkpoint_every == 0 and round_no + 1 < num_merges:
             nxt = nxt.localCheckpoint(eager=True)
             # release the SUPERSEDED checkpoint generation now that the
             # new one is materialized (the crawler/graph_algos
@@ -177,8 +186,13 @@ def apply_bpe(
     merges in training order (greedy, the standard application).
     Returns (id, n_tokens, tokens array<string>)."""
     rules = list(merges)
+    import re as _re_outer  # noqa: F401 — documents the kernel import below
+
+    id_type = docs.schema[id_col].dataType.simpleString()
 
     def run(batches):
+        import re as _re
+
         import pandas as pd
 
         cache: dict[str, list] = {}
@@ -211,7 +225,13 @@ def apply_bpe(
                     counts.append(0)
                     toks.append([])
                     continue
-                words = (text.lower() if lowercase else text).split()
+                words = [
+                    w
+                    for w in _re.split(
+                        WHITESPACE, text.lower() if lowercase else text
+                    )
+                    if w
+                ]
                 doc_toks: list = []
                 for w in words:
                     doc_toks.extend(encode(w))
@@ -227,5 +247,5 @@ def apply_bpe(
             )
 
     return docs.select(id_col, text_col).mapInPandas(
-        run, f"{id_col} long, n_tokens long, tokens array<string>"
+        run, f"{id_col} {id_type}, n_tokens long, tokens array<string>"
     )

@@ -299,6 +299,12 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
+def _dht_payload(cls: int, tid: int, bits: list, vals: list) -> bytes:
+    """One DHT table body (class/id byte + BITS + HUFFVAL) — shared by
+    the color and grayscale encoders so header emission cannot drift."""
+    return bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+
+
 def _encode_block(writer: "_BitWriter", A, S, q, pred: list, ci: int) -> None:
     """FDCT + quantize + Huffman-encode one 8x8 block (level-shifted
     samples in ``S``), updating the component's DC predictor."""
@@ -447,9 +453,6 @@ def encode_jpeg_rgb8(
                     _encode_block(writer, A, S, qtabs[1], pred, ci)
     scan = writer.flush()
 
-    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
-        return bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
-
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -468,10 +471,10 @@ def encode_jpeg_rgb8(
     )
     out += _seg(
         0xFFC4,
-        dht(0, 0, _DC_BITS, _DC_SYMBOLS)
-        + dht(1, 0, _AC_BITS, _AC_SYMBOLS)
-        + dht(0, 1, _DC_BITS, _DC_SYMBOLS)
-        + dht(1, 1, _AC_BITS, _AC_SYMBOLS),
+        _dht_payload(0, 0, _DC_BITS, _DC_SYMBOLS)
+        + _dht_payload(1, 0, _AC_BITS, _AC_SYMBOLS)
+        + _dht_payload(0, 1, _DC_BITS, _DC_SYMBOLS)
+        + _dht_payload(1, 1, _AC_BITS, _AC_SYMBOLS),
     )
     out += _seg(
         0xFFDA,
@@ -513,9 +516,6 @@ def encode_jpeg_gray8(
             _encode_block(writer, A, S, q, pred, 0)
     scan = writer.flush()
 
-    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
-        return bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
-
     out = bytearray()
     out += b"\xff\xd8"
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -528,7 +528,8 @@ def encode_jpeg_gray8(
     )
     out += _seg(
         0xFFC4,
-        dht(0, 0, _DC_BITS, _DC_SYMBOLS) + dht(1, 0, _AC_BITS, _AC_SYMBOLS),
+        _dht_payload(0, 0, _DC_BITS, _DC_SYMBOLS)
+        + _dht_payload(1, 0, _AC_BITS, _AC_SYMBOLS),
     )
     out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out += scan
@@ -571,6 +572,10 @@ def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
     izz = ZIGZAG
 
     while True:
+        # optional 0xFF fill bytes may pad before any marker (spec
+        # B.1.1.2) — skip runs so the real marker code is read
+        while pos + 1 < len(buf) and buf[pos] == 0xFF and buf[pos + 1] == 0xFF:
+            pos += 1
         if pos + 4 > len(buf):
             raise ValueError("truncated JPEG (no SOS)")
         if buf[pos] != 0xFF:
@@ -586,6 +591,8 @@ def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
         if marker == 0xFFDB:  # DQT (possibly several tables)
             o = 0
             while o < len(body):
+                if o + 65 > len(body):
+                    raise ValueError("malformed DQT segment")
                 pq, tq = body[o] >> 4, body[o] & 0xF
                 if pq != 0:
                     raise ValueError("unsupported 16-bit quant table")
@@ -597,9 +604,13 @@ def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
         elif marker == 0xFFC4:  # DHT (possibly several tables)
             o = 0
             while o < len(body):
+                if o + 17 > len(body):
+                    raise ValueError("malformed DHT segment")
                 cls, tid = body[o] >> 4, body[o] & 0xF
                 bits = list(body[o + 1 : o + 17])
                 n = sum(bits)
+                if o + 17 + n > len(body):
+                    raise ValueError("malformed DHT segment")
                 vals = list(body[o + 17 : o + 17 + n])
                 enc = _canonical_codes(bits, vals)
                 htabs[(cls, tid)] = {
@@ -607,9 +618,13 @@ def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
                 }
                 o += 17 + n
         elif marker == 0xFFC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("malformed SOF segment")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or nc not in (1, 3):
                 raise ValueError("unsupported precision/component count")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("malformed SOF segment")
             comps = []
             samps = []
             for i in range(nc):
@@ -617,12 +632,14 @@ def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
                 comps.append((cid, tq))
                 samps.append(samp)
             modes = {
-                (0x11,): "gray",
                 (0x11, 0x11, 0x11): "444",
                 (0x22, 0x11, 0x11): "420",
                 (0x21, 0x11, 0x11): "422",
             }
-            mode = modes.get(tuple(samps))
+            # a single-component scan is non-interleaved: per the spec
+            # it decodes identically whatever sampling factors the SOF
+            # declares (jpegtran -grayscale keeps the source's 0x22)
+            mode = "gray" if nc == 1 else modes.get(tuple(samps))
             if mode is None:
                 raise ValueError(
                     "unsupported chroma subsampling "
@@ -637,9 +654,13 @@ def decode_jpeg_rgb8(data: bytes) -> tuple[int, int, list]:
                 raise ValueError("malformed DRI segment")
             dri = struct.unpack(">H", body)[0]
         elif marker == 0xFFDA:  # SOS
+            if not body:
+                raise ValueError("malformed SOS segment")
             ns = body[0]
             if sof is None or ns != len(sof[2]):
                 raise ValueError("scan must cover every frame component")
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("malformed SOS segment")
             scan_comps = [
                 (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
                 for i in range(ns)

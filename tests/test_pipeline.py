@@ -1668,3 +1668,78 @@ def test_jpeg_422_subsampling_roundtrips():
     assert sum(errs) / len(errs) < 8
     d3 = encode_jpeg_rgb8(W2, H2, px2, subsampling="422", restart_interval=3)
     assert decode_jpeg_rgb8(d3) == (w2, h2, o2)
+
+
+def test_bpe_train_apply_agree_on_unicode_whitespace(spark):
+    """Train and apply must share ONE whitespace definition (ASCII):
+    U+00A0 (non-breaking space, ubiquitous in scraped news) is NOT a
+    separator on either side, so 'a\\u00a0b' is one word in both the
+    learned vocabulary and the applied tokenization."""
+    from news_graph_rag_spark.pipeline.bpe import (
+        EOW,
+        apply_bpe,
+        train_bpe,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb aa bb aa bb cc")],
+        "doc_id long, text string",
+    )
+    words = {r["word"]: r["n"] for r in word_counts(docs).collect()}
+    assert words == {"aa bb": 3, "cc": 1}  # NBSP kept inside the word
+    merges = train_bpe(docs, num_merges=8)
+    out = apply_bpe(docs, merges).collect()[0]
+    # the frequent NBSP word collapses to one learned token on APPLY
+    # too — divergent splitting would break it into two words and the
+    # merged symbol (containing the NBSP) could never be produced
+    assert "aa bb" + EOW in out["tokens"]
+
+
+def test_jpeg_decoder_spec_edge_cases():
+    """Round-8 review fixes: (a) optional 0xFF fill bytes before a
+    marker are spec-legal and must be skipped; (b) malformed DQT/DHT/
+    SOF/SOS segments raise the contract ValueError, never struct.error
+    or IndexError; (c) a single-component scan decodes whatever
+    sampling factor the SOF declares (jpegtran -grayscale keeps 0x22)."""
+    import struct
+
+    import pytest as _pytest
+
+    from news_graph_rag_spark.pipeline.jpeg_codec import (
+        decode_jpeg_rgb8,
+        encode_jpeg_gray8,
+        encode_jpeg_rgb8,
+    )
+
+    good = encode_jpeg_rgb8(8, 8, [(10, 200, 30)] * 64)
+    base = decode_jpeg_rgb8(good)
+
+    # (a) insert fill bytes before the SOF marker
+    i = good.find(b"\xff\xc0")
+    padded = good[:i] + b"\xff\xff\xff" + good[i:]
+    assert decode_jpeg_rgb8(padded) == base
+
+    # (b) malformed segments -> ValueError (not struct.error/IndexError)
+    short_sof = bytearray(good)
+    i = short_sof.find(b"\xff\xc0")
+    struct.pack_into(">H", short_sof, i + 2, 4)  # declared length 4
+    with _pytest.raises(ValueError):
+        decode_jpeg_rgb8(bytes(short_sof))
+    short_dqt = bytearray(good)
+    i = short_dqt.find(b"\xff\xdb")
+    struct.pack_into(">H", short_dqt, i + 2, 10)  # body < 65 bytes
+    with _pytest.raises(ValueError, match="malformed DQT"):
+        decode_jpeg_rgb8(bytes(short_dqt))
+    short_dht = bytearray(good)
+    i = short_dht.find(b"\xff\xc4")
+    struct.pack_into(">H", short_dht, i + 2, 8)  # body < 17 bytes
+    with _pytest.raises(ValueError, match="malformed DHT"):
+        decode_jpeg_rgb8(bytes(short_dht))
+
+    # (c) grayscale with a declared 2x2 sampling factor still decodes
+    gray = bytearray(encode_jpeg_gray8(8, 8, list(range(64))))
+    want = decode_jpeg_rgb8(bytes(gray))
+    i = gray.find(b"\xff\xc0")
+    gray[i + 4 + 7] = 0x22
+    assert decode_jpeg_rgb8(bytes(gray)) == want
