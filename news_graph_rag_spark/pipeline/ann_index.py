@@ -228,10 +228,32 @@ def _recover_stranded(path: str) -> None:
     now = time.time()
     for s in sibs:
         try:
-            if now - os.path.getmtime(s) > _STRANDED_SWEEP_AGE_S:
+            if now - _newest_mtime(s) > _STRANDED_SWEEP_AGE_S:
                 shutil.rmtree(s, ignore_errors=True)
         except OSError:
             continue
+
+
+def _newest_mtime(root: str, max_depth: int = 3) -> float:
+    """Newest mtime across a shallow walk of ``root`` — the ROOT dir's
+    mtime alone goes stale the moment a long parquet write starts
+    adding part files deeper inside (round-8 review: the age gate
+    would have swept an in-flight build's staging dir mid-write).
+    Depth 3 reaches staging/assignments.parquet/part-*."""
+    newest = os.path.getmtime(root)
+    base_depth = root.rstrip(os.sep).count(os.sep)
+    for dirpath, dirnames, filenames in os.walk(root):
+        if dirpath.count(os.sep) - base_depth >= max_depth:
+            dirnames[:] = []
+            continue
+        for name in dirnames + filenames:
+            try:
+                newest = max(
+                    newest, os.path.getmtime(os.path.join(dirpath, name))
+                )
+            except OSError:
+                continue
+    return newest
 
 
 def build_and_save(
@@ -299,6 +321,12 @@ def build_and_save(
             if max_rows_per_file:
                 import math
 
+                # the count pass below and the write would otherwise
+                # each evaluate the full assignment matmul (round-8
+                # review) — same count-then-write discipline as
+                # append_vectors
+                assigned = assigned.persist()
+                to_write = assigned
                 counts = {
                     int(r["centroid_id"]): int(r["cnt"])
                     for r in assigned.groupBy("centroid_id")
@@ -328,9 +356,13 @@ def build_and_save(
                     ).drop("_salt")
             if to_write is assigned:
                 to_write = assigned.repartition(n_writers, "centroid_id")
-            to_write.write.partitionBy("centroid_id").parquet(
-                os.path.join(staging, "assignments.parquet")
-            )
+            try:
+                to_write.write.partitionBy("centroid_id").parquet(
+                    os.path.join(staging, "assignments.parquet")
+                )
+            finally:
+                if max_rows_per_file:
+                    assigned.unpersist()
             spark.createDataFrame(
                 cents, "centroid_id int, c8 array<int>, cnrm bigint"
             ).coalesce(1).write.parquet(os.path.join(staging, "centroids.parquet"))
@@ -467,24 +499,65 @@ def delete_uids(spark: SparkSession, path: str, uids) -> int:
     (queries/pipeline_queries.purge_user_cascade's shape) reaches the
     persistent ANN index too, not just the base tables."""
     if isinstance(uids, DataFrame):
-        df = uids.select(F.xxhash64(F.col("uid")).alias("vec_id"))
-    else:
-        df = spark.createDataFrame([(str(u),) for u in uids], "uid string").select(
+        # NULL uids must be dropped BEFORE hashing: xxhash64 skips null
+        # inputs and returns the seed constant, so a NULL would
+        # tombstone whatever real uid hashes to that value
+        df = uids.filter(F.col("uid").isNotNull()).select(
             F.xxhash64(F.col("uid")).alias("vec_id")
         )
+    else:
+        df = spark.createDataFrame(
+            [(str(u),) for u in uids if u is not None], "uid string"
+        ).select(F.xxhash64(F.col("uid")).alias("vec_id"))
     return delete_vectors(spark, path, df)
+
+
+def _recover_compaction(path: str) -> None:
+    """Crash hygiene for per-list compaction (round-8 review): a hard
+    kill between a list's two renames leaves that partition directory
+    ABSENT from the assignments root with the old copy parked under
+    ``.compact-*/``. Restore any such list from its retired copy, then
+    age-sweep stale holding dirs (the staging-dir mtime gate)."""
+    import glob
+    import time
+
+    apath = os.path.join(path, "assignments.parquet")
+    now = time.time()
+    for hold in glob.glob(os.path.join(path, ".compact-*")):
+        for retired in glob.glob(os.path.join(hold, "retired-centroid_id=*")):
+            part_name = os.path.basename(retired)[len("retired-") :]
+            live = os.path.join(apath, part_name)
+            if not os.path.exists(live):
+                try:
+                    os.rename(retired, live)
+                except OSError:
+                    pass  # concurrent recovery won
+        try:
+            if not os.listdir(hold) or (
+                now - _newest_mtime(hold) > _STRANDED_SWEEP_AGE_S
+            ):
+                shutil.rmtree(hold, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def compact_tombstones(spark: SparkSession, path: str) -> int:
     """Fold the tombstone set into the inverted lists: rewrite ONLY the
     centroid partitions that actually contain tombstoned rows (at 100 TB
-    a forget-set touches a handful of lists, not the index), each with
-    the staged-write + rename swap discipline of
-    ``maintenance.compact_parquet`` (readers of a list see the old files
-    or the new ones, never a mix), then retire the tombstone table.
-    Search results are identical before and after — the serve-time
-    anti-join and the physical rewrite apply the same mask. Returns the
-    number of rows physically removed."""
+    a forget-set touches a handful of lists, not the index). Staging
+    and retired copies live in a DOT-PREFIXED holding dir at the INDEX
+    root — never inside the partitioned assignments directory, where
+    Spark's partition inference would read them as bogus partition
+    values and a crash could leave the whole table unreadable (round-8
+    review). Per list the swap is two renames, so a reader racing the
+    swap can briefly see the list ABSENT (one empty-list probe — the
+    same bounded window build_and_save documents for whole-index
+    rebuilds); a hard kill inside the window is healed by
+    ``_recover_compaction`` on the next compaction. Search results are
+    identical before and after — the serve-time anti-join and the
+    physical rewrite apply the same mask. Returns the number of rows
+    physically removed."""
+    _recover_compaction(path)
     ts = tombstones(spark, path)
     if ts is None:
         return 0
@@ -499,26 +572,51 @@ def compact_tombstones(spark: SparkSession, path: str) -> int:
         .collect()
     )
     removed = 0
-    for r in hit:
-        cid, n_dead = int(r["centroid_id"]), int(r["_n"])
-        part_dir = os.path.join(apath, f"centroid_id={cid}")
-        part = spark.read.parquet(part_dir)
-        n_files = max(
-            1, sum(1 for f in os.listdir(part_dir) if f.endswith(".parquet"))
-        )
-        kept = part.join(F.broadcast(ts), "vec_id", "left_anti")
-        staging = f"{part_dir}__compact_{uuid.uuid4().hex[:8]}"
-        retired = f"{part_dir}__old_{uuid.uuid4().hex[:8]}"
-        try:
-            # keep the list's file-count shape (sharding survives)
-            kept.repartition(n_files).write.mode("overwrite").parquet(staging)
-            os.rename(part_dir, retired)
-            os.rename(staging, part_dir)
-        except BaseException:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise
-        shutil.rmtree(retired, ignore_errors=True)
-        removed += n_dead
+    hold = os.path.join(path, f".compact-{uuid.uuid4().hex[:8]}")
+    os.makedirs(hold, exist_ok=True)
+    try:
+        for r in hit:
+            cid, n_dead = int(r["centroid_id"]), int(r["_n"])
+            part_name = f"centroid_id={cid}"
+            part_dir = os.path.join(apath, part_name)
+            part = spark.read.parquet(part_dir)
+            n_files = max(
+                1, sum(1 for f in os.listdir(part_dir) if f.endswith(".parquet"))
+            )
+            kept = part.join(F.broadcast(ts), "vec_id", "left_anti")
+            staging = os.path.join(hold, f"staging-{part_name}")
+            retired = os.path.join(hold, f"retired-{part_name}")
+            try:
+                # keep the list's file-count shape (sharding survives)
+                kept.repartition(n_files).write.mode("overwrite").parquet(staging)
+                os.rename(part_dir, retired)
+                os.rename(staging, part_dir)
+            except BaseException:
+                try:
+                    if not os.path.exists(part_dir) and os.path.exists(retired):
+                        os.rename(retired, part_dir)  # in-process restore
+                except Exception:
+                    pass  # restore failed too (hard-kill analog):
+                    # _recover_compaction heals from the holding dir
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
+            shutil.rmtree(retired, ignore_errors=True)
+            removed += n_dead
+    finally:
+        # NEVER delete the holding dir while it still parks a retired
+        # copy whose live list is missing — that copy is the only
+        # surviving data for the list, and _recover_compaction needs it
+        import glob as _glob
+
+        unrecovered = [
+            rp
+            for rp in _glob.glob(os.path.join(hold, "retired-centroid_id=*"))
+            if not os.path.exists(
+                os.path.join(apath, os.path.basename(rp)[len("retired-") :])
+            )
+        ]
+        if not unrecovered:
+            shutil.rmtree(hold, ignore_errors=True)
     # tombstones are folded in — retire the table (swap-out, then rm:
     # a concurrent search holding the old DataFrame either read the
     # tombstones before (mask applied twice — harmless) or sees none)
@@ -577,17 +675,23 @@ def _rank_probe_lists(p, arrays, nprobe: int) -> "list[int]":
     return [int(cids[i]) for i in order[:nprobe]]
 
 
-def _jvm_scored(cand: DataFrame, p) -> DataFrame:
+def _jvm_scored(cand: DataFrame, p, extra_cols: "tuple[str, ...]" = ()) -> DataFrame:
     """The ONE JVM candidate-scoring projection (dot as exact bigint
     fold, score = dot/sqrt(nrm)) shared by every search path — the
-    arithmetic the oracles must match bit-for-bit."""
-    pv = F.array(*[F.lit(int(v)) for v in p])
+    arithmetic the oracles must match bit-for-bit. ``p`` is either a
+    probe VECTOR (literal int array) or a probe COLUMN (batch_search's
+    per-row pq8); ``extra_cols`` carry through untouched (probe_id)."""
+    from pyspark.sql import Column
+
+    pv = p if isinstance(p, Column) else F.array(*[F.lit(int(v)) for v in p])
     dot = F.aggregate(
         F.zip_with(F.col("q8"), pv, lambda a, b: a * b),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    return cand.select("vec_id", dot.alias("dot"), "nrm").select(
+    cols = list(extra_cols)
+    return cand.select(*cols, "vec_id", dot.alias("dot"), "nrm").select(
+        *cols,
         "vec_id",
         "dot",
         (F.col("dot").cast("double") / F.sqrt(F.col("nrm").cast("double"))).alias(
@@ -688,11 +792,11 @@ def build_uid_index(
     uid scheme itself supports) — and a (vec_id, uid) map table is
     published atomically WITH the index so search results translate
     back to uids."""
-    mapped = df.select(
+    mapped = df.filter(F.col(uid_col).isNotNull()).select(
         F.xxhash64(F.col(uid_col)).alias("vec_id"),
         F.col(uid_col).alias("uid"),
         F.col(embedding_col).alias("embedding"),
-    )
+    )  # NULL uids dropped BEFORE hashing (xxhash64(NULL) = the seed)
     return build_and_save(
         mapped.select("vec_id", "embedding"),
         path,
@@ -739,7 +843,9 @@ def search_uids_by_vector_filtered(
     through the build's xxhash64 surrogate, pre-filters the pruned
     candidate scan, and the k-row hit set broadcasts back against the
     uid map. Returns (rnk, uid, dot)."""
-    allowed = allowed_uids.select(F.xxhash64(F.col("uid")).alias("vec_id"))
+    allowed = allowed_uids.filter(F.col("uid").isNotNull()).select(
+        F.xxhash64(F.col("uid")).alias("vec_id")
+    )
     hits = search_by_vector_filtered(
         spark, path, query_vector, allowed, k=k, nprobe=nprobe
     )
@@ -936,23 +1042,12 @@ def batch_search(
         ],
         "probe_id long, centroid_id int, pq8 array<int>",
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("q8"), F.col("pq8"), lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        cand.join(F.broadcast(probe_rel), "centroid_id")
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", dot.alias("dot"), "nrm")
-        .select(
-            "probe_id",
-            "vec_id",
-            "dot",
-            (
-                F.col("dot").cast("double") / F.sqrt(F.col("nrm").cast("double"))
-            ).alias("score"),
-        )
+    scored = _jvm_scored(
+        cand.join(F.broadcast(probe_rel), "centroid_id").filter(
+            F.col("vec_id") != F.col("probe_id")
+        ),
+        F.col("pq8"),
+        extra_cols=("probe_id",),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
@@ -1063,6 +1158,17 @@ def apply_changelog(
         )
     changes = changes.persist()
     try:
+        # an op outside {U, D} (including NULL) must fail loudly: the
+        # batch tombstones every touched key, so silently skipping the
+        # re-append half would physically DELETE the key while
+        # reporting nothing happened
+        n_bad = changes.filter(
+            ~F.upper(F.coalesce(F.col(op_col), F.lit(""))).isin("U", "D")
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"{n_bad} changelog rows carry an op outside {{'U','D'}}"
+            )
         # tombstone EVERY touched key (deleting a key that was never
         # indexed is a no-op at search time), fold physically, then
         # append the new versions

@@ -21,6 +21,24 @@ from pyspark.sql import functions as F
 from .catalog import load, register
 
 
+def _stage_stream_source(df, sf: str, kind: str, table: str = "events",
+                         n_files: int = 4) -> str:
+    """Write-once fingerprinted staging for file-stream replay: the
+    streaming entries previously mkdtemp'd a fresh full table copy on
+    EVERY invocation (round-8 review) — this reuses one dir per
+    (source fingerprint, kind), the maintenance_compaction_roundtrip
+    discipline, so repeated runs and the bench's repeats stop leaking
+    table copies under /tmp."""
+    import os
+
+    from .catalog import fingerprint_stage_dir
+
+    stage = fingerprint_stage_dir(os.path.join(sf, f"{table}.parquet"), kind)
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        df.coalesce(n_files).write.mode("overwrite").parquet(stage)
+    return stage
+
+
 @contextmanager
 def _replay_shuffle_partitions(spark: SparkSession, n: int = 8):
     """Scope ``spark.sql.shuffle.partitions`` for a toy-scale streaming
@@ -108,7 +126,10 @@ def _replay_shuffle_partitions(spark: SparkSession, n: int = 8):
 def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     from ..ingest.chunker import chunk_articles
 
-    docs = load(spark, sf, "documents")
+    # NULL-text docs drop — the oracle's length() comparisons are
+    # NULL for them, and the chunker kernel would crash on
+    # len(None) (round-8 review: NULL-parity divergence class)
+    docs = load(spark, sf, "documents").filter(F.col("text").isNotNull())
     raw = docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.array().cast("array<string>").alias("summary"),
@@ -321,8 +342,9 @@ def streaming_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
     # the driver ships events.parquet as a single file; Spark's file-stream
     # source needs a directory, so stage a multi-file copy (normalized ts)
     # and replay it incrementally with maxFilesPerTrigger
-    stage_dir = tempfile.mkdtemp(prefix="ngr_stream_events_")
-    batch.repartition(16).write.mode("overwrite").parquet(stage_dir)
+    stage_dir = _stage_stream_source(
+        batch.repartition(16), sf, "stream_tumbling", n_files=16
+    )
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "4")
@@ -421,7 +443,9 @@ def graph_ingest_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     from ..ingest.ner import GazetteerModel
     from ..ingest.upserts import ingest_articles
 
-    docs = load(spark, sf, "documents")
+    # oracle's base CTE filters text IS NOT NULL; mirror it (the
+    # chunker kernel would otherwise crash on a NULL paragraph)
+    docs = load(spark, sf, "documents").filter(F.col("text").isNotNull())
     raw = docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.concat(F.lit("Document "), F.col("doc_id").cast("string")).alias("title"),
@@ -511,7 +535,11 @@ def streaming_stateful_sessions(spark: SparkSession, sf: str) -> DataFrame:
     )
     # replay as: real events, then two far-future sentinel batches that
     # advance the watermark so every real session flushes via timeout
-    src = tempfile.mkdtemp(prefix="ngr_stateful_sess_")
+    from .catalog import fingerprint_stage_dir
+
+    src = fingerprint_stage_dir(
+        os.path.join(sf, "events.parquet"), "stateful_sess"
+    )
     max_ts = events.agg(F.max("ts")).first()[0]
     stages = [events]
     for days in (10, 20):
@@ -522,12 +550,18 @@ def streaming_stateful_sessions(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     now = time.time()
-    for i, df in enumerate(stages):
-        tmp_out = tempfile.mkdtemp(prefix="ngr_sess_stage_")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
-        dest = os.path.join(src, f"{i:03d}.parquet")
-        shutil.copy(glob.glob(f"{tmp_out}/part-*.parquet")[0], dest)
-        os.utime(dest, (now + i * 10, now + i * 10))
+    marker = os.path.join(src, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(src, exist_ok=True)
+        for i, df in enumerate(stages):
+            tmp_out = tempfile.mkdtemp(prefix="ngr_sess_stage_")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+            dest = os.path.join(src, f"{i:03d}.parquet")
+            shutil.copy(glob.glob(f"{tmp_out}/part-*.parquet")[0], dest)
+            os.utime(dest, (now + i * 10, now + i * 10))
+            shutil.rmtree(tmp_out, ignore_errors=True)
+        with open(marker, "w") as mf:
+            mf.write("ok")
 
     stream = (
         spark.readStream.schema(events.schema)
@@ -666,11 +700,9 @@ def streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
-    p_dir = tempfile.mkdtemp(prefix="ngr_ssj_p_")
-    c_dir = tempfile.mkdtemp(prefix="ngr_ssj_c_")
     # staged replay input: a few compact files, not one per core
-    purchases.coalesce(4).write.mode("overwrite").parquet(p_dir)
-    clicks.coalesce(4).write.mode("overwrite").parquet(c_dir)
+    p_dir = _stage_stream_source(purchases, sf, "ssj_purchases")
+    c_dir = _stage_stream_source(clicks, sf, "ssj_clicks")
     ps = spark.readStream.schema(purchases.schema).parquet(p_dir)
     cs = spark.readStream.schema(clicks.schema).parquet(c_dir)
     name = "ssj_catalog_out"
@@ -709,8 +741,7 @@ def streaming_dedup_users(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.ingest_stream import streaming_dedup
 
     ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
-    src = tempfile.mkdtemp(prefix="ngr_sdd_")
-    ev.coalesce(4).write.mode("overwrite").parquet(src)
+    src = _stage_stream_source(ev, sf, "stream_dedup")
     es = spark.readStream.schema(ev.schema).parquet(src)
     name = "sdd_catalog_out"
     with _replay_shuffle_partitions(spark):
@@ -748,7 +779,9 @@ def retrieval_ppr_expand(spark: SparkSession, sf: str) -> DataFrame:
     from ..ingest.upserts import ingest_articles
     from ..retrieval import ppr_expand
 
-    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    docs = load(spark, sf, "documents").filter(
+        (F.col("doc_id") < 120) & F.col("text").isNotNull()
+    )
     raw = docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.concat(F.lit("Document "), F.col("doc_id").cast("string")).alias("title"),
@@ -812,8 +845,7 @@ def streaming_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming import windowed_event_counts
 
     batch = load(spark, sf, "events")
-    stage_dir = tempfile.mkdtemp(prefix="ngr_slide_events_")
-    batch.coalesce(4).write.mode("overwrite").parquet(stage_dir)
+    stage_dir = _stage_stream_source(batch, sf, "stream_sliding")
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "2")
@@ -879,8 +911,7 @@ def streaming_session_window(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.ingest_stream import session_window_counts
 
     ev = load(spark, sf, "events").select("user_id", "ts")
-    src = tempfile.mkdtemp(prefix="ngr_sess_win_")
-    ev.coalesce(4).write.mode("overwrite").parquet(src)
+    src = _stage_stream_source(ev, sf, "stream_sess_win")
     es = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "2")
@@ -935,8 +966,7 @@ def streaming_enrich_static(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load(spark, sf, "events").select("user_id", "ts", "value")
     cust = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
-    src = tempfile.mkdtemp(prefix="ngr_enrich_ev_")
-    ev.coalesce(4).write.mode("overwrite").parquet(src)
+    src = _stage_stream_source(ev, sf, "stream_enrich")
     stream = spark.readStream.schema(ev.schema).parquet(src)
     enriched = stream_static_enrich(
         stream, cust, key_col="user_id", dim_key_col="c_custkey"
@@ -1166,25 +1196,15 @@ def hll_estimate(
     "bound-tested.",
 )
 def hll_registers_users(spark: SparkSession, sf: str) -> DataFrame:
-    ev = load(spark, sf, "events").filter(F.col("user_id").isNotNull())
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 14), 16, 10
-    ).cast("long")
-    w = F.col("h").bitwiseAND(F.lit((1 << 48) - 1))
-    rho = (
-        F.when(w == 0, F.lit(49))
-        .otherwise(F.lit(49) - F.length(F.bin(w)))
-        .cast("int")
-    )
-    return (
-        ev.select("event_type", h.alias("h"))
-        .select(
-            "event_type",
-            F.shiftright(F.col("h"), 48).cast("int").alias("register_idx"),
-            rho.alias("rho"),
-        )
-        .groupBy("event_type", "register_idx")
-        .agg(F.max("rho").cast("int").alias("max_rho"))
+    from ..pipeline.sketches import hll_registers
+
+    # the ONE register-expression pipeline (pipeline/sketches.py) —
+    # shared verbatim with streaming_hll_registers so the streaming
+    # state provably equals this batch state
+    return hll_registers(
+        load(spark, sf, "events"), key_col="event_type", id_col="user_id"
+    ).select(
+        F.col("key").alias("event_type"), "register_idx", "max_rho"
     )
 
 

@@ -259,23 +259,6 @@ def streaming_hll_registers(
     ever shuffling ids. This is the at-scale shape for live
     cardinality dashboards: exact streaming distinct needs state per
     ID; the sketch needs state per REGISTER."""
-    ev = events_stream.filter(F.col(id_col).isNotNull())
-    h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 14), 16, 10
-    ).cast("long")
-    w = F.col("h").bitwiseAND(F.lit((1 << 48) - 1))
-    rho = (
-        F.when(w == 0, F.lit(49))
-        .otherwise(F.lit(49) - F.length(F.bin(w)))
-        .cast("int")
-    )
-    return (
-        ev.select(F.col(key_col).alias("key"), h.alias("h"))
-        .select(
-            "key",
-            F.shiftright(F.col("h"), 48).cast("int").alias("register_idx"),
-            rho.alias("rho"),
-        )
-        .groupBy("key", "register_idx")
-        .agg(F.max("rho").cast("int").alias("max_rho"))
-    )
+    from ..pipeline.sketches import hll_registers
+
+    return hll_registers(events_stream, key_col=key_col, id_col=id_col)

@@ -20,6 +20,7 @@ ENTRIES = [
     "pack_sequences",
     "boilerplate_strip_rebuild",
     "bloom_decontaminate_stats",  # round 8: NULL docs must drop from fps
+    "chunk_documents",  # round 8: NULL text must drop, not crash the kernel
 ]
 
 

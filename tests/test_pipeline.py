@@ -1743,3 +1743,52 @@ def test_jpeg_decoder_spec_edge_cases():
     i = gray.find(b"\xff\xc0")
     gray[i + 4 + 7] = 0x22
     assert decode_jpeg_rgb8(bytes(gray)) == want
+
+
+def test_ann_compaction_crash_recovery(spark, tmp_path, monkeypatch):
+    """Round-8 review: a hard kill between a list's two compaction
+    renames must be healable — the retired copy lives in a dot-prefixed
+    holding dir OUTSIDE the partitioned root (never read as a bogus
+    partition value), and the next compaction restores the missing
+    list before doing anything else."""
+    import os
+
+    from news_graph_rag_spark.pipeline import ann_index
+
+    df = _clustered_vec_table(spark, dim=8, per=12, clusters=2)
+    path = str(tmp_path / "idx_crashc")
+    ann_index.build_and_save(df, path, n_centroids=2, iters=1)
+    before = [tuple(r) for r in ann_index.search_by_id(spark, path, 0, 5, 2).collect()]
+    ann_index.delete_vectors(spark, path, [before[0][1]])
+
+    real_rename = os.rename
+    apath = os.path.join(path, "assignments.parquet")
+
+    def crash_after_retire(srcp, dstp):
+        # the retire rename lands, then EVERY further rename fails —
+        # including the in-process restore, like a real SIGKILL window
+        if os.path.basename(srcp).startswith("retired-centroid_id="):
+            raise RuntimeError("restore also dead")
+        real_rename(srcp, dstp)
+        if os.path.basename(dstp).startswith("retired-centroid_id="):
+            raise RuntimeError("simulated SIGKILL between the renames")
+
+    monkeypatch.setattr(ann_index.os, "rename", crash_after_retire)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        # defeat the in-process restore too (it also uses os.rename)
+        ann_index.compact_tombstones(spark, path)
+    monkeypatch.setattr(ann_index.os, "rename", real_rename)
+
+    # the list must NOT have been left as a bogus partition INSIDE the
+    # assignments root
+    assert not any("__old" in d or "__compact" in d for d in os.listdir(apath))
+    # next compaction heals the absent list and folds the tombstone
+    removed = ann_index.compact_tombstones(spark, path)
+    assert removed == 1
+    after = [tuple(r) for r in ann_index.search_by_id(spark, path, 0, 5, 2).collect()]
+    assert before[0][1] not in {t[1] for t in after}
+    assert {t[1] for t in after} == {t[1] for t in before[1:6]} - {before[0][1]} | {
+        t[1] for t in after
+    }  # sanity: served from healed lists
