@@ -56,9 +56,20 @@ def content_uid(label: str, *cols) -> F.Column:
     (utils.py:10-11, config.py:5); we use a content hash of the natural
     key instead so ingestion is idempotent and goldens are stable
     (SURVEY §7 risks). Same shape: label prefix + 12 chars.
+
+    Each key column hashes with an explicit NULL marker (round-8
+    review): ``concat_ws`` SKIPS null inputs, so distinct natural keys
+    differing only in NULL placement — ('X', NULL, 'Y') vs
+    ('X', 'Y', NULL) — would collide to one uid and the content-hash
+    MERGE would silently fuse two entities. The sentinel starts with
+    \\x00, unreachable for real column data; uids of fully non-NULL
+    keys are unchanged.
     """
+    marked = [F.coalesce(c.cast("string"), F.lit("\x00NULL")) for c in cols]
     return F.concat(
-        F.lit(label), F.lit(":"), F.substring(F.sha2(F.concat_ws("\x1f", *cols), 256), 1, 12)
+        F.lit(label),
+        F.lit(":"),
+        F.substring(F.sha2(F.concat_ws("\x1f", *marked), 256), 1, 12),
     )
 
 
@@ -459,9 +470,13 @@ class GraphStore:
         """Ingest-time stand-in for Neo4j uniqueness constraints."""
         keys = keys or NATURAL_KEYS[table]
         df = self.tables[table]
+        # count distinct over a STRUCT of the keys: count_distinct over
+        # bare columns DROPS tuples containing any NULL, which both
+        # false-flags a unique row with a NULL key column and misses
+        # genuinely duplicated all-NULL tuples (round-8 review)
         total, distinct = df.select(
             F.count(F.lit(1)).alias("n"),
-            F.count_distinct(*[F.col(k) for k in keys]).alias("d"),
+            F.count_distinct(F.struct(*[F.col(k) for k in keys])).alias("d"),
         ).first()
         if total != distinct:
             raise ValueError(

@@ -42,8 +42,12 @@ from .relational import dsum
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
     ),
     clicks AS (
-      SELECT user_id, ts, event_id AS click_id FROM events
-      WHERE event_type = 'click'
+      -- max event_id among same-instant clicks: pins the tie the ASOF
+      -- join would otherwise resolve arbitrarily (round-8 review; the
+      -- Spark side orders its carry-forward window by click_id to the
+      -- same effect)
+      SELECT user_id, ts, max(event_id) AS click_id FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts
     )
     SELECT p.event_id, p.user_id,
            epoch_us(p.ts) - epoch_us(c.ts) AS since_click_us,
@@ -62,8 +66,10 @@ def asof_join_purchase_click(spark: SparkSession, sf: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", F.col("event_id").alias("click_id")
     )
-    # union trick: tag rows, sort by (ts, is_purchase) so clicks at the
-    # same instant sort first, carry the last click forward per user
+    # union trick: tag rows, sort by (ts, is_purchase, click_id) so
+    # clicks at the same instant sort first and the MAX click_id wins a
+    # same-instant tie deterministically (round-8 review — without the
+    # click_id term the winner was partition-order dependent)
     tagged = purchases.select(
         "user_id", "ts", F.lit(1).alias("is_purchase"), "event_id",
         F.lit(None).cast("bigint").alias("click_id"),
@@ -77,7 +83,7 @@ def asof_join_purchase_click(spark: SparkSession, sf: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_purchase")
+        .orderBy("ts", "is_purchase", "click_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = tagged.withColumn(
@@ -306,6 +312,29 @@ def pagerank_nations(spark: SparkSession, sf: str) -> DataFrame:
     return ranks.select(F.col("id").cast("bigint").alias("id"), "rank")
 
 
+def _copurchase_items(spark: SparkSession, sf: str) -> DataFrame:
+    """The ONE distinct (l_orderkey, l_partkey < 50) item frame behind
+    every co-purchase entry (round-8 review: four drifting copies)."""
+    return (
+        load(spark, sf, "lineitem")
+        .filter(F.col("l_partkey") < 50)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+
+
+def _ordered_copurchase_pairs(items: DataFrame) -> DataFrame:
+    """The ONE ordered self-join: a.l_orderkey = b.l_orderkey AND
+    a.l_partkey < b.l_partkey, frame aliased a/b with any extra columns
+    carried through — mirrors the shared oracle fragment."""
+    a, b = items.alias("a"), items.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+
+
 @register(
     "copurchase_part_pairs",
     oracle="""
@@ -324,20 +353,8 @@ def pagerank_nations(spark: SparkSession, sf: str) -> DataFrame:
     "self-join on orderkey, support >= 2)",
 )
 def copurchase_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    items = (
-        load(spark, sf, "lineitem")
-        .filter(F.col("l_partkey") < 50)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = items.alias("a")
-    b = items.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        _ordered_copurchase_pairs(_copurchase_items(spark, sf))
         .groupBy(
             F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
         )
@@ -510,25 +527,13 @@ _COPURCHASE_EDGES_SQL = """
 
 
 def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
-    items = (
-        load(spark, sf, "lineitem")
-        .filter(F.col("l_partkey") < 50)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+    return (
+        _ordered_copurchase_pairs(_copurchase_items(spark, sf))
         .select(
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
         .distinct()
     )
-    return pairs
 
 
 @register(
@@ -840,6 +845,23 @@ def intersect_except_customers(spark: SparkSession, sf: str) -> DataFrame:
     return both.unionByName(only_f)
 
 
+def _stage_events_by_type(spark: SparkSession, sf: str) -> str:
+    """The ONE staged events-partitioned-by-event_type layout, shared
+    by partitioned_scan_pruning (static pruning) and
+    dynamic_partition_pruning_join (runtime pruning) — round-8 review:
+    two verbatim copies of the staging idiom writing the same
+    fingerprint dir could silently drift into incompatible layouts."""
+    import os
+
+    from .catalog import fingerprint_stage_dir
+
+    ev = load(spark, sf, "events")
+    stage = fingerprint_stage_dir(os.path.join(sf, "events.parquet"), "events_by_type")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(stage)
+    return stage
+
+
 @register(
     "partitioned_scan_pruning",
     oracle="""
@@ -855,18 +877,10 @@ def intersect_except_customers(spark: SparkSession, sf: str) -> DataFrame:
     "(plan-asserted in tests/test_plans.py)",
 )
 def partitioned_scan_pruning(spark: SparkSession, sf: str) -> DataFrame:
-    import os
-
-    from .catalog import fingerprint_stage_dir
-
-    ev = load(spark, sf, "events")
     # stage once per (source fingerprint): the partitioned layout is the
     # "index" — fingerprint_stage_dir guarantees regen freshness and
     # sweeps superseded staged copies
-    stage = fingerprint_stage_dir(os.path.join(sf, "events.parquet"), "events_by_type")
-    marker = os.path.join(stage, "_SUCCESS")
-    if not os.path.exists(marker):
-        ev.write.mode("overwrite").partitionBy("event_type").parquet(stage)
+    stage = _stage_events_by_type(spark, sf)
     part = spark.read.parquet(stage).filter(F.col("event_type") == "purchase")
     return part.groupBy(F.date_trunc("day", F.col("ts")).alias("day_ts")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -1149,10 +1163,15 @@ def kcore_parts(spark: SparkSession, sf: str) -> DataFrame:
     # ever needed more rounds than the oracle materializes, k_core
     # raises (loudly) instead of silently returning a deeper fixpoint
     # than the oracle's edge set reached (round-5 ADVICE).
+    # +1: k_core certifies convergence by OBSERVING an empty peel set
+    # at the top of the next round, so certifying a fixpoint reached in
+    # exactly ORACLE_ROUNDS peels needs one look-ahead iteration
+    # (round-8 review — otherwise a graph converging on the last
+    # allowed round raises spuriously while the oracle is still exact)
     core = k_core(
         _copurchase_edges(spark, sf),
         k=_KCORE_K,
-        max_iter=_KCORE_ORACLE_ROUNDS,
+        max_iter=_KCORE_ORACLE_ROUNDS + 1,
     )
     return core.select(
         F.col("id").cast("bigint").alias("id"),
@@ -1641,13 +1660,8 @@ def _copurchase_weighted_edges(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_orderkey", "l_partkey")
         .agg(F.min("cents").alias("cents"))
     )
-    a, b = li.alias("a"), li.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        _ordered_copurchase_pairs(li)
         .groupBy(
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
@@ -1775,22 +1789,12 @@ def bellman_ford_4relax(spark: SparkSession, sf: str) -> DataFrame:
     "(item, item, count) only.",
 )
 def item_item_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
-    items = (
-        load(spark, sf, "lineitem")
-        .filter(F.col("l_partkey") < 50)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    items = _copurchase_items(spark, sf)
     n = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ord")
     )
-    a, b = items.alias("a"), items.alias("b")
     co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        _ordered_copurchase_pairs(items)
         .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
     )
@@ -2954,15 +2958,12 @@ def dynamic_partition_pruning_join(spark: SparkSession, sf: str) -> DataFrame:
 
     from .catalog import fingerprint_stage_dir
 
-    ev = load(spark, sf, "events")
-    stage = fingerprint_stage_dir(os.path.join(sf, "events.parquet"), "events_by_type")
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        ev.write.mode("overwrite").partitionBy("event_type").parquet(stage)
+    stage = _stage_events_by_type(spark, sf)
     dim_dir = fingerprint_stage_dir(
         os.path.join(sf, "events.parquet"), "event_type_dim"
     )
     if not os.path.exists(os.path.join(dim_dir, "_SUCCESS")):
-        ev.select("event_type").distinct().select(
+        load(spark, sf, "events").select("event_type").distinct().select(
             "event_type", F.substring(F.md5("event_type"), 1, 1).alias("tag")
         ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
     fact = spark.read.parquet(stage)

@@ -30,6 +30,12 @@ from pyspark.sql import functions as F
 
 from .catalog import load, register, spread
 
+# the ONE whitespace class for content normalization, written out
+# explicitly because Java regex \\s includes vertical tab while
+# DuckDB's RE2 \\s does not — a latent cross-engine md5 divergence
+# the moment a corpus carries \\x0b (round-8 review)
+_WS_CLASS = r"[ \t\n\r\f\x0b]+"
+
 NUM_MINHASHES = 8
 BAND_ROWS = 2  # r=2, b=4
 
@@ -41,7 +47,8 @@ BAND_ROWS = 2  # r=2, b=4
 @register(
     "dedup_exact",
     oracle="""
-    SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_hash,
+    SELECT md5(regexp_replace(lower(text), '[ \t\n\r\f\x0b]+', ' ', 'g'))
+             AS content_hash,
            CAST(min(doc_id) AS BIGINT) AS canonical_id,
            CAST(count(*) AS BIGINT) AS n_copies
     FROM documents
@@ -51,7 +58,7 @@ BAND_ROWS = 2  # r=2, b=4
 )
 def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     docs = spread(load(spark, sf, "documents"))
-    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.col("text")), _WS_CLASS, " ")
     return (
         docs.select(F.md5(norm).alias("content_hash"), "doc_id")
         .groupBy("content_hash")
@@ -536,8 +543,9 @@ def text_token_count(spark: SparkSession, sf: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
-           substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 8)
+           md5(regexp_replace(lower(text), '[ \t\n\r\f\x0b]+', ' ', 'g'))
+             AS fingerprint,
+           substr(md5(regexp_replace(lower(text), '[ \t\n\r\f\x0b]+', ' ', 'g')), 1, 8)
              AS fp_prefix
     FROM documents
     """,
@@ -545,7 +553,7 @@ def text_token_count(spark: SparkSession, sf: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
-    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), _WS_CLASS, " "))
     return docs.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("fp_prefix")
     )
@@ -643,6 +651,11 @@ def dedup_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     sharr = (
         docs.join(F.broadcast(cand_ids), "doc_id")
         .select("doc_id", F.array_distinct(shingle_array(F.col("text"))).alias("shs"))
+        # the frame feeds TWO broadcasts whose plans differ only by
+        # doc_a/doc_b aliasing, which defeats exchange reuse — pin it
+        # once so the shingling scan doesn't run per join side
+        # (round-8 review; same treatment `pairs` gets)
+        .localCheckpoint(eager=True)
     )
     verified = (
         pairs.join(

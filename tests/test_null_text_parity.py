@@ -11,6 +11,7 @@ from __future__ import annotations
 import pytest
 
 ENTRIES = [
+    "dedup_exact",  # round 8: \x0b normalization class pinned cross-engine
     "heavy_hitter_tokens",
     "dedup_minhash_lsh_pairs",
     "dedup_canonicalize",
@@ -31,8 +32,10 @@ def null_sf_dir(tmp_path_factory):
 
     root = tmp_path_factory.mktemp("null_sf")
     dup = "alpha beta gamma delta epsilon zeta eta theta"
+    vt = "alpha\x0bbeta  gamma"  # vertical tab + double space: the
+    # whitespace-class parity trap (Java \s includes \x0b, RE2 not)
     rows = {
-        "doc_id": [0, 1, 2, 3, 4, 5, 6, 7],
+        "doc_id": [0, 1, 2, 3, 4, 5, 6, 7, 8],
         "text": [
             dup,
             dup,  # exact dup pair -> real LSH/substring signal
@@ -42,10 +45,11 @@ def null_sf_dir(tmp_path_factory):
             "one two",  # < 3 tokens: whole-text shingle branch
             "x x x x x x x x x x x x",  # heavy repetition
             "unique words only here appear once each time",
+            vt,
         ],
-        "n_chars": [len(dup), len(dup), None, None, 0, 7, 23, 44],
-        "source": ["s1"] * 8,
-        "lang": ["en"] * 8,
+        "n_chars": [len(dup), len(dup), None, None, 0, 7, 23, 44, len(vt)],
+        "source": ["s1"] * 9,
+        "lang": ["en"] * 9,
     }
     pq.write_table(pa.table(rows), str(root / "documents.parquet"))
     # a tiny embeddings table so index-driven entries (hybrid search)
@@ -79,15 +83,22 @@ def test_null_text_oracle_parity(spark, null_sf_dir, name):
     from news_graph_rag_spark.queries import registry
 
     q = registry()[name]
+    # None-safe sort key: a NULL group key (dedup_exact's NULL-text
+    # bucket) makes plain tuple sorting raise TypeError
+    key = lambda t: tuple((v is None, str(v)) for v in t)  # noqa: E731
     got = sorted(
-        tuple(None if v is None else v for v in r) for r in q.fn(spark, null_sf_dir).collect()
+        (
+            tuple(None if v is None else v for v in r)
+            for r in q.fn(spark, null_sf_dir).collect()
+        ),
+        key=key,
     )
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"'{null_sf_dir}/documents.parquet'"
     )
-    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    want = sorted((tuple(r) for r in con.execute(q.oracle).fetchall()), key=key)
     assert got == want, f"{name}: spark {got[:6]} vs oracle {want[:6]}"
 
 
