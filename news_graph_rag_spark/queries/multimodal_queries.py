@@ -82,7 +82,8 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
            CASE WHEN text IS NULL OR text = '' THEN CAST(0 AS BIGINT)
                 ELSE CAST(('0x' || substr(sha256(text), 3, 2))
                           AS BIGINT) END AS pixel_std_255,
-           CAST(16 AS INT) AS n_features
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(16 AS INT) END AS n_features
     FROM documents
     """,
     doc="multimodal: decode-stats + feature extraction over binary media "
@@ -150,7 +151,7 @@ def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id AS media_id,
              n_chars % 16 + 4 AS w,
              doc_id % 12 + 4 AS h
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     ),
     px AS (  -- idx = (y*w + x)*3 + c; v = (media_id + 3x + 7y + 11c) % 256
       SELECT media_id, w, h,
@@ -191,7 +192,11 @@ def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
 def multimodal_bmp_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.multimodal import decode_bmp24, encode_bmp24
 
-    imgs = spread(load(spark, sf, "documents")).select(
+    # NULL n_chars docs drop — mirrors the oracle CTE filter; the
+    # kernel would otherwise see NaN dims (round-8 review)
+    imgs = spread(
+        load(spark, sf, "documents").filter(F.col("n_chars").isNotNull())
+    ).select(
         F.col("doc_id").alias("media_id"),
         (F.col("n_chars") % 16 + 4).cast("int").alias("w"),
         (F.col("doc_id") % 12 + 4).cast("int").alias("h"),
@@ -264,7 +269,7 @@ def multimodal_bmp_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id AS media_id,
              n_chars % 12 + 5 AS w,
              doc_id % 9 + 5 AS h
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     ),
     px AS (  -- v = (3*media_id + 5x + 11y + 7c) % 256
       SELECT media_id, w, h,
@@ -304,7 +309,11 @@ def multimodal_bmp_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
 def multimodal_png_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.multimodal import decode_png_rgb8, encode_png_rgb8
 
-    imgs = spread(load(spark, sf, "documents")).select(
+    # NULL n_chars docs drop — mirrors the oracle CTE filter; the
+    # kernel would otherwise see NaN dims (round-8 review)
+    imgs = spread(
+        load(spark, sf, "documents").filter(F.col("n_chars").isNotNull())
+    ).select(
         F.col("doc_id").alias("media_id"),
         (F.col("n_chars") % 12 + 5).cast("int").alias("w"),
         (F.col("doc_id") % 9 + 5).cast("int").alias("h"),
@@ -374,7 +383,7 @@ def multimodal_png_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
              n_chars % 8 + 3 AS w,
              doc_id % 5 + 3 AS h,
              doc_id % 3 + 2 AS nf
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     ),
     px AS (  -- v = (media_id + 5f + 3x + 7y + 11c) % 256
       SELECT media_id, w, h, f.fi AS frame_idx,
@@ -415,7 +424,9 @@ def multimodal_png_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
 def multimodal_avi_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.multimodal import decode_avi_dib, encode_avi_dib
 
-    vids = spread(load(spark, sf, "documents")).select(
+    vids = spread(
+        load(spark, sf, "documents").filter(F.col("n_chars").isNotNull())
+    ).select(
         F.col("doc_id").alias("media_id"),
         (F.col("n_chars") % 8 + 3).cast("int").alias("w"),
         (F.col("doc_id") % 5 + 3).cast("int").alias("h"),
@@ -487,7 +498,7 @@ def multimodal_avi_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH clips AS (
       SELECT doc_id AS media_id, n_chars % 600 + 10 AS n
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     ),
     s AS (
       SELECT media_id, n,
@@ -520,7 +531,9 @@ def multimodal_avi_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
 def multimodal_wav_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.multimodal import decode_wav_pcm, encode_wav_pcm16
 
-    clips = spread(load(spark, sf, "documents")).select(
+    clips = spread(
+        load(spark, sf, "documents").filter(F.col("n_chars").isNotNull())
+    ).select(
         F.col("doc_id").alias("media_id"),
         (F.col("n_chars") % 600 + 10).cast("int").alias("n"),
     )
@@ -589,7 +602,7 @@ _JPEG_ORACLE = f"""
       SELECT doc_id AS media_id,
              n_chars % 3 + 1 AS wb,
              doc_id % 3 + 1 AS hb
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     ),
     blocks AS (
       SELECT media_id, wb, hb,
@@ -665,7 +678,11 @@ _JPEG_ORACLE = f"""
 def multimodal_jpeg_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.jpeg_codec import decode_jpeg_rgb8, encode_jpeg_rgb8
 
-    imgs = spread(load(spark, sf, "documents")).select(
+    # NULL n_chars docs drop — mirrors the oracle CTE filter; the
+    # kernel would otherwise see NaN dims (round-8 review)
+    imgs = spread(
+        load(spark, sf, "documents").filter(F.col("n_chars").isNotNull())
+    ).select(
         F.col("doc_id").alias("media_id"),
         (F.col("n_chars") % 3 + 1).cast("int").alias("wb"),
         (F.col("doc_id") % 3 + 1).cast("int").alias("hb"),
@@ -731,7 +748,7 @@ _JPEG420_ORACLE = f"""
       SELECT doc_id AS media_id,
              n_chars % 2 + 1 AS wb,   -- macroblocks (16x16)
              doc_id % 2 + 1 AS hb
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     ),
     blocks AS (
       SELECT media_id, wb, hb,
@@ -799,7 +816,11 @@ _JPEG420_ORACLE = f"""
 def multimodal_jpeg420_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.jpeg_codec import decode_jpeg_rgb8, encode_jpeg_rgb8
 
-    imgs = spread(load(spark, sf, "documents")).select(
+    # NULL n_chars docs drop — mirrors the oracle CTE filter; the
+    # kernel would otherwise see NaN dims (round-8 review)
+    imgs = spread(
+        load(spark, sf, "documents").filter(F.col("n_chars").isNotNull())
+    ).select(
         F.col("doc_id").alias("media_id"),
         (F.col("n_chars") % 2 + 1).cast("int").alias("wb"),
         (F.col("doc_id") % 2 + 1).cast("int").alias("hb"),

@@ -245,11 +245,14 @@ _KEYWORDS = ("spark", "join", "stream")
     "hybrid_search_rrf",
     oracle=f"""
     WITH kw AS (
+      -- doc 0 IS the query (its embedding is the probe): exclude it
+      -- from both signals like every sibling retrieval entry, so the
+      -- query can't retrieve itself (round-8 review)
       SELECT doc_id,
              CAST(len(list_filter(string_split(text, ' '),
                   t -> list_contains([{", ".join(f"'{k}'" for k in _KEYWORDS)}], t)))
                AS BIGINT) AS kw_hits
-      FROM documents
+      FROM documents WHERE doc_id <> 0
     ),
     kw_ranked AS (
       SELECT doc_id, kw_hits,
@@ -263,7 +266,7 @@ _KEYWORDS = ("spark", "join", "stream")
              CAST(row_number() OVER (
                ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id)
                AS INT) AS vec_rank
-      FROM embeddings CROSS JOIN q
+      FROM embeddings CROSS JOIN q WHERE vec_id <> 0
     )
     SELECT k.doc_id, k.kw_hits, k.kw_rank, v.vec_rank,
            CAST(1 AS DOUBLE) / (60 + k.kw_rank) + CAST(1 AS DOUBLE) / (60 + v.vec_rank) AS rrf,
@@ -277,7 +280,8 @@ _KEYWORDS = ("spark", "join", "stream")
     "(vector_index.ipynb raw 88-97)",
 )
 def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
+    # doc 0 is the query — excluded from both signals (round-8 review)
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") != 0)
     kw_arr = F.array(*[F.lit(k) for k in _KEYWORDS])
     kw = docs.select(
         "doc_id",
@@ -297,9 +301,13 @@ def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    vec_scored = emb.crossJoin(F.broadcast(q)).select(
-        F.col("vec_id").alias("doc_id"),
-        cosine_col(F.col("embedding"), F.col("qv")).alias("score"),
+    vec_scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_col(F.col("embedding"), F.col("qv")).alias("score"),
+        )
     )
     vec_ranked = global_row_number(
         vec_scored, [F.desc("score"), F.asc("doc_id")], "vec_rank"
@@ -589,15 +597,7 @@ def retrieval_expand_topk(spark: SparkSession, sf: str) -> DataFrame:
 )
 def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
-    amax = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
-    scale = F.lit(127.0) / amax.cast("double")
-    q = F.when(
-        amax > 0,
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"),
-        ),
-    ).otherwise(F.transform(F.col("embedding"), lambda x: F.lit(0)))
+    q = _q8_expr()
     return emb.select("vec_id", F.array_join(q, ",").alias("q8"))
 
 
@@ -647,15 +647,7 @@ _Q8_SQL = """
 )
 def ann_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
-    amax = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
-    scale = F.lit(127.0) / amax.cast("double")
-    q8 = F.when(
-        amax > 0,
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"),
-        ),
-    ).otherwise(F.transform(F.col("embedding"), lambda x: F.lit(0)))
+    q8 = _q8_expr()
     quant = emb.select("vec_id", q8.alias("q8"))
     probe = quant.filter(F.col("vec_id") == 0).first()["q8"]
     dot = F.aggregate(
@@ -844,8 +836,16 @@ def ann_ivf_wide_topk(spark: SparkSession, sf: str) -> DataFrame:
         assignments, centroids = ivf_build(
             df, n_centroids=16, iters=1, dim=len(probe)
         )
+        # exclude the probe BEFORE the k-limit: ivf_search truncates
+        # to k rows and the probe always ranks 1 in its own list, so a
+        # post-filter would under-fill to 9 (round-8 review — the
+        # post-filter trap ann_ivf_filtered_search_topk documents)
         hits = ivf_search(
-            assignments, centroids, [float(x) for x in probe], k=10, nprobe=4
+            assignments.filter(F.col("vec_id") != 0),
+            centroids,
+            [float(x) for x in probe],
+            k=10,
+            nprobe=4,
         )
         # materialize the <=10-row hit set ON THE DRIVER while the
         # widened cache is hot, then release the cache. (An eager
@@ -854,9 +854,7 @@ def ann_ivf_wide_topk(spark: SparkSession, sf: str) -> DataFrame:
         # round-7 review. k rows collect for free.)
         hit_rows = [
             (int(r["vec_id"]), float(r["score"]))
-            for r in hits.filter(F.col("vec_id") != 0)
-            .select("vec_id", "score")
-            .collect()
+            for r in hits.select("vec_id", "score").collect()
         ]
     finally:
         df.unpersist()
@@ -1224,26 +1222,43 @@ def hybrid_search_indexed(spark: SparkSession, sf: str) -> DataFrame:
     # whole posting table (plan-asserted in tests/test_plans.py)
     tok_dir = fingerprint_stage_dir(os.path.join(sf, "documents.parquet"), "tokidx2")
     if not os.path.exists(os.path.join(tok_dir, "_SUCCESS")):
+        # build-to-staging + ATOMIC rename (the ensure_index discipline
+        # the vector half of this entry already uses — round-8 review:
+        # two concurrent builders writing mode("overwrite") into the
+        # SAME final dir could bless a torn directory)
+        import uuid as _uuid
+
+        staging = f"{tok_dir}.staging-{_uuid.uuid4().hex[:8]}"
         toks = docs.select(
             "doc_id",
             F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
         )
         tdf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-        (
-            toks.join(tdf, "token")
-            .select(
-                "token",
-                "doc_id",
-                "df",
-                F.pmod(F.crc32(F.col("token").cast("binary")), F.lit(_TOK_BUCKETS))
-                .cast("int")
-                .alias("tok_bucket"),
+        try:
+            (
+                toks.join(tdf, "token")
+                .select(
+                    "token",
+                    "doc_id",
+                    "df",
+                    F.pmod(F.crc32(F.col("token").cast("binary")), F.lit(_TOK_BUCKETS))
+                    .cast("int")
+                    .alias("tok_bucket"),
+                )
+                .repartition(_TOK_BUCKETS, "tok_bucket")
+                .write.mode("overwrite")
+                .partitionBy("tok_bucket")
+                .parquet(staging)
             )
-            .repartition(_TOK_BUCKETS, "tok_bucket")
-            .write.mode("overwrite")
-            .partitionBy("tok_bucket")
-            .parquet(tok_dir)
-        )
+            try:
+                os.rename(staging, tok_dir)  # atomic publish
+            except OSError:
+                if not os.path.exists(os.path.join(tok_dir, "_SUCCESS")):
+                    raise  # lost the race to nothing valid
+        finally:
+            import shutil as _shutil
+
+            _shutil.rmtree(staging, ignore_errors=True)
     toki = spark.read.parquet(tok_dir)
 
     import zlib
@@ -1292,10 +1307,10 @@ def hybrid_search_indexed(spark: SparkSession, sf: str) -> DataFrame:
             .alias("kw_hits"),
         )
     )
+    # kw is already docs joined to the broadcast candidate set — no
+    # second cands join needed (round-8 review)
     joined = (
-        F.broadcast(cands)
-        .join(kw, "doc_id")
-        .join(vec_rows, "doc_id")
+        kw.join(vec_rows, "doc_id")
         .crossJoin(F.broadcast(q))
         .select(
             "doc_id",
@@ -1612,21 +1627,9 @@ def near_dup_canonicalize_embedding(spark: SparkSession, sf: str) -> DataFrame:
     from ..graph_algos import connected_components
 
     emb = load(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
-    amax = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
-    scale = F.lit(127.0) / amax.cast("double")
-    q8 = F.when(
-        amax > 0,
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"),
-        ),
-    ).otherwise(F.transform(F.col("embedding"), lambda x: F.lit(0)))
-    n2 = F.aggregate(
-        F.transform(F.col("q8"), lambda x: x * x),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    quant = emb.select("vec_id", _q8_expr().alias("q8")).withColumn(
+        "n2", _int_dot(F.col("q8"), F.col("q8"))
     )
-    quant = emb.select("vec_id", q8.alias("q8")).withColumn("n2", n2)
     a = quant.select(
         F.col("vec_id").alias("src"),
         F.col("q8").alias("qa"),
@@ -1637,11 +1640,7 @@ def near_dup_canonicalize_embedding(spark: SparkSession, sf: str) -> DataFrame:
         F.col("q8").alias("qb"),
         F.col("n2").alias("n2b"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    dot = _int_dot(F.col("qa"), F.col("qb"))
     pairs = (
         a.join(F.broadcast(b), F.col("src") < F.col("dst"))
         .withColumn("dot", dot)

@@ -64,7 +64,10 @@ def streaming_ingest(
     writer = raw_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
     )
-    if trigger_seconds:
+    if trigger_seconds is not None:
+        # `is not None`, not truthiness: trigger_seconds=0 means
+        # as-fast-as-possible micro-batches, not a one-shot drain
+        # (round-8 review; matches streaming_index_append)
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     else:
         writer = writer.trigger(availableNow=True)

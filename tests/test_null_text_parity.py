@@ -22,6 +22,16 @@ ENTRIES = [
     "boilerplate_strip_rebuild",
     "bloom_decontaminate_stats",  # round 8: NULL docs must drop from fps
     "chunk_documents",  # round 8: NULL text must drop, not crash the kernel
+    # round 8: codec kernels must DROP NULL-n_chars docs (NaN dims
+    # crashed the Arrow kernels while the oracles silently dropped);
+    # image_stats must emit NULL n_features for a NULL doc like Spark
+    "multimodal_image_stats",
+    "multimodal_wav_decode_stats",
+    "multimodal_bmp_decode_stats",
+    "multimodal_png_decode_stats",
+    "multimodal_avi_frame_stats",
+    "multimodal_jpeg_decode_stats",
+    "multimodal_jpeg420_decode_stats",
 ]
 
 
