@@ -762,26 +762,115 @@ def streaming_dedup_users(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "retrieval_ppr_expand",
-    oracle=None,
-    doc="R4+ graph-RAG expansion: ingest a document subset into the "
-    "graph store, take the top vector hit for a probe chunk's own "
-    "embedding, and expand it with multi-seed personalized PageRank "
-    "over the MENTIONS bipartite graph (retrieval/hybrid.py:ppr_expand; "
-    "2-hop membership + determinism unit-tested in "
-    "tests/test_retrieval.py). Rows-only: the rank values are "
-    "float-iterative and the store uids are content hashes, but the "
-    "returned uid set is deterministic.",
+    oracle="""
+    WITH docs AS (
+      SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+             lower(substr(text, 1, 900)) AS text
+      FROM documents WHERE doc_id < 120 AND text IS NOT NULL
+    ),
+    chunks AS (  -- content_uid('Chunk', url, position, text): <1100-char
+                 -- texts pass L2 untouched, one position-0 chunk per doc
+      SELECT 'Chunk:' || substr(sha256(
+               url || chr(31) || '0' || chr(31) || text), 1, 12) AS id
+      FROM docs
+    ),
+    vocab(term, label) AS (
+      VALUES ('spark', 'Organization'), ('window', 'Organization'),
+             ('customer', 'Person')
+    ),
+    men AS (
+      SELECT DISTINCT
+             'Chunk:' || substr(sha256(
+               d.url || chr(31) || '0' || chr(31) || d.text), 1, 12) AS src,
+             v.label || ':' || substr(sha256(v.term), 1, 12) AS dst
+      FROM docs d JOIN vocab v
+        ON list_contains(
+             regexp_split_to_array(d.text, '[^a-z0-9]+'), v.term)
+    ),
+    edges AS (
+      SELECT src, dst FROM men
+      UNION ALL SELECT dst AS src, src AS dst FROM men
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+            FROM edges GROUP BY src),
+    seeds AS (
+      SELECT src AS id, row_number() OVER (ORDER BY src) AS rn
+      FROM (SELECT DISTINCT src FROM men) ORDER BY src LIMIT 2
+    ),
+    sw AS (
+      SELECT id, CASE WHEN rn = 1 THEN CAST(2.0 AS DOUBLE)
+                      ELSE CAST(1.0 AS DOUBLE) END AS score
+      FROM seeds
+    ),
+    w AS (
+      SELECT id, score / (SELECT CAST(SUM(score) AS DOUBLE) FROM sw) AS w
+      FROM sw
+    ),
+    tele AS (
+      SELECT id, CAST((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * w
+                      AS DECIMAL(30,12)) AS v
+      FROM w
+    ),
+    r0 AS (SELECT id, w AS rank FROM w),
+    r1 AS (
+      SELECT id, CAST(SUM(v) AS DOUBLE) AS rank FROM (
+        SELECT id, v FROM tele
+        UNION ALL
+        SELECT e.dst,
+               CAST(CAST(0.85 AS DOUBLE) * r.rank / d.out_deg
+                    AS DECIMAL(30,12))
+        FROM edges e JOIN r0 r ON e.src = r.id JOIN deg d ON e.src = d.src
+      ) GROUP BY id
+    ),
+    r2 AS (
+      SELECT id, CAST(SUM(v) AS DOUBLE) AS rank FROM (
+        SELECT id, v FROM tele
+        UNION ALL
+        SELECT e.dst,
+               CAST(CAST(0.85 AS DOUBLE) * r.rank / d.out_deg
+                    AS DECIMAL(30,12))
+        FROM edges e JOIN r1 r ON e.src = r.id JOIN deg d ON e.src = d.src
+      ) GROUP BY id
+    )
+    SELECT r.id AS uid, r.rank
+    FROM r2 r
+    JOIN chunks c ON c.id = r.id
+    WHERE r.id NOT IN (SELECT id FROM sw)
+    ORDER BY r.rank DESC, r.id
+    LIMIT 12
+    """,
+    doc="R4+ graph-RAG expansion, VALUE-VERIFIED (round 9, closing the "
+    "last SURVEY-mapped rows-only entry): ingest a document subset into "
+    "the graph store via the real pipeline (ingest_articles; texts "
+    "lowercased + truncated to 900 chars so each article is exactly one "
+    "L2 pass-through chunk and the content-hash uids are SQL-"
+    "recomputable), attach MENTIONS edges from a 3-term token gazetteer "
+    "(exact-token match — the NER surface-form path is value-verified "
+    "separately by ner_documents), then expand TWO weighted seeds "
+    "(2:1 teleport mass — exercising ppr_expand's multi-seed weighting) "
+    "with personalized PageRank over the chunk<->entity bipartite graph "
+    "(retrieval/hybrid.py:ppr_expand). The DuckDB oracle recomputes the "
+    "chunk/entity uids with sha256 from first principles, unrolls both "
+    "teleport rounds as CTEs with the SAME decimal-cast contribution "
+    "arithmetic ppr_expand now uses (per-edge DECIMAL(30,12) casts of "
+    "singly-rounded doubles — bit-stable in both engines, the "
+    "personalized_pagerank_parts technique), and replays the non-seed "
+    "top-k with the rank-desc/uid-asc tiebreak. 2-hop membership + "
+    "determinism also unit-tested in tests/test_retrieval.py.",
 )
 def retrieval_ppr_expand(spark: SparkSession, sf: str) -> DataFrame:
-    from ..graph_store import GraphStore
-    from ..ingest.embedder import HashEmbedder
-    from ..ingest.ner import GazetteerModel
-    from ..ingest.upserts import ingest_articles
+    from ..graph_store import GraphStore, content_uid
+    from ..ingest.upserts import ingest_articles, merge_into
     from ..retrieval import ppr_expand
 
     docs = load(spark, sf, "documents").filter(
         (F.col("doc_id") < 120) & F.col("text").isNotNull()
     )
+    # lower+truncate: keeps every text under the L2 oversize threshold
+    # (one pass-through chunk per article, position 0) and makes the
+    # token gazetteer case-insensitive, so the oracle can recompute
+    # chunk uids without replaying the sentence-split fold
+    body = F.lower(F.substring(F.col("text"), 1, 900))
     raw = docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.concat(F.lit("Document "), F.col("doc_id").cast("string")).alias("title"),
@@ -791,7 +880,7 @@ def retrieval_ppr_expand(spark: SparkSession, sf: str) -> DataFrame:
         F.array(
             F.struct(
                 F.array().cast("array<string>").alias("headline"),
-                F.array(F.col("text")).alias("paragraphs"),
+                F.array(body).alias("paragraphs"),
             )
         ).alias("sections"),
         F.array().cast("array<string>").alias("topics"),
@@ -800,22 +889,57 @@ def retrieval_ppr_expand(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("feed").alias("source_type"),
         F.concat(F.lit("https://"), F.col("source")).alias("source_url"),
     )
-    gazetteer = {"organization": ["spark", "window"], "person": ["customer"]}
-    store = ingest_articles(
-        GraphStore.empty(spark),
-        raw,
-        ner_model_factory=lambda: GazetteerModel(gazetteer),
-        encoder_factory=lambda: HashEmbedder(dim=16),
+    store = ingest_articles(GraphStore.empty(spark), raw)
+    # MENTIONS from an exact-token gazetteer (relational, so the oracle
+    # can replay it verbatim; the NER surface-form path is verified by
+    # ner_documents). Edge = chunk contains the vocabulary token.
+    vocab = spark.createDataFrame(
+        [
+            ("spark", "Organization"),
+            ("window", "Organization"),
+            ("customer", "Person"),
+        ],
+        "term: string, entity_label: string",
     )
-    chunks = store["chunk"]
-    # deterministic seed: smallest chunk uid that mentions anything
-    seed_uid = (
-        store["mentions"].agg(F.min("src_uid").alias("u")).first()["u"]
+    toks = store["chunk"].select(
+        F.col("uid").alias("src_uid"),
+        F.explode(
+            F.array_distinct(F.split(F.col("text"), "[^a-z0-9]+"))
+        ).alias("term"),
     )
-    seed = chunks.filter(F.col("uid") == seed_uid).select(
-        "uid", F.lit(1.0).alias("score")
+    men = toks.join(F.broadcast(vocab), "term").select(
+        "src_uid",
+        content_uid(F.col("entity_label"), F.col("term")).alias("dst_uid"),
+        "entity_label",
     )
-    return ppr_expand(store, seed, k=10).select("uid")
+    out_store = GraphStore(
+        spark,
+        {
+            **store.tables,
+            "mentions": merge_into(
+                store["mentions"], men, ["src_uid", "dst_uid"]
+            ),
+        },
+    )
+    # preserve the ingest cache hand-off contract (round-7 review):
+    # the new store's lazy tables still read ingest_articles' caches
+    out_store.pending_caches = store.pending_caches
+    store = out_store
+    # two deterministic seeds: the 2 smallest mentioning chunk uids,
+    # weighted 2:1 (bounded collect — at most 2 rows)
+    seed_uids = [
+        r["src_uid"]
+        for r in men.select("src_uid")
+        .distinct()
+        .orderBy("src_uid")
+        .limit(2)
+        .collect()
+    ]
+    seeds = spark.createDataFrame(
+        [(u, s) for u, s in zip(seed_uids, (2.0, 1.0))],
+        "uid: string, score: double",
+    )
+    return ppr_expand(store, seeds, k=12)
 
 
 @register(

@@ -268,6 +268,13 @@ def ppr_expand(
     so each round joins a frontier-sized rank table (broadcast) against
     the edge list — O(frontier edges) per round, never O(graph). The
     degree table is computed once. Final top-k is TakeOrdered.
+
+    Determinism (round 9): per-edge contributions and teleport mass are
+    cast to DECIMAL(30,12) before the per-node SUM, so rank totals are
+    exact decimal sums of singly-rounded doubles — bit-stable under any
+    partitioning / AQE re-plan (the same discipline as
+    personalized_pagerank_parts, queries/advanced.py). Without it the
+    float sum order could flip near-tied top-k boundaries between runs.
     """
     men = store["mentions"].select("src_uid", "dst_uid")
     edges = men.select(
@@ -285,7 +292,10 @@ def ppr_expand(
         )
         .localCheckpoint(eager=True)
     )
-    teleport = seeds.select("id", (F.lit(1.0 - alpha) * F.col("w")).alias("v"))
+    teleport = seeds.select(
+        "id",
+        (F.lit(1.0 - alpha) * F.col("w")).cast("decimal(30,12)").alias("v"),
+    )
     ranks = seeds.select("id", F.col("w").alias("rank"))
     for _ in range(iters):
         contrib = (
@@ -293,12 +303,14 @@ def ppr_expand(
             .join(deg, "src")
             .select(
                 F.col("dst").alias("id"),
-                (F.lit(alpha) * F.col("rank") / F.col("out_deg")).alias("v"),
+                (F.lit(alpha) * F.col("rank") / F.col("out_deg"))
+                .cast("decimal(30,12)")
+                .alias("v"),
             )
         )
         ranks = (
             teleport.unionByName(contrib).groupBy("id").agg(
-                F.sum("v").alias("rank")
+                F.sum("v").cast("double").alias("rank")
             )
         )
     chunk_ids = store["chunk"].select(F.col("uid").alias("id"))
