@@ -160,6 +160,9 @@ HEADLINE = [
     "exact_percentile_multipass",
     "ann_ivf_filtered_search_topk",
     "dynamic_partition_pruning_join",
+    # round-9: compressed-video decode (MJPEG-in-AVI through the real
+    # JPEG codec — the video half of the library seam closed)
+    "multimodal_mjpeg_frame_stats",
 ]
 
 

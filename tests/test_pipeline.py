@@ -1792,3 +1792,58 @@ def test_ann_compaction_crash_recovery(spark, tmp_path, monkeypatch):
     assert {t[1] for t in after} == {t[1] for t in before[1:6]} - {before[0][1]} | {
         t[1] for t in after
     }  # sanity: served from healed lists
+
+
+def test_avi_mjpeg_roundtrip_gating_and_closed_form():
+    """MJPEG-in-AVI (round 9): frames decode through the real JPEG
+    codec, flat blocks match the closed form, and codec gating is
+    strict in both directions (DIB decoder rejects MJPG and vice
+    versa; a frame whose SOF0 dims disagree with the container
+    raises)."""
+    import pytest as _pytest
+
+    from news_graph_rag_spark.pipeline.jpeg_codec import (
+        encode_jpeg_rgb8,
+        flat_block_roundtrip_rgb,
+    )
+    from news_graph_rag_spark.pipeline.multimodal import (
+        decode_avi_dib,
+        decode_avi_mjpeg,
+        encode_avi_dib,
+        encode_avi_mjpeg,
+    )
+
+    W, H = 16, 8  # 2x1 flat 8x8 blocks per frame
+
+    def flat_frame(colors):
+        return [colors[x // 8] for _y in range(H) for x in range(W)]
+
+    src = [
+        flat_frame([(10, 200, 30), (250, 5, 120)]),
+        flat_frame([(0, 0, 0), (255, 255, 255)]),
+        flat_frame([(128, 64, 192), (33, 99, 166)]),
+    ]
+    jpegs = [encode_jpeg_rgb8(W, H, f) for f in src]
+    avi = encode_avi_mjpeg(W, H, jpegs, fps=5)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    dw, dh, frames = decode_avi_mjpeg(avi)
+    assert (dw, dh) == (W, H) and len(frames) == len(src)
+    for f_in, f_out in zip(src, frames):
+        for blk in range(2):
+            assert f_out[blk * 8] == flat_block_roundtrip_rgb(*f_in[blk * 8])
+        # flatness survives the roundtrip across the whole block
+        assert all(
+            f_out[y * W + x] == f_out[(y % 8) // 8 * W + blk * 8]
+            for blk in range(2)
+            for y in range(H)
+            for x in range(blk * 8, blk * 8 + 8)
+        )
+
+    dib = encode_avi_dib(3, 2, [[(1, 2, 3)] * 6])
+    with _pytest.raises(ValueError, match="not an MJPG AVI"):
+        decode_avi_mjpeg(dib)
+    with _pytest.raises(ValueError, match="unsupported AVI"):
+        decode_avi_dib(avi)
+    # container/codec dimension mismatch must surface
+    with _pytest.raises(ValueError, match="container says"):
+        decode_avi_mjpeg(encode_avi_mjpeg(W + 8, H, jpegs))
