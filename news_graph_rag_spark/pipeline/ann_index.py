@@ -79,8 +79,8 @@ def quantized_vectors(
     (identical to _Q8_SQL — float32→double promotion, ``floor(x *
     127/amax + 0.5)``), optionally widened to ``reps·d`` dims by integer
     block multipliers ``q8[j]·m, m=1..reps`` (the exact-integer analog
-    of the float widening ann_ivf_wide_topk uses, so the wide index
-    stays SQL-verifiable). One Arrow pass, map-only."""
+    of the float widening test_ivf_wide_dim_768 exercises, so the wide
+    index stays SQL-verifiable). One Arrow pass, map-only."""
 
     def kernel(batches):
         import numpy as np

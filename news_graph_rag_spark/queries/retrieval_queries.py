@@ -781,87 +781,13 @@ def _lsh_banded_oracle() -> str:
     """
 
 
-@register(
-    "ann_ivf_wide_topk",
-    oracle=None,  # approximate (IVF probe set) — rows-only + recall pytest
-    doc="similarity-at-scale at the reference's real dimensionality "
-    "(768, config.py:6): expands the test embeddings to 768-d with a "
-    "deterministic per-block scaling, builds an IVF index through the "
-    "wide-dim Lloyd path (Arrow partial sums + one array-fold merge — "
-    "NOT 768 aggregate columns, which would fall out of wholestage "
-    "codegen), then probes nprobe=4 lists for top-10. Exercises "
-    "end-to-end that the 768-d build/search really runs and at what "
-    "cost; exactness of the wide update is pytest-checked against a "
-    "brute-force mean (tests/test_pipeline.py::test_ivf_wide_dim_768). "
-    "LIFECYCLE NOTE (round 7): this is the float BUILD-JOB exhibit — "
-    "the once-per-dataset cost. The serving path is the persistent "
-    "index (pipeline/ann_index.py) via ann_ivf_wide_search_topk, "
-    "search-only and value-verified.",
-)
-def ann_ivf_wide_topk(spark: SparkSession, sf: str) -> DataFrame:
-    from ..pipeline.similarity import ivf_build, ivf_search
-
-    emb = load(spark, sf, "embeddings")
-    reps = 12  # 64 -> 768 dims
-
-    # widen with one vectorized Arrow pass, NOT flatten(transform(
-    # transform(...))): the nested HOF is interpreted and would be
-    # re-evaluated per consumer (probe first(), Lloyd passes, search
-    # scan) — the same cliff BENCH_NOTES r06 documents for shingles.
-    # Cached because three consumers read the widened table; bench.py
-    # clears the cache after each query.
-    def widen(batches):
-        import numpy as np
-        import pandas as pd
-
-        scale = np.arange(1, reps + 1, dtype=np.float32)  # block multipliers
-        for pdf in batches:
-            out_vecs = []
-            for v in pdf["embedding"]:
-                base = np.asarray(v, dtype=np.float32)
-                out_vecs.append(
-                    (base[None, :] * scale[:, None]).ravel().tolist()
-                )
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "embedding": out_vecs}
-            )
-
-    df = (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(widen, "vec_id long, embedding array<float>")
-        .cache()
-    )
-    try:
-        probe = df.filter(F.col("vec_id") == 0).first()["embedding"]
-        assignments, centroids = ivf_build(
-            df, n_centroids=16, iters=1, dim=len(probe)
-        )
-        # exclude the probe BEFORE the k-limit: ivf_search truncates
-        # to k rows and the probe always ranks 1 in its own list, so a
-        # post-filter would under-fill to 9 (round-8 review — the
-        # post-filter trap ann_ivf_filtered_search_topk documents)
-        hits = ivf_search(
-            assignments.filter(F.col("vec_id") != 0),
-            centroids,
-            [float(x) for x in probe],
-            k=10,
-            nprobe=4,
-        )
-        # materialize the <=10-row hit set ON THE DRIVER while the
-        # widened cache is hot, then release the cache. (An eager
-        # localCheckpoint here leaked its blocks for the JVM's lifetime
-        # — neither DataFrame.unpersist nor clearCache frees them;
-        # round-7 review. k rows collect for free.)
-        hit_rows = [
-            (int(r["vec_id"]), float(r["score"]))
-            for r in hits.select("vec_id", "score").collect()
-        ]
-    finally:
-        df.unpersist()
-    hits_df = spark.createDataFrame(hit_rows, "vec_id long, score double")
-    return top_k_ranked(
-        hits_df, [F.desc("score"), F.asc("vec_id")], k=10
-    ).select("rnk", "vec_id")
+# NOTE (round 9, VERDICT r8 #4): ann_ivf_wide_topk — the 768-d float
+# BUILD-JOB exhibit (widen to the reference's real dimensionality,
+# Lloyd pass, probe) — was demoted to a pytest-only demo: the wide-dim
+# build path it exhibited is recall-tested directly against a
+# brute-force mean (tests/test_pipeline.py::test_ivf_wide_dim_768) and
+# the serving surface at d=768 is the value-verified persistent index
+# entry ann_ivf_wide_search_topk below.
 
 
 def _int_dot(x: F.Column, y: F.Column) -> F.Column:
@@ -1034,8 +960,8 @@ def _ivf_int8_oracle(
     "top-k. VALUE-VERIFIED: all index arithmetic is exact-integer or "
     "singly-rounded IEEE (dot/sqrt(nrm)), so the DuckDB oracle "
     "recomputes the identical build+search and the hashes match — "
-    "unlike the float ANN entries (ann_ivf_topk, kept as the "
-    "build-inclusive float exhibit), which are rows-only by design.",
+    "unlike the float build-job demos (pipeline/similarity.py, now "
+    "pytest-only — recall-tested, not hash-comparable by design).",
 )
 def ann_ivf_search_topk(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.ann_index import ensure_index, search_by_id
@@ -1054,8 +980,9 @@ def ann_ivf_search_topk(spark: SparkSession, sf: str) -> DataFrame:
     "nprobe scan, same exact-integer verification (the widening is "
     "integer, q8[j]·m, so even at d=768 every dot product is exact and "
     "the DuckDB oracle hash-matches). Replaces the "
-    "build-inside-the-query pattern ann_ivf_wide_topk exhibited (that "
-    "entry stays as the float build-job exhibit).",
+    "build-inside-the-query pattern the retired ann_ivf_wide_topk "
+    "exhibit used (its float 768-d build path stays recall-tested in "
+    "tests/test_pipeline.py::test_ivf_wide_dim_768).",
 )
 def ann_ivf_wide_search_topk(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.ann_index import ensure_index, search_by_id
