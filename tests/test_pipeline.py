@@ -1847,3 +1847,20 @@ def test_avi_mjpeg_roundtrip_gating_and_closed_form():
     # container/codec dimension mismatch must surface
     with _pytest.raises(ValueError, match="container says"):
         decode_avi_mjpeg(encode_avi_mjpeg(W + 8, H, jpegs))
+
+
+def test_ann_ivf_recall_floor(spark, sf_dir):
+    """The documented recall floor for the pruned ivf-int8 search
+    (SCALE.md): probing 2 of 8 lists must keep mean recall@10 >= 0.8
+    over the telemetry probes, and no probe below 0.5. The catalog
+    entry ann_ivf_recall_at_k emits the same hit counts
+    (value-verified); this pins the quality bar so a quantizer or
+    assignment regression fails loudly instead of shipping a worse
+    index."""
+    from news_graph_rag_spark.queries.catalog import registry
+
+    rows = registry()["ann_ivf_recall_at_k"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    recalls = {int(r["probe_id"]): r["n_hits"] / r["k"] for r in rows}
+    assert sum(recalls.values()) / len(recalls) >= 0.8, recalls
+    assert min(recalls.values()) >= 0.5, recalls
