@@ -163,6 +163,11 @@ HEADLINE = [
     # round-9: compressed-video decode (MJPEG-in-AVI through the real
     # JPEG codec — the video half of the library seam closed)
     "multimodal_mjpeg_frame_stats",
+    # round-9: value-verified PPR expansion, index recall telemetry,
+    # and the GraphFrames-style motif compiler
+    "retrieval_ppr_expand",
+    "ann_ivf_recall_at_k",
+    "motif_2hop_filter_in",
 ]
 
 

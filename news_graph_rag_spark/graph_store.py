@@ -389,6 +389,17 @@ class GraphStore:
             raise KeyError(f"unknown graph table: {name}")
         self.tables[name] = df
 
+    def find(self, pattern: str) -> DataFrame:
+        """GraphFrames-style motif finding (SURVEY §1.3 ``g.find``,
+        round 9): compile a pattern like
+        ``"(a:Article)-[:CONTAINS]->(c:Chunk)"`` to the same join
+        chains the catalog writes by hand — see ``motif.py``. Parity
+        with the explicit chains is hash-tested in
+        tests/test_motif.py."""
+        from .motif import store_motif_graph
+
+        return store_motif_graph(self).find(pattern)
+
     def register_views(self, prefix: str = "") -> None:
         """Register every table as a temp view — the SQL query surface."""
         for name, df in self.tables.items():

@@ -1396,3 +1396,69 @@ def cmsketch_user_counts(spark: SparkSession, sf: str) -> DataFrame:
     return est.join(exact, "user_id").select(
         "user_id", "exact_count", "est_count"
     )
+
+
+@register(
+    "motif_2hop_filter_in",
+    oracle="""
+    SELECT n.n_name AS name, CAST(count(*) AS BIGINT) AS n_orders
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      AND o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+    doc="GraphFrames-style motif finding (SURVEY §1.3 'g.find(...) "
+    "equivalently', VERDICT r8 #6; reference chat.py:25 is the same "
+    "2-hop + IN-filter shape in Cypher). The TPC-H foreign keys are "
+    "adapted as a property graph — Nation/Customer/Order nodes, "
+    "HAS_CUSTOMER/PLACED edges — and the pattern string "
+    "'(n:Nation)-[:HAS_CUSTOMER]->(c:Customer); (c)-[:PLACED]->(o:Order)' "
+    "is COMPILED by motif.py to the same equi-join chain the oracle "
+    "writes by hand, so the motif layer itself is hash-verified here "
+    "(and parity with the hand-written graph chains is tested in "
+    "tests/test_motif.py over an ingested store). Scale: the compiler "
+    "emits a declarative plan — Catalyst still broadcasts the 25-row "
+    "nation side, pushes the IN-list into the scan, and reorders the "
+    "joins; no Python runs per row.",
+)
+def motif_2hop_filter_in(spark: SparkSession, sf: str) -> DataFrame:
+    from ..motif import MotifGraph
+
+    nation = load(spark, sf, "nation")
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    g = MotifGraph(
+        nodes={
+            "Nation": nation.select(
+                F.col("n_nationkey").alias("uid"), F.col("n_name").alias("name")
+            ),
+            "Customer": customer.select(F.col("c_custkey").alias("uid")),
+            "Order": orders.select(
+                F.col("o_orderkey").alias("uid"),
+                F.col("o_orderstatus").alias("status"),
+            ),
+        },
+        edges={
+            "HAS_CUSTOMER": customer.select(
+                F.col("c_nationkey").alias("src_uid"),
+                F.col("c_custkey").alias("dst_uid"),
+            ),
+            "PLACED": orders.select(
+                F.col("o_custkey").alias("src_uid"),
+                F.col("o_orderkey").alias("dst_uid"),
+            ),
+        },
+    )
+    return (
+        g.find(
+            "(n:Nation)-[:HAS_CUSTOMER]->(c:Customer); (c)-[:PLACED]->(o:Order)"
+        )
+        .filter(
+            F.col("n.name").isin("NATION_3", "NATION_7", "NATION_11")
+            & (F.col("o.status") == "F")
+        )
+        .groupBy(F.col("n.name").alias("name"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )

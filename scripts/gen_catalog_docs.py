@@ -18,6 +18,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from news_graph_rag_spark.queries import registry  # noqa: E402
+from news_graph_rag_spark.queries.lineage import LINEAGE  # noqa: E402
 
 
 def main() -> None:
@@ -51,14 +52,15 @@ def main() -> None:
         "parity via the driver gate); the rest are rows-only (streaming /",
         "non-SQL-expressible) with unit or metamorphic tests.",
         "",
-        "| entry | oracle | summary |",
-        "|---|---|---|",
+        "| entry | oracle | lineage | summary |",
+        "|---|---|---|---|",
     ]
     for name, q in reg.items():
         first = (q.doc or "").split(". ")[0].strip().rstrip(".")
         first = first.replace("|", "\\|")
         kind = "sql" if q.oracle else "rows-only"
-        lines.append(f"| `{name}` | {kind} | {first} |")
+        lineage = LINEAGE.get(name, "?")
+        lines.append(f"| `{name}` | {kind} | {lineage} | {first} |")
     with open(os.path.join(REPO, "CATALOG.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"README.md counts -> {n}/{n_oracle}; CATALOG.md {n} rows")

@@ -12,6 +12,14 @@ from news_graph_rag_spark.session import get_spark  # noqa: E402
 SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_SF", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "realmodel: opt-in smoke tests that need the real GLiNER / "
+        "sentence-transformers wheels (skip where not installed)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests", cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")))

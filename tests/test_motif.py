@@ -1,0 +1,201 @@
+"""Motif-finder parity (SURVEY §1.3 ``g.find``, VERDICT r8 #6).
+
+The three chat.py exemplar shapes (reference chat.py:25-31),
+re-expressed as GraphFrames-style motifs over an ingested store, must
+return IDENTICAL row sets to the hand-written join chains the catalog
+uses — the motif compiler is sugar over the same plan, not a second
+engine. Plus parser/semantics unit tests.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_graph_rag_spark.graph_store import GraphStore
+from news_graph_rag_spark.ingest.embedder import HashEmbedder
+from news_graph_rag_spark.ingest.ner import GazetteerModel
+from news_graph_rag_spark.ingest.upserts import ingest_articles
+from news_graph_rag_spark.motif import MotifGraph
+
+from fixtures import GAZETTEER, raw_articles_df
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    s = ingest_articles(
+        GraphStore.empty(spark),
+        raw_articles_df(spark),
+        ner_model_factory=lambda: GazetteerModel(GAZETTEER),
+        encoder_factory=lambda: HashEmbedder(dim=8),
+    )
+    s.tables = {k: v.cache() for k, v in s.tables.items()}
+    return s
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---- the three chat.py exemplars, motif vs hand-written chain ----------
+
+
+def test_motif_1hop_grouped_count(store):
+    """chat.py 1-hop shape: MATCH (a:Article)-[:CONTAINS]->(c:Chunk)
+    RETURN a.title, count(c)."""
+    motif = (
+        store.find("(a:Article)-[:CONTAINS]->(c:Chunk)")
+        .groupBy(F.col("a.title").alias("title"))
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+    )
+    article, contains = store["article"], store["contains"]
+    chain = (
+        contains.join(article, contains.src_uid == article.uid)
+        .groupBy(F.col("title"))
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+    )
+    assert rows(motif) == rows(chain) and motif.count() > 0
+
+
+def test_motif_2hop_filter_in_distinct(store):
+    """chat.py:25 — MATCH (a)-[:CONTAINS]->(c)-[:MENTIONS]->(o)
+    WHERE o.name IN [...] RETURN DISTINCT a.title."""
+    names = ["Emmanuel Macron", "Olaf Scholz"]
+    motif = (
+        store.find(
+            "(a:Article)-[:CONTAINS]->(c:Chunk); (c)-[:MENTIONS]->(o:Person)"
+        )
+        .filter(F.col("o.name").isin(names))
+        .select(F.col("a.title").alias("title"))
+        .distinct()
+    )
+    article, contains = store["article"], store["contains"]
+    mentions, person = store["mentions"], store["person"]
+    chain = (
+        contains.alias("ct")
+        .join(
+            mentions.alias("mn"),
+            F.col("ct.dst_uid") == F.col("mn.src_uid"),
+        )
+        .join(
+            person.filter(F.col("name").isin(names)).alias("p"),
+            F.col("mn.dst_uid") == F.col("p.uid"),
+        )
+        .join(article.alias("a"), F.col("ct.src_uid") == F.col("a.uid"))
+        .select(F.col("a.title").alias("title"))
+        .distinct()
+    )
+    assert rows(motif) == rows(chain) and motif.count() > 0
+
+
+def test_motif_3hop_count_distinct(store):
+    """chat.py:28 — 3-hop chain ending in count(DISTINCT source)."""
+    motif = (
+        store.find(
+            "(s:Source)-[:PUBLISHED]->(a:Article); "
+            "(a)-[:CONTAINS]->(c:Chunk); "
+            "(c)-[:MENTIONS]->(o:Organization)"
+        )
+        .agg(F.count_distinct(F.col("s.name")).alias("n_sources"))
+    )
+    published, contains = store["published"], store["contains"]
+    mentions, source = store["mentions"], store["source"]
+    org = store["organization"]
+    chain = (
+        published.alias("pb")
+        .join(
+            contains.alias("ct"),
+            F.col("pb.dst_uid") == F.col("ct.src_uid"),
+        )
+        .join(
+            mentions.alias("mn"),
+            F.col("ct.dst_uid") == F.col("mn.src_uid"),
+        )
+        .join(org.alias("o"), F.col("mn.dst_uid") == F.col("o.uid"))
+        .join(source.alias("s"), F.col("pb.src_uid") == F.col("s.uid"))
+        .agg(F.count_distinct(F.col("s.name")).alias("n_sources"))
+    )
+    assert rows(motif) == rows(chain)
+    assert motif.first()["n_sources"] > 0
+
+
+# ---- parser / semantics -------------------------------------------------
+
+
+def test_motif_anonymous_and_unlabeled(store):
+    """Anonymous vertices bind nothing; unlabeled named vertices
+    surface struct(uid) without a node join."""
+    out = store.find("()-[:CONTAINS]->(c)")
+    assert out.columns == ["c"]
+    assert out.schema["c"].dataType.fieldNames() == ["uid"]
+    assert rows(out.select(F.col("c.uid"))) == rows(
+        store["contains"].select(F.col("dst_uid"))
+    )
+
+
+def test_motif_untyped_edge_union(store):
+    """[] matches every edge type; a named untyped edge carries the
+    _type discriminator."""
+    out = store.find("(a)-[e]->(b)")
+    per_type = {
+        r["t"]: r["n"]
+        for r in out.groupBy(F.col("e._type").alias("t"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_type["CONTAINS"] == store["contains"].count()
+    assert per_type["MENTIONS"] == store["mentions"].count()
+
+
+def test_motif_named_edge_struct(store):
+    """A named typed edge surfaces its attribute columns."""
+    out = store.find("(c:Chunk)-[m:MENTIONS]->(o:Person)")
+    fields = out.schema["m"].dataType.fieldNames()
+    assert "src_uid" in fields and "dst_uid" in fields
+    assert "entity_label" in fields  # MENTIONS extra attr survives
+    # the struct's endpoints agree with the joined vertices
+    bad = out.filter(
+        (F.col("m.src_uid") != F.col("c.uid"))
+        | (F.col("m.dst_uid") != F.col("o.uid"))
+    )
+    assert bad.count() == 0
+
+
+def test_motif_disconnected_cross_join(store):
+    n_src = store.find("(s:Source)-[:PUBLISHED]->(a:Article)").count()
+    n_top = store["has_topic"].count()
+    out = store.find(
+        "(s:Source)-[:PUBLISHED]->(a:Article); (x)-[:HAS_TOPIC]->(t:Topic)"
+    )
+    assert out.count() == n_src * n_top
+
+
+def test_motif_errors(store):
+    with pytest.raises(ValueError, match="unparseable"):
+        store.find("(a)-[:CONTAINS]-(b)")  # undirected: not supported
+    with pytest.raises(ValueError, match="conflicting labels"):
+        store.find("(a:Article)-[:CONTAINS]->(c); (c)-[:MENTIONS]->(a:Topic)")
+    with pytest.raises(KeyError, match="unknown edge type"):
+        store.find("(a)-[:KNOWS]->(b)")
+    with pytest.raises(KeyError, match="unknown node label"):
+        store.find("(a:Animal)-[:CONTAINS]->(b)")
+    with pytest.raises(ValueError, match="empty motif"):
+        store.find("  ;  ")
+
+
+def test_motif_graph_standalone(spark):
+    """MotifGraph works over arbitrary node/edge frames (the TPC-H
+    adapter the motif_2hop_filter_in catalog entry uses)."""
+    nodes = {
+        "N": spark.createDataFrame(
+            [(1, "x"), (2, "y")], "uid long, name string"
+        )
+    }
+    edges = {
+        "E": spark.createDataFrame([(1, 2)], "src_uid long, dst_uid long")
+    }
+    g = MotifGraph(nodes, edges)
+    out = g.find("(a:N)-[:E]->(b:N)")
+    assert [
+        (r["a"]["name"], r["b"]["name"]) for r in out.collect()
+    ] == [("x", "y")]
