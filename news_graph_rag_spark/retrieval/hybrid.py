@@ -283,6 +283,13 @@ def ppr_expand(
         men.select(F.col("dst_uid").alias("src"), F.col("src_uid").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # degree-annotate the edge list ONCE before the loop (the classic
+    # PageRank preprocessing): each round then needs a single broadcast
+    # join of the frontier against this one table instead of a
+    # node-count-sized deg join per round. Within the single final
+    # action Catalyst reuses the underlying shuffle exchange across
+    # rounds (ReusedExchange), so the preprocessing cost is paid once.
+    edges_deg = edges.join(deg, "src")
     total = hits.agg(F.sum(score_col).alias("_tot"))
     seeds = (
         hits.crossJoin(F.broadcast(total))
@@ -299,8 +306,7 @@ def ppr_expand(
     ranks = seeds.select("id", F.col("w").alias("rank"))
     for _ in range(iters):
         contrib = (
-            edges.join(F.broadcast(ranks), edges["src"] == ranks["id"])
-            .join(deg, "src")
+            edges_deg.join(F.broadcast(ranks), edges_deg["src"] == ranks["id"])
             .select(
                 F.col("dst").alias("id"),
                 (F.lit(alpha) * F.col("rank") / F.col("out_deg"))
