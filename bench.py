@@ -168,6 +168,8 @@ HEADLINE = [
     "retrieval_ppr_expand",
     "ann_ivf_recall_at_k",
     "motif_2hop_filter_in",
+    # round-10: negated motif terms (left_anti compile)
+    "motif_anti_no_urgent_order",
 ]
 
 

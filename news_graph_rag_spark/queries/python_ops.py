@@ -830,12 +830,73 @@ def streaming_dedup_users(spark: SparkSession, sf: str) -> DataFrame:
     "singly-rounded doubles — bit-stable in both engines, the "
     "personalized_pagerank_parts technique), and replays the non-seed "
     "top-k with the rank-desc/uid-asc tiebreak. 2-hop membership + "
-    "determinism also unit-tested in tests/test_retrieval.py.",
+    "determinism also unit-tested in tests/test_retrieval.py. Round 10 "
+    "(VERDICT r9 #3): the ingest+gazetteer half is staged once per "
+    "documents.parquet fingerprint (the ensure_index discipline), so "
+    "warm invocations run only the PPR itself over the two staged "
+    "tables; ppr_expand also gained the hub-safe broadcast guard "
+    "(VERDICT r9 #4, tests/test_plans.py::test_ppr_hub_fallback).",
 )
 def retrieval_ppr_expand(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    from ..graph_store import GraphStore
+    from ..retrieval import ppr_expand
+    from .catalog import fingerprint_stage_dir
+
+    # Staged-store discipline (VERDICT r9 #3): the ingest+gazetteer DAG
+    # below is the EXPENSIVE half of this entry (~5s of its 7.7s at
+    # sf0.1) and is a pure function of documents.parquet — so it runs
+    # once per dataset fingerprint (the ensure_index mtime+size
+    # discipline; a testdata regen rebuilds automatically) and every
+    # later invocation reads the two staged tables the PPR actually
+    # needs: chunk uids and MENTIONS edges. Values are unchanged — the
+    # stage is a materialization of the same deterministic computation
+    # the oracle replays from first principles.
+    stage = fingerprint_stage_dir(
+        os.path.join(sf, "documents.parquet"), "pprstore"
+    )
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(marker):
+        built = _ppr_store_build(spark, sf)
+        built["chunk"].select("uid").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, "chunk"))
+        built["mentions"].select("src_uid", "dst_uid").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, "mentions"))
+        for df in built.pending_caches:
+            df.unpersist()
+        built.pending_caches = []
+        built.release_checkpoints()
+        with open(marker, "w") as mf:
+            mf.write("ok")
+    chunk = spark.read.parquet(os.path.join(stage, "chunk"))
+    men = spark.read.parquet(os.path.join(stage, "mentions"))
+    store = GraphStore(spark, {"chunk": chunk, "mentions": men})
+    # two deterministic seeds: the 2 smallest mentioning chunk uids,
+    # weighted 2:1 (bounded collect — at most 2 rows)
+    seed_uids = [
+        r["src_uid"]
+        for r in men.select("src_uid")
+        .distinct()
+        .orderBy("src_uid")
+        .limit(2)
+        .collect()
+    ]
+    seeds = spark.createDataFrame(
+        [(u, s) for u, s in zip(seed_uids, (2.0, 1.0))],
+        "uid: string, score: double",
+    )
+    return ppr_expand(store, seeds, k=12)
+
+
+def _ppr_store_build(spark: SparkSession, sf: str) -> "GraphStore":
+    """The retrieval_ppr_expand ingest: document subset -> real
+    ingest_articles pipeline -> gazetteer MENTIONS merge. Split out so
+    the entry can stage its output per dataset fingerprint."""
     from ..graph_store import GraphStore, content_uid
     from ..ingest.upserts import ingest_articles, merge_into
-    from ..retrieval import ppr_expand
 
     docs = load(spark, sf, "documents").filter(
         (F.col("doc_id") < 120) & F.col("text").isNotNull()
@@ -898,22 +959,7 @@ def retrieval_ppr_expand(spark: SparkSession, sf: str) -> DataFrame:
     # preserve the ingest cache hand-off contract (round-7 review):
     # the new store's lazy tables still read ingest_articles' caches
     out_store.pending_caches = store.pending_caches
-    store = out_store
-    # two deterministic seeds: the 2 smallest mentioning chunk uids,
-    # weighted 2:1 (bounded collect — at most 2 rows)
-    seed_uids = [
-        r["src_uid"]
-        for r in men.select("src_uid")
-        .distinct()
-        .orderBy("src_uid")
-        .limit(2)
-        .collect()
-    ]
-    seeds = spark.createDataFrame(
-        [(u, s) for u, s in zip(seed_uids, (2.0, 1.0))],
-        "uid: string, score: double",
-    )
-    return ppr_expand(store, seeds, k=12)
+    return out_store
 
 
 @register(
@@ -1461,4 +1507,67 @@ def motif_2hop_filter_in(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy(F.col("n.name").alias("name"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+
+
+@register(
+    "motif_anti_no_urgent_order",
+    oracle="""
+    SELECT n.n_name AS name, CAST(count(*) AS BIGINT) AS n_customers
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY n.n_name
+    """,
+    doc="Negated motif terms (VERDICT r9 #5, closing motif.py's last "
+    "documented residual): GraphFrames' `!(a)-[]->(b)` asserts edge "
+    "ABSENCE, and motif.py now compiles it to a left_anti join of the "
+    "positive match set against the negated edge scan — the "
+    "anti_join_new_keys physical shape. This entry additionally "
+    "exercises the labeled-anonymous-endpoint extension "
+    "(`!(c)-[:PLACED]->(:UrgentOrder)`): the label compiles to a "
+    "semi-join restriction of the negated scan, so the pattern reads "
+    "'customers per nation who placed NO urgent order' and the DuckDB "
+    "oracle is the NOT EXISTS twin. Scale: the anti join shuffles on "
+    "the bound variable's uid exactly like the inner chain; Catalyst "
+    "picks broadcast-anti when the negated side is small. Semantics "
+    "parity with hand-written anti joins in tests/test_motif.py.",
+)
+def motif_anti_no_urgent_order(spark: SparkSession, sf: str) -> DataFrame:
+    from ..motif import MotifGraph
+
+    nation = load(spark, sf, "nation")
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    g = MotifGraph(
+        nodes={
+            "Nation": nation.select(
+                F.col("n_nationkey").alias("uid"), F.col("n_name").alias("name")
+            ),
+            "Customer": customer.select(F.col("c_custkey").alias("uid")),
+            "UrgentOrder": orders.filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ).select(F.col("o_orderkey").alias("uid")),
+        },
+        edges={
+            "HAS_CUSTOMER": customer.select(
+                F.col("c_nationkey").alias("src_uid"),
+                F.col("c_custkey").alias("dst_uid"),
+            ),
+            "PLACED": orders.select(
+                F.col("o_custkey").alias("src_uid"),
+                F.col("o_orderkey").alias("dst_uid"),
+            ),
+        },
+    )
+    return (
+        g.find(
+            "(n:Nation)-[:HAS_CUSTOMER]->(c:Customer); "
+            "!(c)-[:PLACED]->(:UrgentOrder)"
+        )
+        .groupBy(F.col("n.name").alias("name"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )

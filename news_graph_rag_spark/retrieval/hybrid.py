@@ -251,6 +251,7 @@ def ppr_expand(
     alpha: float = 0.85,
     id_col: str = "uid",
     score_col: str = "score",
+    broadcast_rank_limit: int = 5_000_000,
 ) -> DataFrame:
     """Personalized-PageRank context expansion — the principled upgrade
     of R4's 1-hop join for graph-RAG context selection.
@@ -265,9 +266,23 @@ def ppr_expand(
 
     Scale shape: seeds are k rows (localCheckpointed once, reused each
     round); with iters=2 rank mass never leaves the 2-hop neighborhood,
-    so each round joins a frontier-sized rank table (broadcast) against
-    the edge list — O(frontier edges) per round, never O(graph). The
-    degree table is computed once. Final top-k is TakeOrdered.
+    so each round joins a frontier-sized rank table against the edge
+    list — O(frontier edges) per round, never O(graph). The degree
+    table is computed once. Final top-k is TakeOrdered.
+
+    Hub safety (round 10, VERDICT r9 #4): "frontier-sized" is only
+    small while no frontier node is a hub — one entity mentioned by
+    millions of chunks makes the next round's rank table corpus-sized,
+    and unconditionally broadcasting it would OOM every executor. Each
+    round therefore localCheckpoints the rank table (which also bounds
+    recompute across rounds), counts it, and only attaches the
+    broadcast hint while the frontier is <= ``broadcast_rank_limit``
+    rows; above that the per-round join degrades to a plain shuffle
+    join on ``src`` — the plan Spark would pick for any fact-fact
+    join — asserted by tests/test_plans.py::test_ppr_hub_fallback. The
+    checkpoint-per-round trades one extra edge-list pass per round
+    (the ReusedExchange across rounds is lost) for a measured frontier;
+    superseded round checkpoints are unpersisted before returning.
 
     Determinism (round 9): per-edge contributions and teleport mass are
     cast to DECIMAL(30,12) before the per-node SUM, so rank totals are
@@ -304,9 +319,32 @@ def ppr_expand(
         (F.lit(1.0 - alpha) * F.col("w")).cast("decimal(30,12)").alias("v"),
     )
     ranks = seeds.select("id", F.col("w").alias("rank"))
-    for _ in range(iters):
+    jsc = store.spark.sparkContext._jsc.sc()
+    prev_ckpt_rdd_id = None
+    for i in range(iters):
+        if i > 0:
+            # materialize the round's frontier so (a) its size can be
+            # measured for the broadcast decision and (b) later rounds
+            # never recompute earlier ones
+            ranks = ranks.localCheckpoint(eager=True)
+            if prev_ckpt_rdd_id is not None:
+                try:  # the new checkpoint supersedes the previous round's
+                    jsc.unpersistRDD(prev_ckpt_rdd_id, False)
+                except Exception:
+                    pass
+            prev_ckpt_rdd_id = (
+                ranks._jdf.queryExecution().analyzed().rdd().id()
+            )
+        # round 0's frontier is the seed table (k rows, checkpointed);
+        # later rounds count the checkpointed frontier — a metadata-cheap
+        # job — and drop the broadcast hint once it could be hub-sized
+        rank_side = (
+            F.broadcast(ranks)
+            if ranks.count() <= broadcast_rank_limit
+            else ranks
+        )
         contrib = (
-            edges_deg.join(F.broadcast(ranks), edges_deg["src"] == ranks["id"])
+            edges_deg.join(rank_side, edges_deg["src"] == rank_side["id"])
             .select(
                 F.col("dst").alias("id"),
                 (F.lit(alpha) * F.col("rank") / F.col("out_deg"))

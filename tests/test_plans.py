@@ -527,3 +527,61 @@ def test_ann_batch_search_plan_shape(spark, sf_dir, reg):
         reg["ann_ivf_batch_search_topk"].fn(spark, sf_dir), "simple"
     ))
     assert specs and all("probe_id" in s.split(",")[0] for s in specs)
+
+
+def _tiny_ppr_store(spark):
+    from news_graph_rag_spark.graph_store import GraphStore
+
+    chunk = spark.createDataFrame(
+        [(f"Chunk:{i:03d}",) for i in range(8)], "uid: string"
+    )
+    # one hub entity mentioned by every chunk — the adversarial shape
+    # the broadcast guard exists for
+    men = spark.createDataFrame(
+        [(f"Chunk:{i:03d}", "Entity:hub") for i in range(8)],
+        "src_uid: string, dst_uid: string",
+    )
+    return GraphStore(spark, {"chunk": chunk, "mentions": men})
+
+
+def test_ppr_hub_fallback(spark):
+    """Hub safety (VERDICT r9 #4): ppr_expand's per-round rank join
+    must drop the broadcast hint once the measured frontier exceeds
+    broadcast_rank_limit — a hub entity makes the frontier
+    corpus-sized, and broadcasting it would OOM every executor. With
+    auto-broadcast disabled, any BroadcastHashJoin in the plan can only
+    come from the explicit hint, so limit=0 must yield a pure shuffle
+    join and the default limit must keep the broadcast."""
+    from news_graph_rag_spark.retrieval import ppr_expand
+
+    store = _tiny_ppr_store(spark)
+    seeds = spark.createDataFrame(
+        [("Chunk:000", 2.0), ("Chunk:001", 1.0)], "uid: string, score: double"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        guarded = plan_of(
+            ppr_expand(store, seeds, k=5, broadcast_rank_limit=0), "simple"
+        )
+        assert "BroadcastHashJoin" not in guarded
+        assert "SortMergeJoin" in guarded or "ShuffledHashJoin" in guarded
+        hinted = plan_of(ppr_expand(store, seeds, k=5), "simple")
+        assert "BroadcastHashJoin" in hinted
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ppr_hub_fallback_values_unchanged(spark):
+    """The shuffle fallback is a physical-plan change only: ranks are
+    decimal-exact sums, so the guarded and hinted paths must return
+    identical rows."""
+    from news_graph_rag_spark.retrieval import ppr_expand
+
+    store = _tiny_ppr_store(spark)
+    seeds = spark.createDataFrame(
+        [("Chunk:000", 2.0), ("Chunk:001", 1.0)], "uid: string, score: double"
+    )
+    a = ppr_expand(store, seeds, k=5, broadcast_rank_limit=0).collect()
+    b = ppr_expand(store, seeds, k=5).collect()
+    assert a == b and len(a) == 5
