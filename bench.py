@@ -168,8 +168,11 @@ HEADLINE = [
     "retrieval_ppr_expand",
     "ann_ivf_recall_at_k",
     "motif_2hop_filter_in",
-    # round-10: negated motif terms (left_anti compile)
+    # round-10: negated motif terms (left_anti compile), LPA community
+    # detection, and the H.264 I_PCM bitstream round trip
     "motif_anti_no_urgent_order",
+    "label_propagation_parts",
+    "multimodal_h264_frame_stats",
 ]
 
 

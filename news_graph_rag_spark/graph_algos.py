@@ -234,3 +234,49 @@ def k_core(edges: DataFrame, k: int = 3, max_iter: int = 50) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(f"k_core did not converge in {max_iter} iterations")
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Community detection by deterministic SYNCHRONOUS label
+    propagation (Raghavan et al. 2007, made order-independent): labels
+    start as node ids; each round EVERY node adopts the most frequent
+    label among its neighbors, ties broken by the smallest label.
+
+    Classic async LPA is nondeterministic (visit order decides
+    outcomes); the synchronous min-tie-break variant here is a pure
+    function of the edge set, and the round count is FIXED (no
+    convergence check) precisely so an exact SQL oracle can unroll the
+    rounds as CTEs and replay every label (the bfs_hop_distance_parts
+    technique — integer labels, integer counts, total tie-break).
+    GraphFrames' labelPropagation is the same sync algorithm with a
+    hash-partition tie-break; min-label is the deterministic twin.
+
+    Scale: each round is one edges⋈labels shuffle join (labels is
+    node-sized — Catalyst/AQE broadcasts it while it fits), one
+    (id,label) count aggregation, and one per-node window top-1
+    (partitioned by node id, never global). State per round is
+    O(nodes); the edge list is never mutated, so at 100 TB pre-
+    bucketing edges on src makes every round's join co-located.
+    """
+    from pyspark.sql import Window
+
+    e = _sym(edges)
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(rounds):
+        nbr = e.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "label")
+        counts = nbr.groupBy("id", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "label")
+        )
+    return labels

@@ -1,0 +1,382 @@
+"""Baseline-profile H.264/AVC (ITU-T Rec. H.264) — the I_PCM
+I-frame subset, pure stdlib (VERDICT r9 #8: "decide the H.264 seam").
+
+What is REAL here (and spec-conformant):
+
+- Annex-B byte-stream framing: start codes, NAL unit headers, and the
+  emulation-prevention escape (``0x000003``) on write AND read — PCM
+  payloads routinely contain ``00 00`` runs, so the escape path is
+  exercised by real data, not synthetically.
+- Exp-Golomb bit coding (``ue(v)``/``se(v)``) and fixed-width ``u(n)``.
+- SPS parsing/writing (profile 66 baseline: frame dimensions in
+  macroblocks, frame_mbs_only, POC type 2) and PPS parsing/writing
+  (CAVLC entropy mode, single slice group).
+- IDR slice-header parsing/writing and the I-slice macroblock loop
+  with ``mb_type = I_PCM`` (25): pcm alignment bits, then 256 raw luma
+  + 64 Cb + 64 Cr samples per macroblock (4:2:0), raster MB order.
+  I_PCM is not a toy: every conformant H.264 decoder MUST support it
+  (it is the worst-case-bitrate escape hatch), and it is lossless —
+  so encode→decode round-trips bit-exactly and the catalog entry is
+  VALUE-verified with exact integers like the other codecs.
+
+What remains the documented seam (SCALE.md residuals): CAVLC-coded
+residual macroblocks (coeff_token tables, intra prediction, the 4x4
+integer transform) and all interframe (P/B) tooling — i.e. compressed
+H.264 payloads produced by real encoders. ``decode_h264_ipcm`` raises
+``NotImplementedError`` with the offending mb_type when it meets one,
+never silently misdecodes; a library decoder (PyAV/ffmpeg, when
+importable) slots into the same mapInPandas operators unchanged.
+
+Reference parity note: the reference system (README.md:2) ingests no
+video at all; this subset exists for the driver brief's multimodal
+training-data surface.
+
+Spec sections implemented: 7.3.1 (NAL), 7.3.2.1 (SPS), 7.3.2.2 (PPS),
+7.3.3 (slice header), 7.3.5 (macroblock layer, I_PCM branch), 9.1
+(Exp-Golomb), B.1 (byte stream).
+"""
+
+from __future__ import annotations
+
+import re
+
+# --- bit I/O ---------------------------------------------------------------
+
+
+class _BitWriter:
+    """MSB-first bit writer over a bytearray: header bits go through a
+    small bit buffer; byte-aligned PCM payloads extend the bytearray
+    directly (the bulk path — per-bit loops would dominate at scale)."""
+
+    def __init__(self) -> None:
+        self._buf = bytearray()
+        self._acc = 0  # pending bits, MSB-first
+        self._nacc = 0
+
+    def u(self, n: int, val: int) -> None:
+        self._acc = (self._acc << n) | (val & ((1 << n) - 1))
+        self._nacc += n
+        while self._nacc >= 8:
+            self._nacc -= 8
+            self._buf.append((self._acc >> self._nacc) & 0xFF)
+        self._acc &= (1 << self._nacc) - 1
+
+    def ue(self, val: int) -> None:
+        # Exp-Golomb: (n-1 leading zeros) ++ bin(val+1), n = bitlen
+        code = val + 1
+        self.u(2 * code.bit_length() - 1, code)
+
+    def se(self, val: int) -> None:
+        self.ue(2 * val - 1 if val > 0 else -2 * val)
+
+    def align_zero(self) -> None:
+        if self._nacc:
+            self.u(8 - self._nacc, 0)
+
+    def raw_bytes(self, data: bytes) -> None:
+        assert self._nacc == 0, "raw bytes must be byte-aligned"
+        self._buf += data
+
+    def trailing_bits(self) -> None:
+        self.u(1, 1)  # rbsp_stop_one_bit
+        self.align_zero()
+
+    def rbsp(self) -> bytes:
+        assert self._nacc == 0
+        return bytes(self._buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self._data = data
+        self._pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self._data[self._pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self._pos & 7))) & 1)
+            self._pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 32:
+                raise ValueError("malformed Exp-Golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+    def byte_align(self) -> None:
+        while self._pos % 8:
+            if self.u(1) != 0:
+                raise ValueError("nonzero pcm_alignment bit")
+
+    def raw_bytes(self, n: int) -> bytes:
+        assert self._pos % 8 == 0
+        start = self._pos >> 3
+        if start + n > len(self._data):
+            raise ValueError("truncated PCM payload")
+        self._pos += 8 * n
+        return self._data[start : start + n]
+
+
+# --- NAL / Annex B framing --------------------------------------------------
+
+
+_ESCAPE_RE = re.compile(rb"\x00\x00(?=[\x00-\x03])")
+_UNESCAPE_RE = re.compile(rb"\x00\x00\x03(?=[\x00-\x03])")
+
+
+def _escape_rbsp(rbsp: bytes) -> bytes:
+    """Insert emulation_prevention_three_byte: any 00 00 followed by a
+    byte <= 3 becomes 00 00 03 xx (spec 7.4.1.1). The regex scans left
+    to right without consuming the lookahead byte, which reproduces the
+    spec's sequential zero-run counter (the counter resets after each
+    inserted escape, exactly like the regex resuming AFTER the matched
+    pair); equivalence to the per-byte algorithm is property-tested in
+    tests/test_multimodal.py."""
+    return _ESCAPE_RE.sub(b"\x00\x00\x03", rbsp)
+
+
+def _unescape_rbsp(payload: bytes) -> bytes:
+    return _UNESCAPE_RE.sub(b"\x00\x00", payload)
+
+
+def _nal(nal_unit_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
+    header = bytes([(ref_idc << 5) | nal_unit_type])
+    return b"\x00\x00\x00\x01" + header + _escape_rbsp(rbsp)
+
+
+def _split_nals(stream: bytes) -> "list[bytes]":
+    """Split an Annex-B byte stream on 3- or 4-byte start codes; each
+    returned NAL is header byte + escaped payload."""
+    nals = []
+    i = 0
+    n = len(stream)
+    starts = []
+    while i + 3 <= n:
+        if stream[i : i + 3] == b"\x00\x00\x01":
+            starts.append(i + 3)
+            i += 3
+        else:
+            i += 1
+    for j, s in enumerate(starts):
+        end = (starts[j + 1] - 3) if j + 1 < len(starts) else n
+        # a 4-byte start code leaves one extra 0x00 before the next
+        # 3-byte match; strip trailing zeros that belong to it
+        while end > s and stream[end - 1] == 0 and j + 1 < len(starts):
+            end -= 1
+        nals.append(stream[s:end])
+    return nals
+
+
+# --- parameter sets ---------------------------------------------------------
+
+I_PCM = 25  # mb_type for I_PCM in I slices (spec table 7-11)
+
+
+def _write_sps(width_mbs: int, height_mbs: int) -> bytes:
+    w = _BitWriter()
+    w.u(8, 66)  # profile_idc: baseline
+    w.u(8, 0)  # constraint_set flags + reserved_zero_2bits
+    w.u(8, 10)  # level_idc 1.0
+    w.ue(0)  # seq_parameter_set_id
+    w.ue(0)  # log2_max_frame_num_minus4 -> MaxFrameNum = 16
+    w.ue(2)  # pic_order_cnt_type 2 (no POC syntax, I-only stream)
+    w.ue(0)  # max_num_ref_frames (I-only)
+    w.u(1, 0)  # gaps_in_frame_num_value_allowed_flag
+    w.ue(width_mbs - 1)  # pic_width_in_mbs_minus1
+    w.ue(height_mbs - 1)  # pic_height_in_map_units_minus1
+    w.u(1, 1)  # frame_mbs_only_flag
+    w.u(1, 1)  # direct_8x8_inference_flag
+    w.u(1, 0)  # frame_cropping_flag
+    w.u(1, 0)  # vui_parameters_present_flag
+    w.trailing_bits()
+    return w.rbsp()
+
+
+def _parse_sps(rbsp: bytes) -> "tuple[int, int, int]":
+    """-> (width_mbs, height_mbs, log2_max_frame_num)."""
+    r = _BitReader(rbsp)
+    profile_idc = r.u(8)
+    r.u(8)  # constraint flags
+    r.u(8)  # level_idc
+    r.ue()  # seq_parameter_set_id
+    if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        raise NotImplementedError(
+            f"high-profile SPS (profile_idc={profile_idc}) is behind the "
+            "library seam; this subset parses baseline (66)"
+        )
+    log2_max_frame_num = r.ue() + 4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        raise NotImplementedError("pic_order_cnt_type 1 not in subset")
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    width_mbs = r.ue() + 1
+    height_mbs = r.ue() + 1
+    if r.u(1) != 1:  # frame_mbs_only_flag
+        raise NotImplementedError("interlaced streams not in subset")
+    return width_mbs, height_mbs, log2_max_frame_num
+
+
+def _write_pps() -> bytes:
+    w = _BitWriter()
+    w.ue(0)  # pic_parameter_set_id
+    w.ue(0)  # seq_parameter_set_id
+    w.u(1, 0)  # entropy_coding_mode_flag: CAVLC
+    w.u(1, 0)  # bottom_field_pic_order_in_frame_present_flag
+    w.ue(0)  # num_slice_groups_minus1
+    w.ue(0)  # num_ref_idx_l0_default_active_minus1
+    w.ue(0)  # num_ref_idx_l1_default_active_minus1
+    w.u(1, 0)  # weighted_pred_flag
+    w.u(2, 0)  # weighted_bipred_idc
+    w.se(0)  # pic_init_qp_minus26
+    w.se(0)  # pic_init_qs_minus26
+    w.se(0)  # chroma_qp_index_offset
+    w.u(1, 0)  # deblocking_filter_control_present_flag
+    w.u(1, 0)  # constrained_intra_pred_flag
+    w.u(1, 0)  # redundant_pic_cnt_present_flag
+    w.trailing_bits()
+    return w.rbsp()
+
+
+def _parse_pps(rbsp: bytes) -> None:
+    r = _BitReader(rbsp)
+    r.ue()
+    r.ue()
+    if r.u(1) != 0:
+        raise NotImplementedError("CABAC streams are behind the library seam")
+    r.u(1)
+    if r.ue() != 0:
+        raise NotImplementedError("slice groups (FMO) not in subset")
+
+
+# --- encode -----------------------------------------------------------------
+
+
+def encode_h264_ipcm(
+    width: int,
+    height: int,
+    frames: "list[tuple[list[int], list[int], list[int]]]",
+) -> bytes:
+    """Encode 4:2:0 frames (Y: W*H, Cb/Cr: W/2*H/2 raster lists) as an
+    Annex-B baseline stream of IDR pictures made entirely of I_PCM
+    macroblocks. Dimensions must be multiples of 16 (whole MBs —
+    frame_cropping is not written)."""
+    if width % 16 or height % 16:
+        raise ValueError("I_PCM subset needs whole macroblocks (16x16)")
+    wmb, hmb = width // 16, height // 16
+    out = bytearray()
+    out += _nal(7, _write_sps(wmb, hmb))
+    out += _nal(8, _write_pps())
+    for y, cb, cr in frames:
+        if len(y) != width * height:
+            raise ValueError("luma plane size mismatch")
+        if len(cb) != (width // 2) * (height // 2) or len(cb) != len(cr):
+            raise ValueError("chroma plane size mismatch")
+        w = _BitWriter()
+        w.ue(0)  # first_mb_in_slice
+        w.ue(7)  # slice_type: I (all slices of the picture are I)
+        w.ue(0)  # pic_parameter_set_id
+        w.u(4, 0)  # frame_num (log2_max_frame_num = 4)
+        w.ue(0)  # idr_pic_id
+        w.u(1, 0)  # no_output_of_prior_pics_flag
+        w.u(1, 0)  # long_term_reference_flag
+        w.se(0)  # slice_qp_delta
+        for mb in range(wmb * hmb):
+            mbx, mby = mb % wmb, mb // wmb
+            w.ue(I_PCM)  # mb_type
+            w.align_zero()  # pcm_alignment_zero_bit
+            luma = bytearray()
+            for yy in range(16):
+                row = (16 * mby + yy) * width + 16 * mbx
+                luma += bytes(y[row : row + 16])
+            samples = bytearray(luma)
+            cw = width // 2
+            for plane in (cb, cr):
+                for yy in range(8):
+                    row = (8 * mby + yy) * cw + 8 * mbx
+                    samples += bytes(plane[row : row + 8])
+            w.raw_bytes(bytes(samples))
+        w.trailing_bits()
+        out += _nal(5, w.rbsp())
+    return bytes(out)
+
+
+# --- decode -----------------------------------------------------------------
+
+
+def decode_h264_ipcm(
+    data: bytes,
+) -> "tuple[int, int, list[tuple[list[int], list[int], list[int]]]]":
+    """Decode an Annex-B stream of I_PCM IDR pictures ->
+    (width, height, [(Y, Cb, Cr) raster lists per frame]). Raises
+    NotImplementedError (never misdecodes) on the documented seam:
+    CABAC, non-I_PCM macroblocks, high profiles, interlace."""
+    sps = None
+    frames = []
+    for nal in _split_nals(data):
+        if not nal:
+            continue
+        header = nal[0]
+        if header & 0x80:
+            raise ValueError("forbidden_zero_bit set")
+        nal_type = header & 0x1F
+        rbsp = _unescape_rbsp(nal[1:])
+        if nal_type == 7:
+            sps = _parse_sps(rbsp)
+        elif nal_type == 8:
+            _parse_pps(rbsp)
+        elif nal_type in (1, 5):
+            if sps is None:
+                raise ValueError("slice before SPS")
+            wmb, hmb, log2_mfn = sps
+            r = _BitReader(rbsp)
+            if r.ue() != 0:
+                raise NotImplementedError("multi-slice pictures not in subset")
+            slice_type = r.ue()
+            if slice_type % 5 != 2:  # I slice (2 or 7)
+                raise NotImplementedError(
+                    f"non-I slice_type {slice_type} is behind the library seam"
+                )
+            r.ue()  # pic_parameter_set_id
+            r.u(log2_mfn)  # frame_num
+            if nal_type == 5:
+                r.ue()  # idr_pic_id
+                r.u(1)  # no_output_of_prior_pics_flag
+                r.u(1)  # long_term_reference_flag
+            r.se()  # slice_qp_delta
+            width, height = 16 * wmb, 16 * hmb
+            y = [0] * (width * height)
+            cw, ch = width // 2, height // 2
+            cb, cr = [0] * (cw * ch), [0] * (cw * ch)
+            for mb in range(wmb * hmb):
+                mb_type = r.ue()
+                if mb_type != I_PCM:
+                    raise NotImplementedError(
+                        f"mb_type {mb_type} (CAVLC-coded macroblock) is "
+                        "behind the library seam; this subset decodes I_PCM"
+                    )
+                r.byte_align()
+                mbx, mby = mb % wmb, mb // wmb
+                luma = r.raw_bytes(256)
+                for yy in range(16):
+                    row = (16 * mby + yy) * width + 16 * mbx
+                    y[row : row + 16] = luma[16 * yy : 16 * yy + 16]
+                for plane in (cb, cr):
+                    block = r.raw_bytes(64)
+                    for yy in range(8):
+                        row = (8 * mby + yy) * cw + 8 * mbx
+                        plane[row : row + 8] = block[8 * yy : 8 * yy + 8]
+            frames.append((y, cb, cr))
+    if sps is None:
+        raise ValueError("no SPS in stream")
+    return 16 * sps[0], 16 * sps[1], frames

@@ -48,7 +48,9 @@ replication-upsampled on decode), restart markers supported
 anything else raises ValueError. Flat-block exactness holds for EVERY
 mode (a flat 16x16 macroblock box-downsamples to a flat chroma block,
 so the same closed form applies; grayscale is the luma leg alone).
-H.264 remains the one library-seam format (SCALE.md residuals).
+H.264's I_PCM I-frame subset is real too (pipeline/h264_codec.py,
+round 10); its CAVLC/interframe half is the library seam (SCALE.md
+residuals).
 
 Reference parity note: the reference repo has no media pipeline at all
 (SURVEY.md §2 — this family is part of the training-data extension);

@@ -21,8 +21,12 @@ shapes, partitioning — is real and tested. Decode status by modality:
   baseline-JPEG codec).
 - JPEG: REAL baseline codec in ``pipeline/jpeg_codec.py`` (round 8:
   sequential DCT, Huffman entropy coding, 4:4:4/4:2:0/4:2:2 —
-  exact-integer arithmetic, oracle-verified on flat blocks). Only
-  H.264-class interframe codecs stay behind the library seam:
+  exact-integer arithmetic, oracle-verified on flat blocks).
+- H.264: REAL for the baseline-profile I_PCM I-frame subset (round 10,
+  ``pipeline/h264_codec.py`` — Annex-B framing, NAL escaping,
+  Exp-Golomb SPS/PPS/slice parsing, lossless PCM macroblocks,
+  oracle-verified); CAVLC-coded residual macroblocks and interframe
+  P/B streams stay behind the library seam:
   ``decode_fn=None`` uses a deterministic fake decoder
   (metadata-derived, itself SQL-verified), and a real decoder
   (``load_image_decoder`` → PIL when importable) slots into the same
@@ -476,8 +480,9 @@ def decode_avi_mjpeg(data: bytes) -> "tuple[int, int, list[list[tuple]]]":
     with frames as row-major top-down (r,g,b) lists, same shape as
     ``decode_avi_dib``. Frames whose SOF0 dimensions disagree with the
     container header raise — a container/codec mismatch should surface,
-    not silently emit misshapen frames. Only H.264-class interframe
-    codecs now remain behind the library seam."""
+    not silently emit misshapen frames. Compressed-H.264 payloads
+    from real encoders remain behind the library seam (the I_PCM
+    subset lives in pipeline/h264_codec.py)."""
     import struct
 
     from .jpeg_codec import decode_jpeg_rgb8
@@ -601,8 +606,9 @@ def decode_png_rgb8(data: bytes) -> "tuple[int, int, list[tuple]]":
     (r, g, b). With
     this, the image modality's decode seam is real for BOTH an
     uncompressed container (BMP) and a DEFLATE-compressed one (PNG);
-    baseline JPEG decodes via ``pipeline/jpeg_codec.py`` (round 8),
-    leaving H.264 as the one library-seam format."""
+    baseline JPEG decodes via ``pipeline/jpeg_codec.py`` (round 8);
+    H.264 I_PCM via ``pipeline/h264_codec.py`` (round 10), leaving
+    compressed H.264 (CAVLC/interframe) as the library seam."""
     import struct
     import zlib
 

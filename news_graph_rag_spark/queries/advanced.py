@@ -2978,3 +2978,56 @@ def dynamic_partition_pruning_join(spark: SparkSession, sf: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+def _lpa_round_sql(prev: str) -> str:
+    """One unrolled synchronous-LPA round as a DuckDB CTE body: every
+    node adopts its neighbors' most frequent label, smallest label on
+    ties — the exact tie-break label_propagation uses."""
+    return f"""
+      SELECT id, label FROM (
+        SELECT id, label,
+               row_number() OVER (
+                 PARTITION BY id ORDER BY cnt DESC, label ASC
+               ) AS rn
+        FROM (
+          SELECT e.dst AS id, l.label, count(*) AS cnt
+          FROM edges e JOIN {prev} l ON e.src = l.id
+          GROUP BY 1, 2
+        )
+      ) WHERE rn = 1
+    """
+
+
+@register(
+    "label_propagation_parts",
+    oracle=f"""
+    WITH edges AS ({_COPURCHASE_EDGES_SQL}),
+    l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+    l1 AS ({_lpa_round_sql("l0")}),
+    l2 AS ({_lpa_round_sql("l1")}),
+    l3 AS ({_lpa_round_sql("l2")})
+    SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS community
+    FROM l3
+    """,
+    doc="graph analytics: COMMUNITY DETECTION by deterministic "
+    "synchronous label propagation over the co-purchase parts graph "
+    "(VERDICT r9 #7; graph_algos.label_propagation). Unlike "
+    "connected_components_parts (pure reachability), LPA's most-"
+    "frequent-neighbor-label rule splits a connected graph into "
+    "densely-linked communities; the min-label tie-break makes the "
+    "synchronous variant a pure function of the edge set, so the "
+    "DuckDB oracle unrolls the 3 fixed rounds as CTEs and replays "
+    "every label exactly (integer labels, integer counts — the "
+    "bfs_hop_distance_parts technique). Scale: per round one "
+    "edges-to-labels shuffle join + per-node window top-1; state is "
+    "O(nodes), the edge list never mutates. Convergence behavior "
+    "unit-tested on a two-clique bridge graph in tests/test_graph_algos.py.",
+)
+def label_propagation_parts(spark: SparkSession, sf: str) -> DataFrame:
+    from ..graph_algos import label_propagation
+
+    return label_propagation(_copurchase_edges(spark, sf), rounds=3).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("label").cast("bigint").alias("community"),
+    )

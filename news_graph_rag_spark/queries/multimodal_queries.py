@@ -17,9 +17,11 @@ stat that catches row/channel/padding mistakes; VIDEO —
 ``multimodal_avi_frame_stats`` walks an actual AVI RIFF chunk tree and
 extracts uncompressed DIB frames; ``multimodal_jpeg_decode_stats``
 (round 8) round-trips actual baseline JPEG streams through
-``pipeline/jpeg_codec.py``. Only H.264 remains behind the library
-seam, and even that path's deterministic stand-in is SQL-verified
-(``multimodal_image_stats``).
+``pipeline/jpeg_codec.py``; ``multimodal_h264_frame_stats`` (round 10)
+round-trips Annex-B H.264 I_PCM streams through
+``pipeline/h264_codec.py``. Only compressed H.264 (CAVLC residuals,
+interframe) remains behind the library seam, and even that path's
+deterministic stand-in is SQL-verified (``multimodal_image_stats``).
 
 All seven entries are oracle-backed: ``multimodal_frame_sample`` /
 ``multimodal_audio_windows`` are pure column ops (sequence + explode),
@@ -419,7 +421,8 @@ def multimodal_png_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     "computes the same stats from the generating formula — the gate "
     "certifies container walk + frame extraction pixel-exactly. "
     "Map-only Arrow pass; the video bytes never shuffle. Compressed "
-    "codecs (H.264 etc.) stay behind the library seam.",
+    "entropy-coded codecs are covered by the MJPEG and H.264-I_PCM "
+    "entries; CAVLC/interframe H.264 stays behind the library seam.",
 )
 def multimodal_avi_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.multimodal import decode_avi_dib, encode_avi_dib
@@ -673,7 +676,8 @@ _JPEG_ORACLE = f"""
     "VALUE-exactly. AC coefficients and lossy general images are "
     "covered by tolerance round-trip tests (tests/test_pipeline.py). "
     "Map-only Arrow pass over spread() partitions; bytes never "
-    "shuffle. H.264 remains the one library-seam format.",
+    "shuffle. CAVLC/interframe H.264 remains the library-seam "
+    "format (the I_PCM subset is real — multimodal_h264_frame_stats).",
 )
 def multimodal_jpeg_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.jpeg_codec import decode_jpeg_rgb8, encode_jpeg_rgb8
@@ -960,8 +964,8 @@ _MJPEG_ORACLE = f"""
     "DC quant roundtrip, as multimodal_jpeg_decode_stats) per frame, "
     "so the gate certifies container walk + per-frame JPEG decode "
     "VALUE-exactly. Map-only Arrow pass over spread() partitions; the "
-    "video bytes never shuffle. Only H.264-class interframe codecs "
-    "now remain behind the library seam.",
+    "video bytes never shuffle. CAVLC/interframe H.264 remains the "
+    "library seam (I_PCM is real — multimodal_h264_frame_stats).",
 )
 def multimodal_mjpeg_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.jpeg_codec import encode_jpeg_rgb8
@@ -1040,4 +1044,157 @@ def multimodal_mjpeg_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
         run,
         "media_id long, frame_idx int, sum_all long, "
         "min_v long, max_v long, pos_weighted_g long",
+    )
+
+
+_H264_ORACLE = """
+    WITH vids AS (
+      SELECT doc_id AS media_id,
+             n_chars % 2 + 1 AS wmb,
+             doc_id % 2 + 1 AS hmb,
+             doc_id % 3 + 1 AS nf
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    frames AS (
+      SELECT media_id, wmb, hmb, CAST(u.f AS BIGINT) AS fi
+      FROM vids, unnest(range(0, nf)) AS u(f)
+    ),
+    mbs AS (  -- macroblock grid, raster order
+      SELECT *,
+             CAST(u.i % wmb AS BIGINT) AS mx,
+             CAST(u.i // wmb AS BIGINT) AS my
+      FROM frames, unnest(range(0, wmb * hmb)) AS u(i)
+    ),
+    vals AS (  -- per-MB synthesis parameters (the kernel's closed form)
+      SELECT *,
+        (3 * media_id + 19 * fi + 17 * mx + 29 * my) % 224 AS base,
+        36 * ((5 * media_id + 19 * fi + 13 * mx + 23 * my + 7) % 8) AS cbv,
+        (7 * media_id + 19 * fi + 11 * mx + 19 * my + 14) % 256 AS crv
+      FROM mbs
+    )
+    -- Y(x,y) = base + x%16 + y%16 inside each MB:
+    --   sum over an MB = 256*base + 2*16*(0+..+15) = 256*base + 3840
+    --   min = base (at the MB corner), max = base + 30
+    --   probe pixel (W-1, H-3) sits in the last MB at (15, 13) -> +28
+    SELECT media_id,
+           CAST(fi AS INT) AS frame_idx,
+           CAST(SUM(256 * base + 3840) AS BIGINT) AS sum_y,
+           CAST(MIN(base) AS BIGINT) AS min_y,
+           CAST(MAX(base) + 30 AS BIGINT) AS max_y,
+           CAST(SUM(64 * cbv) AS BIGINT) AS sum_cb,
+           CAST(SUM(64 * crv) AS BIGINT) AS sum_cr,
+           CAST(MAX(CASE WHEN mx = wmb - 1 AND my = hmb - 1
+                         THEN base END) + 28 AS BIGINT) AS probe_y
+    FROM vals GROUP BY media_id, fi
+"""
+
+
+@register(
+    "multimodal_h264_frame_stats",
+    oracle=_H264_ORACLE,
+    doc="multimodal with a REAL H.264/AVC bitstream round trip (round "
+    "10, VERDICT r9 #8 — the seam decision, option (a)): per document, "
+    "synthesize a 1-3 frame 4:2:0 clip whose luma is a per-macroblock "
+    "base plus an in-MB (x%16 + y%16) gradient and whose chroma is "
+    "per-MB constant (cbv hits 0 on ~1/8 of MBs, so 64-byte zero runs "
+    "exercise the emulation-prevention escape on real data), ENCODE it "
+    "as an Annex-B baseline-profile stream of I_PCM IDR pictures "
+    "(pipeline/h264_codec.py: start codes, NAL headers, Exp-Golomb "
+    "SPS/PPS/slice headers, per-MB pcm alignment + raw samples, "
+    "0x000003 escaping), then round-trip through decode_h264_ipcm "
+    "(NAL split, RBSP unescape, SPS/PPS/slice-header parse, raster MB "
+    "reassembly) and emit exact-integer per-FRAME stats incl. a probe "
+    "pixel that pins the raster layout. I_PCM is lossless, so the "
+    "DuckDB oracle replays the synthesis closed form over the MB grid "
+    "— the gate certifies the full parse chain VALUE-exactly. "
+    "CAVLC-coded residual macroblocks and interframe P/B tooling "
+    "remain the documented library seam (the codec raises, never "
+    "misdecodes). Map-only Arrow pass over spread() partitions; video "
+    "bytes never shuffle.",
+)
+def multimodal_h264_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.h264_codec import decode_h264_ipcm, encode_h264_ipcm
+
+    vids = spread(
+        load(spark, sf, "documents").filter(F.col("n_chars").isNotNull())
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 2 + 1).cast("int").alias("wmb"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("hmb"),
+        (F.col("doc_id") % 3 + 1).cast("int").alias("nf"),
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "frame_idx", "sum_y", "min_y", "max_y",
+                    "sum_cb", "sum_cr", "probe_y",
+                )
+            }
+            for media_id, wmb, hmb, nf in zip(
+                pdf["media_id"], pdf["wmb"], pdf["hmb"], pdf["nf"]
+            ):
+                wmb, hmb, nf = int(wmb), int(hmb), int(nf)
+                W, H = 16 * wmb, 16 * hmb
+                mx = np.arange(W, dtype=np.int64) // 16
+                my = np.arange(H, dtype=np.int64)[:, None] // 16
+                ramp = (
+                    np.arange(W, dtype=np.int64) % 16
+                    + (np.arange(H, dtype=np.int64)[:, None] % 16)
+                )
+                cmx = np.arange(W // 2, dtype=np.int64) // 8
+                cmy = np.arange(H // 2, dtype=np.int64)[:, None] // 8
+                frames = []
+                for fi in range(nf):
+                    y = (
+                        (3 * media_id + 19 * fi + 17 * mx + 29 * my) % 224
+                        + ramp
+                    )
+                    cb = 36 * (
+                        (5 * media_id + 19 * fi + 13 * cmx + 23 * cmy + 7) % 8
+                    )
+                    cr = (7 * media_id + 19 * fi + 11 * cmx + 19 * cmy + 14) % 256
+                    frames.append(
+                        (
+                            bytes(y.astype(np.uint8).ravel()),
+                            bytes(cb.astype(np.uint8).ravel()),
+                            bytes(cr.astype(np.uint8).ravel()),
+                        )
+                    )
+                dw, dh, dec = decode_h264_ipcm(
+                    encode_h264_ipcm(W, H, frames)
+                )
+                for fi, (y2, cb2, cr2) in enumerate(dec):
+                    ya = np.asarray(y2, dtype=np.int64)
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(fi)
+                    out["sum_y"].append(int(ya.sum()))
+                    out["min_y"].append(int(ya.min()))
+                    out["max_y"].append(int(ya.max()))
+                    out["sum_cb"].append(int(np.sum(np.asarray(cb2, dtype=np.int64))))
+                    out["sum_cr"].append(int(np.sum(np.asarray(cr2, dtype=np.int64))))
+                    out["probe_y"].append(int(ya[(dh - 3) * dw + (dw - 1)]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    **{
+                        k: pd.Series(out[k], dtype="int64")
+                        for k in (
+                            "sum_y", "min_y", "max_y",
+                            "sum_cb", "sum_cr", "probe_y",
+                        )
+                    },
+                }
+            )
+
+    return vids.mapInPandas(
+        run,
+        "media_id long, frame_idx int, sum_y long, min_y long, "
+        "max_y long, sum_cb long, sum_cr long, probe_y long",
     )

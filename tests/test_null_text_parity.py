@@ -32,6 +32,9 @@ ENTRIES = [
     "multimodal_avi_frame_stats",
     "multimodal_jpeg_decode_stats",
     "multimodal_jpeg420_decode_stats",
+    # round 10: the MJPEG container+codec kernel joins the suite — the
+    # NULL-n_chars doc must drop on BOTH sides before frame synthesis
+    "multimodal_mjpeg_frame_stats",
 ]
 
 
@@ -135,3 +138,90 @@ def test_hybrid_indexed_null_text_parity(spark, null_sf_dir):
         )
     want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
     assert got == want, f"spark {got[:6]} vs oracle {want[:6]}"
+
+
+def test_motif_null_uid_edges_parity(spark):
+    """Round-10 kernel NULL discipline (VERDICT r9 #6): edge rows with
+    NULL uids through the motif compiler. Labeled patterns must match
+    the SQL-join twin exactly — equi-joins (positive AND the negated
+    NOT EXISTS) never match NULL keys in either engine — and the
+    negated term must KEEP positive rows whose anti probe finds no
+    match, including when the negated edge table itself carries NULL
+    keys."""
+    import duckdb
+    import pandas as pd
+
+    from news_graph_rag_spark.motif import MotifGraph
+
+    nodes_pd = pd.DataFrame({"uid": pd.array([1, 2, 3, None], dtype="Int64")})
+    e_pd = pd.DataFrame(
+        {
+            "src_uid": pd.array([1, 2, None, 3], dtype="Int64"),
+            "dst_uid": pd.array([2, None, 3, 1], dtype="Int64"),
+        }
+    )
+    b_pd = pd.DataFrame(
+        {
+            "src_uid": pd.array([1, None], dtype="Int64"),
+            "dst_uid": pd.array([2, 3], dtype="Int64"),
+        }
+    )
+    g = MotifGraph(
+        nodes={"N": spark.createDataFrame(nodes_pd)},
+        edges={
+            "E": spark.createDataFrame(e_pd),
+            "B": spark.createDataFrame(b_pd),
+        },
+    )
+    got = sorted(
+        (r["a"]["uid"], r["b"]["uid"])
+        for r in g.find("(a:N)-[:E]->(b:N); !(a)-[:B]->(b)").collect()
+    )
+    con = duckdb.connect()
+    con.register("nodes", nodes_pd)
+    con.register("e", e_pd)
+    con.register("b", b_pd)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT a.uid, bb.uid FROM e
+            JOIN nodes a ON e.src_uid = a.uid
+            JOIN nodes bb ON e.dst_uid = bb.uid
+            WHERE NOT EXISTS (
+              SELECT 1 FROM b
+              WHERE b.src_uid = e.src_uid AND b.dst_uid = e.dst_uid
+            )
+            """
+        ).fetchall()
+    )
+    assert got == want == [(3, 1)]
+
+
+def test_ann_batch_search_empty_probe_list(spark, null_sf_dir):
+    """Round-10 NULL/empty-input discipline (VERDICT r9 #6): the
+    recall-telemetry shape with ZERO probes must return an empty frame
+    with the stable schema — not crash on the empty isin / empty
+    createDataFrame — and the recall aggregation over it must be empty,
+    not a row of zeros."""
+    from pyspark.sql import functions as F
+
+    from news_graph_rag_spark.pipeline.ann_index import (
+        batch_search,
+        ensure_index,
+    )
+
+    path = ensure_index(spark, null_sf_dir, widen_reps=None, n_centroids=2, iters=1)
+    approx = batch_search(spark, path, [], k=10, nprobe=1).select(
+        "probe_id", "vec_id", F.lit(1).alias("hit")
+    )
+    exact = batch_search(spark, path, [], k=10, nprobe=2).select(
+        "probe_id", "vec_id"
+    )
+    recall = (
+        exact.join(approx, ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(F.count("hit").alias("n_hits"))
+    )
+    assert approx.columns == ["probe_id", "vec_id", "hit"]
+    assert recall.collect() == []

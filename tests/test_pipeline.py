@@ -1864,3 +1864,117 @@ def test_ann_ivf_recall_floor(spark, sf_dir):
     recalls = {int(r["probe_id"]): r["n_hits"] / r["k"] for r in rows}
     assert sum(recalls.values()) / len(recalls) >= 0.8, recalls
     assert min(recalls.values()) >= 0.5, recalls
+
+
+# ---- H.264 I_PCM baseline subset (round 10, VERDICT r9 #8) ---------------
+
+
+def test_h264_ipcm_roundtrip_bit_exact():
+    """I_PCM is lossless: encode -> decode must reproduce every plane
+    byte-for-byte, across frame counts and MB grids, including all-zero
+    planes (the emulation-prevention worst case)."""
+    import random
+
+    from news_graph_rag_spark.pipeline.h264_codec import (
+        decode_h264_ipcm,
+        encode_h264_ipcm,
+    )
+
+    rng = random.Random(7)
+    for W, H, nf in [(16, 16, 1), (32, 16, 2), (48, 32, 3)]:
+        frames = []
+        for f in range(nf):
+            n, c = W * H, (W // 2) * (H // 2)
+            y = [0] * n if f == 0 else [rng.randrange(256) for _ in range(n)]
+            cb = [0] * c if f == 0 else [rng.randrange(256) for _ in range(c)]
+            cr = [rng.randrange(256) for _ in range(c)]
+            frames.append((y, cb, cr))
+        dw, dh, dec = decode_h264_ipcm(encode_h264_ipcm(W, H, frames))
+        assert (dw, dh, len(dec)) == (W, H, nf)
+        for (y, cb, cr), (y2, cb2, cr2) in zip(frames, dec):
+            assert y == list(y2) and cb == list(cb2) and cr == list(cr2)
+
+
+def test_h264_escape_matches_sequential_reference():
+    """The regex emulation-prevention escape must equal the spec's
+    sequential zero-run-counter algorithm on adversarial zero runs
+    (property promised in h264_codec._escape_rbsp's docstring)."""
+    import random
+
+    from news_graph_rag_spark.pipeline.h264_codec import (
+        _escape_rbsp,
+        _unescape_rbsp,
+    )
+
+    def esc_ref(rbsp):
+        out = bytearray()
+        zeros = 0
+        for b in rbsp:
+            if zeros >= 2 and b <= 3:
+                out.append(3)
+                zeros = 0
+            out.append(b)
+            zeros = zeros + 1 if b == 0 else 0
+        return bytes(out)
+
+    rng = random.Random(11)
+    for _ in range(2000):
+        raw = bytes(
+            rng.choice([0, 0, 0, 1, 2, 3, 255])
+            for _ in range(rng.randint(0, 50))
+        )
+        e = _escape_rbsp(raw)
+        assert e == esc_ref(raw)
+        assert _unescape_rbsp(e) == raw
+    # the escape actually fires on PCM payloads with zero runs
+    assert _escape_rbsp(b"\x00\x00\x00\x00") == b"\x00\x00\x03\x00\x00"
+
+
+def test_h264_stream_structure_and_seam():
+    """Structural conformance of the written stream (start codes, NAL
+    types, baseline SPS) and the documented seam: CAVLC macroblocks,
+    CABAC PPS, and non-I slices must raise NotImplementedError — never
+    misdecode."""
+    import pytest as _pytest
+
+    from news_graph_rag_spark.pipeline.h264_codec import (
+        _BitWriter,
+        _nal,
+        _parse_sps,
+        _write_pps,
+        _write_sps,
+        decode_h264_ipcm,
+        encode_h264_ipcm,
+    )
+
+    enc = encode_h264_ipcm(16, 16, [([1] * 256, [2] * 64, [3] * 64)])
+    assert enc.startswith(b"\x00\x00\x00\x01\x67")  # ref_idc 3, SPS (7)
+    assert b"\x00\x00\x00\x01\x68" in enc  # PPS (8)
+    assert b"\x00\x00\x00\x01\x65" in enc  # IDR slice (5)
+    sps_rbsp = _write_sps(2, 3)
+    assert sps_rbsp[0] == 66  # baseline profile_idc
+    assert _parse_sps(sps_rbsp)[:2] == (2, 3)
+    # dimensions must be whole macroblocks
+    with _pytest.raises(ValueError, match="whole macroblocks"):
+        encode_h264_ipcm(20, 16, [([0] * 320, [0] * 80, [0] * 80)])
+    # seam: a CAVLC-coded macroblock (mb_type != I_PCM) raises
+    w = _BitWriter()
+    for v in (0, 7, 0):  # first_mb, slice_type I, pps_id
+        w.ue(v)
+    w.u(4, 0)  # frame_num
+    w.ue(0)  # idr_pic_id
+    w.u(2, 0)  # dec_ref_pic_marking
+    w.se(0)  # slice_qp_delta
+    w.ue(0)  # mb_type 0 = I_4x4 -> CAVLC territory
+    w.trailing_bits()
+    bad = _nal(7, _write_sps(1, 1)) + _nal(8, _write_pps()) + _nal(5, w.rbsp())
+    with _pytest.raises(NotImplementedError, match="library seam"):
+        decode_h264_ipcm(bad)
+    # seam: CABAC PPS raises
+    wp = _BitWriter()
+    wp.ue(0)
+    wp.ue(0)
+    wp.u(1, 1)  # entropy_coding_mode_flag = CABAC
+    wp.trailing_bits()
+    with _pytest.raises(NotImplementedError, match="CABAC"):
+        decode_h264_ipcm(_nal(7, _write_sps(1, 1)) + _nal(8, wp.rbsp()))
