@@ -227,14 +227,23 @@ class MotifGraph:
                         f"have {sorted(self.nodes)}"
                     )
 
-        # one scan per unit, columns renamed to per-variable uid keys
+        # one scan per unit, columns renamed to per-variable uid keys.
+        # A SELF-LOOP unit — the same variable at both endpoints, e.g.
+        # (a)-[:E]->(a) — must filter the scan to src_uid == dst_uid
+        # and emit ONE uid column: aliasing both endpoints to the same
+        # name would create a duplicate column and silently degrade the
+        # downstream joins to src-only matching (round-10 review).
         plan: DataFrame | None = None
         for u in pos:
             e = self._edge_df(u)
-            cols = [
-                F.col("src_uid").alias(_uid(u.src)),
-                F.col("dst_uid").alias(_uid(u.dst)),
-            ]
+            if u.src == u.dst:
+                e = e.filter(F.col("src_uid") == F.col("dst_uid"))
+                cols = [F.col("src_uid").alias(_uid(u.src))]
+            else:
+                cols = [
+                    F.col("src_uid").alias(_uid(u.src)),
+                    F.col("dst_uid").alias(_uid(u.dst)),
+                ]
             if u.edge is not None:
                 cols.append(
                     F.struct(*[F.col(c) for c in e.columns]).alias(u.edge)
@@ -267,11 +276,20 @@ class MotifGraph:
                 if var.startswith("__anon_") and label is not None:
                     side = self.nodes[label].select(F.col("uid").alias(col))
                     e = e.join(side, on=col, how="left_semi")
-            keys, sel = [], []
-            for var, col in ((u.src, "src_uid"), (u.dst, "dst_uid")):
-                if not var.startswith("__anon_"):
-                    keys.append(_uid(var))
-                    sel.append(F.col(col).alias(_uid(var)))
+            if u.src == u.dst:
+                # self-loop negation !(a)-[:T]->(a): only edges whose
+                # BOTH endpoints equal a's uid may subtract — aliasing
+                # both to one key would anti-join on src alone and
+                # wrongly remove rows (round-10 review, confirmed repro)
+                e = e.filter(F.col("src_uid") == F.col("dst_uid"))
+                keys = [_uid(u.src)]
+                sel = [F.col("src_uid").alias(_uid(u.src))]
+            else:
+                keys, sel = [], []
+                for var, col in ((u.src, "src_uid"), (u.dst, "dst_uid")):
+                    if not var.startswith("__anon_"):
+                        keys.append(_uid(var))
+                        sel.append(F.col(col).alias(_uid(var)))
             plan = plan.join(e.select(*sel), on=keys, how="left_anti")
 
         # attach node structs: labeled vars join their node table;

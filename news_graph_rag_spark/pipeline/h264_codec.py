@@ -200,8 +200,11 @@ def _write_sps(width_mbs: int, height_mbs: int) -> bytes:
     return w.rbsp()
 
 
-def _parse_sps(rbsp: bytes) -> "tuple[int, int, int]":
-    """-> (width_mbs, height_mbs, log2_max_frame_num)."""
+def _parse_sps(rbsp: bytes) -> "dict[str, int]":
+    """Parse a baseline SPS far enough to either decode or REFUSE —
+    never land the bit cursor in the wrong field (round-10 review:
+    every header field that would shift later syntax is read or
+    gated)."""
     r = _BitReader(rbsp)
     profile_idc = r.u(8)
     r.u(8)  # constraint flags
@@ -214,8 +217,9 @@ def _parse_sps(rbsp: bytes) -> "tuple[int, int, int]":
         )
     log2_max_frame_num = r.ue() + 4
     poc_type = r.ue()
+    log2_max_poc_lsb = 0
     if poc_type == 0:
-        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+        log2_max_poc_lsb = r.ue() + 4
     elif poc_type == 1:
         raise NotImplementedError("pic_order_cnt_type 1 not in subset")
     r.ue()  # max_num_ref_frames
@@ -224,7 +228,19 @@ def _parse_sps(rbsp: bytes) -> "tuple[int, int, int]":
     height_mbs = r.ue() + 1
     if r.u(1) != 1:  # frame_mbs_only_flag
         raise NotImplementedError("interlaced streams not in subset")
-    return width_mbs, height_mbs, log2_max_frame_num
+    r.u(1)  # direct_8x8_inference_flag
+    if r.u(1) != 0:  # frame_cropping_flag
+        raise NotImplementedError(
+            "frame cropping not in subset (dimensions would not be "
+            "whole macroblocks)"
+        )
+    return {
+        "width_mbs": width_mbs,
+        "height_mbs": height_mbs,
+        "log2_max_frame_num": log2_max_frame_num,
+        "poc_type": poc_type,
+        "log2_max_poc_lsb": log2_max_poc_lsb,
+    }
 
 
 def _write_pps() -> bytes:
@@ -248,15 +264,34 @@ def _write_pps() -> bytes:
     return w.rbsp()
 
 
-def _parse_pps(rbsp: bytes) -> None:
+def _parse_pps(rbsp: bytes) -> "dict[str, int]":
+    """Parse the PPS fields that change later slice-header syntax and
+    gate the unsupported ones (round-10 review: a foreign PPS with
+    deblocking-control or redundant-count flags would otherwise shift
+    the slice header and misalign the macroblock loop)."""
     r = _BitReader(rbsp)
-    r.ue()
-    r.ue()
+    r.ue()  # pic_parameter_set_id
+    r.ue()  # seq_parameter_set_id
     if r.u(1) != 0:
         raise NotImplementedError("CABAC streams are behind the library seam")
-    r.u(1)
+    bottom_field_poc = r.u(1)
     if r.ue() != 0:
         raise NotImplementedError("slice groups (FMO) not in subset")
+    r.ue()  # num_ref_idx_l0_default_active_minus1
+    r.ue()  # num_ref_idx_l1_default_active_minus1
+    r.u(1)  # weighted_pred_flag (P-only; I slices unaffected)
+    r.u(2)  # weighted_bipred_idc
+    r.se()  # pic_init_qp_minus26
+    r.se()  # pic_init_qs_minus26
+    r.se()  # chroma_qp_index_offset
+    if r.u(1) != 0:  # deblocking_filter_control_present_flag
+        raise NotImplementedError(
+            "deblocking-control slice-header fields not in subset"
+        )
+    r.u(1)  # constrained_intra_pred_flag
+    if r.u(1) != 0:  # redundant_pic_cnt_present_flag
+        raise NotImplementedError("redundant_pic_cnt not in subset")
+    return {"bottom_field_poc": bottom_field_poc}
 
 
 # --- encode -----------------------------------------------------------------
@@ -322,6 +357,7 @@ def decode_h264_ipcm(
     NotImplementedError (never misdecodes) on the documented seam:
     CABAC, non-I_PCM macroblocks, high profiles, interlace."""
     sps = None
+    pps = None
     frames = []
     for nal in _split_nals(data):
         if not nal:
@@ -329,16 +365,17 @@ def decode_h264_ipcm(
         header = nal[0]
         if header & 0x80:
             raise ValueError("forbidden_zero_bit set")
+        ref_idc = (header >> 5) & 3
         nal_type = header & 0x1F
         rbsp = _unescape_rbsp(nal[1:])
         if nal_type == 7:
             sps = _parse_sps(rbsp)
         elif nal_type == 8:
-            _parse_pps(rbsp)
+            pps = _parse_pps(rbsp)
         elif nal_type in (1, 5):
-            if sps is None:
-                raise ValueError("slice before SPS")
-            wmb, hmb, log2_mfn = sps
+            if sps is None or pps is None:
+                raise ValueError("slice before SPS/PPS")
+            wmb, hmb = sps["width_mbs"], sps["height_mbs"]
             r = _BitReader(rbsp)
             if r.ue() != 0:
                 raise NotImplementedError("multi-slice pictures not in subset")
@@ -348,11 +385,24 @@ def decode_h264_ipcm(
                     f"non-I slice_type {slice_type} is behind the library seam"
                 )
             r.ue()  # pic_parameter_set_id
-            r.u(log2_mfn)  # frame_num
+            r.u(sps["log2_max_frame_num"])  # frame_num
             if nal_type == 5:
                 r.ue()  # idr_pic_id
+            if sps["poc_type"] == 0:
+                r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
+                if pps["bottom_field_poc"]:
+                    r.se()  # delta_pic_order_cnt_bottom
+            # dec_ref_pic_marking (spec 7.3.3.3) is present whenever
+            # nal_ref_idc != 0 — for non-IDR slices too (round-10
+            # review: skipping it would misalign the macroblock loop)
+            if nal_type == 5:
                 r.u(1)  # no_output_of_prior_pics_flag
                 r.u(1)  # long_term_reference_flag
+            elif ref_idc != 0:
+                if r.u(1) != 0:  # adaptive_ref_pic_marking_mode_flag
+                    raise NotImplementedError(
+                        "adaptive ref-pic marking (MMCO) not in subset"
+                    )
             r.se()  # slice_qp_delta
             width, height = 16 * wmb, 16 * hmb
             y = [0] * (width * height)
@@ -379,4 +429,4 @@ def decode_h264_ipcm(
             frames.append((y, cb, cr))
     if sps is None:
         raise ValueError("no SPS in stream")
-    return 16 * sps[0], 16 * sps[1], frames
+    return 16 * sps["width_mbs"], 16 * sps["height_mbs"], frames

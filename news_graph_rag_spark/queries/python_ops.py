@@ -858,19 +858,33 @@ def retrieval_ppr_expand(spark: SparkSession, sf: str) -> DataFrame:
     )
     marker = os.path.join(stage, "_STAGED")
     if not os.path.exists(marker):
+        # staged-rename publish (the ensure_index discipline, round-10
+        # review): build into a private tmp dir and atomically rename
+        # one COMPLETE winner into place — a concurrent builder must
+        # never overwrite files a just-returned lazy plan still reads
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(
+            prefix=os.path.basename(stage) + ".tmp_",
+            dir=os.path.dirname(stage),
+        )
         built = _ppr_store_build(spark, sf)
         built["chunk"].select("uid").coalesce(1).write.mode(
             "overwrite"
-        ).parquet(os.path.join(stage, "chunk"))
+        ).parquet(os.path.join(tmp, "chunk"))
         built["mentions"].select("src_uid", "dst_uid").coalesce(1).write.mode(
             "overwrite"
-        ).parquet(os.path.join(stage, "mentions"))
+        ).parquet(os.path.join(tmp, "mentions"))
         for df in built.pending_caches:
             df.unpersist()
         built.pending_caches = []
-        built.release_checkpoints()
-        with open(marker, "w") as mf:
+        with open(os.path.join(tmp, "_STAGED"), "w") as mf:
             mf.write("ok")
+        try:
+            os.rename(tmp, stage)
+        except OSError:  # a concurrent builder won the rename
+            shutil.rmtree(tmp, ignore_errors=True)
     chunk = spark.read.parquet(os.path.join(stage, "chunk"))
     men = spark.read.parquet(os.path.join(stage, "mentions"))
     store = GraphStore(spark, {"chunk": chunk, "mentions": men})

@@ -252,6 +252,7 @@ def ppr_expand(
     id_col: str = "uid",
     score_col: str = "score",
     broadcast_rank_limit: int = 5_000_000,
+    finalize: bool = True,
 ) -> DataFrame:
     """Personalized-PageRank context expansion — the principled upgrade
     of R4's 1-hop join for graph-RAG context selection.
@@ -281,8 +282,17 @@ def ppr_expand(
     join on ``src`` — the plan Spark would pick for any fact-fact
     join — asserted by tests/test_plans.py::test_ppr_hub_fallback. The
     checkpoint-per-round trades one extra edge-list pass per round
-    (the ReusedExchange across rounds is lost) for a measured frontier;
-    superseded round checkpoints are unpersisted before returning.
+    (the ReusedExchange across rounds is lost) for a measured frontier.
+
+    Checkpoint hygiene: superseded round checkpoints are unpersisted as
+    soon as the next round materializes. With ``finalize=True`` (the
+    default) the k-row result is itself checkpointed and the remaining
+    seed/round blocks are freed immediately — repeated serving calls
+    pin only k rows each, and even those ids are registered on
+    ``store.checkpoint_rdd_ids`` for ``GraphStore.release_checkpoints``.
+    ``finalize=False`` returns the full lazy join plan (for ``explain``
+    / plan tests) and leaves the blocks registered on the store for the
+    caller to release.
 
     Determinism (round 9): per-edge contributions and teleport mass are
     cast to DECIMAL(30,12) before the per-node SUM, so rank totals are
@@ -358,10 +368,45 @@ def ppr_expand(
             )
         )
     chunk_ids = store["chunk"].select(F.col("uid").alias("id"))
-    return (
+    out = (
         ranks.join(chunk_ids, "id")
         .join(seeds.select("id"), "id", "left_anti")
         .orderBy(F.desc("rank"), F.asc("id"))
         .limit(k)
         .select(F.col("id").alias("uid"), "rank")
     )
+    if not finalize:
+        # plan-inspection hook: keep the full lazy join plan; the
+        # caller owns the checkpoint blocks, registered on the store
+        # for GraphStore.release_checkpoints
+        ids = getattr(store, "checkpoint_rdd_ids", [])
+        ids.extend(
+            x
+            for x in (
+                seeds._jdf.queryExecution().analyzed().rdd().id(),
+                prev_ckpt_rdd_id,
+            )
+            if x is not None
+        )
+        store.checkpoint_rdd_ids = ids
+        return out
+    # checkpoint-release discipline (round-10 review; the localCheckpoint
+    # cliff in GraphStore.release_checkpoints): materialize the k-row
+    # result NOW, then free the seed and round checkpoints — otherwise
+    # every call pins a frontier-sized block until the session dies.
+    # Only the k-row result block stays pinned, registered on the store
+    # so release_checkpoints() can reclaim even that.
+    final = out.localCheckpoint(eager=True)
+    for rdd_id in (
+        seeds._jdf.queryExecution().analyzed().rdd().id(),
+        prev_ckpt_rdd_id,
+    ):
+        if rdd_id is not None:
+            try:
+                jsc.unpersistRDD(rdd_id, False)
+            except Exception:
+                pass
+    ids = getattr(store, "checkpoint_rdd_ids", [])
+    ids.append(final._jdf.queryExecution().analyzed().rdd().id())
+    store.checkpoint_rdd_ids = ids
+    return final

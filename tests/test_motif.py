@@ -231,8 +231,10 @@ def test_motif_negated_parity_with_anti_join(store):
 
 
 def test_motif_negated_bound_endpoints(store):
-    """!(b)-[:T]->(a) with both endpoints bound: mutual-mention check —
-    positive pairs minus reversed-edge pairs."""
+    """A labeled-anonymous negated endpoint inside a 2-positive-unit
+    pattern: output columns keep positive-order, and every surviving
+    chunk mentions no Organization (the negated semi-join restriction
+    actually applied)."""
     motif = store.find(
         "(a:Article)-[:CONTAINS]->(c:Chunk); (a)-[:HAS_TOPIC]->(t:Topic); "
         "!(c)-[:MENTIONS]->(:Organization)"
@@ -273,3 +275,55 @@ def test_motif_negated_anti_plan_shape(store):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
+
+
+def test_motif_negated_both_endpoints_and_reversed(spark):
+    """Both negation endpoints bound by positive terms: knows-pairs
+    minus reversed-edge pairs (the mutual-knows anti-pattern)."""
+    nodes = {
+        "P": spark.createDataFrame([(i,) for i in range(1, 5)], "uid: long")
+    }
+    edges = {
+        "K": spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 4)], "src_uid: long, dst_uid: long"
+        )
+    }
+    g = MotifGraph(nodes, edges)
+    out = sorted(
+        (r["a"]["uid"], r["b"]["uid"])
+        for r in g.find("(a:P)-[:K]->(b:P); !(b)-[:K]->(a)").collect()
+    )
+    assert out == [(2, 3), (3, 4)]  # the mutual 1<->2 pair drops
+
+
+def test_motif_self_loop_units(spark):
+    """Repeated-variable units (round-10 review, confirmed-bug class):
+    (a)-[:E]->(a) must match ONLY self-loop edges, and !(a)-[:B]->(a)
+    must subtract ONLY rows whose uid has a B self-loop — not degrade
+    to src-only matching."""
+    nodes = {
+        "N": spark.createDataFrame([(1,), (2,), (3,)], "uid: long")
+    }
+    edges = {
+        "E": spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 3)], "src_uid: long, dst_uid: long"
+        ),
+        "B": spark.createDataFrame([(1, 2)], "src_uid: long, dst_uid: long"),
+        "B2": spark.createDataFrame([(3, 3)], "src_uid: long, dst_uid: long"),
+    }
+    g = MotifGraph(nodes, edges)
+    # positive self-loop: only (3,3) matches
+    assert [r["a"]["uid"] for r in g.find("(a:N)-[:E]->(a)").collect()] == [3]
+    # negated self-loop over B (no self-loops): nothing may drop —
+    # the pre-fix compiler wrongly removed (1,2) by matching src only
+    out = sorted(
+        (r["a"]["uid"], r["b"]["uid"])
+        for r in g.find("(a:N)-[:E]->(b:N); !(a)-[:B]->(a)").collect()
+    )
+    assert out == [(1, 2), (2, 3), (3, 3)]
+    # negated self-loop over B2 ({3,3}): exactly a=3 rows drop
+    out2 = sorted(
+        (r["a"]["uid"], r["b"]["uid"])
+        for r in g.find("(a:N)-[:E]->(b:N); !(a)-[:B2]->(a)").collect()
+    )
+    assert out2 == [(1, 2), (2, 3)]

@@ -35,6 +35,7 @@ ENTRIES = [
     # round 10: the MJPEG container+codec kernel joins the suite — the
     # NULL-n_chars doc must drop on BOTH sides before frame synthesis
     "multimodal_mjpeg_frame_stats",
+    "multimodal_h264_frame_stats",
 ]
 
 

@@ -1953,7 +1953,8 @@ def test_h264_stream_structure_and_seam():
     assert b"\x00\x00\x00\x01\x65" in enc  # IDR slice (5)
     sps_rbsp = _write_sps(2, 3)
     assert sps_rbsp[0] == 66  # baseline profile_idc
-    assert _parse_sps(sps_rbsp)[:2] == (2, 3)
+    parsed = _parse_sps(sps_rbsp)
+    assert (parsed["width_mbs"], parsed["height_mbs"]) == (2, 3)
     # dimensions must be whole macroblocks
     with _pytest.raises(ValueError, match="whole macroblocks"):
         encode_h264_ipcm(20, 16, [([0] * 320, [0] * 80, [0] * 80)])
@@ -1978,3 +1979,102 @@ def test_h264_stream_structure_and_seam():
     wp.trailing_bits()
     with _pytest.raises(NotImplementedError, match="CABAC"):
         decode_h264_ipcm(_nal(7, _write_sps(1, 1)) + _nal(8, wp.rbsp()))
+
+
+def test_h264_foreign_header_variants():
+    """Conformant variants our encoder never writes must either decode
+    correctly or raise — never land the bit cursor in the wrong field
+    (round-10 review finding): non-IDR slices carry dec_ref_pic_marking
+    when nal_ref_idc != 0, poc_type-0 SPS adds pic_order_cnt_lsb to the
+    slice header, and frame cropping / MMCO are refused."""
+    import pytest as _pytest
+
+    from news_graph_rag_spark.pipeline.h264_codec import (
+        _BitWriter,
+        _nal,
+        _parse_sps,
+        _write_pps,
+        _write_sps,
+        decode_h264_ipcm,
+    )
+
+    def slice_rbsp(idr, poc_bits=0, adaptive=None, pcm=True):
+        w = _BitWriter()
+        w.ue(0)  # first_mb_in_slice
+        w.ue(7 if idr else 2)  # I slice
+        w.ue(0)  # pps id
+        w.u(4, 0)  # frame_num
+        if idr:
+            w.ue(0)  # idr_pic_id
+        if poc_bits:
+            w.u(poc_bits, 0)  # pic_order_cnt_lsb
+        if idr:
+            w.u(2, 0)  # dec_ref_pic_marking (IDR)
+        elif adaptive is not None:
+            w.u(1, adaptive)  # adaptive_ref_pic_marking_mode_flag
+        w.se(0)  # slice_qp_delta
+        if pcm:
+            w.ue(25)  # I_PCM
+            w.align_zero()
+            w.raw_bytes(bytes(range(200)) + bytes(56) + b"\x55" * 128)
+        w.trailing_bits()
+        return w.rbsp()
+
+    base = _nal(7, _write_sps(1, 1)) + _nal(8, _write_pps())
+    # non-IDR I_PCM slice, ref_idc=0 -> NO dec_ref_pic_marking: decodes
+    _, _, frames = decode_h264_ipcm(
+        base + _nal(1, slice_rbsp(idr=False), ref_idc=0)
+    )
+    assert len(frames) == 1 and frames[0][0][:3] == [0, 1, 2]
+    # non-IDR, ref_idc=2, adaptive flag 0 -> marker read, still decodes
+    _, _, frames = decode_h264_ipcm(
+        base + _nal(1, slice_rbsp(idr=False, adaptive=0), ref_idc=2)
+    )
+    assert len(frames) == 1 and frames[0][2] == [0x55] * 64
+    # non-IDR, adaptive flag 1 (MMCO ops follow) -> refuse, not misparse
+    with _pytest.raises(NotImplementedError, match="MMCO"):
+        decode_h264_ipcm(
+            base + _nal(1, slice_rbsp(idr=False, adaptive=1), ref_idc=2)
+        )
+    # poc_type-0 SPS: slice header gains pic_order_cnt_lsb -> decodes
+    wsps = _BitWriter()
+    wsps.u(8, 66)
+    wsps.u(8, 0)
+    wsps.u(8, 10)
+    wsps.ue(0)  # sps id
+    wsps.ue(0)  # log2_max_frame_num_minus4
+    wsps.ue(0)  # poc_type 0
+    wsps.ue(0)  # log2_max_pic_order_cnt_lsb_minus4 -> 4 bits
+    wsps.ue(0)  # max_num_ref_frames
+    wsps.u(1, 0)
+    wsps.ue(0)  # width_mbs-1
+    wsps.ue(0)  # height_mbs-1
+    wsps.u(1, 1)  # frame_mbs_only
+    wsps.u(1, 1)  # direct_8x8
+    wsps.u(1, 0)  # no cropping
+    wsps.u(1, 0)  # no vui
+    wsps.trailing_bits()
+    poc0 = _nal(7, wsps.rbsp()) + _nal(8, _write_pps()) + _nal(
+        5, slice_rbsp(idr=True, poc_bits=4)
+    )
+    _, _, frames = decode_h264_ipcm(poc0)
+    assert len(frames) == 1 and frames[0][0][:3] == [0, 1, 2]
+    # cropped SPS -> refuse (dimensions would not be whole MBs)
+    wc = _BitWriter()
+    wc.u(8, 66)
+    wc.u(8, 0)
+    wc.u(8, 10)
+    for v in (0, 0, 2, 0):  # sps id, log2_mfn, poc_type 2, max_ref
+        wc.ue(v)
+    wc.u(1, 0)
+    wc.ue(0)
+    wc.ue(0)
+    wc.u(1, 1)
+    wc.u(1, 1)
+    wc.u(1, 1)  # frame_cropping_flag = 1
+    for _ in range(4):
+        wc.ue(0)
+    wc.u(1, 0)
+    wc.trailing_bits()
+    with _pytest.raises(NotImplementedError, match="cropping"):
+        _parse_sps(wc.rbsp())

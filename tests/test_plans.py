@@ -562,11 +562,16 @@ def test_ppr_hub_fallback(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         guarded = plan_of(
-            ppr_expand(store, seeds, k=5, broadcast_rank_limit=0), "simple"
+            ppr_expand(
+                store, seeds, k=5, broadcast_rank_limit=0, finalize=False
+            ),
+            "simple",
         )
         assert "BroadcastHashJoin" not in guarded
         assert "SortMergeJoin" in guarded or "ShuffledHashJoin" in guarded
-        hinted = plan_of(ppr_expand(store, seeds, k=5), "simple")
+        hinted = plan_of(
+            ppr_expand(store, seeds, k=5, finalize=False), "simple"
+        )
         assert "BroadcastHashJoin" in hinted
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
