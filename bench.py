@@ -173,6 +173,8 @@ HEADLINE = [
     "motif_anti_no_urgent_order",
     "label_propagation_parts",
     "multimodal_h264_frame_stats",
+    "aggregate_messages_parts",
+    "streaming_interval_join_outer",
 ]
 
 

@@ -280,3 +280,72 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
             .select("id", "label")
         )
     return labels
+
+
+def aggregate_messages(
+    vertices: DataFrame,
+    edges: DataFrame,
+    msg_to_src=None,
+    msg_to_dst=None,
+    aggs=None,
+):
+    """GraphFrames' second core primitive (``aggregateMessages``),
+    DataFrame-first: build the triplet view (``src``/``edge``/``dst``
+    struct columns), evaluate the message expressions once per edge,
+    address them to the src / dst vertex, and aggregate all messages
+    per vertex.
+
+    - ``vertices``: must expose ``id`` (+ any attribute columns).
+    - ``edges``: must expose ``src``/``dst`` (+ attribute columns).
+    - ``msg_to_src`` / ``msg_to_dst``: Column expressions over the
+      triplet columns (``F.col("dst.attr")``, ``F.col("edge.w")`` — the
+      same surface as GraphFrames' AM.src/AM.dst/AM.edge). Either may
+      be None.
+    - ``aggs``: list of aggregate Columns over the message column
+      ``msg`` (default ``[F.sum("msg").alias("agg_msg")]``).
+
+    Scale: the triplet view is two equi-joins of the edge list against
+    the vertex table (Catalyst broadcasts vertex attrs while they fit;
+    at 100 TB pre-bucket both on the join key), message evaluation is
+    map-side, and the per-vertex aggregation is ONE shuffle keyed on
+    vertex id with map-side partial aggregation — the same shape every
+    round of PageRank/LPA here compiles to.
+    """
+    if msg_to_src is None and msg_to_dst is None:
+        raise ValueError("at least one of msg_to_src / msg_to_dst required")
+    if aggs is None:
+        aggs = [F.sum("msg").alias("agg_msg")]
+    v_src = vertices.select(
+        F.col("id").alias("__sid"),
+        F.struct(*[F.col(c) for c in vertices.columns]).alias("src"),
+    )
+    v_dst = vertices.select(
+        F.col("id").alias("__did"),
+        F.struct(*[F.col(c) for c in vertices.columns]).alias("dst"),
+    )
+    trip = (
+        edges.select(
+            F.col("src").alias("__sid"),
+            F.col("dst").alias("__did"),
+            F.struct(*[F.col(c) for c in edges.columns]).alias("edge"),
+        )
+        .join(v_src, "__sid")
+        .join(v_dst, "__did")
+    )
+    parts = []
+    if msg_to_src is not None:
+        parts.append(
+            trip.select(
+                F.col("__sid").alias("id"), msg_to_src.alias("msg")
+            )
+        )
+    if msg_to_dst is not None:
+        parts.append(
+            trip.select(
+                F.col("__did").alias("id"), msg_to_dst.alias("msg")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("id").agg(*aggs)

@@ -3031,3 +3031,70 @@ def label_propagation_parts(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id").cast("bigint").alias("id"),
         F.col("label").cast("bigint").alias("community"),
     )
+
+
+@register(
+    "aggregate_messages_parts",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey < 50
+    ),
+    edges AS (  -- DIRECTED low->high pairs: aggregate_messages receives
+                -- the one-directional edge list and addresses a message
+                -- to EACH endpoint itself, so the symmetric union here
+                -- would double every message
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    prices AS (SELECT p_partkey AS id, p_retailprice FROM part),
+    msgs AS (
+      -- msg_to_src: the neighbor's (dst's) retail price, addressed to src;
+      -- msg_to_dst: the src's retail price, addressed to dst
+      SELECT e.src AS id,
+             CAST(pd.p_retailprice AS DECIMAL(30,2)) AS msg
+      FROM edges e JOIN prices pd ON e.dst = pd.id
+      UNION ALL
+      SELECT e.dst AS id,
+             CAST(ps.p_retailprice AS DECIMAL(30,2)) AS msg
+      FROM edges e JOIN prices ps ON e.src = ps.id
+    )
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(count(*) AS BIGINT) AS n_msgs,
+           CAST(SUM(msg) AS DOUBLE) AS sum_neighbor_price
+    FROM msgs GROUP BY id
+    """,
+    doc="GraphFrames API parity, part 2 (g.find was part 1, SURVEY "
+    "§1.3): the aggregateMessages primitive — triplet view (src/edge/"
+    "dst structs), per-edge message expressions addressed to either "
+    "endpoint, one per-vertex aggregation "
+    "(graph_algos.aggregate_messages). This entry sends each "
+    "co-purchase neighbor's retail price to both endpoints and "
+    "aggregates count + decimal-exact sum per part — the building "
+    "block GraphFrames users write custom vertex analytics with. "
+    "Scale: two vertex-attr joins (broadcastable), map-side "
+    "message eval, one id-keyed shuffle with partial aggregation. "
+    "Value-verified: the DuckDB oracle replays both message legs as "
+    "UNION ALL + GROUP BY with the same DECIMAL(30,2) per-message "
+    "casts.",
+)
+def aggregate_messages_parts(spark: SparkSession, sf: str) -> DataFrame:
+    from ..graph_algos import aggregate_messages
+
+    vertices = load(spark, sf, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_retailprice")
+    )
+    return aggregate_messages(
+        vertices,
+        _copurchase_edges(spark, sf),
+        msg_to_src=F.col("dst.p_retailprice").cast("decimal(30,2)"),
+        msg_to_dst=F.col("src.p_retailprice").cast("decimal(30,2)"),
+        aggs=[
+            F.count(F.lit(1)).cast("bigint").alias("n_msgs"),
+            F.sum("msg").cast("double").alias("sum_neighbor_price"),
+        ],
+    ).select(
+        F.col("id").cast("bigint").alias("id"), "n_msgs", "sum_neighbor_price"
+    )

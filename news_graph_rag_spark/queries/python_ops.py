@@ -1585,3 +1585,131 @@ def motif_anti_no_urgent_order(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("n.name").alias("name"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )
+
+
+def _stage_ordered_batches(dfs, sf: str, kind: str) -> str:
+    """Stage a list of DataFrames as ONE parquet file each with strictly
+    increasing mtimes, so a maxFilesPerTrigger=1 file stream replays
+    them as ordered micro-batches (the streaming_stateful_sessions
+    sentinel pattern, factored out for reuse). Fingerprint-keyed like
+    every staged input — a testdata regen rebuilds automatically."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from .catalog import fingerprint_stage_dir
+
+    src = fingerprint_stage_dir(os.path.join(sf, "events.parquet"), kind)
+    marker = os.path.join(src, "_STAGED")
+    if not os.path.exists(marker):
+        tmp_root = tempfile.mkdtemp(
+            prefix=os.path.basename(src) + ".tmp_", dir=os.path.dirname(src)
+        )
+        now = time.time()
+        for i, df in enumerate(dfs):
+            tmp_out = tempfile.mkdtemp(prefix="ngr_batch_stage_")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+            dest = os.path.join(tmp_root, f"{i:03d}.parquet")
+            shutil.copy(glob.glob(f"{tmp_out}/part-*.parquet")[0], dest)
+            os.utime(dest, (now + i * 10, now + i * 10))
+            shutil.rmtree(tmp_out, ignore_errors=True)
+        with open(os.path.join(tmp_root, "_STAGED"), "w") as mf:
+            mf.write("ok")
+        try:
+            os.rename(tmp_root, src)
+        except OSError:  # concurrent builder won
+            shutil.rmtree(tmp_root, ignore_errors=True)
+    return src
+
+
+_SENTINEL_USER = 999_999_999
+
+
+@register(
+    "streaming_interval_join_outer",
+    oracle="""
+    SELECT p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+    """,
+    doc="Structured Streaming: stream-stream LEFT OUTER interval join "
+    "(round 10 — the eviction half of the r2 inner join): matched rows "
+    "emit as found, and an UNMATCHED purchase emits exactly once with "
+    "a NULL click side when the watermark passes its eviction horizon "
+    "— the semantics a batch LEFT JOIN gets for free and a stream has "
+    "to earn via bounded state + watermark-driven flush. The replay "
+    "stages two far-future sentinel batches per side (the "
+    "stateful-sessionize pattern) so every real purchase's state "
+    "evicts deterministically; sentinel rows are dropped from the SINK "
+    "table, never inside the streaming plan — a filter there is pushed "
+    "down through the join into the file scans and starves the "
+    "watermark (a real Catalyst-vs-streaming interaction this entry "
+    "documents; tests/test_streaming.py pins it). Value-checked: "
+    "emitted rows equal the DuckDB batch LEFT JOIN. At 100 TB state is "
+    "O(events inside the interval+watermark horizon) per side, exactly "
+    "like the inner variant.",
+)
+def streaming_interval_join_outer(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.ingest_stream import stream_stream_interval_join
+
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+
+    def with_sentinels(df):
+        # THREE sentinel batches: the watermark a batch enforces is the
+        # one computed from the PREVIOUS batch's data, and outer-row
+        # eviction lags one further batch — two sentinels leave the
+        # final watermark window's unmatched purchases stuck in state
+        stages = [df]
+        for days in (10, 20, 30):
+            stages.append(
+                spark.sql(
+                    f"SELECT CAST({_SENTINEL_USER} AS BIGINT) AS user_id, "
+                    f"timestamp'{max_ts}' + INTERVAL {days} DAYS AS ts"
+                )
+            )
+        return stages
+
+    p_dir = _stage_ordered_batches(
+        with_sentinels(purchases), sf, "ssjo_purchases"
+    )
+    c_dir = _stage_ordered_batches(with_sentinels(clicks), sf, "ssjo_clicks")
+    ps = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(p_dir)
+    )
+    cs = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(c_dir)
+    )
+    name = "ssjo_catalog_out"
+    with _replay_shuffle_partitions(spark):
+        q = (
+            stream_stream_interval_join(
+                ps, cs, interval_seconds=300, how="leftOuter"
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # sentinel rows are dropped from the SINK table, never inside the
+    # streaming plan: a filter there gets pushed down through the join
+    # into the file scans, the sentinel rows never reach the watermark
+    # operator, the watermark never advances, and the outer rows never
+    # flush (observed, not hypothetical — see tests/test_streaming.py)
+    return spark.table(name).filter(F.col("user_id") != _SENTINEL_USER)

@@ -154,15 +154,20 @@ def stream_stream_interval_join(
     watermark: str = "1 hour",
     key_col: str = "user_id",
     ts_col: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: clicks within ``interval_seconds``
-    BEFORE each purchase by the same user.
+    """Stream-stream join: clicks within ``interval_seconds`` BEFORE
+    each purchase by the same user.
 
     Both sides carry watermarks and the join condition bounds event time
     on both sides, so Spark can expire join state: click state is held
     for (interval + watermark), purchase state for (watermark) — without
     the time bound the state would grow forever. Matches emit as they
-    are found (inner join), so no sentinel/timeout is needed.
+    are found; with ``how="leftOuter"`` (round 10) an UNMATCHED purchase
+    additionally emits once with a NULL click side — but only when the
+    watermark passes its eviction horizon, so the outer rows are
+    delayed by the watermark (the documented Structured Streaming
+    semantics; drive the watermark forward to flush them).
     """
     p = purchases.withWatermark(ts_col, watermark).alias("p")
     c = clicks.withWatermark(ts_col, watermark).alias("c")
@@ -173,6 +178,7 @@ def stream_stream_interval_join(
             f"AND c.{ts_col} > p.{ts_col} - INTERVAL {interval_seconds} SECONDS "
             f"AND c.{ts_col} <= p.{ts_col}"
         ),
+        how,
     ).select(
         F.col(f"p.{key_col}").alias(key_col),
         F.col(f"p.{ts_col}").alias("purchase_ts"),

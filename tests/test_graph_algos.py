@@ -159,3 +159,46 @@ def test_label_propagation_converges_and_is_deterministic(spark):
     assert {got[i] for i in (0, 1, 2)} == {0}
     assert {got[i] for i in (3, 4, 5)} == {2}
     assert got[0] != got[3]
+
+
+def test_aggregate_messages_semantics(spark):
+    """GraphFrames aggregateMessages parity: message expressions see
+    the triplet (src/edge/dst structs), each leg addresses its own
+    endpoint, and vertices receiving no message are absent (GraphFrames
+    behavior — outer-join with the vertex table if you need zeros)."""
+    from pyspark.sql import functions as F
+
+    from news_graph_rag_spark.graph_algos import aggregate_messages
+
+    vertices = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 99.0)], "id long, score double"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 7)], "src long, dst long, w int"
+    )
+    # msg_to_dst only: each dst receives src.score + edge.w
+    got = {
+        r["id"]: r["agg_msg"]
+        for r in aggregate_messages(
+            vertices,
+            edges,
+            msg_to_dst=F.col("src.score") + F.col("edge.w"),
+        ).collect()
+    }
+    assert got == {2: 15.0, 3: 27.0}  # node 1 and isolated 4 absent
+    # both legs + custom aggs: per-vertex message count
+    got2 = {
+        r["id"]: r["n"]
+        for r in aggregate_messages(
+            vertices,
+            edges,
+            msg_to_src=F.lit(1),
+            msg_to_dst=F.lit(1),
+            aggs=[F.count(F.lit(1)).alias("n")],
+        ).collect()
+    }
+    assert got2 == {1: 1, 2: 2, 3: 1}  # undirected degree
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        aggregate_messages(vertices, edges)

@@ -480,3 +480,76 @@ def test_streaming_hll_registers_match_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert streamed == batch
+
+
+def test_stream_stream_left_outer_join_evicts_unmatched(spark, tmp_path):
+    """Left-outer stream-stream interval join (round 10): a purchase
+    with no click in its window must emit exactly once with NULL click
+    — but ONLY after the watermark passes its eviction horizon, which
+    sentinel batches drive. Also pins the pushdown hazard: filtering
+    sentinels INSIDE the streaming plan reaches the file scans and
+    starves the watermark, so the filter must live on the sink table."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from news_graph_rag_spark.streaming.ingest_stream import (
+        stream_stream_interval_join,
+    )
+
+    def stage(dfs, name):
+        root = str(tmp_path / name)
+        os.makedirs(root)
+        now = time.time()
+        for i, df in enumerate(dfs):
+            t = tempfile.mkdtemp()
+            df.coalesce(1).write.mode("overwrite").parquet(t)
+            dest = os.path.join(root, f"{i:03d}.parquet")
+            shutil.copy(glob.glob(f"{t}/part-*.parquet")[0], dest)
+            os.utime(dest, (now + i * 10, now + i * 10))
+            shutil.rmtree(t, ignore_errors=True)
+        return root
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "user_id bigint, ts timestamp"
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    real_p = mk([(1, t0), (2, t0 + dt.timedelta(minutes=90))])
+    real_c = mk([(1, t0)])  # user 1 matches; user 2 has no click
+    sents = [mk([(999, t0 + dt.timedelta(days=d))]) for d in (10, 20, 30)]
+    p_dir = stage([real_p] + sents, "p")
+    c_dir = stage([real_c] + sents, "c")
+    ps = (
+        spark.readStream.schema(real_p.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(p_dir)
+    )
+    cs = (
+        spark.readStream.schema(real_c.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(c_dir)
+    )
+    q = (
+        stream_stream_interval_join(
+            ps, cs, interval_seconds=300, how="leftOuter"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssjo_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["user_id"], r["click_ts"] is None)
+        for r in spark.table("ssjo_test")
+        .filter(F.col("user_id") != 999)
+        .collect()
+    )
+    # user 1 matched (click_ts NOT null); user 2 evicted as unmatched
+    assert got == [(1, False), (2, True)]
