@@ -496,46 +496,28 @@ def graph_ingest_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     "with out-of-order replays in tests/test_streaming.py.",
 )
 def streaming_stateful_sessions(spark: SparkSession, sf: str) -> DataFrame:
-    import glob
-    import os
-    import shutil
-    import tempfile
-    import time
-
     from ..streaming.stateful import stateful_sessionize
 
     events = load(spark, sf, "events").filter(F.col("user_id") < 100).select(
         "user_id", "ts"
     )
-    # replay as: real events, then two far-future sentinel batches that
-    # advance the watermark so every real session flushes via timeout
-    from .catalog import fingerprint_stage_dir
 
-    src = fingerprint_stage_dir(
-        os.path.join(sf, "events.parquet"), "stateful_sess"
-    )
-    max_ts = events.agg(F.max("ts")).first()[0]
-    stages = [events]
-    for days in (10, 20):
-        stages.append(
-            spark.sql(
-                f"SELECT CAST(999999999 AS BIGINT) AS user_id, "
-                f"timestamp'{max_ts}' + INTERVAL {days} DAYS AS ts"
+    def with_sentinels():
+        # replay as: real events, then two far-future sentinel batches
+        # that advance the watermark so every real session flushes via
+        # timeout (cold stage build only)
+        max_ts = events.agg(F.max("ts")).first()[0]
+        stages = [events]
+        for days in (10, 20):
+            stages.append(
+                spark.sql(
+                    f"SELECT CAST({_SENTINEL_USER} AS BIGINT) AS user_id, "
+                    f"timestamp'{max_ts}' + INTERVAL {days} DAYS AS ts"
+                )
             )
-        )
-    now = time.time()
-    marker = os.path.join(src, "_STAGED")
-    if not os.path.exists(marker):
-        os.makedirs(src, exist_ok=True)
-        for i, df in enumerate(stages):
-            tmp_out = tempfile.mkdtemp(prefix="ngr_sess_stage_")
-            df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
-            dest = os.path.join(src, f"{i:03d}.parquet")
-            shutil.copy(glob.glob(f"{tmp_out}/part-*.parquet")[0], dest)
-            os.utime(dest, (now + i * 10, now + i * 10))
-            shutil.rmtree(tmp_out, ignore_errors=True)
-        with open(marker, "w") as mf:
-            mf.write("ok")
+        return stages
+
+    src = _stage_ordered_batches(with_sentinels, sf, "stateful_sess")
 
     stream = (
         spark.readStream.schema(events.schema)
@@ -865,9 +847,11 @@ def retrieval_ppr_expand(spark: SparkSession, sf: str) -> DataFrame:
         import shutil
         import tempfile
 
+        # tmp named OUTSIDE fingerprint_stage_dir's ngr_{kind}_* sweep
+        # glob, so the stale-generation sweeper can never rmtree an
+        # in-flight build (round-10 review)
         tmp = tempfile.mkdtemp(
-            prefix=os.path.basename(stage) + ".tmp_",
-            dir=os.path.dirname(stage),
+            prefix="ngrtmp_pprstore_", dir=os.path.dirname(stage)
         )
         built = _ppr_store_build(spark, sf)
         built["chunk"].select("uid").coalesce(1).write.mode(
@@ -1587,12 +1571,16 @@ def motif_anti_no_urgent_order(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _stage_ordered_batches(dfs, sf: str, kind: str) -> str:
-    """Stage a list of DataFrames as ONE parquet file each with strictly
+def _stage_ordered_batches(dfs_fn, sf: str, kind: str) -> str:
+    """Stage a list of DataFrames (produced by the zero-arg ``dfs_fn``,
+    called only on a cold build) as ONE parquet file each with strictly
     increasing mtimes, so a maxFilesPerTrigger=1 file stream replays
-    them as ordered micro-batches (the streaming_stateful_sessions
-    sentinel pattern, factored out for reuse). Fingerprint-keyed like
-    every staged input — a testdata regen rebuilds automatically."""
+    them as ordered micro-batches (the sentinel pattern shared by the
+    sessionize and outer-join replays). Fingerprint-keyed like every
+    staged input — a testdata regen rebuilds automatically — and
+    published by tmp-dir + atomic rename. The tmp dir is named OUTSIDE
+    fingerprint_stage_dir's ``ngr_{kind}_*`` sweep glob so the stale-
+    generation sweeper can never rmtree an in-flight build."""
     import glob
     import os
     import shutil
@@ -1605,11 +1593,11 @@ def _stage_ordered_batches(dfs, sf: str, kind: str) -> str:
     marker = os.path.join(src, "_STAGED")
     if not os.path.exists(marker):
         tmp_root = tempfile.mkdtemp(
-            prefix=os.path.basename(src) + ".tmp_", dir=os.path.dirname(src)
+            prefix="ngrtmp_" + kind + "_", dir=os.path.dirname(src)
         )
         now = time.time()
-        for i, df in enumerate(dfs):
-            tmp_out = tempfile.mkdtemp(prefix="ngr_batch_stage_")
+        for i, df in enumerate(dfs_fn()):
+            tmp_out = tempfile.mkdtemp(prefix="ngrtmp_batch_stage_")
             df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
             dest = os.path.join(tmp_root, f"{i:03d}.parquet")
             shutil.copy(glob.glob(f"{tmp_out}/part-*.parquet")[0], dest)
@@ -1661,13 +1649,15 @@ def streaming_interval_join_outer(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", "ts"
     )
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
-    max_ts = ev.agg(F.max("ts")).first()[0]
 
     def with_sentinels(df):
         # THREE sentinel batches: the watermark a batch enforces is the
         # one computed from the PREVIOUS batch's data, and outer-row
         # eviction lags one further batch — two sentinels leave the
-        # final watermark window's unmatched purchases stuck in state
+        # final watermark window's unmatched purchases stuck in state.
+        # (Runs only on a cold stage build — the max(ts) scan is not
+        # paid on warm invocations.)
+        max_ts = ev.agg(F.max("ts")).first()[0]
         stages = [df]
         for days in (10, 20, 30):
             stages.append(
@@ -1679,9 +1669,11 @@ def streaming_interval_join_outer(spark: SparkSession, sf: str) -> DataFrame:
         return stages
 
     p_dir = _stage_ordered_batches(
-        with_sentinels(purchases), sf, "ssjo_purchases"
+        lambda: with_sentinels(purchases), sf, "ssjo_purchases"
     )
-    c_dir = _stage_ordered_batches(with_sentinels(clicks), sf, "ssjo_clicks")
+    c_dir = _stage_ordered_batches(
+        lambda: with_sentinels(clicks), sf, "ssjo_clicks"
+    )
     ps = (
         spark.readStream.schema(purchases.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1711,5 +1703,10 @@ def streaming_interval_join_outer(spark: SparkSession, sf: str) -> DataFrame:
     # streaming plan: a filter there gets pushed down through the join
     # into the file scans, the sentinel rows never reach the watermark
     # operator, the watermark never advances, and the outer rows never
-    # flush (observed, not hypothetical — see tests/test_streaming.py)
-    return spark.table(name).filter(F.col("user_id") != _SENTINEL_USER)
+    # flush (observed, not hypothetical — see tests/test_streaming.py).
+    # NULL-safe comparison: a NULL-user_id purchase is a legitimate
+    # unmatched row the oracle's LEFT JOIN keeps — plain != would
+    # evaluate NULL and silently drop it after a testdata regen
+    return spark.table(name).filter(
+        ~F.col("user_id").eqNullSafe(F.lit(_SENTINEL_USER))
+    )
