@@ -331,3 +331,174 @@ def test_upsert_into_order_col_not_in_stored_schema(spark):
         for r in upsert_into(existing, updates, ["id"], order_col="event_ts").collect()
     }
     assert got == {(1, "at9"), (2, "n1")}
+
+
+# ---- round 10: H.264 I_PCM codec, LPA, motif negation -------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=3),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_h264_ipcm_roundtrip_property(wmb, hmb, nf, rnd):
+    """For ANY whole-macroblock geometry and ANY sample bytes (zero
+    runs included — the emulation-prevention worst case), encode→decode
+    is the identity. This is the property the catalog oracle's closed
+    form relies on."""
+    from news_graph_rag_spark.pipeline.h264_codec import (
+        decode_h264_ipcm,
+        encode_h264_ipcm,
+    )
+
+    W, H = 16 * wmb, 16 * hmb
+    frames = []
+    for _ in range(nf):
+        pick = rnd.random()
+        if pick < 0.3:  # biased toward pathological zero planes
+            y = [0] * (W * H)
+            cb = [0] * ((W // 2) * (H // 2))
+        else:
+            y = [rnd.randrange(256) for _ in range(W * H)]
+            cb = [rnd.randrange(4) for _ in range((W // 2) * (H // 2))]
+        cr = [rnd.randrange(256) for _ in range((W // 2) * (H // 2))]
+        frames.append((y, cb, cr))
+    dw, dh, dec = decode_h264_ipcm(encode_h264_ipcm(W, H, frames))
+    assert (dw, dh, len(dec)) == (W, H, nf)
+    for (y, cb, cr), (y2, cb2, cr2) in zip(frames, dec):
+        assert y == list(y2) and cb == list(cb2) and cr == list(cr2)
+
+
+def _lpa_reference(edges, rounds):
+    """Pure-python synchronous min-tie-break LPA (the spec the Spark
+    implementation and the unrolled SQL oracle must both follow)."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            counts = Counter(labels[m] for m in nbrs)
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_reference_on_random_graphs(spark):
+    """Randomized differential test: Spark LPA vs the pure-python
+    reference over random graphs (one session, many graphs — the
+    hypothesis-per-example pattern is too slow with a JVM in the
+    loop)."""
+    import random
+
+    from news_graph_rag_spark.graph_algos import label_propagation
+
+    rng = random.Random(20241015)
+    for trial in range(8):
+        n = rng.randint(3, 14)
+        m = rng.randint(2, 3 * n)
+        edges = sorted(
+            {
+                (a, b)
+                for a, b in (
+                    sorted(rng.sample(range(n), 2)) for _ in range(m)
+                )
+            }
+        )
+        if not edges:
+            continue
+        rounds = rng.randint(1, 4)
+        want = _lpa_reference(edges, rounds)
+        e = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {
+            r["id"]: r["label"]
+            for r in label_propagation(e, rounds=rounds).collect()
+        }
+        assert got == want, (trial, edges, rounds)
+
+
+def test_motif_negation_matches_duckdb_on_random_graphs(spark):
+    """Randomized differential test: the motif compiler's negated-term
+    semantics vs DuckDB NOT EXISTS over random edge sets, including
+    self-loop edges (the round-10 confirmed-bug class)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from news_graph_rag_spark.motif import MotifGraph
+
+    rng = random.Random(77)
+    for trial in range(6):
+        n = rng.randint(2, 6)
+        nodes_pd = pd.DataFrame({"uid": list(range(n))})
+        mk = lambda m: pd.DataFrame(  # noqa: E731
+            sorted(
+                {
+                    (rng.randrange(n), rng.randrange(n))
+                    for _ in range(m)
+                }
+            ),
+            columns=["src_uid", "dst_uid"],
+        )
+        e_pd, b_pd = mk(rng.randint(1, 9)), mk(rng.randint(0, 5))
+        if b_pd.empty:
+            b_pd = pd.DataFrame({"src_uid": [99], "dst_uid": [99]})
+        g = MotifGraph(
+            nodes={"N": spark.createDataFrame(nodes_pd)},
+            edges={
+                "E": spark.createDataFrame(e_pd),
+                "B": spark.createDataFrame(b_pd),
+            },
+        )
+        got = sorted(
+            (r["a"]["uid"], r["b"]["uid"])
+            for r in g.find("(a:N)-[:E]->(b:N); !(a)-[:B]->(b)").collect()
+        )
+        con = duckdb.connect()
+        con.register("nodes", nodes_pd)
+        con.register("e", e_pd)
+        con.register("b", b_pd)
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                """
+                SELECT a.uid, bb.uid FROM e
+                JOIN nodes a ON e.src_uid = a.uid
+                JOIN nodes bb ON e.dst_uid = bb.uid
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM b
+                  WHERE b.src_uid = e.src_uid AND b.dst_uid = e.dst_uid
+                )
+                """
+            ).fetchall()
+        )
+        assert got == want, (trial, e_pd.values.tolist(), b_pd.values.tolist())
+        # self-loop negation: compare against explicit self-loop set
+        got_sl = sorted(
+            (r["a"]["uid"], r["b"]["uid"])
+            for r in g.find("(a:N)-[:E]->(b:N); !(a)-[:B]->(a)").collect()
+        )
+        want_sl = sorted(
+            tuple(r)
+            for r in con.execute(
+                """
+                SELECT a.uid, bb.uid FROM e
+                JOIN nodes a ON e.src_uid = a.uid
+                JOIN nodes bb ON e.dst_uid = bb.uid
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM b
+                  WHERE b.src_uid = a.uid AND b.dst_uid = a.uid
+                )
+                """
+            ).fetchall()
+        )
+        assert got_sl == want_sl, (trial,)
