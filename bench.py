@@ -175,6 +175,7 @@ HEADLINE = [
     "multimodal_h264_frame_stats",
     "aggregate_messages_parts",
     "streaming_interval_join_outer",
+    "semantic_dedup_clustered",
 ]
 
 

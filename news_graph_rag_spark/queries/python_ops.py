@@ -1651,15 +1651,14 @@ def streaming_interval_join_outer(spark: SparkSession, sf: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
 
     def with_sentinels(df):
-        # THREE sentinel batches: the watermark a batch enforces is the
-        # one computed from the PREVIOUS batch's data, and outer-row
-        # eviction lags one further batch — two sentinels leave the
-        # final watermark window's unmatched purchases stuck in state.
-        # (Runs only on a cold stage build — the max(ts) scan is not
-        # paid on warm invocations.)
+        # TWO sentinel batches: batch N enforces the watermark computed
+        # from batch N-1's data, so sentinel #1 advances the watermark
+        # past every real event and sentinel #2's batch performs the
+        # state eviction that emits the outer rows. (Runs only on a
+        # cold stage build — the max(ts) scan is not paid warm.)
         max_ts = ev.agg(F.max("ts")).first()[0]
         stages = [df]
-        for days in (10, 20, 30):
+        for days in (10, 20):
             stages.append(
                 spark.sql(
                     f"SELECT CAST({_SENTINEL_USER} AS BIGINT) AS user_id, "

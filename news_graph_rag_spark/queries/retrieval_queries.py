@@ -1747,3 +1747,83 @@ def ann_ivf_filtered_search_topk(spark: SparkSession, sf: str) -> DataFrame:
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
     allowed = emb.filter(F.expr(_ALLOW_PRED.format(v="vec_id"))).select("vec_id")
     return search_by_vector_filtered(spark, path, qv, allowed, k=10, nprobe=4)
+
+
+@register(
+    "semantic_dedup_clustered",
+    oracle=f"""
+    {_ivf_int8_build_cte(n_centroids=8)},
+    pair_dots AS (  -- pairs only WITHIN a coarse cluster (the SemDeDup
+                    -- bound: candidate pairs are cluster-local, never
+                    -- corpus-global all-pairs)
+      SELECT u.vec_id AS u_id, v.vec_id AS v_id,
+             {_IVF_DOT.format(a="u.q8", b="v.q8")} AS dot,
+             u.nrm AS un, v.nrm AS vn
+      FROM b1 u JOIN b1 v ON u.cid = v.cid AND u.vec_id < v.vec_id
+    ),
+    dups AS (  -- cos > 3/10 via exact cross-multiplied integers
+      SELECT v_id FROM pair_dots
+      WHERE dot > 0 AND 100 * dot * dot > 9 * un * vn
+    )
+    SELECT CAST(b.vec_id AS BIGINT) AS vec_id,
+           CAST(b.cid AS INT) AS centroid_id,
+           CAST(CASE WHEN EXISTS (SELECT 1 FROM dups d
+                                  WHERE d.v_id = b.vec_id)
+                THEN 0 ELSE 1 END AS BIGINT) AS kept
+    FROM b1 b
+    """,
+    doc="SEMANTIC deduplication, cluster-scoped (SemDeDup, Abbas et "
+    "al. 2023 — the embedding-space complement of the lexical "
+    "MinHash/SimHash family): vectors are assigned to the SAME "
+    "persistent ivf-int8 coarse clusters the ANN index maintains "
+    "(pipeline/ann_index.py, reused via ensure_index — dedup rides "
+    "the index build, no second clustering job), then near-duplicates "
+    "are detected only WITHIN a cluster and dropped against the "
+    "smallest-id anchor: v is dropped iff some u<v in its cluster has "
+    "cos(u,v) > 0.3 (threshold calibrated to the synthetic corpus's "
+    "near-orthogonal embeddings so the drop path is exercised; "
+    "production would use ~0.9). The per-cluster similarity matrix is "
+    "ONE exact float64 integer matmul per group (all dots < 2^53, so "
+    "BLAS float64 is exact), the drop rule is a NOT EXISTS against "
+    "smaller ids (deterministic, no transitive closure — the closure "
+    "variant is dedup_canonicalize's job), and the oracle replays "
+    "cluster assignment + pair dots + the cross-multiplied integer "
+    "threshold from first principles. Scale: candidate pairs are "
+    "cluster-local (SemDeDup's point), and cluster size is bounded by "
+    "RAISING n_centroids with corpus size — k tracks n so n/k stays "
+    "matmul-sized; the groupBy ships (id, q8, nrm) only, never text.",
+)
+def semantic_dedup_clustered(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import ensure_index, load_index
+
+    path = ensure_index(spark, sf, widen_reps=None, n_centroids=8, iters=1)
+    assignments, _, _ = load_index(spark, path)
+
+    def dedup(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        nrm = pdf["nrm"].to_numpy(np.int64)
+        q = np.stack(pdf["q8"].map(lambda x: np.asarray(x, np.float64)))
+        dots = (q @ q.T).astype(np.int64)  # exact: all dots < 2^53
+        sim = (dots > 0) & (
+            100 * dots * dots > 9 * np.outer(nrm, nrm)
+        )
+        smaller = ids[:, None] < ids[None, :]
+        dropped = (sim & smaller).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "centroid_id": pdf["centroid_id"].to_numpy(np.int32),
+                "kept": (~dropped).astype(np.int64),
+            }
+        )
+
+    return (
+        assignments.select("vec_id", "q8", "nrm", "centroid_id")
+        .groupBy("centroid_id")
+        .applyInPandas(
+            dedup, "vec_id long, centroid_id int, kept long"
+        )
+    )

@@ -2078,3 +2078,25 @@ def test_h264_foreign_header_variants():
     wc.trailing_bits()
     with _pytest.raises(NotImplementedError, match="cropping"):
         _parse_sps(wc.rbsp())
+
+
+def test_semantic_dedup_anchor_invariants(spark, sf_dir):
+    """SemDeDup entry invariants: the smallest vec_id in every cluster
+    is always kept (it has no smaller-id neighbor to drop against),
+    results are deterministic across invocations, and the drop path is
+    actually exercised on this corpus (non-degenerate threshold)."""
+    from collections import defaultdict
+
+    from news_graph_rag_spark.queries.catalog import registry
+
+    fn = registry()["semantic_dedup_clustered"].fn
+    rows = fn(spark, sf_dir).collect()
+    again = fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r["centroid_id"]].append((r["vec_id"], r["kept"]))
+    for cid, vs in by_cluster.items():
+        vs.sort()
+        assert vs[0][1] == 1, f"cluster {cid}: smallest id was dropped"
+    assert any(k == 0 for _, k in sum(by_cluster.values(), []))
