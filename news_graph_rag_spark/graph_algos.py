@@ -282,6 +282,65 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     return labels
 
 
+def strongly_connected_components(
+    edges: DataFrame, doublings: int = 6, checkpoint: bool = True
+) -> DataFrame:
+    """Exact strongly connected components over a DIRECTED edge list:
+    (id, scc_id) with scc_id = min node id in the SCC.
+
+    Reachability-doubling transitive closure: r₀ = edges ∪ identity,
+    r_{k+1} = r_k ∪ (r_k ∘ r_k), so after d doublings r covers every
+    path of ≤ 2^d edges — choose d ≥ ⌈log2(longest simple path)⌉ and r
+    is the full closure (Valiant-style logarithmic-depth closure; the
+    same squaring trick connected_components uses on parents, applied
+    to the reachability relation itself). Then
+    ``scc_id(v) = min{u : r(v,u) ∧ r(u,v)}`` — the textbook mutual-
+    reachability definition, computed as one self-join of the closure
+    on the swapped pair plus a per-node min.
+
+    Scale: the closure relation is O(n²) pairs in the worst case — this
+    is the EXACT algorithm for bounded subgraphs (entity cores, lineage
+    graphs, the ≤10⁴-node condensations that graph workloads actually
+    ask exact SCC of). For billion-node graphs the scale path is the
+    FW-BW/trim decomposition (forward/backward min-label coloring,
+    recursing on color classes), whose per-round shape is the same
+    edges⋈labels shuffle join as label_propagation here — the closure
+    variant is the one whose fixed unrolling a SQL oracle can replay
+    exactly. Each doubling is one equi-join on the middle node (AQE
+    broadcasts the relation while it fits) + distinct; localCheckpoint
+    keeps lineage flat across rounds.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    reach = (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        .unionByName(nodes.select(F.col("id").alias("u"), F.col("id").alias("w")))
+        .distinct()
+    )
+    for _ in range(doublings):
+        a = reach.select(F.col("u"), F.col("w").alias("mid"))
+        b = reach.select(F.col("u").alias("mid"), F.col("w"))
+        reach = reach.unionByName(a.join(b, "mid").select("u", "w")).distinct()
+        if checkpoint:
+            reach = reach.localCheckpoint(eager=True)
+    fwd = reach
+    bwd = reach.select(F.col("w").alias("u"), F.col("u").alias("w"))
+    mutual = fwd.join(bwd, ["u", "w"])
+    return mutual.groupBy(F.col("u").alias("id")).agg(
+        F.min("w").alias("scc_id")
+    )
+
+
 def aggregate_messages(
     vertices: DataFrame,
     edges: DataFrame,

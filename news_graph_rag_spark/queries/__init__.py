@@ -11,3 +11,4 @@ from . import retrieval_queries  # noqa: F401
 from . import advanced  # noqa: F401
 from . import python_ops  # noqa: F401
 from . import multimodal_queries  # noqa: F401
+from . import extras  # noqa: F401  (round 11; MUST stay last — first-50 pin)

@@ -202,3 +202,136 @@ def test_aggregate_messages_semantics(spark):
 
     with _pytest.raises(ValueError, match="at least one"):
         aggregate_messages(vertices, edges)
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _tarjan(pairs):
+    """Reference SCC (iterative Tarjan): {node: min-id-of-its-SCC}."""
+    from collections import defaultdict
+
+    g = defaultdict(list)
+    nodes = set()
+    for s, d in pairs:
+        g[s].append(d)
+        nodes.update((s, d))
+    index, low, on, stack, comp = {}, {}, set(), [], {}
+    counter = [0]
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, iter(g[root]))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        on.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on.add(w)
+                    work.append((w, iter(g[w])))
+                    advanced = True
+                    break
+                elif w in on:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                c = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    c.append(w)
+                    if w == v:
+                        break
+                m = min(c)
+                for x in c:
+                    comp[x] = m
+    return comp
+
+
+def _scc_dict(spark, pairs, doublings=6):
+    from news_graph_rag_spark.graph_algos import strongly_connected_components
+
+    e = edges_df(spark, pairs)
+    return {
+        r["id"]: r["scc_id"]
+        for r in strongly_connected_components(e, doublings=doublings).collect()
+    }
+
+
+def test_scc_two_cycles_with_bridge(spark):
+    # 1→2→3→1 and 10→11→12→10, one bridge 3→10: two 3-node SCCs —
+    # weak connectivity would merge everything into one component
+    pairs = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (3, 10)]
+    got = _scc_dict(spark, pairs)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_scc_does_not_merge_shared_ancestor_descendant(spark):
+    # The FW-BW-coloring counterexample: 1→5, 1→6, 5→2, 6→2. Nodes 5
+    # and 6 share min-ancestor (1) AND min-descendant (2) — a single
+    # forward/backward min-label pass would give them the same color
+    # pair, but they are NOT mutually reachable. Mutual-reachability on
+    # the exact closure must keep all four singleton.
+    pairs = [(1, 5), (1, 6), (5, 2), (6, 2)]
+    got = _scc_dict(spark, pairs)
+    assert got == {1: 1, 2: 2, 5: 5, 6: 6}
+
+
+def test_scc_long_cycle_needs_doubling_depth(spark):
+    # 12-cycle: closure needs paths of length 11; 2 doublings (≤4 hops)
+    # under-approximate (still correct SCC? no — mutual reachability
+    # fails for far-apart nodes), 4 doublings (≤16) suffice. This pins
+    # the doublings→coverage contract instead of assuming it.
+    n = 12
+    pairs = [(i, (i + 1) % n) for i in range(n)]
+    full = _scc_dict(spark, pairs, doublings=4)
+    assert set(full.values()) == {0}
+    shallow = _scc_dict(spark, pairs, doublings=2)
+    assert len(set(shallow.values())) > 1  # under-unrolled → split cycle
+    assert _tarjan(pairs) == full
+
+
+def test_scc_matches_tarjan_on_random_digraphs(spark):
+    # seeded differential: 6 random sparse digraphs, exact match
+    import random
+
+    rng = random.Random(2024)
+    for trial in range(6):
+        n = rng.randint(6, 14)
+        m = rng.randint(n, 3 * n)
+        pairs = list(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(m)
+            }
+        )
+        pairs = [(s, d) for s, d in pairs if s != d]
+        if not pairs:
+            continue
+        assert _scc_dict(spark, pairs) == _tarjan(pairs), pairs
+
+
+def test_scc_entry_closure_is_at_fixpoint(spark, sf_dir):
+    # the catalog entry unrolls 6 doublings; a 7th must change nothing
+    # (the closure reached its fixpoint well inside the budget)
+    from news_graph_rag_spark.graph_algos import strongly_connected_components
+    from news_graph_rag_spark.queries.extras import _seq_edges
+
+    e = _seq_edges(spark, sf_dir).localCheckpoint(eager=True)
+    six = strongly_connected_components(e, doublings=6)
+    seven = strongly_connected_components(e, doublings=7)
+    assert {tuple(r) for r in six.collect()} == {tuple(r) for r in seven.collect()}

@@ -36,6 +36,9 @@ ENTRIES = [
     # NULL-n_chars doc must drop on BOTH sides before frame synthesis
     "multimodal_mjpeg_frame_stats",
     "multimodal_h264_frame_stats",
+    # round 11: NULL/empty/short texts produce zero bigrams in both
+    # engines and must still appear with 0-scores via the left join
+    "lm_bigram_familiarity",
 ]
 
 
@@ -226,3 +229,68 @@ def test_ann_batch_search_empty_probe_list(spark, null_sf_dir):
     )
     assert approx.columns == ["probe_id", "vec_id", "hit"]
     assert recall.collect() == []
+
+
+def test_ewma_and_kmeans_null_value_parity(spark, tmp_path):
+    """Round-11 kernels over NULL-bearing numeric tables: EWMA must
+    renormalize around NULL values identically in both engines and
+    drop NULL-ts rows symmetrically (Spark windows order NULLS FIRST,
+    DuckDB NULLS LAST — the entry pins the semantics with an explicit
+    filter); k-means must exclude un-priced rows symmetrically (a NULL
+    distance would ride on engine-specific NULL ordering)."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_graph_rag_spark.queries import registry
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts = [t0 + dt.timedelta(minutes=i) for i in range(10)]
+    events = {
+        # user 0 (%50==0, selected): NULL value mid-stream + a NULL ts
+        # row; user 50 selected with all-NULL values; user 7 filtered out
+        "event_id": list(range(12)),
+        "ts": ts[:5] + [None] + ts[5:8] + ts[:3],
+        "user_id": [0, 0, 0, 0, 0, 0, 50, 50, 50, 7, 7, 7],
+        "event_type": ["view"] * 12,
+        "value": [1.0, None, 3.0, 4.0, None, 9.9, None, None, None, 1.0, 2.0, 3.0],
+        "props": ["{}"] * 12,
+    }
+    pq.write_table(pa.table(events), str(tmp_path / "events.parquet"))
+    orders = {
+        "o_orderkey": [1, 2, 3, 4, 5, 6],
+        "o_custkey": [1] * 6,
+        "o_orderstatus": ["O"] * 6,
+        "o_totalprice": [10.0, 20.0, None, 10000.5, 9999.49, None],
+        "o_orderdate": [t0] * 6,
+        "o_orderpriority": ["1-URGENT"] * 6,
+    }
+    pq.write_table(pa.table(orders), str(tmp_path / "orders.parquet"))
+
+    reg = registry()
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'")
+    key = lambda t: tuple((v is None, str(v)) for v in t)  # noqa: E731
+    for name in ("ewma_user_value", "kmeans_1d_totalprice"):
+        q = reg[name]
+        got = sorted(
+            (
+                tuple(None if v is None else v for v in r)
+                for r in q.fn(spark, str(tmp_path)).collect()
+            ),
+            key=key,
+        )
+        want = sorted(
+            (tuple(r) for r in con.execute(q.oracle).fetchall()), key=key
+        )
+        assert got == want, f"{name}: spark {got[:8]} vs oracle {want[:8]}"
+    # the all-NULL-value user's rows must surface with NULL ewma (den=0)
+    ew = dict()
+    for r in reg["ewma_user_value"].fn(spark, str(tmp_path)).collect():
+        ew[r["event_id"]] = r["ewma"]
+    assert ew[6] is None and ew[7] is None and ew[8] is None
+    assert 5 not in ew  # the NULL-ts row dropped
+    assert 9 not in ew  # user 7 filtered by %50

@@ -590,3 +590,31 @@ def test_ppr_hub_fallback_values_unchanged(spark):
     a = ppr_expand(store, seeds, k=5, broadcast_rank_limit=0).collect()
     b = ppr_expand(store, seeds, k=5).collect()
     assert a == b and len(a) == 5
+
+
+def test_ewma_filter_pushed_below_window(spark, sf_dir, reg):
+    """The user_id%50 output filter must reach the scan side of the
+    window (partition-key predicate pushed through the Window), so the
+    shuffle and sort only ever see selected users' rows."""
+    import re
+
+    plan = plan_of(reg["ewma_user_value"].fn(spark, sf_dir))
+    f = re.search(r"Filter \((\d+)\)", plan)
+    w = re.search(r"Window \((\d+)\)", plan)
+    assert f and w, plan[:500]
+    # lower node number = deeper in the tree = executes first
+    assert int(f.group(1)) < int(w.group(1)), "filter ran above the window"
+    assert "% 50" in plan
+    assert "PushedFilters: [IsNotNull(user_id)]" in plan
+
+
+def test_kmeans_assignment_never_shuffles_points(spark, sf_dir, reg):
+    """Lloyd assignment must be map-side argmin (array_min over a
+    1-row broadcast of the pivoted centroids): no Window, no
+    per-point-key exchange — the only shuffles are the k-group /
+    bounds aggregations and the 4-row centroid joins."""
+    plan = plan_of(reg["kmeans_1d_totalprice"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    # the point set's only key is k (o_orderkey) — it must never be a
+    # partitioning key anywhere in the plan
+    assert "hashpartitioning(k#" not in plan
