@@ -502,3 +502,147 @@ def test_motif_negation_matches_duckdb_on_random_graphs(spark):
             ).fetchall()
         )
         assert got_sl == want_sl, (trial,)
+
+
+def test_ewma_matches_pure_python_on_random_events(spark, tmp_path):
+    """Round-11 differential: the ewma_user_value entry vs a pure-Python
+    reference implementing the same truncated dyadic EWMA with the same
+    left-associative float order (Python floats ARE IEEE doubles, so
+    equality here is bit-for-bit, no tolerance)."""
+    import datetime as dt
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_graph_rag_spark.queries import registry
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for user in (0, 50, 100, 3):
+        for i in range(rng.randint(1, 20)):
+            rows.append(
+                (
+                    eid,
+                    t0 + dt.timedelta(seconds=rng.randint(0, 500)),
+                    user,
+                    "view",
+                    None if rng.random() < 0.2 else rng.uniform(-5, 5),
+                    "{}",
+                )
+            )
+            eid += 1
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": list(cols[0]),
+                "ts": list(cols[1]),
+                "user_id": list(cols[2]),
+                "event_type": list(cols[3]),
+                "value": list(cols[4]),
+                "props": list(cols[5]),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+
+    weights = [2.0 ** -(i + 1) for i in range(8)]
+
+    def ref():
+        out = {}
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r[2], []).append(r)
+        for user, urows in by_user.items():
+            if user % 50 != 0:
+                continue
+            urows.sort(key=lambda r: (r[1], r[0]))
+            vals = [r[4] for r in urows]
+            for n, r in enumerate(urows):
+                num, den = 0.0, 0.0
+                for i, w in enumerate(weights):
+                    if n - i < 0:
+                        num = num + 0.0
+                        den = den + 0.0
+                    else:
+                        x = vals[n - i]
+                        num = num + (0.0 if x is None else x * w)
+                        den = den + (w if x is not None else 0.0)
+                out[r[0]] = (num / den) if den > 0.0 else None
+        return out
+
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in registry()["ewma_user_value"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == ref()
+
+
+def test_kmeans_matches_pure_python_on_random_orders(spark, tmp_path):
+    """Round-11 differential: the integer Lloyd entry vs a pure-Python
+    replay of the same init/assign/update rules — exact centroid and
+    count equality on random order totals, including duplicate and
+    extreme values."""
+    import datetime as dt
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_graph_rag_spark.queries import registry
+
+    rng = random.Random(7)
+    prices = (
+        [rng.uniform(900, 510000) for _ in range(200)]
+        + [1000.0] * 5  # duplicates
+        + [900.0, 510000.0]  # extremes
+    )
+    n = len(prices)
+    t0 = dt.datetime(2024, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": list(range(1, n + 1)),
+                "o_custkey": [1] * n,
+                "o_orderstatus": ["O"] * n,
+                "o_totalprice": prices,
+                "o_orderdate": [t0] * n,
+                "o_orderpriority": ["1-URGENT"] * n,
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+
+    import math
+
+    xs = [int(math.floor(p * 100)) for p in prices]
+
+    def ref():
+        mn, mx = min(xs), max(xs)
+        cents = [mn + ((mx - mn) * i) // 3 for i in range(4)]
+        g = {}
+        for _ in range(2):
+            g = {}
+            for x in xs:
+                cid = min(range(4), key=lambda i: (abs(x - cents[i]), i))
+                s, c = g.get(cid, (0, 0))
+                g[cid] = (s + x, c + 1)
+            cents = [
+                (g[i][0] // g[i][1]) if i in g else cents[i] for i in range(4)
+            ]
+        return {
+            i: (cents[i], g[i][1] if i in g else 0) for i in range(4)
+        }
+
+    got = {
+        r["cid"]: (r["centroid"], r["n_points"])
+        for r in registry()["kmeans_1d_totalprice"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == ref()
