@@ -2842,83 +2842,16 @@ def histogram_quantiles_priority(spark: SparkSession, sf: str) -> DataFrame:
     "value-verifies exactness, not an approximation.",
 )
 def exact_percentile_multipass(spark: SparkSession, sf: str) -> DataFrame:
+    # kernel factored to pipeline/percentiles.py in round 11 so the
+    # robust-stats entries (median/MAD) reuse the same refinement loop
+    from ..pipeline.percentiles import exact_group_rank_value
+
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
     b = (
         load(spark, sf, "orders")
         .select(F.col("o_orderpriority").alias("prio"), cents.alias("cents"))
     )
-    b = b.persist()
-    try:
-        # pass 0: per-group bounds and target ceil-rank k
-        init = (
-            b.groupBy("prio")
-            .agg(
-                F.min("cents").alias("lo"),
-                F.max("cents").alias("hi"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
-        state = {
-            r["prio"]: {
-                "lo": int(r["lo"]),
-                "hi": int(r["hi"]),
-                "k": (int(r["n"]) * 95 + 99) // 100,  # ceil rank, 1-based
-            }
-            for r in init
-        }
-        answers: dict[str, int] = {}
-        while True:
-            live = {p: s for p, s in state.items() if p not in answers}
-            for p, s in list(live.items()):
-                if s["lo"] == s["hi"]:
-                    answers[p] = s["lo"]
-                    del live[p]
-            if not live:
-                break
-            ranges = spark.createDataFrame(
-                [
-                    (
-                        p,
-                        s["lo"],
-                        s["hi"],
-                        max(1, (s["hi"] - s["lo"] + 1 + 1023) // 1024),
-                    )
-                    for p, s in live.items()
-                ],
-                "prio string, lo long, hi long, w long",
-            )
-            counts = (
-                b.join(F.broadcast(ranges), "prio")
-                .filter(F.col("cents").between(F.col("lo"), F.col("hi")))
-                .select(
-                    "prio",
-                    F.expr("(cents - lo) div w").alias("bucket"),
-                )
-                .groupBy("prio", "bucket")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            )
-            per_prio: dict[str, dict[int, int]] = {}
-            for r in counts:
-                per_prio.setdefault(r["prio"], {})[int(r["bucket"])] = int(r["n"])
-            for p, s in live.items():
-                w = max(1, (s["hi"] - s["lo"] + 1 + 1023) // 1024)
-                k = s["k"]
-                for bkt in sorted(per_prio.get(p, {})):
-                    n = per_prio[p][bkt]
-                    if k <= n:
-                        s["lo"], s["hi"] = (
-                            s["lo"] + bkt * w,
-                            min(s["hi"], s["lo"] + (bkt + 1) * w - 1),
-                        )
-                        s["k"] = k
-                        break
-                    k -= n
-                else:  # pragma: no cover — rank beyond range is impossible
-                    raise AssertionError("target rank not found in any bucket")
-    finally:
-        b.unpersist()
+    answers = exact_group_rank_value(b, "prio", "cents", 95)
     return spark.createDataFrame(
         sorted((p, v) for p, v in answers.items()),
         "o_orderpriority string, p95_cents long",

@@ -479,3 +479,172 @@ def lm_bigram_familiarity(spark: SparkSession, sf: str) -> DataFrame:
             .alias("familiarity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCC condensation DAG
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scc_condensation_parts",
+    oracle=f"""
+    WITH edges AS MATERIALIZED ({_SEQ_EDGES_SQL}),
+    nodes AS (SELECT DISTINCT src AS id FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    r0 AS MATERIALIZED (SELECT src AS u, dst AS w FROM edges
+                        UNION SELECT id AS u, id AS w FROM nodes),
+    r1 AS {_tc_double_sql("r0")}, r2 AS {_tc_double_sql("r1")},
+    r3 AS {_tc_double_sql("r2")}, r4 AS {_tc_double_sql("r3")},
+    r5 AS {_tc_double_sql("r4")}, r6 AS {_tc_double_sql("r5")},
+    scc AS (
+      SELECT f.u AS id, MIN(f.w) AS scc_id
+      FROM r6 f JOIN r6 b ON f.u = b.w AND f.w = b.u
+      GROUP BY f.u
+    )
+    SELECT CAST(s1.scc_id AS BIGINT) AS src_scc,
+           CAST(s2.scc_id AS BIGINT) AS dst_scc,
+           CAST(count(*) AS BIGINT) AS n_edges
+    FROM edges e
+    JOIN scc s1 ON e.src = s1.id
+    JOIN scc s2 ON e.dst = s2.id
+    WHERE s1.scc_id <> s2.scc_id
+    GROUP BY 1, 2
+    """,
+    doc="graph analytics: the CONDENSATION of the directed part graph "
+    "— collapse every SCC to one node and emit the inter-SCC edges "
+    "with their multiplicities (how many original transitions cross "
+    "each condensed edge). The condensation of any digraph is a DAG "
+    "(acyclicity asserted via Tarjan in tests/test_graph_algos.py) — "
+    "the structure cycle-sensitive downstream passes (topological "
+    "scheduling, longest-path criticality, lineage ordering) actually "
+    "run on. Plan: the SCC labels join back onto the edge list twice "
+    "(node-sized label table — AQE broadcasts while it fits) and one "
+    "(src_scc, dst_scc) aggregation with map-side partials; the "
+    "closure cost is shared with scc_parts_directed's analysis. The "
+    "oracle replays the same closure + label joins in SQL.",
+)
+def scc_condensation_parts(spark: SparkSession, sf: str) -> DataFrame:
+    from ..graph_algos import strongly_connected_components
+
+    edges = _seq_edges(spark, sf).localCheckpoint(eager=True)
+    scc = strongly_connected_components(edges, doublings=6)
+    s1 = scc.select(F.col("id").alias("src"), F.col("scc_id").alias("src_scc"))
+    s2 = scc.select(F.col("id").alias("dst"), F.col("scc_id").alias("dst_scc"))
+    return (
+        edges.join(s1, "src")
+        .join(s2, "dst")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .groupBy("src_scc", "dst_scc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        .select(
+            F.col("src_scc").cast("bigint").alias("src_scc"),
+            F.col("dst_scc").cast("bigint").alias("dst_scc"),
+            "n_edges",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: median / MAD via the exact multipass selection kernel
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mad_outlier_events",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS k,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT k, x,
+             row_number() OVER (PARTITION BY k ORDER BY x) AS rn,
+             count(*) OVER (PARTITION BY k) AS n
+      FROM b
+    ),
+    med AS (SELECT k, x AS med FROM r WHERE rn = (n * 50 + 99) // 100),
+    d AS (
+      SELECT b.k, abs(b.x - med.med) AS dev, med.med AS med
+      FROM b JOIN med ON b.k = med.k
+    ),
+    r2 AS (
+      SELECT k, dev,
+             row_number() OVER (PARTITION BY k ORDER BY dev) AS rn,
+             count(*) OVER (PARTITION BY k) AS n
+      FROM d
+    ),
+    mad AS (SELECT k, dev AS mad FROM r2 WHERE rn = (n * 50 + 99) // 100)
+    SELECT d.k AS event_type,
+           CAST(MIN(d.med) AS BIGINT) AS median_micros,
+           CAST(MIN(mad.mad) AS BIGINT) AS mad_micros,
+           CAST(count(*) FILTER (WHERE d.dev > 3 * mad.mad) AS BIGINT)
+             AS n_outliers
+    FROM d JOIN mad ON d.k = mad.k
+    GROUP BY 1
+    """,
+    doc="robust statistics: median/MAD outlier detection per event "
+    "type — the robust complement of zscore_outlier_events (mean/"
+    "stddev break down exactly when outliers are present; median and "
+    "median-absolute-deviation have a 50% breakdown point). Values "
+    "are scaled to integer micro-units (FLOOR(value*1e6) — identical "
+    "IEEE multiply+floor in both engines), both medians are lower "
+    "ceil-rank medians (rank ⌈n/2⌉ — deterministic under ties), and "
+    "the outlier rule dev > 3·MAD is an integer comparison. Spark "
+    "side: TWO invocations of the factored multipass selection kernel "
+    "(pipeline/percentiles.py — per pass one map-side-combinable "
+    "≤1024-bucket histogram per group, candidate range pushed to the "
+    "scan, raw rows never sort or shuffle; the same kernel "
+    "exact_percentile_multipass value-verifies), then one broadcast "
+    "join + conditional agg. The oracle is the straightforward rank "
+    "window, so the gate verifies exactness of the whole "
+    "median→MAD→flag chain. At 100 TB: O(log₁₀₂₄ range) scans per "
+    "selection and a 5-row broadcast — no per-group global sort "
+    "(few-types groups make a partition-sorted window a skew cliff).",
+)
+def mad_outlier_events(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.percentiles import exact_group_rank_value
+
+    b = (
+        load(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("k"),
+            F.floor(F.col("value") * 1000000).cast("bigint").alias("x"),
+        )
+    )
+    med = exact_group_rank_value(b, "k", "x", 50)
+    med_df = F.broadcast(
+        spark.createDataFrame(
+            sorted(med.items()), "k string, med long"
+        )
+    )
+    d = b.join(med_df, "k").select(
+        "k", "med", F.abs(F.col("x") - F.col("med")).alias("dev")
+    )
+    mad = exact_group_rank_value(d, "k", "dev", 50)
+    mad_df = F.broadcast(
+        spark.createDataFrame(
+            sorted(mad.items()), "k string, mad long"
+        )
+    )
+    return (
+        d.join(mad_df, "k")
+        .groupBy("k")
+        .agg(
+            F.min("med").cast("bigint").alias("median_micros"),
+            F.min("mad").cast("bigint").alias("mad_micros"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            F.col("k").alias("event_type"),
+            "median_micros",
+            "mad_micros",
+            "n_outliers",
+        )
+    )

@@ -335,3 +335,17 @@ def test_scc_entry_closure_is_at_fixpoint(spark, sf_dir):
     six = strongly_connected_components(e, doublings=6)
     seven = strongly_connected_components(e, doublings=7)
     assert {tuple(r) for r in six.collect()} == {tuple(r) for r in seven.collect()}
+
+
+def test_scc_condensation_is_acyclic(spark, sf_dir):
+    # the condensation of any digraph is a DAG: running Tarjan on the
+    # condensed edges must give only singleton SCCs, and every
+    # condensed edge must connect two DIFFERENT scc ids
+    from news_graph_rag_spark.queries import registry
+
+    rows = registry()["scc_condensation_parts"].fn(spark, sf_dir).collect()
+    cond = [(r["src_scc"], r["dst_scc"]) for r in rows]
+    assert all(s != d for s, d in cond)
+    assert all(r["n_edges"] >= 1 for r in rows)
+    comp = _tarjan(cond)
+    assert all(comp[v] == v for v in comp), "condensation has a cycle"
