@@ -176,6 +176,16 @@ HEADLINE = [
     "aggregate_messages_parts",
     "streaming_interval_join_outer",
     "semantic_dedup_clustered",
+    # round-11: directed SCC + condensation, IEEE-exact EWMA (batch +
+    # watermark-ordered streaming twin), integer Lloyd k-means,
+    # bigram-LM familiarity, robust median/MAD outliers
+    "scc_parts_directed",
+    "scc_condensation_parts",
+    "ewma_user_value",
+    "streaming_ewma_users",
+    "kmeans_1d_totalprice",
+    "lm_bigram_familiarity",
+    "mad_outlier_events",
 ]
 
 

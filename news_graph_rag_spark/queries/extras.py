@@ -648,3 +648,94 @@ def mad_outlier_events(spark: SparkSession, sf: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA: watermark-ordered stateful replay of the batch window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_ewma_users",
+    oracle=_ewma_oracle(),
+    doc="Structured Streaming: per-event truncated EWMA via a custom "
+    "WATERMARK-ORDERED stateful operator (applyInPandasWithState, "
+    "streaming/stateful.py:stateful_ewma) — lag-window semantics that "
+    "Spark's built-in streaming windows cannot express (no N-ROWS "
+    "look-back across micro-batches, and eager emission is wrong "
+    "under out-of-order arrival). Rows buffer per user until the "
+    "event-time watermark guarantees nothing older can arrive, then "
+    "emit in exact event-time order against a persistent ≤7-value "
+    "tail; state = bounded buffer + O(1) tail per key. The replay "
+    "stages THREE chronological batches with deliberate cross-batch "
+    "stragglers (in-watermark late rows carried into the next batch) "
+    "plus two far-future sentinel batches to flush — and the oracle "
+    "is the SAME batch lag-window SQL as ewma_user_value, so the "
+    "driver gate verifies the streaming emission equals the batch "
+    "window BIT-FOR-BIT on doubles (the strongest claim a stateful "
+    "streaming operator can make; the dyadic-weight determinism "
+    "carries over because the fold's Python floats are IEEE doubles "
+    "evaluated in the same order).",
+)
+def streaming_ewma_users(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.stateful import stateful_ewma
+    from .python_ops import (
+        _SENTINEL_USER,
+        _replay_shuffle_partitions,
+        _stage_ordered_batches,
+    )
+
+    events = (
+        load(spark, sf, "events")
+        .filter((F.col("user_id") % 50 == 0) & F.col("ts").isNotNull())
+        .select("event_id", "ts", "user_id", "value")
+    )
+
+    def with_batches():
+        import datetime as dt
+
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+        third = (hi - lo) / 3
+        t1, t2 = lo + third, lo + 2 * third
+        margin = dt.timedelta(minutes=5)  # < the 10-min watermark delay
+        strag = (
+            (F.col("ts") >= F.lit(t1 - margin))
+            & (F.col("ts") < F.lit(t1))
+            & (F.col("event_id") % 7 == 0)
+        )
+        b1 = events.filter((F.col("ts") < F.lit(t1)) & ~strag)
+        b2 = events.filter(
+            ((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2))) | strag
+        )
+        b3 = events.filter(F.col("ts") >= F.lit(t2))
+        sents = [
+            spark.sql(
+                f"SELECT CAST({10**15 + days} AS BIGINT) AS event_id, "
+                f"timestamp'{hi}' + INTERVAL {days} DAYS AS ts, "
+                f"CAST({_SENTINEL_USER} AS BIGINT) AS user_id, "
+                "CAST(0.0 AS DOUBLE) AS value"
+            )
+            for days in (10, 20)
+        ]
+        return [b1, b2, b3, *sents]
+
+    src = _stage_ordered_batches(with_batches, sf, "ewma_replay")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = "streaming_ewma_out"
+    with _replay_shuffle_partitions(spark):
+        q = (
+            stateful_ewma(stream, watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name).filter(F.col("user_id") % 50 == 0)

@@ -148,3 +148,185 @@ def stateful_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-ordered stateful EWMA (round 11)
+# ---------------------------------------------------------------------------
+
+EWMA_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("ewma", T.DoubleType(), True),
+    ]
+)
+
+# buffer: in-watermark rows not yet safe to emit (out-of-order arrivals
+# may still precede them); tail: the ≤(len(weights)-1) most recent
+# EMITTED values in event-time order — exactly the lag state the batch
+# window needs. NULL values occupy a lag slot, so they are carried as a
+# (value, present) pair instead of a NaN-ambiguous double.
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("buf_ts", T.ArrayType(T.LongType()), False),
+        T.StructField("buf_eid", T.ArrayType(T.LongType()), False),
+        T.StructField("buf_val", T.ArrayType(T.DoubleType()), False),
+        T.StructField("buf_has", T.ArrayType(T.BooleanType()), False),
+        T.StructField("tail_val", T.ArrayType(T.DoubleType()), False),
+        T.StructField("tail_has", T.ArrayType(T.BooleanType()), False),
+    ]
+)
+
+EWMA_WEIGHTS = tuple(2.0 ** -(i + 1) for i in range(8))
+
+_EWMA_EMPTY = {
+    "event_id": pd.Series(dtype="int64"),
+    "user_id": pd.Series(dtype="int64"),
+    "ewma": pd.Series(dtype="float64"),
+}
+
+
+def _ewma_value(vals, has, weights=EWMA_WEIGHTS):
+    """Truncated renormalized EWMA over (newest-first) lag slots.
+
+    Bit-for-bit the batch expression: terms accumulate in lag order
+    with left-associative float adds (Python floats ARE IEEE doubles),
+    so the streaming emission equals the batch window exactly —
+    verified by the oracle on the catalog entry and the pure-Python
+    differential in tests/test_properties.py.
+    """
+    num, den = None, None
+    for i, w in enumerate(weights):
+        if i < len(vals) and has[i]:
+            t, p = vals[i] * w, w
+        else:
+            t, p = 0.0, 0.0
+        num = t if num is None else num + t
+        den = p if den is None else den + p
+    return (num / den) if den > 0.0 else None
+
+
+def stateful_ewma(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """Streaming per-event truncated EWMA: one output row per event,
+    emitted once the event-time watermark guarantees nothing older can
+    still arrive — a WATERMARK-ORDERED REPLAY operator (buffer rows,
+    release them in exact event-time order when the watermark passes,
+    keep only the ≤7-value tail the next emission needs).
+
+    This is the stateful shape lag-window semantics need on a stream:
+    Spark's built-in windows can't look back N ROWS across micro-batch
+    boundaries, and eager emission would be wrong under out-of-order
+    arrival. State per key = the in-flight buffer (bounded by rows per
+    watermark delay) + an O(1) lag tail; the buffer is dropped as it
+    drains while the tail PERSISTS (any future row's window includes
+    the emitted history — the same unbounded-key-lifetime contract a
+    batch lag window over the full table has).
+
+    Late-data policy: applyInPandasWithState does NOT auto-drop rows
+    older than the watermark (unlike built-in streaming aggregations),
+    so a beyond-watermark straggler is emitted BEST-EFFORT against the
+    tail as it stands — correct when its true position is after all
+    emitted rows (the common case), approximate when it isn't;
+    re-slotting into already-emitted history is impossible for any
+    incremental operator. Within the watermark the emission equals the
+    batch lag window bit-for-bit (unit-tested, and the catalog entry's
+    DuckDB oracle IS the batch SQL).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        user_id = key[0]
+        buf: list[tuple[int, int, float, bool]] = []
+        if state.exists:
+            b_ts, b_eid, b_val, b_has, t_val, t_has = state.get
+            buf = list(zip(b_ts, b_eid, b_val, b_has))
+            tail = list(zip(t_val, t_has))
+        else:
+            tail = []
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ns = pdf[ts_col].astype("datetime64[ns]").astype("int64")
+                vals = pdf[val_col]
+                eids = pdf[id_col]
+                for t_ns, eid, v in zip(ns.tolist(), eids.tolist(), vals.tolist()):
+                    has = v == v and v is not None  # NaN/None → absent
+                    buf.append(
+                        (int(t_ns) // 1_000, int(eid), float(v) if has else 0.0, bool(has))
+                    )
+
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        buf.sort(key=lambda r: (r[0], r[1]))
+        out: list[dict] = []
+        keep: list[tuple[int, int, float, bool]] = []
+        for row in buf:
+            if row[0] <= wm_us:
+                # emission order is exact event-time order: compute from
+                # the tail (newest first), then push onto it
+                lag_vals = [row[2]] + [tv for tv, _ in tail]
+                lag_has = [row[3]] + [th for _, th in tail]
+                out.append(
+                    {
+                        "event_id": row[1],
+                        "user_id": user_id,
+                        "ewma": _ewma_value(lag_vals, lag_has),
+                    }
+                )
+                tail.insert(0, (row[2], row[3]))
+                del tail[len(EWMA_WEIGHTS) - 1 :]
+            else:
+                keep.append(row)
+
+        if keep:
+            state.update(
+                (
+                    [r[0] for r in keep],
+                    [r[1] for r in keep],
+                    [r[2] for r in keep],
+                    [r[3] for r in keep],
+                    [tv for tv, _ in tail],
+                    [th for _, th in tail],
+                )
+            )
+            # re-fire as soon as the watermark can release the oldest
+            # buffered row (must be strictly above the current watermark)
+            state.setTimeoutTimestamp(
+                max(keep[0][0] // 1_000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        elif tail:
+            # buffer drained but the tail must PERSIST (no timeout): any
+            # future row's lag window includes the emitted history, so
+            # dropping it would diverge from the batch window. O(1) per
+            # key, and unbounded key lifetime is inherent to "last N
+            # events ever" semantics — the same contract a batch lag
+            # window over the full table has.
+            state.update(
+                ([], [], [], [], [tv for tv, _ in tail], [th for _, th in tail])
+            )
+        else:
+            state.remove()
+
+        if out:
+            yield pd.DataFrame(out)
+        else:
+            yield pd.DataFrame(_EWMA_EMPTY)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=EWMA_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -553,3 +553,92 @@ def test_stream_stream_left_outer_join_evicts_unmatched(spark, tmp_path):
     )
     # user 1 matched (click_ts NOT null); user 2 evicted as unmatched
     assert got == [(1, False), (2, True)]
+
+
+def test_stateful_ewma_tail_persists_and_orders_late_rows(spark, tmp_path):
+    """Round-11 watermark-ordered EWMA: (a) an in-watermark late row
+    arriving in a LATER batch must slot into its true event-time
+    position before emission; (b) the per-user lag tail must PERSIST
+    after the buffer drains, so an event arriving much later still
+    sees the full history; (c) NULL values occupy a lag slot but are
+    renormalized out."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from news_graph_rag_spark.streaming.stateful import stateful_ewma
+
+    def df_rows(*rows):
+        return spark.sql(
+            "SELECT * FROM VALUES "
+            + ", ".join(
+                f"(CAST({eid} AS BIGINT), timestamp'{ts}', "
+                f"CAST({uid} AS BIGINT), "
+                + (f"CAST({v} AS DOUBLE)" if v is not None else "CAST(NULL AS DOUBLE)")
+                + ")"
+                for eid, ts, uid, v in rows
+            )
+            + " AS v(event_id, ts, user_id, value)"
+        )
+
+    stages = [
+        df_rows(
+            (1, "2024-01-01 12:00:00", 1, 8.0),
+            (3, "2024-01-01 12:02:00", 1, 2.0),
+        ),
+        # event 2 is LATE (between 1 and 3) but inside the 10-min
+        # watermark; NULL value occupies a lag slot
+        df_rows((2, "2024-01-01 12:01:00", 1, None)),
+        # sentinel advances the watermark far enough to flush 1..3 and
+        # DRAIN the buffer (tail must survive the drain)
+        df_rows((90, "2024-01-01 13:00:00", 999, 0.0)),
+        # much later event for the same user: lags must include 8.0/2.0
+        df_rows((4, "2024-01-01 12:30:00", 1, 4.0)),
+        df_rows((91, "2024-02-01 00:00:00", 999, 0.0)),
+        df_rows((92, "2024-03-01 00:00:00", 999, 0.0)),
+    ]
+    src = str(tmp_path / "ewma_src")
+    os.makedirs(src)
+    now = time.time()
+    for i, df in enumerate(stages):
+        tmp_out = str(tmp_path / f"ewma_stage_{i}")
+        df.coalesce(1).write.parquet(tmp_out)
+        dest = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(glob.glob(f"{tmp_out}/part-*.parquet")[0], dest)
+        os.utime(dest, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stateful_ewma(stream, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_unit_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["event_id"]: r["ewma"]
+            for r in spark.sql(
+                "SELECT * FROM ewma_unit_out WHERE user_id = 1"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    # event 1: only itself -> 8.0
+    assert got[1] == 8.0
+    # event 2 (late, NULL value): lags = [NULL, 8.0] -> 8*0.25/0.25 = 8.0
+    assert got[2] == 8.0
+    # event 3: lags = [2.0, NULL, 8.0] -> (2*0.5 + 8*0.125)/(0.5+0.125)
+    assert got[3] == (2.0 * 0.5 + 8.0 * 0.125) / (0.5 + 0.125)
+    # event 4 arrives BEYOND the watermark (wm=12:50 after the 13:00
+    # sentinel): applyInPandasWithState does not auto-drop it, and the
+    # operator emits it best-effort against the persisted tail — exact
+    # here because its true position is after all emitted rows
+    assert got[4] == (4.0 * 0.5 + 2.0 * 0.25 + 8.0 * 0.0625) / (0.5 + 0.25 + 0.0625)
+    assert set(got) == {1, 2, 3, 4}
