@@ -186,6 +186,7 @@ HEADLINE = [
     "kmeans_1d_totalprice",
     "lm_bigram_familiarity",
     "mad_outlier_events",
+    "dag_layers_parts",
 ]
 
 

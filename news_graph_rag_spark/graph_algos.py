@@ -341,6 +341,65 @@ def strongly_connected_components(
     )
 
 
+def dag_longest_paths(edges: DataFrame, doublings: int = 6) -> DataFrame:
+    """Longest-path layer per node of a DAG: (id, layer) where layer =
+    the maximum number of edges on any path ENDING at the node (sources
+    get 0) — the critical-path / topological-depth quantity schedulers
+    ask of a dependency graph.
+
+    Max-plus reachability doubling (the tropical-semiring twin of
+    strongly_connected_components' boolean closure): r₀ = edges@1 ∪
+    identity@0; each squaring composes r∘r summing lengths and keeps
+    the MAX length per (u,w) pair, so after d doublings every path of
+    ≤ 2^d edges is covered; layer(v) = max over u of len(u,v).
+    Terminates because a DAG has no positive cycles (run it on the SCC
+    condensation of a general digraph). Same scale envelope as the
+    boolean closure: O(n²) pairs — exact for bounded subgraphs; the
+    billion-node path is topological peeling (iteratively remove
+    zero-in-degree nodes, k_core's per-round shape).
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    rel = (
+        e.select(
+            F.col("src").alias("u"),
+            F.col("dst").alias("w"),
+            F.lit(1).cast("bigint").alias("len"),
+        )
+        .unionByName(
+            nodes.select(
+                F.col("id").alias("u"),
+                F.col("id").alias("w"),
+                F.lit(0).cast("bigint").alias("len"),
+            )
+        )
+    )
+    for _ in range(doublings):
+        a = rel.select("u", F.col("w").alias("mid"), F.col("len").alias("la"))
+        b = rel.select(F.col("u").alias("mid"), "w", F.col("len").alias("lb"))
+        composed = a.join(b, "mid").select(
+            "u", "w", (F.col("la") + F.col("lb")).alias("len")
+        )
+        rel = (
+            rel.unionByName(composed)
+            .groupBy("u", "w")
+            .agg(F.max("len").alias("len"))
+            .localCheckpoint(eager=True)
+        )
+    return rel.groupBy(F.col("w").alias("id")).agg(
+        F.max("len").alias("layer")
+    )
+
+
 def aggregate_messages(
     vertices: DataFrame,
     edges: DataFrame,

@@ -739,3 +739,93 @@ def streaming_ewma_users(spark: SparkSession, sf: str) -> DataFrame:
         finally:
             q.stop()
     return spark.table(name).filter(F.col("user_id") % 50 == 0)
+
+
+# ---------------------------------------------------------------------------
+# DAG longest-path layering over the SCC condensation
+# ---------------------------------------------------------------------------
+
+
+def _maxplus_double_sql(prev: str) -> str:
+    """One MAX-PLUS doubling round (tropical semiring: compose sums
+    lengths, aggregate keeps the max per pair) as a DuckDB CTE body."""
+    return f"""MATERIALIZED (
+      SELECT u, w, MAX(len) AS len FROM (
+        SELECT a.u AS u, b.w AS w, a.len + b.len AS len
+        FROM {prev} a JOIN {prev} b ON a.w = b.u
+        UNION ALL SELECT u, w, len FROM {prev}
+      ) GROUP BY u, w)"""
+
+
+@register(
+    "dag_layers_parts",
+    oracle=f"""
+    WITH edges AS MATERIALIZED ({_SEQ_EDGES_SQL}),
+    nodes AS (SELECT DISTINCT src AS id FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    r0 AS MATERIALIZED (SELECT src AS u, dst AS w FROM edges
+                        UNION SELECT id AS u, id AS w FROM nodes),
+    r1 AS {_tc_double_sql("r0")}, r2 AS {_tc_double_sql("r1")},
+    r3 AS {_tc_double_sql("r2")}, r4 AS {_tc_double_sql("r3")},
+    r5 AS {_tc_double_sql("r4")}, r6 AS {_tc_double_sql("r5")},
+    scc AS MATERIALIZED (
+      SELECT f.u AS id, MIN(f.w) AS scc_id
+      FROM r6 f JOIN r6 b ON f.u = b.w AND f.w = b.u
+      GROUP BY f.u
+    ),
+    cedges AS MATERIALIZED (
+      SELECT DISTINCT s1.scc_id AS src, s2.scc_id AS dst
+      FROM edges e
+      JOIN scc s1 ON e.src = s1.id
+      JOIN scc s2 ON e.dst = s2.id
+      WHERE s1.scc_id <> s2.scc_id
+    ),
+    cnodes AS (SELECT DISTINCT src AS id FROM cedges
+               UNION SELECT DISTINCT dst FROM cedges),
+    m0 AS MATERIALIZED (
+      SELECT src AS u, dst AS w, CAST(1 AS BIGINT) AS len FROM cedges
+      UNION ALL SELECT id AS u, id AS w, CAST(0 AS BIGINT) AS len FROM cnodes
+    ),
+    m1 AS {_maxplus_double_sql("m0")}, m2 AS {_maxplus_double_sql("m1")},
+    m3 AS {_maxplus_double_sql("m2")}, m4 AS {_maxplus_double_sql("m3")},
+    m5 AS {_maxplus_double_sql("m4")}, m6 AS {_maxplus_double_sql("m5")}
+    SELECT CAST(w AS BIGINT) AS id, CAST(MAX(len) AS BIGINT) AS layer
+    FROM m6 GROUP BY w
+    """,
+    doc="graph analytics: LONGEST-PATH LAYERING of the SCC "
+    "condensation — per condensed node, the maximum number of edges "
+    "on any path ending there (sources = layer 0): the critical-path "
+    "/ topological-depth quantity dependency schedulers ask of a DAG, "
+    "and the downstream pass the condensation entry exists to enable "
+    "(cycles would make longest-path undefined; the condensation is "
+    "acyclic by construction, Tarjan-asserted). Algorithm: MAX-PLUS "
+    "reachability doubling (graph_algos.dag_longest_paths — the "
+    "tropical-semiring twin of the SCC boolean closure; 6 squarings "
+    "cover 64-edge paths ≥ the 38-node condensation depth bound; "
+    "fixpoint asserted in tests). The oracle replays closure → SCC → "
+    "condensation → max-plus doubling in one CTE chain. Scale: same "
+    "O(n²)-pairs envelope as the closure (exact for bounded "
+    "subgraphs); the billion-node path is topological peeling "
+    "(k_core's per-round shape). Differential-tested against a "
+    "pure-Python topological DP on random DAGs.",
+)
+def dag_layers_parts(spark: SparkSession, sf: str) -> DataFrame:
+    from ..graph_algos import dag_longest_paths, strongly_connected_components
+
+    edges = _seq_edges(spark, sf).localCheckpoint(eager=True)
+    scc = strongly_connected_components(edges, doublings=6)
+    s1 = scc.select(F.col("id").alias("src"), F.col("scc_id").alias("src_scc"))
+    s2 = scc.select(F.col("id").alias("dst"), F.col("scc_id").alias("dst_scc"))
+    cond = (
+        edges.join(s1, "src")
+        .join(s2, "dst")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .select(
+            F.col("src_scc").alias("src"), F.col("dst_scc").alias("dst")
+        )
+        .distinct()
+    )
+    return dag_longest_paths(cond, doublings=6).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("layer").cast("bigint").alias("layer"),
+    )

@@ -349,3 +349,98 @@ def test_scc_condensation_is_acyclic(spark, sf_dir):
     assert all(r["n_edges"] >= 1 for r in rows)
     comp = _tarjan(cond)
     assert all(comp[v] == v for v in comp), "condensation has a cycle"
+
+
+# ---------------------------------------------------------------------------
+# DAG longest-path layering (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _dp_layers(pairs):
+    """Reference longest-path layers via Kahn topological DP."""
+    from collections import defaultdict, deque
+
+    g = defaultdict(list)
+    indeg = defaultdict(int)
+    nodes = set()
+    for s, d in pairs:
+        g[s].append(d)
+        indeg[d] += 1
+        nodes.update((s, d))
+    layer = {v: 0 for v in nodes}
+    q = deque(v for v in nodes if indeg[v] == 0)
+    seen = 0
+    while q:
+        v = q.popleft()
+        seen += 1
+        for w in g[v]:
+            layer[w] = max(layer[w], layer[v] + 1)
+            indeg[w] -= 1
+            if indeg[w] == 0:
+                q.append(w)
+    assert seen == len(nodes), "input graph has a cycle"
+    return layer
+
+
+def _layers_dict(spark, pairs, doublings=6):
+    from news_graph_rag_spark.graph_algos import dag_longest_paths
+
+    return {
+        r["id"]: r["layer"]
+        for r in dag_longest_paths(
+            edges_df(spark, pairs), doublings=doublings
+        ).collect()
+    }
+
+
+def test_dag_layers_diamond_golden(spark):
+    # diamond with a long arm: 1→2→3→5 and 1→4→5 — node 5's layer is 3
+    # (the LONGEST incoming path), not 2
+    pairs = [(1, 2), (2, 3), (3, 5), (1, 4), (4, 5)]
+    assert _layers_dict(spark, pairs) == {1: 0, 2: 1, 3: 2, 4: 1, 5: 3}
+
+
+def test_dag_layers_match_topological_dp_on_random_dags(spark):
+    # seeded differential: random DAGs (edges oriented low→high can
+    # never form a cycle), exact layer equality with Kahn DP
+    import random
+
+    rng = random.Random(411)
+    for _ in range(5):
+        n = rng.randint(5, 14)
+        pairs = list(
+            {
+                tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                for _ in range(rng.randint(n, 3 * n))
+            }
+        )
+        pairs = [(s, d) for s, d in pairs if s != d]
+        if not pairs:
+            continue
+        assert _layers_dict(spark, pairs) == _dp_layers(pairs), pairs
+
+
+def test_dag_layers_entry_is_at_fixpoint(spark, sf_dir):
+    # the catalog entry unrolls 6 max-plus doublings over the
+    # condensation; a 7th must change nothing
+    from news_graph_rag_spark.graph_algos import (
+        dag_longest_paths,
+        strongly_connected_components,
+    )
+    from news_graph_rag_spark.queries.extras import _seq_edges
+
+    edges = _seq_edges(spark, sf_dir).localCheckpoint(eager=True)
+    scc = strongly_connected_components(edges, doublings=6)
+    s1 = scc.select(F.col("id").alias("src"), F.col("scc_id").alias("src_scc"))
+    s2 = scc.select(F.col("id").alias("dst"), F.col("scc_id").alias("dst_scc"))
+    cond = (
+        edges.join(s1, "src")
+        .join(s2, "dst")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .select(F.col("src_scc").alias("src"), F.col("dst_scc").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    six = {tuple(r) for r in dag_longest_paths(cond, doublings=6).collect()}
+    seven = {tuple(r) for r in dag_longest_paths(cond, doublings=7).collect()}
+    assert six == seven
