@@ -31,7 +31,16 @@ def exact_group_rank_value(
     (the per-pass candidate-range table is built with a string key).
     """
     spark = b.sparkSession
-    b = b.select(F.col(key_col).alias("k"), F.col(val_col).alias("x"))
+    # NULL discipline (round-11 review): a NULL value must not count
+    # toward n (min/max and the histogram passes can't see it — the
+    # target rank would overshoot the populated buckets and crash),
+    # and a NULL group key can never match the per-pass ranges join
+    # (SQL NULL equality) — both are excluded here, symmetrically with
+    # every caller's SQL oracle (equality joins / NOT NULL filters
+    # drop the same rows).
+    b = b.select(F.col(key_col).alias("k"), F.col(val_col).alias("x")).filter(
+        F.col("k").isNotNull() & F.col("x").isNotNull()
+    )
     b = b.persist()
     try:
         init = (

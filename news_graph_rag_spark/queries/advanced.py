@@ -2814,7 +2814,7 @@ def histogram_quantiles_priority(spark: SparkSession, sf: str) -> DataFrame:
     WITH b AS (
       SELECT o_orderpriority AS prio,
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     ),
     r AS (
       SELECT prio, cents,
@@ -2849,6 +2849,9 @@ def exact_percentile_multipass(spark: SparkSession, sf: str) -> DataFrame:
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
     b = (
         load(spark, sf, "orders")
+        # symmetric with the kernel's NULL exclusion: the oracle's rank
+        # window must never count un-priced rows either
+        .filter(F.col("o_totalprice").isNotNull())
         .select(F.col("o_orderpriority").alias("prio"), cents.alias("cents"))
     )
     answers = exact_group_rank_value(b, "prio", "cents", 95)

@@ -135,19 +135,15 @@ def scc_parts_directed(spark: SparkSession, sf: str) -> DataFrame:
 # IEEE-exact truncated EWMA over per-user event streams
 # ---------------------------------------------------------------------------
 
-# dyadic weights 2^-1 .. 2^-8: exact decimal literals, parsed to the
-# same doubles by both engines; multiplication by them is an exponent
-# shift (exact), so the only rounding is the shared-order additions.
-_EWMA_WEIGHTS = [
-    "0.5",
-    "0.25",
-    "0.125",
-    "0.0625",
-    "0.03125",
-    "0.015625",
-    "0.0078125",
-    "0.00390625",
-]
+# dyadic weights 2^-1 .. 2^-8 — ONE definition (streaming/stateful.py's
+# floats; round-11 review: a second hand-written literal list could
+# silently diverge from the streaming twin). repr() of a dyadic double
+# is its exact shortest decimal, which both engines parse back to the
+# identical double; multiplication by it is an exponent shift (exact),
+# so the only rounding is the shared-order additions.
+from ..streaming.stateful import EWMA_WEIGHTS as _EWMA_WEIGHT_FLOATS
+
+_EWMA_WEIGHTS = [repr(w) for w in _EWMA_WEIGHT_FLOATS]
 
 
 def _ewma_oracle() -> str:
@@ -156,7 +152,7 @@ def _ewma_oracle() -> str:
         "(PARTITION BY user_id ORDER BY ts, event_id)"
         if i
         else "value"
-        for i in range(8)
+        for i in range(len(_EWMA_WEIGHTS))
     ]
     num = " + ".join(
         f"COALESCE(({lag}) * {w}, 0.0)"
@@ -203,7 +199,7 @@ def ewma_user_value(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lags = [
         F.col("value") if i == 0 else F.lag("value", i).over(w)
-        for i in range(8)
+        for i in range(len(_EWMA_WEIGHTS))
     ]
     num = None
     den = None
@@ -486,6 +482,25 @@ def lm_bigram_familiarity(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _condensed_edge_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """Original directed edges annotated with their endpoints' SCC ids,
+    intra-SCC edges removed — ONE construction shared by the
+    condensation entry (group for multiplicities), the DAG-layering
+    entry (distinct pairs), and the fixpoint test (round-11 review:
+    three hand-maintained copies had crept in)."""
+    from ..graph_algos import strongly_connected_components
+
+    edges = _seq_edges(spark, sf).localCheckpoint(eager=True)
+    scc = strongly_connected_components(edges, doublings=6)
+    s1 = scc.select(F.col("id").alias("src"), F.col("scc_id").alias("src_scc"))
+    s2 = scc.select(F.col("id").alias("dst"), F.col("scc_id").alias("dst_scc"))
+    return (
+        edges.join(s1, "src")
+        .join(s2, "dst")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+    )
+
+
 @register(
     "scc_condensation_parts",
     oracle=f"""
@@ -525,16 +540,8 @@ def lm_bigram_familiarity(spark: SparkSession, sf: str) -> DataFrame:
     "oracle replays the same closure + label joins in SQL.",
 )
 def scc_condensation_parts(spark: SparkSession, sf: str) -> DataFrame:
-    from ..graph_algos import strongly_connected_components
-
-    edges = _seq_edges(spark, sf).localCheckpoint(eager=True)
-    scc = strongly_connected_components(edges, doublings=6)
-    s1 = scc.select(F.col("id").alias("src"), F.col("scc_id").alias("src_scc"))
-    s2 = scc.select(F.col("id").alias("dst"), F.col("scc_id").alias("dst_scc"))
     return (
-        edges.join(s1, "src")
-        .join(s2, "dst")
-        .filter(F.col("src_scc") != F.col("dst_scc"))
+        _condensed_edge_rows(spark, sf)
         .groupBy("src_scc", "dst_scc")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
         .select(
@@ -810,16 +817,10 @@ def _maxplus_double_sql(prev: str) -> str:
     "pure-Python topological DP on random DAGs.",
 )
 def dag_layers_parts(spark: SparkSession, sf: str) -> DataFrame:
-    from ..graph_algos import dag_longest_paths, strongly_connected_components
+    from ..graph_algos import dag_longest_paths
 
-    edges = _seq_edges(spark, sf).localCheckpoint(eager=True)
-    scc = strongly_connected_components(edges, doublings=6)
-    s1 = scc.select(F.col("id").alias("src"), F.col("scc_id").alias("src_scc"))
-    s2 = scc.select(F.col("id").alias("dst"), F.col("scc_id").alias("dst_scc"))
     cond = (
-        edges.join(s1, "src")
-        .join(s2, "dst")
-        .filter(F.col("src_scc") != F.col("dst_scc"))
+        _condensed_edge_rows(spark, sf)
         .select(
             F.col("src_scc").alias("src"), F.col("dst_scc").alias("dst")
         )

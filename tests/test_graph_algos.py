@@ -423,20 +423,11 @@ def test_dag_layers_match_topological_dp_on_random_dags(spark):
 def test_dag_layers_entry_is_at_fixpoint(spark, sf_dir):
     # the catalog entry unrolls 6 max-plus doublings over the
     # condensation; a 7th must change nothing
-    from news_graph_rag_spark.graph_algos import (
-        dag_longest_paths,
-        strongly_connected_components,
-    )
-    from news_graph_rag_spark.queries.extras import _seq_edges
+    from news_graph_rag_spark.graph_algos import dag_longest_paths
+    from news_graph_rag_spark.queries.extras import _condensed_edge_rows
 
-    edges = _seq_edges(spark, sf_dir).localCheckpoint(eager=True)
-    scc = strongly_connected_components(edges, doublings=6)
-    s1 = scc.select(F.col("id").alias("src"), F.col("scc_id").alias("src_scc"))
-    s2 = scc.select(F.col("id").alias("dst"), F.col("scc_id").alias("dst_scc"))
     cond = (
-        edges.join(s1, "src")
-        .join(s2, "dst")
-        .filter(F.col("src_scc") != F.col("dst_scc"))
+        _condensed_edge_rows(spark, sf_dir)
         .select(F.col("src_scc").alias("src"), F.col("dst_scc").alias("dst"))
         .distinct()
         .localCheckpoint(eager=True)

@@ -646,3 +646,28 @@ def test_kmeans_matches_pure_python_on_random_orders(spark, tmp_path):
         .collect()
     }
     assert got == ref()
+
+
+def test_percentile_kernel_ignores_null_values_and_keys(spark):
+    """Round-11 review regressions: a NULL value must not inflate the
+    target rank past the populated buckets (crash), and a NULL group
+    key must be excluded rather than never matching the per-pass
+    ranges join (crash) — both symmetric with the callers' oracles,
+    whose equality joins / NOT NULL filters drop the same rows."""
+    from news_graph_rag_spark.pipeline.percentiles import (
+        exact_group_rank_value,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1000),
+            ("a", 2000),
+            ("a", None),  # NULL value: must not count toward n
+            (None, 5),  # NULL key: must be excluded entirely
+            (None, 9),
+            ("b", 7),
+        ],
+        "k string, x long",
+    )
+    got = exact_group_rank_value(df, "k", "x", 95)
+    assert got == {"a": 2000, "b": 7}
