@@ -187,6 +187,8 @@ HEADLINE = [
     "lm_bigram_familiarity",
     "mad_outlier_events",
     "dag_layers_parts",
+    "streaming_interval_join_full",
+    "multimodal_audio_resample_stats",
 ]
 
 

@@ -187,6 +187,36 @@ def decode_wav_pcm(data: bytes) -> "tuple[int, int, list[int]]":
     return n_channels, sample_rate, samples
 
 
+def resample_linear_pcm16(
+    samples: "list[int]", up: int = 3, down: int = 2
+) -> "list[int]":
+    """Integer linear-interpolation resampler for 16-bit PCM — the
+    sample-rate-normalization step an audio training pipeline runs
+    after decode (e.g. 16 kHz -> 24 kHz at up/down = 3/2).
+
+    Output sample k sits at source position k*down/up: i = (k*down)
+    div up, fractional remainder r/up between x[i] and x[i+1] (clamped
+    at the last sample). All arithmetic is integer and EXACT; samples
+    are biased to unsigned (+32768) before the single floor division
+    so the quotient is of a NON-NEGATIVE numerator — Python's // floors
+    while DuckDB's // truncates toward zero, and they only agree on
+    non-negative operands (the engine-portability trick the catalog
+    oracle relies on).
+    """
+    n = len(samples)
+    if n == 0:
+        return []
+    nout = ((n - 1) * up) // down + 1
+    out = []
+    for k in range(nout):
+        pos = k * down
+        i, r = pos // up, pos % up
+        a = samples[i] + 32768
+        b = samples[min(i + 1, n - 1)] + 32768
+        out.append((a * (up - r) + b * r) // up - 32768)
+    return out
+
+
 def encode_bmp24(width: int, height: int, pixels: "list[tuple]") -> bytes:
     """Minimal BMP writer for uncompressed 24-bit images (public
     format; stdlib ``struct`` only — the image analog of

@@ -830,3 +830,202 @@ def dag_layers_parts(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id").cast("bigint").alias("id"),
         F.col("layer").cast("bigint").alias("layer"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream FULL OUTER interval join (completes the join family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_interval_join_full",
+    oracle="""
+    SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+           p.ts AS purchase_ts, c.ts AS click_ts
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+    """,
+    doc="Structured Streaming: stream-stream FULL OUTER interval join "
+    "— completes the inner (r2) / left-outer (r10) family: matches "
+    "emit as found, an unmatched PURCHASE emits once with a NULL "
+    "click side, and an unmatched CLICK emits once with a NULL "
+    "purchase side, each when the watermark passes its side's "
+    "eviction horizon; the key column is coalesced across sides so "
+    "click-only rows keep their user. Same replay discipline as the "
+    "left-outer twin (two far-future sentinel batches per side; "
+    "sentinels dropped at the SINK, never inside the plan — the "
+    "filter-pushdown-starves-the-watermark interaction documented "
+    "there). Value-checked: emitted rows equal the DuckDB batch FULL "
+    "JOIN exactly. At 100 TB state is O(events inside the "
+    "interval+watermark horizon) per side — identical envelope to "
+    "the inner variant; the outer flushes add no state, only "
+    "eviction-time emission.",
+)
+def streaming_interval_join_full(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.ingest_stream import stream_stream_interval_join
+    from .python_ops import (
+        _SENTINEL_USER,
+        _replay_shuffle_partitions,
+        _stage_ordered_batches,
+    )
+
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    def with_sentinels(df):
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        stages = [df]
+        for days in (10, 20):
+            stages.append(
+                spark.sql(
+                    f"SELECT CAST({_SENTINEL_USER} AS BIGINT) AS user_id, "
+                    f"timestamp'{max_ts}' + INTERVAL {days} DAYS AS ts"
+                )
+            )
+        return stages
+
+    p_dir = _stage_ordered_batches(
+        lambda: with_sentinels(purchases), sf, "ssjf_purchases"
+    )
+    c_dir = _stage_ordered_batches(
+        lambda: with_sentinels(clicks), sf, "ssjf_clicks"
+    )
+    ps = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(p_dir)
+    )
+    cs = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(c_dir)
+    )
+    name = "ssjf_catalog_out"
+    with _replay_shuffle_partitions(spark):
+        q = (
+            stream_stream_interval_join(
+                ps, cs, interval_seconds=300, how="fullOuter"
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # sentinels dropped at the sink (see the left-outer twin for why a
+    # plan-side filter starves the watermark); NULL-safe so legitimate
+    # NULL-user outer rows survive. The full join emits SENTINEL-
+    # sentinel matches too (both sides carry the same sentinel user),
+    # which the same predicate drops.
+    return spark.table(name).filter(
+        ~F.col("user_id").eqNullSafe(F.lit(_SENTINEL_USER))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio resample: sample-rate normalization after decode
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_audio_resample_stats",
+    oracle="""
+    WITH clips AS (
+      SELECT doc_id AS media_id, n_chars % 600 + 10 AS n
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    s AS (
+      SELECT media_id, n,
+             [CAST((media_id * 31 + i * 17) % 65536 - 32768 AS BIGINT)
+              FOR i IN range(0, n)] AS samples
+      FROM clips
+    ),
+    res AS (
+      SELECT media_id, n,
+             [ ((samples[(2*k) // 3 + 1] + 32768) * (3 - (2*k) % 3)
+                + (samples[least((2*k) // 3 + 2, n)] + 32768) * ((2*k) % 3)
+               ) // 3 - 32768
+               FOR k IN range(0, (3 * (n - 1)) // 2 + 1) ] AS rs
+      FROM s
+    )
+    SELECT media_id,
+           CAST(len(rs) AS BIGINT) AS n_out,
+           CAST(24000 AS BIGINT) AS out_rate,
+           CAST(list_sum([x * x FOR x IN rs]) AS BIGINT) AS sum_sq,
+           CAST(list_min(rs) AS BIGINT) AS min_s,
+           CAST(list_max(rs) AS BIGINT) AS max_s
+    FROM res
+    """,
+    doc="multimodal: AUDIO SAMPLE-RATE NORMALIZATION — the step every "
+    "audio training pipeline runs right after decode (mixed-rate "
+    "corpora must land on one rate before feature extraction). Per "
+    "document: synthesize the same deterministic 16-bit PCM clip as "
+    "multimodal_wav_decode_stats, round-trip it through the REAL "
+    "RIFF/WAVE encode+parse (the decode is exercised, not assumed), "
+    "then resample 16 kHz -> 24 kHz by integer linear interpolation "
+    "(pipeline/multimodal.py:resample_linear_pcm16 — output sample k "
+    "at source position 2k/3; samples biased unsigned before the one "
+    "floor division because Python // floors while DuckDB // "
+    "truncates, and they only agree on non-negative operands) and "
+    "emit exact-integer stats of the RESAMPLED signal. The oracle "
+    "replays generation + interpolation straight from the formula, so "
+    "the gate certifies decode -> resample end to end. Map-only Arrow "
+    "pass; bytes never shuffle (the multimodal prime directive).",
+)
+def multimodal_audio_resample_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.multimodal import (
+        decode_wav_pcm,
+        encode_wav_pcm16,
+        resample_linear_pcm16,
+    )
+
+    clips = spread(
+        load(spark, sf, "documents").filter(F.col("n_chars").isNotNull())
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 600 + 10).cast("int").alias("n"),
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "n_out": [],
+                "out_rate": [],
+                "sum_sq": [],
+                "min_s": [],
+                "max_s": [],
+            }
+            for media_id, n in zip(pdf["media_id"], pdf["n"]):
+                samples = [
+                    (media_id * 31 + i * 17) % 65536 - 32768 for i in range(n)
+                ]
+                wav = encode_wav_pcm16(samples, sample_rate=16000)
+                channels, rate, decoded = decode_wav_pcm(wav)
+                assert channels == 1 and rate == 16000
+                rs = resample_linear_pcm16(decoded, up=3, down=2)
+                out["media_id"].append(media_id)
+                out["n_out"].append(len(rs))
+                out["out_rate"].append(24000)
+                out["sum_sq"].append(sum(x * x for x in rs))
+                out["min_s"].append(min(rs))
+                out["max_s"].append(max(rs))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return clips.mapInPandas(
+        run,
+        "media_id long, n_out long, out_rate long, "
+        "sum_sq long, min_s long, max_s long",
+    )

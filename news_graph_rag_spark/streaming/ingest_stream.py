@@ -167,7 +167,11 @@ def stream_stream_interval_join(
     additionally emits once with a NULL click side — but only when the
     watermark passes its eviction horizon, so the outer rows are
     delayed by the watermark (the documented Structured Streaming
-    semantics; drive the watermark forward to flush them).
+    semantics; drive the watermark forward to flush them). With
+    ``how="fullOuter"`` (round 11) unmatched CLICKS flush the same way
+    with a NULL purchase side — the key column is coalesced across the
+    two sides so a click-only row keeps its user (a no-op for
+    inner/leftOuter, where the purchase side is always present).
     """
     p = purchases.withWatermark(ts_col, watermark).alias("p")
     c = clicks.withWatermark(ts_col, watermark).alias("c")
@@ -180,7 +184,7 @@ def stream_stream_interval_join(
         ),
         how,
     ).select(
-        F.col(f"p.{key_col}").alias(key_col),
+        F.coalesce(F.col(f"p.{key_col}"), F.col(f"c.{key_col}")).alias(key_col),
         F.col(f"p.{ts_col}").alias("purchase_ts"),
         F.col(f"c.{ts_col}").alias("click_ts"),
     )

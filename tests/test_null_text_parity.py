@@ -39,6 +39,9 @@ ENTRIES = [
     # round 11: NULL/empty/short texts produce zero bigrams in both
     # engines and must still appear with 0-scores via the left join
     "lm_bigram_familiarity",
+    # round 11: NULL-n_chars docs drop symmetrically before the
+    # decode->resample chain (same contract as the other codec kernels)
+    "multimodal_audio_resample_stats",
 ]
 
 

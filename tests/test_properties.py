@@ -671,3 +671,29 @@ def test_percentile_kernel_ignores_null_values_and_keys(spark):
     )
     got = exact_group_rank_value(df, "k", "x", 95)
     assert got == {"a": 2000, "b": 7}
+
+
+def test_resample_linear_pcm16_properties():
+    """Round-11 resampler invariants: identity at 1:1, exact
+    subsampling at 1:2, endpoint preservation, output bounded by the
+    input range (linear interpolation can't overshoot), and the
+    documented length formula — across random seeded clips including
+    full-scale negative samples (the floor-division portability case)."""
+    import random
+
+    from news_graph_rag_spark.pipeline.multimodal import resample_linear_pcm16
+
+    rng = random.Random(1111)
+    assert resample_linear_pcm16([]) == []
+    assert resample_linear_pcm16([5]) == [5]
+    for _ in range(20):
+        n = rng.randint(1, 200)
+        xs = [rng.randint(-32768, 32767) for _ in range(n)]
+        assert resample_linear_pcm16(xs, up=1, down=1) == xs
+        assert resample_linear_pcm16(xs, up=1, down=2) == xs[::2]
+        out = resample_linear_pcm16(xs, up=3, down=2)
+        assert len(out) == ((n - 1) * 3) // 2 + 1
+        assert out[0] == xs[0]
+        if (n - 1) % 2 == 0:  # last output lands exactly on the last input
+            assert out[-1] == xs[-1]
+        assert min(xs) <= min(out) and max(out) <= max(xs)
