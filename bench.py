@@ -189,6 +189,7 @@ HEADLINE = [
     "dag_layers_parts",
     "streaming_interval_join_full",
     "multimodal_audio_resample_stats",
+    "varlength_reach_parts",
 ]
 
 

@@ -341,6 +341,43 @@ def strongly_connected_components(
     )
 
 
+def varlength_min_hops(edges: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Cypher variable-length traversal ``-[*1..k]->`` as a DataFrame
+    program: (src, dst, hops) for every ordered pair connected by a
+    directed path of ≤ ``max_hops`` edges, with hops = the MINIMUM
+    path length (Cypher's shortest-match semantics for bounded
+    var-length patterns; reference surface: Neo4j's ``[*1..3]``).
+
+    Frontier expansion: round h composes the (h-1)-frontier with the
+    edge list and anti-joins away pairs already reached — each round
+    is one equi-join plus one left_anti on the accumulated pair set,
+    both broadcastable while frontiers are bounded; self-pairs are
+    excluded (a cycle back to the start is reachability, not a new
+    pair). At 100 TB this is k chained shuffles on the node key —
+    the same envelope as the fixed k-hop entries, emitted per-hop so
+    the result carries the hop distance the fixed joins lose.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    frontier = e.filter(F.col("src") != F.col("dst"))
+    seen = frontier.withColumn("hops", F.lit(1).cast("bigint"))
+    out = seen
+    for h in range(2, max_hops + 1):
+        nxt = (
+            frontier.select("src", F.col("dst").alias("mid"))
+            .join(e.select(F.col("src").alias("mid"), "dst"), "mid")
+            .select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .join(seen.select("src", "dst"), ["src", "dst"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        stamped = nxt.withColumn("hops", F.lit(h).cast("bigint"))
+        out = out.unionByName(stamped)
+        seen = seen.unionByName(stamped)
+        frontier = nxt
+    return out
+
+
 def dag_longest_paths(edges: DataFrame, doublings: int = 6) -> DataFrame:
     """Longest-path layer per node of a DAG: (id, layer) where layer =
     the maximum number of edges on any path ENDING at the node (sources

@@ -435,3 +435,54 @@ def test_dag_layers_entry_is_at_fixpoint(spark, sf_dir):
     six = {tuple(r) for r in dag_longest_paths(cond, doublings=6).collect()}
     seven = {tuple(r) for r in dag_longest_paths(cond, doublings=7).collect()}
     assert six == seven
+
+
+def test_varlength_min_hops_matches_bfs_on_random_digraphs(spark):
+    """Round-11 Cypher var-length parity: (src, dst, hops) must equal
+    per-source BFS truncated at max_hops, self-pairs excluded."""
+    import random
+    from collections import deque
+
+    from news_graph_rag_spark.graph_algos import varlength_min_hops
+
+    def bfs_pairs(pairs, max_hops):
+        from collections import defaultdict
+
+        g = defaultdict(list)
+        nodes = set()
+        for s, d in pairs:
+            g[s].append(d)
+            nodes.update((s, d))
+        want = set()
+        for s in nodes:
+            dist = {s: 0}
+            q = deque([s])
+            while q:
+                v = q.popleft()
+                if dist[v] >= max_hops:
+                    continue
+                for w in g[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        q.append(w)
+            for d_, h in dist.items():
+                if 1 <= h <= max_hops and d_ != s:
+                    want.add((s, d_, h))
+        return want
+
+    rng = random.Random(311)
+    for _ in range(5):
+        n = rng.randint(5, 12)
+        pairs = list(
+            {(rng.randrange(n), rng.randrange(n)) for _ in range(rng.randint(n, 3 * n))}
+        )
+        pairs = [(s, d) for s, d in pairs if s != d]
+        if not pairs:
+            continue
+        got = {
+            tuple(r)
+            for r in varlength_min_hops(
+                edges_df(spark, pairs), max_hops=3
+            ).collect()
+        }
+        assert got == bfs_pairs(pairs, 3), pairs
