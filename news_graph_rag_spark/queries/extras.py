@@ -1,6 +1,13 @@
-"""Round-11 catalog extensions: exact directed SCC, IEEE-exact
-truncated EWMA, integer Lloyd k-means, and bigram-LM familiarity
-scoring.
+"""Round-11 catalog extensions.
+
+Graph: exact directed SCC (reachability-doubling closure), its
+condensation DAG, longest-path layering (max-plus doubling), and
+Cypher variable-length traversal with min-hop tags. Time series /
+stats: IEEE-exact truncated EWMA (batch + the watermark-ordered
+streaming twin), integer Lloyd k-means, robust median/MAD outliers on
+the factored multipass selection kernel. Text: bigram-LM familiarity
+scoring. Streaming: stream-stream FULL OUTER interval join.
+Multimodal: integer audio sample-rate normalization.
 
 Registered LAST (imported after every other catalog module) so the
 driver's first-50 registry prefix — pinned by
