@@ -190,6 +190,7 @@ HEADLINE = [
     "streaming_interval_join_full",
     "multimodal_audio_resample_stats",
     "varlength_reach_parts",
+    "perceptron_priority_orders",
 ]
 
 

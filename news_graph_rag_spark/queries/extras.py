@@ -1095,3 +1095,137 @@ def varlength_reach_parts(spark: SparkSession, sf: str) -> DataFrame:
         F.col("dst").cast("bigint").alias("dst"),
         F.col("hops").cast("bigint").alias("hops"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch perceptron: distributed linear-classifier training, integer-exact
+# ---------------------------------------------------------------------------
+
+
+def _perceptron_round_sql(w_prev: str, g: str, w_out: str) -> str:
+    """One unrolled batch-perceptron round: sum y·x over the rows the
+    previous weights misclassify (margin ≤ 0), add to the weights."""
+    return f"""{g} AS (
+      SELECT
+        CAST(COALESCE(SUM(y * x0) FILTER (
+          WHERE y * ({w_prev}.a * x0 + {w_prev}.b * x1 + {w_prev}.c * x2) <= 0
+        ), 0) AS BIGINT) AS sa,
+        CAST(COALESCE(SUM(y * x1) FILTER (
+          WHERE y * ({w_prev}.a * x0 + {w_prev}.b * x1 + {w_prev}.c * x2) <= 0
+        ), 0) AS BIGINT) AS sb,
+        CAST(COALESCE(SUM(y * x2) FILTER (
+          WHERE y * ({w_prev}.a * x0 + {w_prev}.b * x1 + {w_prev}.c * x2) <= 0
+        ), 0) AS BIGINT) AS sc,
+        CAST(COUNT(*) FILTER (
+          WHERE y * ({w_prev}.a * x0 + {w_prev}.b * x1 + {w_prev}.c * x2) <= 0
+        ) AS BIGINT) AS n
+      FROM pts, {w_prev}
+    ),
+    {w_out} AS (
+      SELECT {w_prev}.a + {g}.sa AS a, {w_prev}.b + {g}.sb AS b,
+             {w_prev}.c + {g}.sc AS c
+      FROM {w_prev}, {g}
+    )"""
+
+
+@register(
+    "perceptron_priority_orders",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(1 AS BIGINT) AS x0,
+             CAST(FLOOR(o_totalprice) AS BIGINT) // 1000 AS x1,
+             CAST(o_custkey % 97 AS BIGINT) AS x2,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE -1 END AS y
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,
+                  CAST(0 AS BIGINT) AS c),
+    {_perceptron_round_sql("w0", "g1", "w1")},
+    {_perceptron_round_sql("w1", "g2", "w2")},
+    {_perceptron_round_sql("w2", "g3", "w3")}
+    SELECT CAST(1 AS BIGINT) AS round, w1.a AS w_bias, w1.b AS w_price,
+           w1.c AS w_cust, g1.n AS n_misclassified FROM w1, g1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), w2.a, w2.b, w2.c, g2.n FROM w2, g2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), w3.a, w3.b, w3.c, g3.n FROM w3, g3
+    """,
+    doc="distributed ML training, exactly replayable: BATCH PERCEPTRON "
+    "(3 unrolled rounds) classifying urgent/high-priority orders from "
+    "integer features (scaled price, customer-key residue, bias). The "
+    "batch variant is the distributable one — each round is ONE "
+    "map-side margin test against the broadcast 1-row weight vector "
+    "plus one global aggregation of Σ y·x over the misclassified set "
+    "(map-side partials; no per-sample sequential updates, no "
+    "collect) — and because features, labels, and updates are all "
+    "integers, every round's weights are bit-replayable by the "
+    "oracle's unrolled CTEs (the kmeans/regression determinism "
+    "discipline applied to a training LOOP). Emits per-round weights "
+    "+ misclassification counts — the learning-curve trace. At 100 "
+    "TB: rounds × (one scan + one 1-row broadcast + one scalar agg); "
+    "the weight vector is O(features), never data-sized.",
+)
+def perceptron_priority_orders(spark: SparkSession, sf: str) -> DataFrame:
+    pts = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            F.lit(1).cast("bigint").alias("x0"),
+            F.expr("CAST(FLOOR(o_totalprice) AS BIGINT) div 1000").alias("x1"),
+            (F.col("o_custkey") % 97).cast("bigint").alias("x2"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            )
+            .otherwise(-1)
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    w = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("a"),
+        F.lit(0).cast("bigint").alias("b"),
+        F.lit(0).cast("bigint").alias("c"),
+    )
+    rows = []
+    for rnd in (1, 2, 3):
+        mis = F.col("y") * (
+            F.col("a") * F.col("x0")
+            + F.col("b") * F.col("x1")
+            + F.col("c") * F.col("x2")
+        ) <= 0
+        g = pts.crossJoin(F.broadcast(w)).agg(
+            F.coalesce(F.sum(F.when(mis, F.col("y") * F.col("x0"))), F.lit(0))
+            .cast("bigint")
+            .alias("sa"),
+            F.coalesce(F.sum(F.when(mis, F.col("y") * F.col("x1"))), F.lit(0))
+            .cast("bigint")
+            .alias("sb"),
+            F.coalesce(F.sum(F.when(mis, F.col("y") * F.col("x2"))), F.lit(0))
+            .cast("bigint")
+            .alias("sc"),
+            F.sum(F.when(mis, 1).otherwise(0)).cast("bigint").alias("n"),
+        )
+        # materialize each round's 1-row update: without this, round r's
+        # lazy plan re-runs every earlier round's full-scan aggregation
+        # (O(rounds²) scans); with it, training is rounds × one scan —
+        # the same per-round checkpoint discipline as the graph loops
+        g = g.localCheckpoint(eager=True)
+        w = w.crossJoin(F.broadcast(g)).select(
+            (F.col("a") + F.col("sa")).alias("a"),
+            (F.col("b") + F.col("sb")).alias("b"),
+            (F.col("c") + F.col("sc")).alias("c"),
+        )
+        rows.append(
+            w.crossJoin(g.select("n")).select(
+                F.lit(rnd).cast("bigint").alias("round"),
+                F.col("a").alias("w_bias"),
+                F.col("b").alias("w_price"),
+                F.col("c").alias("w_cust"),
+                F.col("n").alias("n_misclassified"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -697,3 +697,68 @@ def test_resample_linear_pcm16_properties():
         if (n - 1) % 2 == 0:  # last output lands exactly on the last input
             assert out[-1] == xs[-1]
         assert min(xs) <= min(out) and max(out) <= max(xs)
+
+
+def test_perceptron_matches_pure_python_on_random_orders(spark, tmp_path):
+    """Round-11 differential: the batch-perceptron entry vs a
+    pure-Python replay of the same integer update rule — exact weight
+    and misclassification-count equality per round."""
+    import datetime as dt
+    import math
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_graph_rag_spark.queries import registry
+
+    rng = random.Random(42)
+    n = 300
+    prices = [rng.uniform(900, 510000) for _ in range(n)]
+    custs = [rng.randrange(1, 5000) for _ in range(n)]
+    prios = [
+        rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+        for _ in range(n)
+    ]
+    t0 = dt.datetime(2024, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": list(range(1, n + 1)),
+                "o_custkey": custs,
+                "o_orderstatus": ["O"] * n,
+                "o_totalprice": prices,
+                "o_orderdate": [t0] * n,
+                "o_orderpriority": prios,
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pts = [
+        (
+            1,
+            int(math.floor(p)) // 1000,
+            c % 97,
+            1 if pr in ("1-URGENT", "2-HIGH") else -1,
+        )
+        for p, c, pr in zip(prices, custs, prios)
+    ]
+    want = []
+    w = [0, 0, 0]
+    for rnd in range(1, 4):
+        sa = sb = sc = cnt = 0
+        for x0, x1, x2, y in pts:
+            if y * (w[0] * x0 + w[1] * x1 + w[2] * x2) <= 0:
+                sa += y * x0
+                sb += y * x1
+                sc += y * x2
+                cnt += 1
+        w = [w[0] + sa, w[1] + sb, w[2] + sc]
+        want.append((rnd, w[0], w[1], w[2], cnt))
+    got = sorted(
+        tuple(r)
+        for r in registry()["perceptron_priority_orders"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    )
+    assert got == want
