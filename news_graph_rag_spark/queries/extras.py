@@ -3,9 +3,10 @@
 Graph: exact directed SCC (reachability-doubling closure), its
 condensation DAG, longest-path layering (max-plus doubling), and
 Cypher variable-length traversal with min-hop tags. Time series /
-stats: IEEE-exact truncated EWMA (batch + the watermark-ordered
+stats/ML: IEEE-exact truncated EWMA (batch + the watermark-ordered
 streaming twin), integer Lloyd k-means, robust median/MAD outliers on
-the factored multipass selection kernel. Text: bigram-LM familiarity
+the factored multipass selection kernel, and a batch-perceptron
+training loop with bit-replayable rounds. Text: bigram-LM familiarity
 scoring. Streaming: stream-stream FULL OUTER interval join.
 Multimodal: integer audio sample-rate normalization.
 
