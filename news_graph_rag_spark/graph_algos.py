@@ -359,8 +359,7 @@ def varlength_min_hops(edges: DataFrame, max_hops: int = 3) -> DataFrame:
     """
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     frontier = e.filter(F.col("src") != F.col("dst"))
-    seen = frontier.withColumn("hops", F.lit(1).cast("bigint"))
-    out = seen
+    out = frontier.withColumn("hops", F.lit(1).cast("bigint"))
     for h in range(2, max_hops + 1):
         nxt = (
             frontier.select("src", F.col("dst").alias("mid"))
@@ -368,12 +367,12 @@ def varlength_min_hops(edges: DataFrame, max_hops: int = 3) -> DataFrame:
             .select("src", "dst")
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            .join(seen.select("src", "dst"), ["src", "dst"], "left_anti")
+            # `out` doubles as the seen-pair set: every reached pair is
+            # in it with its minimal hop, so one accumulator suffices
+            .join(out.select("src", "dst"), ["src", "dst"], "left_anti")
             .localCheckpoint(eager=True)
         )
-        stamped = nxt.withColumn("hops", F.lit(h).cast("bigint"))
-        out = out.unionByName(stamped)
-        seen = seen.unionByName(stamped)
+        out = out.unionByName(nxt.withColumn("hops", F.lit(h).cast("bigint")))
         frontier = nxt
     return out
 

@@ -187,6 +187,15 @@ def decode_wav_pcm(data: bytes) -> "tuple[int, int, list[int]]":
     return n_channels, sample_rate, samples
 
 
+def synth_pcm16(media_id: int, n: int) -> "list[int]":
+    """THE deterministic test-clip formula shared by every audio entry
+    (wav decode, resample — round-11 review: the formula was pasted in
+    two entries whose docs promise they use the same clip). Any change
+    here must be mirrored in the entries' DuckDB oracles, which replay
+    the same expression in SQL."""
+    return [(media_id * 31 + i * 17) % 65536 - 32768 for i in range(n)]
+
+
 def resample_linear_pcm16(
     samples: "list[int]", up: int = 3, down: int = 2
 ) -> "list[int]":

@@ -872,69 +872,12 @@ def dag_layers_parts(spark: SparkSession, sf: str) -> DataFrame:
     "eviction-time emission.",
 )
 def streaming_interval_join_full(spark: SparkSession, sf: str) -> DataFrame:
-    from ..streaming.ingest_stream import stream_stream_interval_join
-    from .python_ops import (
-        _SENTINEL_USER,
-        _replay_shuffle_partitions,
-        _stage_ordered_batches,
-    )
+    from .python_ops import _interval_join_replay
 
-    ev = load(spark, sf, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
-
-    def with_sentinels(df):
-        max_ts = ev.agg(F.max("ts")).first()[0]
-        stages = [df]
-        for days in (10, 20):
-            stages.append(
-                spark.sql(
-                    f"SELECT CAST({_SENTINEL_USER} AS BIGINT) AS user_id, "
-                    f"timestamp'{max_ts}' + INTERVAL {days} DAYS AS ts"
-                )
-            )
-        return stages
-
-    p_dir = _stage_ordered_batches(
-        lambda: with_sentinels(purchases), sf, "ssjf_purchases"
-    )
-    c_dir = _stage_ordered_batches(
-        lambda: with_sentinels(clicks), sf, "ssjf_clicks"
-    )
-    ps = (
-        spark.readStream.schema(purchases.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(p_dir)
-    )
-    cs = (
-        spark.readStream.schema(clicks.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(c_dir)
-    )
-    name = "ssjf_catalog_out"
-    with _replay_shuffle_partitions(spark):
-        q = (
-            stream_stream_interval_join(
-                ps, cs, interval_seconds=300, how="fullOuter"
-            )
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    # sentinels dropped at the sink (see the left-outer twin for why a
-    # plan-side filter starves the watermark); NULL-safe so legitimate
-    # NULL-user outer rows survive. The full join emits SENTINEL-
-    # sentinel matches too (both sides carry the same sentinel user),
-    # which the same predicate drops.
-    return spark.table(name).filter(
-        ~F.col("user_id").eqNullSafe(F.lit(_SENTINEL_USER))
+    # the full join also emits sentinel-sentinel matches (both sides
+    # carry the same sentinel user); the helper's sink filter drops them
+    return _interval_join_replay(
+        spark, sf, how="fullOuter", kind="ssjf", name="ssjf_catalog_out"
     )
 
 
@@ -993,6 +936,7 @@ def multimodal_audio_resample_stats(spark: SparkSession, sf: str) -> DataFrame:
         decode_wav_pcm,
         encode_wav_pcm16,
         resample_linear_pcm16,
+        synth_pcm16,
     )
 
     clips = spread(
@@ -1015,9 +959,7 @@ def multimodal_audio_resample_stats(spark: SparkSession, sf: str) -> DataFrame:
                 "max_s": [],
             }
             for media_id, n in zip(pdf["media_id"], pdf["n"]):
-                samples = [
-                    (media_id * 31 + i * 17) % 65536 - 32768 for i in range(n)
-                ]
+                samples = synth_pcm16(media_id, n)
                 wav = encode_wav_pcm16(samples, sample_rate=16000)
                 channels, rate, decoded = decode_wav_pcm(wav)
                 assert channels == 1 and rate == 16000
@@ -1205,7 +1147,11 @@ def perceptron_priority_orders(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(F.sum(F.when(mis, F.col("y") * F.col("x2"))), F.lit(0))
             .cast("bigint")
             .alias("sc"),
-            F.sum(F.when(mis, 1).otherwise(0)).cast("bigint").alias("n"),
+            # coalesced like sa/sb/sc: a zero-row input must yield 0,
+            # matching the oracle's COUNT(*) FILTER, not NULL
+            F.coalesce(F.sum(F.when(mis, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias("n"),
         )
         # materialize each round's 1-row update: without this, round r's
         # lazy plan re-runs every earlier round's full-scan aggregation

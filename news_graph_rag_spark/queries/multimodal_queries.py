@@ -532,7 +532,11 @@ def multimodal_avi_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
     "and never shuffled (the multimodal prime directive).",
 )
 def multimodal_wav_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
-    from ..pipeline.multimodal import decode_wav_pcm, encode_wav_pcm16
+    from ..pipeline.multimodal import (
+        decode_wav_pcm,
+        encode_wav_pcm16,
+        synth_pcm16,
+    )
 
     clips = spread(
         load(spark, sf, "documents").filter(F.col("n_chars").isNotNull())
@@ -554,9 +558,7 @@ def multimodal_wav_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
                 "max_s": [],
             }
             for media_id, n in zip(pdf["media_id"], pdf["n"]):
-                samples = [
-                    (media_id * 31 + i * 17) % 65536 - 32768 for i in range(n)
-                ]
+                samples = synth_pcm16(media_id, n)
                 wav = encode_wav_pcm16(samples, sample_rate=16000)
                 channels, rate, decoded = decode_wav_pcm(wav)
                 assert channels == 1

@@ -1615,6 +1615,81 @@ def _stage_ordered_batches(dfs_fn, sf: str, kind: str) -> str:
 _SENTINEL_USER = 999_999_999
 
 
+def _interval_join_replay(
+    spark: SparkSession, sf: str, how: str, kind: str, name: str
+) -> DataFrame:
+    """Shared replay harness for the stream-stream interval-join
+    entries (inner r2 predates it; left-outer r10 and full-outer r11
+    were verbatim copies until the round-11 review). Stages purchases
+    and clicks plus TWO far-future sentinel batches per side (batch N
+    enforces the watermark computed from batch N-1, so sentinel #1
+    advances the watermark past every real event and sentinel #2's
+    batch performs the state eviction that emits the outer rows; the
+    max(ts) scan runs once per cold stage build, cached across the two
+    sides), replays them as ordered micro-batches, and drops sentinel
+    rows at the SINK: a plan-side filter is pushed down through the
+    join into the file scans, the sentinel rows never reach the
+    watermark operator, and the outer rows never flush (observed, not
+    hypothetical — tests/test_streaming.py pins it). The drop is
+    NULL-safe because a NULL-user outer row is a legitimate result the
+    oracle's batch join keeps.
+    """
+    from ..streaming.ingest_stream import stream_stream_interval_join
+
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    cold: dict = {}
+
+    def with_sentinels(df):
+        if "max_ts" not in cold:
+            cold["max_ts"] = ev.agg(F.max("ts")).first()[0]
+        stages = [df]
+        for days in (10, 20):
+            stages.append(
+                spark.sql(
+                    f"SELECT CAST({_SENTINEL_USER} AS BIGINT) AS user_id, "
+                    f"timestamp'{cold['max_ts']}' + INTERVAL {days} DAYS AS ts"
+                )
+            )
+        return stages
+
+    p_dir = _stage_ordered_batches(
+        lambda: with_sentinels(purchases), sf, f"{kind}_purchases"
+    )
+    c_dir = _stage_ordered_batches(
+        lambda: with_sentinels(clicks), sf, f"{kind}_clicks"
+    )
+    ps = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(p_dir)
+    )
+    cs = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(c_dir)
+    )
+    with _replay_shuffle_partitions(spark):
+        q = (
+            stream_stream_interval_join(ps, cs, interval_seconds=300, how=how)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name).filter(
+        ~F.col("user_id").eqNullSafe(F.lit(_SENTINEL_USER))
+    )
+
+
 @register(
     "streaming_interval_join_outer",
     oracle="""
@@ -1642,70 +1717,6 @@ _SENTINEL_USER = 999_999_999
     "like the inner variant.",
 )
 def streaming_interval_join_outer(spark: SparkSession, sf: str) -> DataFrame:
-    from ..streaming.ingest_stream import stream_stream_interval_join
-
-    ev = load(spark, sf, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
-
-    def with_sentinels(df):
-        # TWO sentinel batches: batch N enforces the watermark computed
-        # from batch N-1's data, so sentinel #1 advances the watermark
-        # past every real event and sentinel #2's batch performs the
-        # state eviction that emits the outer rows. (Runs only on a
-        # cold stage build — the max(ts) scan is not paid warm.)
-        max_ts = ev.agg(F.max("ts")).first()[0]
-        stages = [df]
-        for days in (10, 20):
-            stages.append(
-                spark.sql(
-                    f"SELECT CAST({_SENTINEL_USER} AS BIGINT) AS user_id, "
-                    f"timestamp'{max_ts}' + INTERVAL {days} DAYS AS ts"
-                )
-            )
-        return stages
-
-    p_dir = _stage_ordered_batches(
-        lambda: with_sentinels(purchases), sf, "ssjo_purchases"
-    )
-    c_dir = _stage_ordered_batches(
-        lambda: with_sentinels(clicks), sf, "ssjo_clicks"
-    )
-    ps = (
-        spark.readStream.schema(purchases.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(p_dir)
-    )
-    cs = (
-        spark.readStream.schema(clicks.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(c_dir)
-    )
-    name = "ssjo_catalog_out"
-    with _replay_shuffle_partitions(spark):
-        q = (
-            stream_stream_interval_join(
-                ps, cs, interval_seconds=300, how="leftOuter"
-            )
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    # sentinel rows are dropped from the SINK table, never inside the
-    # streaming plan: a filter there gets pushed down through the join
-    # into the file scans, the sentinel rows never reach the watermark
-    # operator, the watermark never advances, and the outer rows never
-    # flush (observed, not hypothetical — see tests/test_streaming.py).
-    # NULL-safe comparison: a NULL-user_id purchase is a legitimate
-    # unmatched row the oracle's LEFT JOIN keeps — plain != would
-    # evaluate NULL and silently drop it after a testdata regen
-    return spark.table(name).filter(
-        ~F.col("user_id").eqNullSafe(F.lit(_SENTINEL_USER))
+    return _interval_join_replay(
+        spark, sf, how="leftOuter", kind="ssjo", name="ssjo_catalog_out"
     )
