@@ -191,6 +191,8 @@ HEADLINE = [
     "multimodal_audio_resample_stats",
     "varlength_reach_parts",
     "perceptron_priority_orders",
+    "temporal_reach_parts",
+    "decision_stump_orders",
 ]
 
 

@@ -341,6 +341,44 @@ def strongly_connected_components(
     )
 
 
+def temporal_earliest_arrival(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """Earliest-arrival reachability over a TEMPORAL edge list
+    (src, dst, t): a time-respecting path may only traverse an edge
+    whose time is at or after the arrival at its source (Wu et al.,
+    "Path Problems in Temporal Graphs", VLDB'14 — the earliest-arrival
+    single-source problem, label-correcting form).
+
+    ``seeds``: (id) rows, available from time 0. Returns (node, arr)
+    for every node reachable by a time-respecting path of ≤ ``rounds``
+    edges, arr = minimum achievable arrival time. Each round is one
+    frontier⋈edges join with the feasibility predicate (e.t >= d.arr)
+    FUSED into the join condition — infeasible pairs are dropped
+    inside the shuffle, not post-filtered — plus a per-node MIN with
+    map-side partials: Bellman-Ford's plan shape with min-plus
+    replaced by the earliest-arrival semiring, which is why a SQL
+    oracle can unroll it round-for-round.
+    """
+    e = edges.select("src", "dst", "t").distinct().localCheckpoint(eager=True)
+    arr = seeds.select(
+        F.col("id").alias("node"), F.lit(0).cast("bigint").alias("arr")
+    )
+    for _ in range(rounds):
+        dd, ee = arr.alias("d"), e.alias("e")
+        grown = dd.join(
+            ee,
+            (F.col("d.node") == F.col("e.src"))
+            & (F.col("e.t") >= F.col("d.arr")),
+        ).select(F.col("e.dst").alias("node"), F.col("e.t").alias("arr"))
+        arr = (
+            arr.unionByName(grown)
+            .groupBy("node")
+            .agg(F.min("arr").alias("arr"))
+        )
+    return arr
+
+
 def varlength_min_hops(edges: DataFrame, max_hops: int = 3) -> DataFrame:
     """Cypher variable-length traversal ``-[*1..k]->`` as a DataFrame
     program: (src, dst, hops) for every ordered pair connected by a

@@ -1176,3 +1176,230 @@ def perceptron_priority_orders(spark: SparkSession, sf: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Temporal (time-respecting) reachability
+# ---------------------------------------------------------------------------
+
+# Directed part transitions stamped with their order's month index —
+# a temporal edge (u, v, t) is traversable only at time t, and a
+# time-respecting path must have nondecreasing times. Sparsified with
+# the same integer-arithmetic trick as the SCC graph.
+_TEMPORAL_EDGES_SQL = """
+      SELECT DISTINCT (a.l_partkey % 48) AS src, (b.l_partkey % 48) AS dst,
+             CAST(datediff('month', DATE '1992-01-01', o.o_orderdate)
+                  AS BIGINT) AS t
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+      JOIN orders o ON o.o_orderkey = a.l_orderkey
+      WHERE (a.l_partkey % 48) <> (b.l_partkey % 48)
+        AND ((a.l_partkey % 48) * 31 + (b.l_partkey % 48)) % 5 = 0
+"""
+
+
+def _temporal_relax_sql(prev: str, out: str) -> str:
+    """One earliest-arrival relaxation: traverse any edge whose time is
+    at or after the arrival at its source, keep the per-node minimum."""
+    return f"""{out} AS (
+      SELECT node, MIN(arr) AS arr FROM (
+        SELECT node, arr FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, e.t AS arr
+        FROM {prev} d JOIN edges e ON d.node = e.src AND e.t >= d.arr
+      ) GROUP BY node
+    )"""
+
+
+@register(
+    "temporal_reach_parts",
+    oracle=f"""
+    WITH edges AS MATERIALIZED ({_TEMPORAL_EDGES_SQL}),
+    nodes AS (SELECT DISTINCT src AS id FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    a0 AS (SELECT id AS node, CAST(0 AS BIGINT) AS arr FROM nodes
+           WHERE id % 7 = 0),
+    {_temporal_relax_sql("a0", "a1")},
+    {_temporal_relax_sql("a1", "a2")},
+    {_temporal_relax_sql("a2", "a3")},
+    {_temporal_relax_sql("a3", "a4")}
+    SELECT CAST(node AS BIGINT) AS id, CAST(arr AS BIGINT) AS earliest_arrival
+    FROM a4
+    """,
+    doc="TEMPORAL graph analytics: earliest-arrival reachability over "
+    "a time-stamped edge stream — a path is valid only if its edge "
+    "times are nondecreasing (you cannot traverse an edge that fired "
+    "before you arrived), the semantics static reachability entries "
+    "cannot express (an edge set that is connected when flattened may "
+    "be temporally unreachable). Edges are part transitions stamped "
+    "with their order's month index; seeds (id %% 7 = 0) start at "
+    "time 0; four unrolled relaxations cover time-respecting paths of "
+    "≤4 edges — each round is one frontier⋈edges join with the "
+    "time-feasibility predicate (e.t >= arr) fused into the join "
+    "condition, plus a per-node MIN (map-side partials): exactly "
+    "Bellman-Ford's shape with min-plus replaced by the temporal "
+    "earliest-arrival semiring, so the oracle unrolls the same rounds "
+    "in SQL (the bellman_ford_4relax discipline). Scale: state is "
+    "O(nodes), the stamped edge list never mutates, and the "
+    "feasibility predicate prunes the join INSIDE the shuffle — no "
+    "post-filter blowup. Differential-tested against a pure-Python "
+    "temporal Dijkstra in tests/test_graph_algos.py.",
+)
+def temporal_reach_parts(spark: SparkSession, sf: str) -> DataFrame:
+    from ..graph_algos import temporal_earliest_arrival
+
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("bigint")
+        .alias("_days"),
+        F.expr(
+            "CAST(months_between(date_trunc('MONTH', o_orderdate), "
+            "DATE '1992-01-01') AS BIGINT)"
+        ).alias("t"),
+    )
+    a = li.select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("ln"),
+        (F.col("l_partkey") % 48).alias("src"),
+    )
+    b = li.select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("ln1"),
+        (F.col("l_partkey") % 48).alias("dst"),
+    )
+    s, d = F.col("src"), F.col("dst")
+    edges = (
+        a.join(b, (a.l_orderkey == b.l_orderkey) & (b.ln1 == a.ln + 1))
+        .join(orders, a.l_orderkey == orders.o_orderkey)
+        .filter((s != d) & ((s * 31 + d) % 5 == 0))
+        .select("src", "dst", "t")
+        .distinct()
+    )
+    seeds = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .filter(F.col("id") % 7 == 0)
+    )
+    return temporal_earliest_arrival(edges, seeds, rounds=4).select(
+        F.col("node").cast("bigint").alias("id"),
+        F.col("arr").cast("bigint").alias("earliest_arrival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump: exhaustive 1-D threshold search, two-phase cumsum
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decision_stump_orders",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS x,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    g AS (
+      SELECT x, CAST(SUM(y) AS BIGINT) AS np,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+      FROM pts GROUP BY x
+    ),
+    tot AS (SELECT CAST(SUM(np) AS BIGINT) AS p,
+                   CAST(SUM(nn) AS BIGINT) AS n FROM g),
+    c AS (
+      SELECT x, SUM(np) OVER (ORDER BY x) AS cp,
+             SUM(nn) OVER (ORDER BY x) AS cn
+      FROM g
+    ),
+    cand AS (
+      SELECT x AS thr, CAST(0 AS BIGINT) AS polarity,
+             CAST(cp + (n - cn) AS BIGINT) AS n_correct
+      FROM c, tot
+      UNION ALL
+      SELECT x, CAST(1 AS BIGINT), CAST((p - cp) + cn AS BIGINT)
+      FROM c, tot
+    )
+    SELECT CAST(thr AS BIGINT) AS thr_cents, polarity, n_correct,
+           CAST(p + n AS BIGINT) AS n_total
+    FROM cand, tot
+    ORDER BY n_correct DESC, polarity ASC, thr ASC LIMIT 1
+    """,
+    doc="ML training: DECISION STUMP — exhaustive 1-D threshold search "
+    "(the weak learner boosting stacks; also the split-finding "
+    "primitive inside every distributed tree trainer) over order "
+    "totals vs urgent/high priority. Every distinct value is a "
+    "candidate threshold with both polarities (predict-positive-below "
+    "and -above); accuracy comes from prefix sums of per-value "
+    "positive/negative counts, computed with ranks.global_cumsum's "
+    "two-phase range-partition + offset-broadcast (NO single-partition "
+    "global window — the classic split-finding scale cliff), and the "
+    "argmax is one TakeOrdered with a total tie-break (accuracy desc, "
+    "polarity, threshold). All counts integer-exact; the oracle "
+    "replays the same prefix-sum scan with a rank window. At 100 TB: "
+    "one groupBy per feature + two cumsum shuffles over DISTINCT "
+    "values + a k=1 TakeOrdered — per-feature work is independent, so "
+    "a full tree level fans out trivially.",
+)
+def decision_stump_orders(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ranks import global_cumsum
+
+    pts = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    g = pts.groupBy("x").agg(
+        F.sum("y").cast("bigint").alias("np"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("nn"),
+    )
+    tot = g.agg(
+        F.sum("np").cast("bigint").alias("p"),
+        F.sum("nn").cast("bigint").alias("n"),
+    )
+    c = global_cumsum(g, [F.col("x")], F.col("np"), cumsum_col="cp")
+    c = global_cumsum(c, [F.col("x")], F.col("nn"), cumsum_col="cn")
+    c = c.crossJoin(F.broadcast(tot))
+    cand = c.select(
+        F.col("x").alias("thr"),
+        F.lit(0).cast("bigint").alias("polarity"),
+        (F.col("cp") + (F.col("n") - F.col("cn")))
+        .cast("bigint")
+        .alias("n_correct"),
+        (F.col("p") + F.col("n")).cast("bigint").alias("n_total"),
+    ).unionByName(
+        c.select(
+            F.col("x").alias("thr"),
+            F.lit(1).cast("bigint").alias("polarity"),
+            ((F.col("p") - F.col("cp")) + F.col("cn"))
+            .cast("bigint")
+            .alias("n_correct"),
+            (F.col("p") + F.col("n")).cast("bigint").alias("n_total"),
+        )
+    )
+    return (
+        cand.orderBy(
+            F.desc("n_correct"), F.asc("polarity"), F.asc("thr")
+        )
+        .limit(1)
+        .select(
+            F.col("thr").alias("thr_cents"),
+            "polarity",
+            "n_correct",
+            "n_total",
+        )
+    )

@@ -486,3 +486,61 @@ def test_varlength_min_hops_matches_bfs_on_random_digraphs(spark):
             ).collect()
         }
         assert got == bfs_pairs(pairs, 3), pairs
+
+
+def test_temporal_earliest_arrival_respects_time_ordering(spark):
+    """Golden: 1→2 fires at t=5, 2→3 at t=3 — statically 3 is reachable
+    from 1, temporally it is NOT (you arrive at 2 at t=5, after the
+    2→3 edge fired). The reverse chain with increasing times works."""
+    from news_graph_rag_spark.graph_algos import temporal_earliest_arrival
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 3), (10, 11, 3), (11, 12, 5)],
+        "src bigint, dst bigint, t bigint",
+    )
+    seeds = spark.createDataFrame([(1,), (10,)], "id bigint")
+    got = {
+        r["node"]: r["arr"]
+        for r in temporal_earliest_arrival(edges, seeds, rounds=4).collect()
+    }
+    assert got == {1: 0, 2: 5, 10: 0, 11: 3, 12: 5}  # no node 3
+
+
+def test_temporal_earliest_arrival_matches_python_on_random_graphs(spark):
+    """Seeded differential vs a pure-Python label-correcting solver
+    (bounded to the same number of relaxation rounds)."""
+    import random
+
+    from news_graph_rag_spark.graph_algos import temporal_earliest_arrival
+
+    def ref(triples, seeds, rounds):
+        arr = {s: 0 for s in seeds}
+        for _ in range(rounds):
+            nxt = dict(arr)
+            for s, d, t in triples:
+                if s in arr and t >= arr[s]:
+                    if d not in nxt or t < nxt[d]:
+                        nxt[d] = min(nxt.get(d, t), t)
+            arr = nxt
+        return arr
+
+    rng = random.Random(777)
+    for _ in range(5):
+        n = rng.randint(4, 10)
+        triples = list(
+            {
+                (rng.randrange(n), rng.randrange(n), rng.randint(0, 8))
+                for _ in range(rng.randint(n, 3 * n))
+            }
+        )
+        triples = [(s, d, t) for s, d, t in triples if s != d]
+        if not triples:
+            continue
+        seeds = sorted({s for s, _, _ in triples})[:2]
+        e = spark.createDataFrame(triples, "src bigint, dst bigint, t bigint")
+        sd = spark.createDataFrame([(s,) for s in seeds], "id bigint")
+        got = {
+            r["node"]: r["arr"]
+            for r in temporal_earliest_arrival(e, sd, rounds=4).collect()
+        }
+        assert got == ref(triples, seeds, 4), (triples, seeds)

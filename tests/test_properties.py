@@ -762,3 +762,67 @@ def test_perceptron_matches_pure_python_on_random_orders(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_decision_stump_matches_exhaustive_python(spark, tmp_path):
+    """Round-11 differential: the stump entry vs a brute-force Python
+    search over every threshold and polarity with the same tie-break
+    (accuracy desc, polarity asc, threshold asc)."""
+    import datetime as dt
+    import math
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_graph_rag_spark.queries import registry
+
+    rng = random.Random(9)
+    n = 250
+    prices = [rng.uniform(900, 510000) for _ in range(n)] + [1000.0] * 4
+    prios = [
+        rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"])
+        for _ in range(len(prices))
+    ]
+    m = len(prices)
+    t0 = dt.datetime(2024, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": list(range(1, m + 1)),
+                "o_custkey": [1] * m,
+                "o_orderstatus": ["O"] * m,
+                "o_totalprice": prices,
+                "o_orderdate": [t0] * m,
+                "o_orderpriority": prios,
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pts = [
+        (int(math.floor(p * 100)), 1 if pr in ("1-URGENT", "2-HIGH") else 0)
+        for p, pr in zip(prices, prios)
+    ]
+    best = None
+    for thr in sorted({x for x, _ in pts}):
+        for pol in (0, 1):
+            correct = sum(
+                1
+                for x, y in pts
+                if (y == 1) == ((x <= thr) if pol == 0 else (x > thr))
+            )
+            key = (-correct, pol, thr)
+            if best is None or key < best:
+                best = key
+    want = (best[2], best[1], -best[0], m)
+    row = (
+        registry()["decision_stump_orders"]
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert (
+        row["thr_cents"],
+        row["polarity"],
+        row["n_correct"],
+        row["n_total"],
+    ) == want
