@@ -22,11 +22,33 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _pin(parted: DataFrame, pin: bool) -> DataFrame:
+    """Materialize the range-partitioned frame ONCE (round-11 fix for a
+    latent correctness bug): the two-phase helpers read `parted` from
+    MULTIPLE subtrees (the per-partition window, the per-partition
+    totals, and the broadcast offsets build), and Spark re-executes the
+    RangeExchange for each — each execution re-SAMPLES the boundaries,
+    and when the upstream row order is nondeterministic (any hash
+    aggregation upstream), different executions get different
+    boundaries, so `spark_partition_id()` means different things in
+    different subtrees and the offsets join associates wrong partition
+    sums (observed: chained cumsum over a groupBy upstream returned a
+    different, WRONG prefix sum on every run; file-scan upstreams were
+    immune because their sampling is deterministic, which is why six
+    rounds of value-verified entries never tripped it).
+    localCheckpoint pins one boundary assignment for every consumer.
+    ``pin=False`` exists for plan inspection only (tests assert the
+    RangeExchange shape, which the checkpoint would otherwise hide).
+    """
+    return parted.localCheckpoint(eager=True) if pin else parted
+
+
 def global_row_number(
     df: DataFrame,
     order_by: list[Column],
     rank_col: str = "rnk",
     num_partitions: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Exact global ``row_number`` over ``order_by`` without a
     single-partition sort.
@@ -35,8 +57,11 @@ def global_row_number(
     or ranks of tied rows are partition-placement-dependent.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n, *order_by).withColumn(
-        "_pid", F.spark_partition_id()
+    parted = _pin(
+        df.repartitionByRange(n, *order_by).withColumn(
+            "_pid", F.spark_partition_id()
+        ),
+        pin,
     )
     # rank within each range partition; the hash-exchange on _pid keeps
     # the data distributed (≤ n keys, each one range-partition's rows)
@@ -66,6 +91,7 @@ def global_cumsum(
     cumsum_col: str = "cum",
     num_partitions: int | None = None,
     inclusive: bool = True,
+    pin: bool = True,
 ) -> DataFrame:
     """Exact global running sum of ``value`` in ``order_by`` order
     without a single-partition sort — same two-phase shape as
@@ -77,10 +103,11 @@ def global_cumsum(
     tiebreaker), else tied rows' sums are placement-dependent.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = (
+    parted = _pin(
         df.withColumn("_val", value.cast("long"))
         .repartitionByRange(n, *order_by)
-        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_pid", F.spark_partition_id()),
+        pin,
     )
     w = Window.partitionBy("_pid").orderBy(*order_by)
     local = parted.withColumn("_lcum", F.sum("_val").over(w))
@@ -119,6 +146,7 @@ def global_running_max(
     out_col: str = "run_max",
     num_partitions: int | None = None,
     inclusive: bool = True,
+    pin: bool = True,
 ) -> DataFrame:
     """Exact global running max of ``value`` (long) in ``order_by``
     order without a single-partition sort — the two-phase shape of
@@ -129,10 +157,11 @@ def global_running_max(
     tiebreaker), else tied rows' maxes are placement-dependent.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = (
+    parted = _pin(
         df.withColumn("_val", value.cast("long"))
         .repartitionByRange(n, *order_by)
-        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_pid", F.spark_partition_id()),
+        pin,
     )
     w = (
         Window.partitionBy("_pid")

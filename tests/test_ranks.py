@@ -92,3 +92,34 @@ def test_two_phase_helpers_match_naive_for_any_input(spark, vals, nparts):
     }
     assert got_rnk == exp_rnk
     assert got_cum == exp_cum
+
+
+def test_chained_cumsum_over_hash_agg_upstream_is_deterministic(spark):
+    """Round-11 correctness regression: the two-phase helpers read
+    their range-partitioned frame from multiple subtrees, and before
+    ranks._pin each subtree re-executed the RangeExchange with freshly
+    SAMPLED boundaries — deterministic for scan-ordered upstreams (six
+    rounds of green entries), but a hash-aggregation upstream has
+    nondeterministic row order, so boundaries diverged between the
+    window and the offsets build and the prefix sums came out wrong
+    AND different on every run (caught by the decision-stump mimic).
+    This pins the fixed behavior: chained cumsums over a groupBy
+    upstream must give the exact closed-form prefix totals, repeatedly."""
+    from pyspark.sql import functions as F
+
+    from news_graph_rag_spark.ranks import global_cumsum
+
+    base = spark.range(20000).select(
+        (F.col("id") % 4999).alias("x"),
+        (F.col("id") % 3 == 0).cast("long").alias("y"),
+    )
+    g = base.groupBy("x").agg(
+        F.sum("y").alias("np"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("nn"),
+    )
+    p, n = g.agg(F.sum("np"), F.sum("nn")).first()
+    for _ in range(3):
+        c = global_cumsum(g, [F.col("x")], F.col("np"), cumsum_col="cp")
+        c = global_cumsum(c, [F.col("x")], F.col("nn"), cumsum_col="cn")
+        last = c.orderBy(F.desc("x")).limit(1).first()
+        assert (last["cp"], last["cn"]) == (p, n)
