@@ -52,7 +52,13 @@ _SEQ_EDGES_SQL = """
 """
 
 
-def _seq_edges(spark: SparkSession, sf: str) -> DataFrame:
+def _part_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Consecutive-lineitem part transitions (l_orderkey, src, dst) over
+    partkey-mod-48 nodes, self-pairs removed — the ONE scaffold every
+    derived graph (static sparsified, temporal month-stamped) filters
+    from (round-11 review: the self-join shape was pasted per entry,
+    so a change to the node space or the chaining rule could silently
+    diverge the oracle-backed graphs)."""
     li = load(spark, sf, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey"
     )
@@ -66,10 +72,17 @@ def _seq_edges(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_linenumber").alias("ln1"),
         (F.col("l_partkey") % 48).alias("dst"),
     )
-    s, d = F.col("src"), F.col("dst")
     return (
         a.join(b, (a.l_orderkey == b.l_orderkey) & (b.ln1 == a.ln + 1))
-        .filter(s != d)
+        .filter(F.col("src") != F.col("dst"))
+        .select(a["l_orderkey"].alias("l_orderkey"), "src", "dst")
+    )
+
+
+def _seq_edges(spark: SparkSession, sf: str) -> DataFrame:
+    s, d = F.col("src"), F.col("dst")
+    return (
+        _part_transitions(spark, sf)
         .filter(
             ((s < d) & ((s * 31 + d) % 4 == 0))
             | ((s > d) & ((s * 31 + d) % 97 == 0))
@@ -1249,36 +1262,25 @@ def _temporal_relax_sql(prev: str, out: str) -> str:
 def temporal_reach_parts(spark: SparkSession, sf: str) -> DataFrame:
     from ..graph_algos import temporal_earliest_arrival
 
-    li = load(spark, sf, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_partkey"
-    )
     orders = load(spark, sf, "orders").select(
         "o_orderkey",
-        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
-        .cast("bigint")
-        .alias("_days"),
         F.expr(
             "CAST(months_between(date_trunc('MONTH', o_orderdate), "
             "DATE '1992-01-01') AS BIGINT)"
         ).alias("t"),
     )
-    a = li.select(
-        "l_orderkey",
-        F.col("l_linenumber").alias("ln"),
-        (F.col("l_partkey") % 48).alias("src"),
-    )
-    b = li.select(
-        "l_orderkey",
-        F.col("l_linenumber").alias("ln1"),
-        (F.col("l_partkey") % 48).alias("dst"),
-    )
-    s, d = F.col("src"), F.col("dst")
+    s_, d_ = F.col("src"), F.col("dst")
+    # checkpoint the built edge set ONCE: the helper reuses it per
+    # relaxation round AND the seed derivation below reads it — without
+    # this the lineitem self-join + orders join would re-execute just
+    # to produce ~48 seed ids (round-11 review)
     edges = (
-        a.join(b, (a.l_orderkey == b.l_orderkey) & (b.ln1 == a.ln + 1))
-        .join(orders, a.l_orderkey == orders.o_orderkey)
-        .filter((s != d) & ((s * 31 + d) % 5 == 0))
+        _part_transitions(spark, sf)
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .filter((s_ * 31 + d_) % 5 == 0)
         .select("src", "dst", "t")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     seeds = (
         edges.select(F.col("src").alias("id"))

@@ -39,6 +39,13 @@ def _pin(parted: DataFrame, pin: bool) -> DataFrame:
     localCheckpoint pins one boundary assignment for every consumer.
     ``pin=False`` exists for plan inspection only (tests assert the
     RangeExchange shape, which the checkpoint would otherwise hide).
+
+    Retention tradeoff: the checkpointed blocks stay in block-manager
+    storage until the DataFrame is garbage-collected (no explicit
+    unpersist hook — the helpers return derived frames, so the right
+    release point is unknowable here). Blocks are evicted LRU under
+    pressure; a long-lived driver running many helper-heavy queries
+    pays bounded storage, never correctness.
     """
     return parted.localCheckpoint(eager=True) if pin else parted
 
