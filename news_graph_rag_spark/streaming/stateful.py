@@ -268,7 +268,14 @@ def stateful_ewma(
         out: list[dict] = []
         keep: list[tuple[int, int, float, bool]] = []
         for row in buf:
-            if row[0] <= wm_us:
+            # STRICTLY below the watermark: Spark only guarantees no
+            # further arrivals with event time < watermark, so a row
+            # stamped exactly AT it may still gain an equal-timestamp,
+            # smaller-event_id peer in a later batch — emitting it now
+            # could break the exact (ts, event_id) emission order the
+            # batch-parity claim rests on (round-11 advice). Equal-ts
+            # rows wait one more watermark advance.
+            if row[0] < wm_us:
                 # emission order is exact event-time order: compute from
                 # the tail (newest first), then push onto it
                 lag_vals = [row[2]] + [tv for tv, _ in tail]
