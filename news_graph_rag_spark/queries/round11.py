@@ -10,10 +10,11 @@ training loop with bit-replayable rounds. Text: bigram-LM familiarity
 scoring. Streaming: stream-stream FULL OUTER interval join.
 Multimodal: integer audio sample-rate normalization.
 
-Registered LAST (imported after every other catalog module) so the
-driver's first-50 registry prefix — pinned by
-tests/test_docs_synced.py::test_driver_first50_prefix_pinned — can
-never shift.
+Position in the pinned ``_ROUND_MODULES`` order (queries/__init__.py)
+keeps the driver's first-50 registry prefix — pinned by
+tests/test_docs_synced.py::test_driver_first50_prefix_pinned — from
+ever shifting; new rounds append their own module instead of growing
+this one (round-12 reorg of the former ``extras.py``).
 
 Determinism per catalog.py's rules: integer labels/counts everywhere
 except ewma_user_value, which is deliberately IEEE-exact (dyadic

@@ -63,7 +63,29 @@ def main() -> None:
         lines.append(f"| `{name}` | {kind} | {lineage} | {first} |")
     with open(os.path.join(REPO, "CATALOG.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"README.md counts -> {n}/{n_oracle}; CATALOG.md {n} rows")
+
+    # Full-order manifest (round 12): the complete registry order,
+    # frozen in a committed file. test_registry_order_manifest asserts
+    # the live order EQUALS it and that regeneration only ever APPENDS
+    # (an insert/reorder would shift driver-graded positions).
+    manifest_path = os.path.join(REPO, "tests", "registry_order.txt")
+    new_order = list(reg)
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            old_order = f.read().split()
+        if new_order[: len(old_order)] != old_order:
+            raise SystemExit(
+                "refusing to regenerate tests/registry_order.txt: the new "
+                "registry order does not extend the committed one — that "
+                "reorders driver-graded positions. If intentional, delete "
+                "the manifest first and say so in the commit message."
+            )
+    with open(manifest_path, "w") as f:
+        f.write("\n".join(new_order) + "\n")
+    print(
+        f"README.md counts -> {n}/{n_oracle}; CATALOG.md {n} rows; "
+        f"registry_order.txt {len(new_order)} names"
+    )
 
 
 if __name__ == "__main__":

@@ -88,6 +88,43 @@ def test_driver_first50_prefix_pinned():
     )
 
 
+def test_registry_order_manifest():
+    """The FULL registry order is frozen in tests/registry_order.txt
+    (round 12 — the first-50 pin only guards the driver-graded prefix;
+    positions 51+ feed MIMIC artifacts and the oracle-parity suite, so
+    a silent reorder there would orphan committed evidence too). Any
+    legitimate addition appends to the manifest via
+    `python scripts/gen_catalog_docs.py`, which itself refuses
+    non-appending regenerations."""
+    with open(os.path.join(REPO, "tests", "registry_order.txt")) as f:
+        manifest = f.read().split()
+    live = list(registry())
+    assert live == manifest, (
+        "registry order drifted vs tests/registry_order.txt "
+        f"(first diff at "
+        f"{next((i for i, (a, b) in enumerate(zip(live, manifest)) if a != b), min(len(live), len(manifest)))}); "
+        "if you ADDED entries, regenerate with scripts/gen_catalog_docs.py"
+    )
+
+
+def test_round_modules_are_append_only():
+    """The pinned _ROUND_MODULES tuple must keep its committed prefix:
+    registration order is module-import order, so inserting or
+    reordering modules shifts every later entry's registry position."""
+    from news_graph_rag_spark.queries import _ROUND_MODULES
+
+    frozen_prefix = (
+        "relational",
+        "pipeline_queries",
+        "retrieval_queries",
+        "advanced",
+        "python_ops",
+        "multimodal_queries",
+        "round11",
+    )
+    assert _ROUND_MODULES[: len(frozen_prefix)] == frozen_prefix
+
+
 def test_bench_headline_names_resolve():
     """bench.py must never name a query the registry doesn't have —
     the whole bench run dies on the first KeyError (round 4 produced no

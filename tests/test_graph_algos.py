@@ -329,7 +329,7 @@ def test_scc_entry_closure_is_at_fixpoint(spark, sf_dir):
     # the catalog entry unrolls 6 doublings; a 7th must change nothing
     # (the closure reached its fixpoint well inside the budget)
     from news_graph_rag_spark.graph_algos import strongly_connected_components
-    from news_graph_rag_spark.queries.extras import _seq_edges
+    from news_graph_rag_spark.queries.round11 import _seq_edges
 
     e = _seq_edges(spark, sf_dir).localCheckpoint(eager=True)
     six = strongly_connected_components(e, doublings=6)
@@ -424,7 +424,7 @@ def test_dag_layers_entry_is_at_fixpoint(spark, sf_dir):
     # the catalog entry unrolls 6 max-plus doublings over the
     # condensation; a 7th must change nothing
     from news_graph_rag_spark.graph_algos import dag_longest_paths
-    from news_graph_rag_spark.queries.extras import _condensed_edge_rows
+    from news_graph_rag_spark.queries.round11 import _condensed_edge_rows
 
     cond = (
         _condensed_edge_rows(spark, sf_dir)
