@@ -193,6 +193,10 @@ HEADLINE = [
     "perceptron_priority_orders",
     "temporal_reach_parts",
     "decision_stump_orders",
+    # round 12: multi-feature split, epoch shuffle shards, image resize
+    "tree_level_split_orders",
+    "epoch_shuffle_shards",
+    "multimodal_image_resize_stats",
 ]
 
 

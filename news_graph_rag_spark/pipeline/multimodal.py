@@ -226,6 +226,58 @@ def resample_linear_pcm16(
     return out
 
 
+def resize_bilinear_rgb(
+    width: int, height: int, pixels: "list[tuple]", up: int = 3, down: int = 2
+) -> "tuple[int, int, list[tuple]]":
+    """Integer SEPARABLE bilinear resize for row-major top-down RGB
+    pixels — the vision normalization step every image training
+    pipeline runs right after decode (mixed-resolution corpora must
+    land on one scale before feature extraction); the 2-D twin of
+    ``resample_linear_pcm16`` (round-11 audio pattern).
+
+    Horizontal pass then vertical pass, each the 1-D integer lerp:
+    output sample k sits at source position k*down/up, i = (k*down)
+    div up, remainder r/up between s[i] and s[i+1] (clamped at the
+    edge). All arithmetic is integer and EXACT; channel values are
+    0..255 so every floor-division numerator is non-negative — Python
+    ``//`` and DuckDB ``//`` agree without the bias trick the signed
+    audio samples need. Two passes mean the vertical lerp reads the
+    already-floored horizontal values (floor-of-floor), which the
+    catalog oracle replays expression-for-expression.
+
+    Returns ``(width_out, height_out, pixels_out)`` with
+    ``width_out = ((width-1)*up) div down + 1`` (and the same for
+    height) — the sample-position convention of the audio resampler.
+    """
+    if width <= 0 or height <= 0 or len(pixels) != width * height:
+        raise ValueError("bad dimensions")
+    wo = ((width - 1) * up) // down + 1
+    ho = ((height - 1) * up) // down + 1
+
+    def lerp(a: int, b: int, r: int) -> int:
+        return (a * (up - r) + b * r) // up
+
+    # horizontal pass: h rows of wo pixels
+    hp: list[tuple] = []
+    for y in range(height):
+        row = pixels[y * width : (y + 1) * width]
+        for k in range(wo):
+            pos = k * down
+            i, r = pos // up, pos % up
+            a, b = row[i], row[min(i + 1, width - 1)]
+            hp.append(tuple(lerp(a[c], b[c], r) for c in range(3)))
+    # vertical pass: ho rows of wo pixels
+    out: list[tuple] = []
+    for k2 in range(ho):
+        pos = k2 * down
+        j, r2 = pos // up, pos % up
+        ra = hp[j * wo : (j + 1) * wo]
+        rb = hp[min(j + 1, height - 1) * wo : (min(j + 1, height - 1) + 1) * wo]
+        for x in range(wo):
+            out.append(tuple(lerp(ra[x][c], rb[x][c], r2) for c in range(3)))
+    return wo, ho, out
+
+
 def encode_bmp24(width: int, height: int, pixels: "list[tuple]") -> bytes:
     """Minimal BMP writer for uncompressed 24-bit images (public
     format; stdlib ``struct`` only — the image analog of

@@ -1633,6 +1633,12 @@ def _interval_join_replay(
     hypothetical — tests/test_streaming.py pins it). The drop is
     NULL-safe because a NULL-user outer row is a legitimate result the
     oracle's batch join keeps.
+
+    The staged source is independent of ``how`` (same real rows, same
+    sentinels), so ALL interval-join variants share ONE ``kind`` and
+    therefore one fingerprint-keyed staging dir — the left/full outer
+    twins used to stage two identical copies of the same four files
+    (round-11 verdict #2: part of the replay harness floor).
     """
     from ..streaming.ingest_stream import stream_stream_interval_join
 
@@ -1718,5 +1724,5 @@ def _interval_join_replay(
 )
 def streaming_interval_join_outer(spark: SparkSession, sf: str) -> DataFrame:
     return _interval_join_replay(
-        spark, sf, how="leftOuter", kind="ssjo", name="ssjo_catalog_out"
+        spark, sf, how="leftOuter", kind="ssjx", name="ssjo_catalog_out"
     )

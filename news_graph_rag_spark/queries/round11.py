@@ -899,7 +899,7 @@ def streaming_interval_join_full(spark: SparkSession, sf: str) -> DataFrame:
     # the full join also emits sentinel-sentinel matches (both sides
     # carry the same sentinel user); the helper's sink filter drops them
     return _interval_join_replay(
-        spark, sf, how="fullOuter", kind="ssjf", name="ssjf_catalog_out"
+        spark, sf, how="fullOuter", kind="ssjx", name="ssjf_catalog_out"
     )
 
 

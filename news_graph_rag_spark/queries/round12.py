@@ -25,4 +25,449 @@ from pyspark.sql import functions as F
 
 from .catalog import load, register, spread
 
-__all__: list[str] = []
+# ---------------------------------------------------------------------------
+# Multi-feature split finding: a full tree level in one pass
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tree_level_split_orders",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS f0,
+             CAST(o_custkey % 97 AS BIGINT) AS f1,
+             CAST(datediff('month', DATE '1992-01-01', o_orderdate)
+                  AS BIGINT) AS f2,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+        AND o_orderdate IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(0 AS BIGINT) AS fid, f0 AS x, y FROM pts
+      UNION ALL SELECT CAST(1 AS BIGINT), f1, y FROM pts
+      UNION ALL SELECT CAST(2 AS BIGINT), f2, y FROM pts
+    ),
+    g AS (
+      SELECT fid, x, CAST(SUM(y) AS BIGINT) AS np,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+      FROM m GROUP BY fid, x
+    ),
+    tot AS (SELECT fid, CAST(SUM(np) AS BIGINT) AS p,
+                   CAST(SUM(nn) AS BIGINT) AS n
+            FROM g GROUP BY fid),
+    c AS (
+      SELECT fid, x,
+             SUM(np) OVER (PARTITION BY fid ORDER BY x) AS cp,
+             SUM(nn) OVER (PARTITION BY fid ORDER BY x) AS cn
+      FROM g
+    ),
+    cand AS (
+      SELECT c.fid, c.x AS thr, CAST(0 AS BIGINT) AS polarity,
+             CAST(c.cp + (t.n - c.cn) AS BIGINT) AS n_correct,
+             CAST(t.p + t.n AS BIGINT) AS n_total
+      FROM c JOIN tot t ON t.fid = c.fid
+      UNION ALL
+      SELECT c.fid, c.x, CAST(1 AS BIGINT),
+             CAST((t.p - c.cp) + c.cn AS BIGINT), CAST(t.p + t.n AS BIGINT)
+      FROM c JOIN tot t ON t.fid = c.fid
+    ),
+    best AS (
+      SELECT fid, thr, polarity, n_correct, n_total,
+             row_number() OVER (
+               PARTITION BY fid
+               ORDER BY n_correct DESC, polarity ASC, thr ASC
+             ) AS rn
+      FROM cand
+    )
+    SELECT CAST(fid AS BIGINT) AS fid, thr, polarity, n_correct, n_total
+    FROM best WHERE rn = 1
+    """,
+    doc="ML training: MULTI-FEATURE SPLIT FINDING — the round-11 "
+    "decision stump generalized to D features in ONE pass (the "
+    "split-search a distributed tree trainer runs per tree level; "
+    "this entry proves the stump doc's 'a full tree level fans out "
+    "trivially' claim with D=3 integer features: price cents, "
+    "customer-key residue, order-month index). One map-side melt "
+    "(explode of (fid, x) structs — D× the rows, zero joins), one "
+    "(fid, x) groupBy for per-value label counts, per-feature prefix "
+    "sums from a SINGLE two-phase ranks.global_cumsum over the "
+    "concatenated (fid, x) order (per-feature offsets subtracted via "
+    "a D-row broadcast — one cumsum machine for the whole level, NOT "
+    "one per feature, and never a single-partition window: "
+    "plan-asserted), and the per-feature argmax is a min-over-structs "
+    "aggregation ((-n_correct, polarity, thr) lexicographic — "
+    "map-side combinable, ties broken exactly like the oracle's "
+    "row_number). All counts integer-exact; the oracle replays the "
+    "same melt + rank windows. At 100 TB: melt scales linearly in "
+    "D·rows, distinct-value tables shrink per feature, and the "
+    "cumsum/argmax never concentrate on one executor — the classic "
+    "histogram-based split finding (XGBoost/LightGBM's approx mode "
+    "quantizes first; this is the exact-threshold variant).",
+)
+def tree_level_split_orders(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ranks import global_cumsum
+
+    pts = (
+        load(spark, sf, "orders")
+        .filter(
+            F.col("o_totalprice").isNotNull()
+            & F.col("o_custkey").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+        )
+        .select(
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("f0"),
+            (F.col("o_custkey") % 97).cast("bigint").alias("f1"),
+            F.expr(
+                "CAST(months_between(date_trunc('MONTH', o_orderdate), "
+                "DATE '1992-01-01') AS BIGINT)"
+            ).alias("f2"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    m = pts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("bigint").alias("fid"),
+                        F.col(f"f{i}").alias("x"),
+                    )
+                    for i in range(3)
+                ]
+            )
+        ).alias("fx"),
+        "y",
+    ).select(F.col("fx.fid").alias("fid"), F.col("fx.x").alias("x"), "y")
+    g = m.groupBy("fid", "x").agg(
+        F.sum("y").cast("bigint").alias("np"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("nn"),
+    )
+    tot = g.groupBy("fid").agg(
+        F.sum("np").cast("bigint").alias("p"),
+        F.sum("nn").cast("bigint").alias("n"),
+    )
+    # ONE global cumsum over the concatenated (fid, x) order; the
+    # per-feature prefix is recovered by subtracting each feature's
+    # exclusive offset (sum over all strictly-earlier fids — a D-row
+    # inequality self-join, the ranks-offsets shape, then broadcast)
+    c = global_cumsum(g, [F.col("fid"), F.col("x")], F.col("np"), "cp_g")
+    c = global_cumsum(c, [F.col("fid"), F.col("x")], F.col("nn"), "cn_g")
+    t1, t2 = tot.alias("t1"), tot.alias("t2")
+    off = (
+        t1.join(t2, F.col("t2.fid") < F.col("t1.fid"), "left")
+        .groupBy(F.col("t1.fid").alias("fid"))
+        .agg(
+            F.coalesce(F.sum("t2.p"), F.lit(0)).alias("off_p"),
+            F.coalesce(F.sum("t2.n"), F.lit(0)).alias("off_n"),
+        )
+        .join(tot, "fid")
+    )
+    c = c.join(F.broadcast(off), "fid").select(
+        "fid",
+        F.col("x").alias("thr"),
+        (F.col("cp_g") - F.col("off_p")).alias("cp"),
+        (F.col("cn_g") - F.col("off_n")).alias("cn"),
+        "p",
+        "n",
+    )
+    cand = c.select(
+        "fid",
+        "thr",
+        F.lit(0).cast("bigint").alias("polarity"),
+        (F.col("cp") + (F.col("n") - F.col("cn")))
+        .cast("bigint")
+        .alias("n_correct"),
+        (F.col("p") + F.col("n")).cast("bigint").alias("n_total"),
+    ).unionByName(
+        c.select(
+            "fid",
+            "thr",
+            F.lit(1).cast("bigint").alias("polarity"),
+            ((F.col("p") - F.col("cp")) + F.col("cn"))
+            .cast("bigint")
+            .alias("n_correct"),
+            (F.col("p") + F.col("n")).cast("bigint").alias("n_total"),
+        )
+    )
+    # per-feature argmax WITHOUT a window: min over lexicographic
+    # structs — (-n_correct, polarity, thr) ordering reproduces the
+    # oracle's (n_correct DESC, polarity ASC, thr ASC) tie-break
+    best = cand.groupBy("fid").agg(
+        F.min(
+            F.struct(
+                (-F.col("n_correct")).alias("neg"),
+                F.col("polarity").alias("polarity"),
+                F.col("thr").alias("thr"),
+                F.col("n_correct").alias("nc"),
+                F.col("n_total").alias("nt"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        F.col("fid").cast("bigint").alias("fid"),
+        F.col("b.thr").alias("thr"),
+        F.col("b.polarity").alias("polarity"),
+        F.col("b.nc").alias("n_correct"),
+        F.col("b.nt").alias("n_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle + shard manifest
+# ---------------------------------------------------------------------------
+
+_EPOCH = 1  # salt; a trainer varies this per epoch
+_N_SHARDS = 8
+_CHECKSUM_MOD = 1_000_000_007
+
+
+@register(
+    "epoch_shuffle_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             (doc_id * 1103515245 + 12345 + {_EPOCH} * 7919)
+               % 2147483648 AS h1
+      FROM documents
+    ),
+    hh AS (SELECT doc_id, (h1 * 69069 + 1) % 2147483648 AS h2 FROM h),
+    r AS (
+      SELECT doc_id, h2,
+             row_number() OVER (ORDER BY h2, doc_id) AS rnk,
+             count(*) OVER () AS t
+      FROM hh
+    )
+    SELECT CAST(((rnk - 1) * {_N_SHARDS}) // t AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(rnk) AS BIGINT) AS min_rank,
+           CAST(max(rnk) AS BIGINT) AS max_rank,
+           CAST(SUM((h2 + doc_id) % {_CHECKSUM_MOD}) AS BIGINT) AS checksum
+    FROM r GROUP BY 1
+    """,
+    doc="training-data curation: DETERMINISTIC EPOCH SHUFFLE + SHARD "
+    "MANIFEST — the step between pack_sequences and a trainer: give "
+    "every document a pseudorandom but REPLAYABLE position (keyed "
+    "two-round LCG mix of doc_id with the epoch as salt — integer "
+    "arithmetic only, no engine hash functions, products bounded far "
+    "inside BIGINT), split the permuted order into N equal-width "
+    "shards, and emit the per-shard manifest (row count, rank range, "
+    "additive checksum mod 1e9+7 — the table_checksums discipline) "
+    "that lets a training job verify every shard it reads. Positions "
+    "come from ranks.global_row_number's two-phase range-partition + "
+    "offset-broadcast — NO single-partition global sort "
+    "(plan-asserted); shard_id = (rank-1)·N div total needs only the "
+    "1-row total broadcast. A different epoch salt yields a different "
+    "permutation with the same machinery; the oracle replays the mix "
+    "and a rank window bit-for-bit. At 100 TB: the shuffle is one "
+    "range exchange on the mix key (balanced by construction — the "
+    "LCG output is uniform over 2^31) + one N-group aggregation; "
+    "writing the shards is `partitionBy(shard_id)` on the same frame. "
+    "Beyond-reference: the reference has no training-export surface.",
+)
+def epoch_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ranks import global_row_number
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    hh = docs.select(
+        "doc_id",
+        (
+            (
+                (F.col("doc_id") * 1103515245 + 12345 + _EPOCH * 7919)
+                % 2147483648
+            )
+            * 69069
+            + 1
+        )
+        % 2147483648,
+    ).toDF("doc_id", "h2")
+    r = global_row_number(hh, [F.col("h2"), F.col("doc_id")], rank_col="rnk")
+    tot = r.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(f"((rnk - 1) * {_N_SHARDS}) div t").alias("shard_id"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            ((F.col("h2") + F.col("doc_id")) % _CHECKSUM_MOD).alias("ck"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("rnk").cast("bigint").alias("min_rank"),
+            F.max("rnk").cast("bigint").alias("max_rank"),
+            F.sum("ck").cast("bigint").alias("checksum"),
+        )
+        .select(
+            F.col("shard_id").cast("bigint").alias("shard_id"),
+            "n_rows",
+            "min_rank",
+            "max_rank",
+            "checksum",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image resize: vision normalization after a real BMP decode
+# ---------------------------------------------------------------------------
+
+
+def _rs_src(x: str, y: str, c: str) -> str:
+    """SQL for the shared synthetic-pixel formula s(x,y,c) =
+    (media_id + 3x + 7y + 11c) % 256 (the multimodal_bmp_decode_stats
+    image — same generator, so the resize entry provably consumes the
+    same decoded pixels)."""
+    return f"((media_id + 3 * ({x}) + 7 * ({y}) + 11 * ({c})) % 256)"
+
+
+def _rs_hpass(k: str, y: str, c: str) -> str:
+    """SQL for the horizontal 3/2 lerp: output column k reads source
+    columns i=(2k) div 3 and min(i+1, w-1) with remainder r=(2k) mod 3;
+    all operands are 0..255 so // floors identically in both engines."""
+    i = f"((2 * ({k})) // 3)"
+    r = f"((2 * ({k})) % 3)"
+    a = _rs_src(i, y, c)
+    b = _rs_src(f"least({i} + 1, w - 1)", y, c)
+    return f"((({a}) * (3 - {r}) + ({b}) * ({r})) // 3)"
+
+
+def _rs_out(k: str, k2: str, c: str) -> str:
+    """SQL for the vertical pass over the ALREADY-FLOORED horizontal
+    values (floor-of-floor — exactly what the two-pass Python kernel
+    computes)."""
+    j = f"((2 * ({k2})) // 3)"
+    r2 = f"((2 * ({k2})) % 3)"
+    a = _rs_hpass(k, j, c)
+    b = _rs_hpass(k, f"least({j} + 1, h - 1)", c)
+    return f"((({a}) * (3 - {r2}) + ({b}) * ({r2})) // 3)"
+
+
+@register(
+    "multimodal_image_resize_stats",
+    oracle=f"""
+    WITH imgs AS (
+      SELECT doc_id AS media_id,
+             n_chars % 12 + 4 AS w,
+             doc_id % 10 + 4 AS h,
+             ((n_chars % 12 + 4 - 1) * 3) // 2 + 1 AS wo,
+             ((doc_id % 10 + 4 - 1) * 3) // 2 + 1 AS ho
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    px AS (
+      SELECT media_id, w, h, wo, ho,
+             u.idx % 3 AS c,
+             (u.idx % (3 * wo)) // 3 AS xo,
+             u.idx // (3 * wo) AS yo
+      FROM imgs, unnest(range(0, wo * ho * 3)) AS u(idx)
+    ),
+    v AS (
+      SELECT media_id, wo, ho, c, xo, yo,
+             {_rs_out("xo", "yo", "c")} AS v
+      FROM px
+    )
+    SELECT media_id,
+           CAST(max(wo) AS INT) AS width_out,
+           CAST(max(ho) AS INT) AS height_out,
+           CAST(SUM(v) AS BIGINT) AS sum_all,
+           CAST(MIN(v) AS BIGINT) AS min_v,
+           CAST(MAX(v) AS BIGINT) AS max_v,
+           CAST(SUM(CASE WHEN c = 0 THEN (yo * wo + xo + 1) * v ELSE 0 END)
+                AS BIGINT) AS pos_weighted_r
+    FROM v GROUP BY media_id
+    """,
+    doc="multimodal: IMAGE RESIZE (vision normalization) — the 2-D "
+    "twin of the round-11 audio resample, run right after decode in "
+    "every vision training pipeline: per document, synthesize the "
+    "SAME deterministic 24-bit image as multimodal_bmp_decode_stats, "
+    "round-trip it through the real BMP encode+parse (the decode is "
+    "exercised, not assumed), then upscale 3/2 in both dimensions "
+    "with the integer SEPARABLE bilinear kernel "
+    "(pipeline/multimodal.py:resize_bilinear_rgb — horizontal then "
+    "vertical 1-D lerp, floor-of-floor; channel values are 0..255 so "
+    "every division has a non-negative numerator and Python // equals "
+    "DuckDB //) and emit exact integer stats of the RESIZED pixels, "
+    "including a position-weighted red sum that any kernel with wrong "
+    "row order, transposed axes, or edge-clamp confusion cannot "
+    "reproduce. The oracle replays synth → h-pass → v-pass "
+    "expression-for-expression on the output grid, so the gate "
+    "certifies decode → resize end to end. Map-only Arrow pass; "
+    "image bytes never shuffle (the multimodal prime directive).",
+)
+def multimodal_image_resize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+        resize_bilinear_rgb,
+    )
+
+    imgs = spread(
+        load(spark, sf, "documents").filter(F.col("n_chars").isNotNull())
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 12 + 4).cast("int").alias("w"),
+        (F.col("doc_id") % 10 + 4).cast("int").alias("h"),
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        cols = (
+            "media_id",
+            "width_out",
+            "height_out",
+            "sum_all",
+            "min_v",
+            "max_v",
+            "pos_weighted_r",
+        )
+        for pdf in batches:
+            out: dict = {k: [] for k in cols}
+            for media_id, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                src = [
+                    tuple(
+                        (media_id + 3 * x + 7 * y + 11 * c) % 256
+                        for c in range(3)
+                    )
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                bmp = encode_bmp24(int(w), int(h), src)
+                dw, dh, pixels = decode_bmp24(bmp)
+                wo, ho, rs = resize_bilinear_rgb(dw, dh, pixels)
+                vals = [v for p in rs for v in p]
+                out["media_id"].append(media_id)
+                out["width_out"].append(wo)
+                out["height_out"].append(ho)
+                out["sum_all"].append(sum(vals))
+                out["min_v"].append(min(vals))
+                out["max_v"].append(max(vals))
+                out["pos_weighted_r"].append(
+                    sum(
+                        (y * wo + x + 1) * rs[y * wo + x][0]
+                        for y in range(ho)
+                        for x in range(wo)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "width_out": pd.Series(out["width_out"], dtype="int32"),
+                    "height_out": pd.Series(out["height_out"], dtype="int32"),
+                    **{
+                        k: pd.Series(out[k], dtype="int64")
+                        for k in cols[3:]
+                    },
+                }
+            )
+
+    return imgs.mapInPandas(
+        run,
+        "media_id long, width_out int, height_out int, sum_all long, "
+        "min_v long, max_v long, pos_weighted_r long",
+    )

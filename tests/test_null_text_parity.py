@@ -297,3 +297,162 @@ def test_ewma_and_kmeans_null_value_parity(spark, tmp_path):
     assert ew[6] is None and ew[7] is None and ew[8] is None
     assert 5 not in ew  # the NULL-ts row dropped
     assert 9 not in ew  # user 7 filtered by %50
+
+
+def test_round12_training_kernels_null_orders_parity(spark, tmp_path):
+    """Round-12 task #7: NULL o_totalprice / o_custkey / o_orderdate /
+    o_orderpriority through the training kernels (perceptron, stump,
+    tree-level split). Each entry's docstring claims the NULL rows are
+    filtered or zero-labeled SYMMETRICALLY with its oracle — pin it
+    with a synthetic orders table that actually contains them."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_graph_rag_spark.queries import registry
+
+    t0 = dt.datetime(1993, 6, 1)
+    orders = {
+        "o_orderkey": [1, 2, 3, 4, 5, 6, 7, 8],
+        "o_custkey": [1, 2, None, 4, 5, 6, 7, 8],
+        "o_orderstatus": ["O"] * 8,
+        "o_totalprice": [10.0, 20.5, 30.0, None, 9999.49, 1.0, None, 55.5],
+        "o_orderdate": [t0, t0, None, t0, t0, t0, t0, t0],
+        "o_orderpriority": [
+            "1-URGENT",
+            "2-HIGH",
+            "3-MEDIUM",
+            "1-URGENT",
+            None,  # NULL priority must label y=0/-1 in both engines
+            "5-LOW",
+            "2-HIGH",
+            "4-NOT SPECIFIED",
+        ],
+    }
+    pq.write_table(pa.table(orders), str(tmp_path / "orders.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'")
+    key = lambda t: tuple((v is None, str(v)) for v in t)  # noqa: E731
+    reg = registry()
+    for name in (
+        "perceptron_priority_orders",
+        "decision_stump_orders",
+        "tree_level_split_orders",
+    ):
+        q = reg[name]
+        got = sorted(
+            (
+                tuple(None if v is None else v for v in r)
+                for r in q.fn(spark, str(tmp_path)).collect()
+            ),
+            key=key,
+        )
+        want = sorted(
+            (tuple(r) for r in con.execute(q.oracle).fetchall()), key=key
+        )
+        assert got == want, f"{name}: spark {got[:6]} vs oracle {want[:6]}"
+    # the filters are real: 6 priced rows for the stump, 5 fully-non-NULL
+    # rows for the tree level (custkey AND orderdate must also be set)
+    stump = reg["decision_stump_orders"].fn(spark, str(tmp_path)).first()
+    assert stump["n_total"] == 6
+    level = reg["tree_level_split_orders"].fn(spark, str(tmp_path)).collect()
+    assert {r["fid"] for r in level} == {0, 1, 2}
+    assert all(r["n_total"] == 5 for r in level)
+
+
+def _write_temporal_tables(tmp_path, partkey_pairs, dates):
+    """Minimal lineitem/orders parquet for the temporal entry: one
+    2-line order per (src, dst) partkey pair, order date from
+    ``dates`` (None allowed — the NULL-t edge case)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    li = {"l_orderkey": [], "l_linenumber": [], "l_partkey": []}
+    orders = {"o_orderkey": [], "o_orderdate": []}
+    for i, ((s, d), date) in enumerate(zip(partkey_pairs, dates), start=1):
+        li["l_orderkey"] += [i, i]
+        li["l_linenumber"] += [1, 2]
+        li["l_partkey"] += [s, d]
+        orders["o_orderkey"].append(i)
+        orders["o_orderdate"].append(date)
+    pq.write_table(pa.table(li), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table(orders), str(tmp_path / "orders.parquet"))
+
+
+def test_temporal_reach_null_date_parity(spark, tmp_path):
+    """Round-12 task #7: a NULL o_orderdate stamps its edge with NULL t.
+    The traversal predicate e.t >= arr is NULL -> never traversed in
+    EITHER engine, but the edge's endpoints still enter the node set
+    (and thus the seed set) symmetrically."""
+    import datetime as dt
+
+    import duckdb
+
+    from news_graph_rag_spark.queries import registry
+
+    d = lambda m: dt.datetime(1992, 1 + m, 15)  # noqa: E731
+    # (s+d)%5==0 passes the sparsifier; seeds are id%7==0 (7, 21)
+    _write_temporal_tables(
+        tmp_path,
+        [(7, 3), (3, 2), (2, 8), (21, 4), (1, 4)],
+        [d(0), d(1), d(2), None, d(3)],
+    )
+    q = registry()["temporal_reach_parts"]
+    got = sorted(tuple(r) for r in q.fn(spark, str(tmp_path)).collect())
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'")
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    res = dict(got)
+    # 21's only edge is the NULL-t one: it is a seed (arr 0) that can
+    # never traverse; 4 is reachable only via the real 1->4 edge, and 1
+    # is not a seed, so 4 must NOT appear
+    assert res[21] == 0 and 4 not in res
+    assert res == {7: 0, 3: 0, 2: 1, 8: 2, 21: 0}
+
+
+def test_temporal_reach_empty_seed_parity(spark, tmp_path):
+    """Round-12 task #7: no node id is divisible by 7 -> the seed set
+    is EMPTY and both engines must return zero rows (the relaxation
+    loop over an empty frontier must not crash)."""
+    import datetime as dt
+
+    import duckdb
+
+    from news_graph_rag_spark.queries import registry
+
+    _write_temporal_tables(
+        tmp_path,
+        [(1, 4), (2, 3), (6, 9), (4, 6)],
+        [dt.datetime(1992, 3, 15)] * 4,
+    )
+    q = registry()["temporal_reach_parts"]
+    assert q.fn(spark, str(tmp_path)).count() == 0
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'")
+    assert con.execute(q.oracle).fetchall() == []
+
+
+def test_exact_group_rank_value_all_null_group(spark):
+    """Round-12 task #7: exact_group_rank_value's round-11 NULL
+    discipline, pinned at the kernel level — an all-NULL-value group
+    and a NULL group key both vanish from the answer dict (callers'
+    SQL oracles drop the same rows via equality joins / NOT NULL),
+    instead of crashing the histogram passes."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from news_graph_rag_spark.pipeline.percentiles import (
+        exact_group_rank_value,
+    )
+
+    rows = (
+        [("a", v) for v in (5, 1, 3, 2, 4)]
+        + [("b", None)] * 3  # all-NULL group: no rank target exists
+        + [(None, 7)] * 2  # NULL key: can never match a ranges join
+    )
+    b = spark.createDataFrame(rows, "k string, x long")
+    assert exact_group_rank_value(b, "k", "x", 50) == {"a": 3}

@@ -2100,3 +2100,64 @@ def test_semantic_dedup_anchor_invariants(spark, sf_dir):
         vs.sort()
         assert vs[0][1] == 1, f"cluster {cid}: smallest id was dropped"
     assert any(k == 0 for _, k in sum(by_cluster.values(), []))
+
+
+def test_resize_bilinear_rgb_identity_and_known_values():
+    """Round-12 kernel: up == down is the identity; a hand-computed
+    2x2 -> 3/2 upscale pins the separable floor-of-floor arithmetic
+    and the edge clamp."""
+    from news_graph_rag_spark.pipeline.multimodal import resize_bilinear_rgb
+
+    px = [(0, 10, 20), (30, 40, 50), (60, 70, 80), (90, 100, 110)]
+    assert resize_bilinear_rgb(2, 2, px, up=1, down=1) == (2, 2, px)
+
+    wo, ho, out = resize_bilinear_rgb(2, 2, px, up=3, down=2)
+    assert (wo, ho) == (2, 2)  # ((2-1)*3)//2 + 1 = 2
+    # horizontal pass k=1: pos=2 -> i=0, r=2 -> (a*1 + b*2)//3
+    hrow0 = [(0, 10, 20), ((0 + 60) // 3, (10 + 80) // 3, (20 + 100) // 3)]
+    assert out[0] == hrow0[0] and out[1] == hrow0[1]
+    # vertical pass k2=1: pos=2 -> j=0, r2=2 over the h-passed rows
+    hrow1 = [(60, 70, 80), ((60 + 180) // 3, (70 + 200) // 3, (80 + 220) // 3)]
+    exp = tuple((a + 2 * b) // 3 for a, b in zip(hrow0[1], hrow1[1]))
+    assert out[3] == exp
+
+    with pytest.raises(ValueError):
+        resize_bilinear_rgb(2, 2, px[:3])
+
+
+def test_resize_bilinear_rgb_matches_float_reference():
+    """Round-12 differential: the integer kernel equals a float
+    separable bilinear (same sample-position convention) within 1
+    count per channel — the floors are the only divergence — on a
+    deterministic pseudo-random image."""
+    from news_graph_rag_spark.pipeline.multimodal import resize_bilinear_rgb
+
+    w, h = 7, 5
+    px = [
+        tuple((11 + 3 * x + 7 * y + 5 * c) % 256 for c in range(3))
+        for y in range(h)
+        for x in range(w)
+    ]
+    wo, ho, out = resize_bilinear_rgb(w, h, px, up=3, down=2)
+    assert (wo, ho) == (((w - 1) * 3) // 2 + 1, ((h - 1) * 3) // 2 + 1)
+
+    def fsample(k):  # 1-D float positions
+        return k * 2 / 3
+
+    for k2 in range(ho):
+        sy = fsample(k2)
+        j = min(int(sy), h - 1)
+        ry = sy - j
+        for k in range(wo):
+            sx = fsample(k)
+            i = min(int(sx), w - 1)
+            rx = sx - i
+            for c in range(3):
+                s = lambda xx, yy: px[  # noqa: E731
+                    min(yy, h - 1) * w + min(xx, w - 1)
+                ][c]
+                top = s(i, j) * (1 - rx) + s(i + 1, j) * rx
+                bot = s(i, j + 1) * (1 - rx) + s(i + 1, j + 1) * rx
+                ref = top * (1 - ry) + bot * ry
+                got = out[k2 * wo + k][c]
+                assert abs(got - ref) <= 2, (k, k2, c, got, ref)

@@ -651,3 +651,35 @@ def test_rank_helpers_range_exchange_shape(spark):
     ):
         plan = plan_of(out, "simple")
         assert "Exchange rangepartitioning" in plan
+
+
+def test_tree_level_split_windows_are_range_partitioned(spark, sf_dir, reg):
+    """Round-12 multi-feature split finding: the only windows in the
+    plan are the two-phase cumsum's _pid-partitioned locals (never a
+    single-partition ORDER BY over the distinct-value tables), and the
+    per-feature argmax is a plain aggregation, not a ranked window."""
+    plan = plan_of(reg["tree_level_split_orders"].fn(spark, sf_dir), "simple")
+    specs = _window_specs(plan)
+    assert specs, "expected the cumsum windows in the plan"
+    assert all("_pid" in s.split(",")[0] for s in specs), specs
+
+
+def test_epoch_shuffle_has_no_global_sort(spark, sf_dir, reg):
+    """Round-12 epoch shuffle: permutation ranks must come from the
+    two-phase global_row_number (windows partitioned by _pid), with no
+    single-partition Sort feeding an unpartitioned window — the
+    classic shuffle-writer scale cliff this entry exists to avoid."""
+    plan = plan_of(reg["epoch_shuffle_shards"].fn(spark, sf_dir), "simple")
+    specs = _window_specs(plan)
+    assert specs, "expected the rank helper's windows in the plan"
+    assert all("_pid" in s.split(",")[0] for s in specs), specs
+
+
+def test_image_resize_is_map_only_python_stage(spark, sf_dir, reg):
+    """Round-12 image resize: decode+resize runs in ONE Arrow python
+    stage over the (possibly re-spread) scan — no joins, no windows,
+    image bytes never shuffle."""
+    plan = plan_of(reg["multimodal_image_resize_stats"].fn(spark, sf_dir), "simple")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("MapInPandas") == 1

@@ -826,3 +826,117 @@ def test_decision_stump_matches_exhaustive_python(spark, tmp_path):
         row["n_correct"],
         row["n_total"],
     ) == want
+
+
+def test_tree_level_split_matches_exhaustive_python(spark, tmp_path):
+    """Round-12 differential: the multi-feature split entry vs a
+    brute-force Python search per feature over every threshold and
+    polarity with the same tie-break (accuracy desc, polarity asc,
+    threshold asc) — the stump differential, fanned out to D=3."""
+    import datetime as dt
+    import math
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_graph_rag_spark.queries import registry
+
+    rng = random.Random(21)
+    n = 220
+    prices = [rng.uniform(900, 510000) for _ in range(n)] + [2500.0] * 5
+    m = len(prices)
+    custs = [rng.randrange(1, 5000) for _ in range(m)]
+    dates = [
+        dt.datetime(1992 + rng.randrange(0, 6), rng.randrange(1, 13), 7)
+        for _ in range(m)
+    ]
+    prios = [
+        rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"])
+        for _ in range(m)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": list(range(1, m + 1)),
+                "o_custkey": custs,
+                "o_orderstatus": ["O"] * m,
+                "o_totalprice": prices,
+                "o_orderdate": dates,
+                "o_orderpriority": prios,
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    feats = [
+        [int(math.floor(p * 100)) for p in prices],
+        [c % 97 for c in custs],
+        [(d.year - 1992) * 12 + d.month - 1 for d in dates],
+    ]
+    ys = [1 if pr in ("1-URGENT", "2-HIGH") else 0 for pr in prios]
+    want = {}
+    for fid, xs in enumerate(feats):
+        best = None
+        for thr in sorted(set(xs)):
+            for pol in (0, 1):
+                correct = sum(
+                    1
+                    for x, y in zip(xs, ys)
+                    if (y == 1) == ((x <= thr) if pol == 0 else (x > thr))
+                )
+                key = (-correct, pol, thr)
+                if best is None or key < best:
+                    best = key
+        want[fid] = (best[2], best[1], -best[0], m)
+    got = {
+        r["fid"]: (r["thr"], r["polarity"], r["n_correct"], r["n_total"])
+        for r in registry()["tree_level_split_orders"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == want
+
+
+def test_epoch_shuffle_manifest_matches_python(spark, tmp_path):
+    """Round-12 differential: the epoch-shuffle manifest vs a
+    brute-force Python replay of the LCG mix + sort + equal-width
+    sharding — and the structural invariants a trainer relies on
+    (ranks partition 1..T, shard sizes within 1 of each other)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_graph_rag_spark.queries import registry
+    from news_graph_rag_spark.queries.round12 import (
+        _CHECKSUM_MOD,
+        _EPOCH,
+        _N_SHARDS,
+    )
+
+    doc_ids = [3, 17, 1, 999, 42, 8, 300, 5, 77, 123, 456, 789, 1011]
+    pq.write_table(
+        pa.table({"doc_id": doc_ids}), str(tmp_path / "documents.parquet")
+    )
+    mix = lambda d: (  # noqa: E731
+        ((d * 1103515245 + 12345 + _EPOCH * 7919) % 2147483648) * 69069 + 1
+    ) % 2147483648
+    order = sorted(doc_ids, key=lambda d: (mix(d), d))
+    t = len(order)
+    want: dict = {}
+    for rnk, d in enumerate(order, start=1):
+        sid = (rnk - 1) * _N_SHARDS // t
+        s = want.setdefault(sid, [0, rnk, rnk, 0])
+        s[0] += 1
+        s[2] = rnk
+        s[3] += (mix(d) + d) % _CHECKSUM_MOD
+    got = {
+        r["shard_id"]: [r["n_rows"], r["min_rank"], r["max_rank"], r["checksum"]]
+        for r in registry()["epoch_shuffle_shards"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {k: list(v) for k, v in want.items()}
+    sizes = [v[0] for v in got.values()]
+    assert max(sizes) - min(sizes) <= 1
+    assert sorted(
+        r for v in got.values() for r in range(v[1], v[2] + 1)
+    ) == list(range(1, t + 1))
