@@ -40,21 +40,40 @@ def _stage_stream_source(df, sf: str, kind: str, table: str = "events",
 
 
 @contextmanager
-def _replay_shuffle_partitions(spark: SparkSession, n: int = 8):
+def _replay_shuffle_partitions(spark: SparkSession, n: int = 2):
     """Scope ``spark.sql.shuffle.partitions`` for a toy-scale streaming
     REPLAY: the state-store partition count should track expected key
     cardinality/throughput, and these catalog exhibits replay a few
     hundred thousand rows — 32 state partitions are pure fixed overhead
-    (state-store init + task scheduling per partition per micro-batch).
+    (state-store init + task scheduling per partition per micro-batch;
+    a stream-stream join maintains FOUR stores per partition, so each
+    extra partition costs four store reloads per batch). n=2 measured
+    fastest for the replay family in round 12 (8→2 cut the three
+    slowest entries ~25%; 1 was no better and serializes the fold).
     Production streaming keeps the cluster default; this is the same
     sizing judgment AQE applies to batch shuffles, made explicit because
     streaming state partitioning is fixed at query start."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_ndb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    # The replays drive ALL emission through staged data batches (the
+    # sentinel files exist precisely to advance the watermark and run
+    # the eviction batch), so the engine's extra no-data micro-batches
+    # after every watermark change are pure fixed overhead here —
+    # each one re-plans and re-loads every state-store instance for
+    # zero new rows (round-11 verdict #2: the replay harness floor).
+    # Production streams keep the default (true): there the no-data
+    # batch IS how eviction/timeouts fire without new input.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", old_ndb
+        )
 
 
 @register(
@@ -519,9 +538,16 @@ def streaming_stateful_sessions(spark: SparkSession, sf: str) -> DataFrame:
 
     src = _stage_ordered_batches(with_sentinels, sf, "stateful_sess")
 
+    # [real, sentinel#1] as one batch, sentinel#2 as the flush batch:
+    # the watermark computed from sentinel#1 at the end of batch 1 is
+    # already past every session close, so batch 2's timeout sweep
+    # flushes every real session — identical emissions to the
+    # 1-file-per-batch replay, one fewer micro-batch (the out-of-order
+    # arrival cases this operator must handle are separately pinned in
+    # tests/test_streaming.py with hand-staged batches).
     stream = (
         spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "2")
         .parquet(src)
     )
     name = "stateful_sessions_out"
@@ -1669,14 +1695,23 @@ def _interval_join_replay(
     c_dir = _stage_ordered_batches(
         lambda: with_sentinels(clicks), sf, f"{kind}_clicks"
     )
+    # maxFilesPerTrigger=2 groups [real, sentinel#1] into ONE batch and
+    # leaves sentinel#2 its own: the watermark at the end of batch 1 is
+    # already past every real event (computed from sentinel #1), and
+    # batch 2 performs the eviction that emits the outer rows — the
+    # same math as the original 1-file-per-batch replay with one fewer
+    # micro-batch per side (round-11 verdict #2: the matched rows need
+    # no cross-batch arrival structure here; the EWMA replay keeps
+    # maxFilesPerTrigger=1 because there cross-batch stragglers ARE
+    # the point).
     ps = (
         spark.readStream.schema(purchases.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "2")
         .parquet(p_dir)
     )
     cs = (
         spark.readStream.schema(clicks.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "2")
         .parquet(c_dir)
     )
     with _replay_shuffle_partitions(spark):
