@@ -1359,7 +1359,7 @@ def temporal_reach_parts(spark: SparkSession, sf: str) -> DataFrame:
     "a full tree level fans out trivially.",
 )
 def decision_stump_orders(spark: SparkSession, sf: str) -> DataFrame:
-    from ..ranks import global_cumsum
+    from ..ranks import global_cumsums
 
     pts = (
         load(spark, sf, "orders")
@@ -1382,8 +1382,12 @@ def decision_stump_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("np").cast("bigint").alias("p"),
         F.sum("nn").cast("bigint").alias("n"),
     )
-    c = global_cumsum(g, [F.col("x")], F.col("np"), cumsum_col="cp")
-    c = global_cumsum(c, [F.col("x")], F.col("nn"), cumsum_col="cn")
+    # one shared two-phase pass for both prefix columns (round-12
+    # review: chaining global_cumsum per column paid the range
+    # exchange + pin + window twice)
+    c = global_cumsums(
+        g, [F.col("x")], {"cp": F.col("np"), "cn": F.col("nn")}
+    )
     c = c.crossJoin(F.broadcast(tot))
     cand = c.select(
         F.col("x").alias("thr"),

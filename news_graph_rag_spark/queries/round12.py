@@ -92,7 +92,7 @@ from .catalog import load, register, spread
     "customer-key residue, order-month index). One map-side melt "
     "(explode of (fid, x) structs — D× the rows, zero joins), one "
     "(fid, x) groupBy for per-value label counts, per-feature prefix "
-    "sums from a SINGLE two-phase ranks.global_cumsum over the "
+    "sums from a SINGLE two-phase ranks.global_cumsums pass over the "
     "concatenated (fid, x) order (per-feature offsets subtracted via "
     "a D-row broadcast — one cumsum machine for the whole level, NOT "
     "one per feature, and never a single-partition window: "
@@ -107,7 +107,7 @@ from .catalog import load, register, spread
     "quantizes first; this is the exact-threshold variant).",
 )
 def tree_level_split_orders(spark: SparkSession, sf: str) -> DataFrame:
-    from ..ranks import global_cumsum
+    from ..ranks import exclusive_sum_offsets, global_cumsums
 
     pts = (
         load(spark, sf, "orders")
@@ -153,22 +153,21 @@ def tree_level_split_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("np").cast("bigint").alias("p"),
         F.sum("nn").cast("bigint").alias("n"),
     )
-    # ONE global cumsum over the concatenated (fid, x) order; the
-    # per-feature prefix is recovered by subtracting each feature's
-    # exclusive offset (sum over all strictly-earlier fids — a D-row
-    # inequality self-join, the ranks-offsets shape, then broadcast)
-    c = global_cumsum(g, [F.col("fid"), F.col("x")], F.col("np"), "cp_g")
-    c = global_cumsum(c, [F.col("fid"), F.col("x")], F.col("nn"), "cn_g")
-    t1, t2 = tot.alias("t1"), tot.alias("t2")
-    off = (
-        t1.join(t2, F.col("t2.fid") < F.col("t1.fid"), "left")
-        .groupBy(F.col("t1.fid").alias("fid"))
-        .agg(
-            F.coalesce(F.sum("t2.p"), F.lit(0)).alias("off_p"),
-            F.coalesce(F.sum("t2.n"), F.lit(0)).alias("off_n"),
-        )
-        .join(tot, "fid")
+    # ONE global cumsum pass (both count columns share a single range
+    # exchange, pin, and _pid window — round-12 review: two chained
+    # global_cumsum calls paid all three twice) over the concatenated
+    # (fid, x) order; the per-feature prefix is recovered by
+    # subtracting each feature's exclusive offset (sum over all
+    # strictly-earlier fids — the ranks offsets scaffold on the D-row
+    # totals table, then broadcast)
+    c = global_cumsums(
+        g,
+        [F.col("fid"), F.col("x")],
+        {"cp_g": F.col("np"), "cn_g": F.col("nn")},
     )
+    off = exclusive_sum_offsets(
+        tot, "fid", {"p": "off_p", "n": "off_n"}
+    ).join(tot, "fid")
     c = c.join(F.broadcast(off), "fid").select(
         "fid",
         F.col("x").alias("thr"),
@@ -233,9 +232,9 @@ _CHECKSUM_MOD = 1_000_000_007
     oracle=f"""
     WITH h AS (
       SELECT doc_id,
-             (doc_id * 1103515245 + 12345 + {_EPOCH} * 7919)
+             ((doc_id % 2147483648) * 1103515245 + 12345 + {_EPOCH} * 7919)
                % 2147483648 AS h1
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     ),
     hh AS (SELECT doc_id, (h1 * 69069 + 1) % 2147483648 AS h2 FROM h),
     r AS (
@@ -255,8 +254,12 @@ _CHECKSUM_MOD = 1_000_000_007
     "MANIFEST — the step between pack_sequences and a trainer: give "
     "every document a pseudorandom but REPLAYABLE position (keyed "
     "two-round LCG mix of doc_id with the epoch as salt — integer "
-    "arithmetic only, no engine hash functions, products bounded far "
-    "inside BIGINT), split the permuted order into N equal-width "
+    "arithmetic only, no engine hash functions; doc_id is reduced mod "
+    "2^31 before the first multiply so every product is bounded far "
+    "inside BIGINT at any corpus size, and NULL doc_ids are filtered "
+    "symmetrically, since a NULL mix key would sort NULLS-FIRST in "
+    "Spark but NULLS-LAST in DuckDB), "
+    "split the permuted order into N equal-width "
     "shards, and emit the per-shard manifest (row count, rank range, "
     "additive checksum mod 1e9+7 — the table_checksums discipline) "
     "that lets a training job verify every shard it reads. Positions "
@@ -274,12 +277,23 @@ _CHECKSUM_MOD = 1_000_000_007
 def epoch_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
     from ..ranks import global_row_number
 
-    docs = load(spark, sf, "documents").select("doc_id")
+    # NULL doc_ids are excluded SYMMETRICALLY (a NULL mix key would
+    # rank first in Spark's NULLS-FIRST order but last in DuckDB's —
+    # the known engine-parity trap) and doc_id is reduced mod 2^31
+    # BEFORE the first multiply so every product stays far inside
+    # BIGINT at any corpus size (round-12 review: doc_id ≥ ~8.4e9
+    # would overflow — Spark wraps silently, DuckDB raises)
+    docs = (
+        load(spark, sf, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
     hh = docs.select(
         "doc_id",
         (
             (
-                (F.col("doc_id") * 1103515245 + 12345 + _EPOCH * 7919)
+                ((F.col("doc_id") % 2147483648) * 1103515245
+                 + 12345 + _EPOCH * 7919)
                 % 2147483648
             )
             * 69069

@@ -56,6 +56,33 @@ def _pin(parted: DataFrame, pin: bool) -> DataFrame:
     return parted.localCheckpoint(eager=True) if pin else parted
 
 
+def exclusive_sum_offsets(
+    per_key: DataFrame, key_col: str, sum_cols: dict[str, str]
+) -> DataFrame:
+    """Exclusive prefix sums over a SMALL per-key table via an
+    inequality self-join: for each key, the sum of every STRICTLY
+    smaller key's values — the offsets step shared by the two-phase
+    rank helpers (and by callers that fan a cumsum out per group,
+    e.g. the round-12 tree-level split). ``sum_cols`` maps input
+    column → output offset column; absent predecessors yield 0.
+
+    The per-key table must be broadcast-sized (≤ partitions, or ≤
+    groups): the join is quadratic in its rows by design — that is
+    what keeps the BIG table's plan free of empty-partition windows.
+    """
+    c1, c2 = per_key.alias("c1"), per_key.alias("c2")
+    return (
+        c1.join(c2, F.col(f"c2.{key_col}") < F.col(f"c1.{key_col}"), "left")
+        .groupBy(F.col(f"c1.{key_col}").alias(key_col))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"c2.{src}"), F.lit(0)).alias(dst)
+                for src, dst in sum_cols.items()
+            ]
+        )
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_by: list[Column],
@@ -82,19 +109,67 @@ def global_row_number(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_by))
     )
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    # prefix-sum over the (≤ n)-row counts table via inequality
-    # self-join — no empty-partition window anywhere in the plan
-    c1, c2 = counts.alias("c1"), counts.alias("c2")
-    offsets = (
-        c1.join(c2, F.col("c2._pid") < F.col("c1._pid"), "left")
-        .groupBy(F.col("c1._pid").alias("_pid"))
-        .agg(F.coalesce(F.sum("c2._cnt"), F.lit(0)).alias("_off"))
-    )
+    # prefix-sum over the (≤ n)-row counts table — no empty-partition
+    # window anywhere in the plan
+    offsets = exclusive_sum_offsets(counts, "_pid", {"_cnt": "_off"})
     return (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(rank_col, (F.col("_lrn") + F.col("_off")).cast("int"))
         .drop("_pid", "_lrn", "_off")
     )
+
+
+def global_cumsums(
+    df: DataFrame,
+    order_by: list[Column],
+    values: "dict[str, Column]",
+    num_partitions: int | None = None,
+    inclusive: bool = True,
+    pin: bool = True,
+) -> DataFrame:
+    """Exact global running sums of SEVERAL value columns in one
+    two-phase pass (range-repartition, local running sums, broadcast
+    per-partition offsets): every output shares ONE range exchange,
+    ONE pin, and ONE _pid window spec — a caller chaining
+    ``global_cumsum`` per value column pays all three per call
+    (round-12 review: the tree-level split did exactly that).
+    ``values`` maps output column → value Column; ``inclusive=False``
+    gives exclusive prefix sums (all STRICTLY earlier rows).
+
+    ``order_by`` must define a total order (include a unique
+    tiebreaker), else tied rows' sums are placement-dependent.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    vals = list(values.items())
+    staged = df
+    for i, (_, col) in enumerate(vals):
+        staged = staged.withColumn(f"_val{i}", col.cast("long"))
+    parted = _pin(
+        staged.repartitionByRange(n, *order_by).withColumn(
+            "_pid", F.spark_partition_id()
+        ),
+        pin,
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    local = parted
+    for i in range(len(vals)):
+        local = local.withColumn(f"_lcum{i}", F.sum(f"_val{i}").over(w))
+    totals = parted.groupBy("_pid").agg(
+        *[F.sum(f"_val{i}").alias(f"_tot{i}") for i in range(len(vals))]
+    )
+    offsets = exclusive_sum_offsets(
+        totals, "_pid", {f"_tot{i}": f"_off{i}" for i in range(len(vals))}
+    )
+    out = local.join(F.broadcast(offsets), "_pid")
+    drop = ["_pid"]
+    for i, (name, _) in enumerate(vals):
+        out = out.withColumn(
+            name,
+            (F.col(f"_lcum{i}") + F.col(f"_off{i}"))
+            - (F.lit(0) if inclusive else F.col(f"_val{i}")),
+        )
+        drop += [f"_lcum{i}", f"_off{i}", f"_val{i}"]
+    return out.drop(*drop)
 
 
 def global_cumsum(
@@ -107,36 +182,17 @@ def global_cumsum(
     pin: bool = True,
 ) -> DataFrame:
     """Exact global running sum of ``value`` in ``order_by`` order
-    without a single-partition sort — same two-phase shape as
-    ``global_row_number``: range-repartition, local running sum, then
-    broadcast per-partition offsets. ``inclusive=False`` gives the
-    exclusive prefix sum (sum of all STRICTLY earlier rows).
-
-    ``order_by`` must define a total order (include a unique
-    tiebreaker), else tied rows' sums are placement-dependent.
+    without a single-partition sort — ``global_cumsums`` with one
+    value column (see there for the shape).
     """
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = _pin(
-        df.withColumn("_val", value.cast("long"))
-        .repartitionByRange(n, *order_by)
-        .withColumn("_pid", F.spark_partition_id()),
-        pin,
+    return global_cumsums(
+        df,
+        order_by,
+        {cumsum_col: value},
+        num_partitions=num_partitions,
+        inclusive=inclusive,
+        pin=pin,
     )
-    w = Window.partitionBy("_pid").orderBy(*order_by)
-    local = parted.withColumn("_lcum", F.sum("_val").over(w))
-    totals = parted.groupBy("_pid").agg(F.sum("_val").alias("_tot"))
-    c1, c2 = totals.alias("c1"), totals.alias("c2")
-    offsets = (
-        c1.join(c2, F.col("c2._pid") < F.col("c1._pid"), "left")
-        .groupBy(F.col("c1._pid").alias("_pid"))
-        .agg(F.coalesce(F.sum("c2._tot"), F.lit(0)).alias("_off"))
-    )
-    out = local.join(F.broadcast(offsets), "_pid").withColumn(
-        cumsum_col,
-        (F.col("_lcum") + F.col("_off"))
-        - (F.lit(0) if inclusive else F.col("_val")),
-    )
-    return out.drop("_pid", "_lcum", "_off", "_val")
 
 
 def top_k_ranked(

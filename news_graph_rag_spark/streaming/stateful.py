@@ -239,6 +239,15 @@ def stateful_ewma(
     incremental operator. Within the watermark the emission equals the
     batch lag window bit-for-bit (unit-tested, and the catalog entry's
     DuckDB oracle IS the batch SQL).
+
+    Stream-end caveat (round-12 review): release is STRICTLY below the
+    watermark (Spark only guarantees no more arrivals strictly older
+    than it), so a row stamped EXACTLY at the final watermark stays
+    buffered until some later batch advances it. A finite replay whose
+    last flush batch lands the watermark exactly on a buffered row's
+    event time would end with that row unemitted — stage the final
+    sentinel strictly later than every real event plus the delay (the
+    catalog replay's far-future sentinels satisfy this by days).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

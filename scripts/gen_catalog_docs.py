@@ -26,6 +26,23 @@ def main() -> None:
     n = len(reg)
     n_oracle = sum(1 for q in reg.values() if q.oracle)
 
+    # Append-only manifest guard FIRST, before any file is rewritten
+    # (round-12 review: checking after the README/CATALOG writes left a
+    # half-applied regeneration on exactly the error path the guard
+    # exists for — docs regenerated from an order the tool rejects).
+    manifest_path = os.path.join(REPO, "tests", "registry_order.txt")
+    new_order = list(reg)
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            old_order = f.read().split()
+        if new_order[: len(old_order)] != old_order:
+            raise SystemExit(
+                "refusing to regenerate: the new registry order does not "
+                "extend the committed tests/registry_order.txt — that "
+                "reorders driver-graded positions. If intentional, delete "
+                "the manifest first and say so in the commit message."
+            )
+
     readme_path = os.path.join(REPO, "README.md")
     with open(readme_path) as f:
         readme = f.read()
@@ -65,21 +82,8 @@ def main() -> None:
         f.write("\n".join(lines) + "\n")
 
     # Full-order manifest (round 12): the complete registry order,
-    # frozen in a committed file. test_registry_order_manifest asserts
-    # the live order EQUALS it and that regeneration only ever APPENDS
-    # (an insert/reorder would shift driver-graded positions).
-    manifest_path = os.path.join(REPO, "tests", "registry_order.txt")
-    new_order = list(reg)
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            old_order = f.read().split()
-        if new_order[: len(old_order)] != old_order:
-            raise SystemExit(
-                "refusing to regenerate tests/registry_order.txt: the new "
-                "registry order does not extend the committed one — that "
-                "reorders driver-graded positions. If intentional, delete "
-                "the manifest first and say so in the commit message."
-            )
+    # frozen in a committed file; the append-only guard above already
+    # validated new_order against the committed manifest.
     with open(manifest_path, "w") as f:
         f.write("\n".join(new_order) + "\n")
     print(

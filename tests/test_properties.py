@@ -917,7 +917,9 @@ def test_epoch_shuffle_manifest_matches_python(spark, tmp_path):
         pa.table({"doc_id": doc_ids}), str(tmp_path / "documents.parquet")
     )
     mix = lambda d: (  # noqa: E731
-        ((d * 1103515245 + 12345 + _EPOCH * 7919) % 2147483648) * 69069 + 1
+        (((d % 2147483648) * 1103515245 + 12345 + _EPOCH * 7919) % 2147483648)
+        * 69069
+        + 1
     ) % 2147483648
     order = sorted(doc_ids, key=lambda d: (mix(d), d))
     t = len(order)
