@@ -226,6 +226,21 @@ def resample_linear_pcm16(
     return out
 
 
+def synth_rgb24(media_id: int, w: int, h: int) -> "list[tuple]":
+    """THE deterministic test-image formula shared by every RGB image
+    entry (BMP decode, image resize — round-12 review: the pixel
+    comprehension was pasted per entry, so an edit to one would
+    silently break the shared-generator linkage their docs claim):
+    v(x, y, c) = (media_id + 3x + 7y + 11c) % 256, row-major top-down.
+    Any change here must be mirrored in the entries' DuckDB oracles,
+    which replay the same expression in SQL."""
+    return [
+        tuple((media_id + 3 * x + 7 * y + 11 * c) % 256 for c in range(3))
+        for y in range(h)
+        for x in range(w)
+    ]
+
+
 def resize_bilinear_rgb(
     width: int, height: int, pixels: "list[tuple]", up: int = 3, down: int = 2
 ) -> "tuple[int, int, list[tuple]]":

@@ -192,7 +192,7 @@ def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
     "never shuffled.",
 )
 def multimodal_bmp_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
-    from ..pipeline.multimodal import decode_bmp24, encode_bmp24
+    from ..pipeline.multimodal import decode_bmp24, encode_bmp24, synth_rgb24
 
     # NULL n_chars docs drop — mirrors the oracle CTE filter; the
     # kernel would otherwise see NaN dims (round-8 review)
@@ -222,14 +222,7 @@ def multimodal_bmp_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
                 )
             }
             for media_id, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
-                src = [
-                    tuple(
-                        (media_id + 3 * x + 7 * y + 11 * c) % 256
-                        for c in range(3)
-                    )
-                    for y in range(h)
-                    for x in range(w)
-                ]
+                src = synth_rgb24(int(media_id), int(w), int(h))
                 bmp = encode_bmp24(int(w), int(h), src)
                 dw, dh, pixels = decode_bmp24(bmp)
                 vals = [v for p in pixels for v in p]

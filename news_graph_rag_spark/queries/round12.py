@@ -149,10 +149,14 @@ def tree_level_split_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("y").cast("bigint").alias("np"),
         (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("nn"),
     )
+    # materialize the D-row totals ONCE (round-12 review #2): this
+    # frame feeds both sides of the offsets self-join plus the final
+    # totals join — left lazy, each reference re-executed the full
+    # scan + melt + groupBy just to rebuild 3 rows
     tot = g.groupBy("fid").agg(
         F.sum("np").cast("bigint").alias("p"),
         F.sum("nn").cast("bigint").alias("n"),
-    )
+    ).localCheckpoint(eager=True)
     # ONE global cumsum pass (both count columns share a single range
     # exchange, pin, and _pid window — round-12 review: two chained
     # global_cumsum calls paid all three twice) over the concatenated
@@ -176,24 +180,35 @@ def tree_level_split_orders(spark: SparkSession, sf: str) -> DataFrame:
         "p",
         "n",
     )
+    # both polarities from ONE pass over c (round-12 review #2: a
+    # unionByName of two c.select()s duplicated the whole cumsum
+    # subtree — window and broadcast join executed twice)
     cand = c.select(
         "fid",
         "thr",
-        F.lit(0).cast("bigint").alias("polarity"),
-        (F.col("cp") + (F.col("n") - F.col("cn")))
-        .cast("bigint")
-        .alias("n_correct"),
         (F.col("p") + F.col("n")).cast("bigint").alias("n_total"),
-    ).unionByName(
-        c.select(
-            "fid",
-            "thr",
-            F.lit(1).cast("bigint").alias("polarity"),
-            ((F.col("p") - F.col("cp")) + F.col("cn"))
-            .cast("bigint")
-            .alias("n_correct"),
-            (F.col("p") + F.col("n")).cast("bigint").alias("n_total"),
-        )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("bigint").alias("polarity"),
+                    (F.col("cp") + (F.col("n") - F.col("cn")))
+                    .cast("bigint")
+                    .alias("n_correct"),
+                ),
+                F.struct(
+                    F.lit(1).cast("bigint").alias("polarity"),
+                    ((F.col("p") - F.col("cp")) + F.col("cn"))
+                    .cast("bigint")
+                    .alias("n_correct"),
+                ),
+            )
+        ).alias("cd"),
+    ).select(
+        "fid",
+        "thr",
+        F.col("cd.polarity").alias("polarity"),
+        F.col("cd.n_correct").alias("n_correct"),
+        "n_total",
     )
     # per-feature argmax WITHOUT a window: min over lexicographic
     # structs — (-n_correct, polarity, thr) ordering reproduces the
@@ -301,7 +316,12 @@ def epoch_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
         )
         % 2147483648,
     ).toDF("doc_id", "h2")
-    r = global_row_number(hh, [F.col("h2"), F.col("doc_id")], rank_col="rnk")
+    # rank_type="long": shard_id multiplies the rank by N — an int rank
+    # overflows at 2^31/N rows (ANSI raises, legacy wraps negative),
+    # exactly the class of bound the mix reduction above guards
+    r = global_row_number(
+        hh, [F.col("h2"), F.col("doc_id")], rank_col="rnk", rank_type="long"
+    )
     tot = r.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
     return (
         r.crossJoin(F.broadcast(tot))
@@ -334,9 +354,10 @@ def epoch_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
 
 def _rs_src(x: str, y: str, c: str) -> str:
     """SQL for the shared synthetic-pixel formula s(x,y,c) =
-    (media_id + 3x + 7y + 11c) % 256 (the multimodal_bmp_decode_stats
-    image — same generator, so the resize entry provably consumes the
-    same decoded pixels)."""
+    (media_id + 3x + 7y + 11c) % 256 — pipeline/multimodal.py:
+    synth_rgb24, the one generator every RGB image entry draws from
+    (this entry uses smaller dims than the BMP-decode entry; the
+    formula, not the image, is what is shared)."""
     return f"((media_id + 3 * ({x}) + 7 * ({y}) + 11 * ({c})) % 256)"
 
 
@@ -397,8 +418,11 @@ def _rs_out(k: str, k2: str, c: str) -> str:
     """,
     doc="multimodal: IMAGE RESIZE (vision normalization) — the 2-D "
     "twin of the round-11 audio resample, run right after decode in "
-    "every vision training pipeline: per document, synthesize the "
-    "SAME deterministic 24-bit image as multimodal_bmp_decode_stats, "
+    "every vision training pipeline: per document, synthesize a "
+    "deterministic 24-bit image with the SAME shared generator "
+    "formula as multimodal_bmp_decode_stats "
+    "(pipeline/multimodal.py:synth_rgb24 — smaller dims here, since "
+    "the 3/2 upscale grows the oracle's replay grid), "
     "round-trip it through the real BMP encode+parse (the decode is "
     "exercised, not assumed), then upscale 3/2 in both dimensions "
     "with the integer SEPARABLE bilinear kernel "
@@ -418,6 +442,7 @@ def multimodal_image_resize_stats(spark: SparkSession, sf: str) -> DataFrame:
         decode_bmp24,
         encode_bmp24,
         resize_bilinear_rgb,
+        synth_rgb24,
     )
 
     imgs = spread(
@@ -443,14 +468,7 @@ def multimodal_image_resize_stats(spark: SparkSession, sf: str) -> DataFrame:
         for pdf in batches:
             out: dict = {k: [] for k in cols}
             for media_id, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
-                src = [
-                    tuple(
-                        (media_id + 3 * x + 7 * y + 11 * c) % 256
-                        for c in range(3)
-                    )
-                    for y in range(h)
-                    for x in range(w)
-                ]
+                src = synth_rgb24(int(media_id), int(w), int(h))
                 bmp = encode_bmp24(int(w), int(h), src)
                 dw, dh, pixels = decode_bmp24(bmp)
                 wo, ho, rs = resize_bilinear_rgb(dw, dh, pixels)

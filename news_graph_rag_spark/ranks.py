@@ -89,12 +89,20 @@ def global_row_number(
     rank_col: str = "rnk",
     num_partitions: int | None = None,
     pin: bool = True,
+    rank_type: str = "int",
 ) -> DataFrame:
     """Exact global ``row_number`` over ``order_by`` without a
     single-partition sort.
 
     ``order_by`` must define a total order (include a unique tiebreaker)
     or ranks of tied rows are partition-placement-dependent.
+
+    ``rank_type`` defaults to ``int`` (the schema every existing
+    driver-graded consumer pins); pass ``"long"`` when downstream
+    arithmetic multiplies the rank (round-12 review: an int rank times
+    a shard count overflows at 2^31/N rows — Spark 4's ANSI default
+    raises, legacy mode silently wraps) or the input can exceed 2^31
+    rows. Per-partition counts are summed as longs either way.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = _pin(
@@ -114,7 +122,7 @@ def global_row_number(
     offsets = exclusive_sum_offsets(counts, "_pid", {"_cnt": "_off"})
     return (
         local.join(F.broadcast(offsets), "_pid")
-        .withColumn(rank_col, (F.col("_lrn") + F.col("_off")).cast("int"))
+        .withColumn(rank_col, (F.col("_lrn") + F.col("_off")).cast(rank_type))
         .drop("_pid", "_lrn", "_off")
     )
 
