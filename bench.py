@@ -197,6 +197,7 @@ HEADLINE = [
     "tree_level_split_orders",
     "epoch_shuffle_shards",
     "multimodal_image_resize_stats",
+    "tree_depth2_orders",
 ]
 
 

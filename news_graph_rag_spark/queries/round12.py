@@ -503,3 +503,279 @@ def multimodal_image_resize_stats(spark: SparkSession, sf: str) -> DataFrame:
         "media_id long, width_out int, height_out int, sum_all long, "
         "min_v long, max_v long, pos_weighted_r long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Depth-2 tree induction: root split, partition, per-leaf split search
+# ---------------------------------------------------------------------------
+
+_T2_PTS_SQL = """
+      SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS f0,
+             CAST(o_custkey % 97 AS BIGINT) AS f1,
+             CAST(datediff('month', DATE '1992-01-01', o_orderdate)
+                  AS BIGINT) AS f2,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+        AND o_orderdate IS NOT NULL
+"""
+
+
+def _t2_level_sql(pts: str, key: str, prefix: str) -> str:
+    """One level of split search as a CTE chain: melt -> per-value
+    counts -> per-group totals -> rank-window prefix sums -> both
+    polarities -> best per group, where ``key`` is the extra grouping
+    column ('' for the root level). Mirrors the Spark level machinery
+    (same tie-break: n_correct DESC, fid ASC, polarity ASC, thr ASC).
+    """
+    k = f"{key}, " if key else ""
+    return f"""{prefix}m AS (
+      SELECT {k}CAST(0 AS BIGINT) AS fid, f0 AS x, y FROM {pts}
+      UNION ALL SELECT {k}CAST(1 AS BIGINT), f1, y FROM {pts}
+      UNION ALL SELECT {k}CAST(2 AS BIGINT), f2, y FROM {pts}
+    ),
+    {prefix}g AS (
+      SELECT {k}fid, x, CAST(SUM(y) AS BIGINT) AS np,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+      FROM {prefix}m GROUP BY {k}fid, x
+    ),
+    {prefix}tot AS (
+      SELECT {k}fid, CAST(SUM(np) AS BIGINT) AS p,
+             CAST(SUM(nn) AS BIGINT) AS n
+      FROM {prefix}g GROUP BY {k}fid
+    ),
+    {prefix}c AS (
+      SELECT {k}fid, x,
+             SUM(np) OVER (PARTITION BY {k}fid ORDER BY x) AS cp,
+             SUM(nn) OVER (PARTITION BY {k}fid ORDER BY x) AS cn
+      FROM {prefix}g
+    ),
+    {prefix}cand AS (
+      SELECT c.*, t.p, t.n, CAST(0 AS BIGINT) AS polarity,
+             CAST(c.cp + (t.n - c.cn) AS BIGINT) AS n_correct
+      FROM {prefix}c c JOIN {prefix}tot t
+        ON t.fid = c.fid{f" AND t.{key} = c.{key}" if key else ""}
+      UNION ALL
+      SELECT c.*, t.p, t.n, CAST(1 AS BIGINT),
+             CAST((t.p - c.cp) + c.cn AS BIGINT)
+      FROM {prefix}c c JOIN {prefix}tot t
+        ON t.fid = c.fid{f" AND t.{key} = c.{key}" if key else ""}
+    )"""
+
+
+@register(
+    "tree_depth2_orders",
+    oracle=f"""
+    WITH pts AS ({_T2_PTS_SQL}),
+    {_t2_level_sql("pts", "", "r")},
+    root AS (
+      SELECT fid, x AS thr, polarity, n_correct, CAST(p + n AS BIGINT) AS nn
+      FROM rcand
+      ORDER BY n_correct DESC, fid ASC, polarity ASC, x ASC LIMIT 1
+    ),
+    pts2 AS (
+      SELECT pts.*,
+             CASE WHEN (CASE root.fid WHEN 0 THEN f0 WHEN 1 THEN f1
+                        ELSE f2 END) <= root.thr
+                  THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS leaf
+      FROM pts, root
+    ),
+    {_t2_level_sql("pts2", "leaf", "l")},
+    leafbest AS (
+      SELECT leaf, fid, x AS thr, polarity, n_correct,
+             CAST(p + n AS BIGINT) AS nn,
+             row_number() OVER (
+               PARTITION BY leaf
+               ORDER BY n_correct DESC, fid ASC, polarity ASC, x ASC
+             ) AS rn
+      FROM lcand
+    )
+    SELECT CAST(0 AS BIGINT) AS node, CAST(fid AS BIGINT) AS fid, thr,
+           polarity, n_correct, nn AS n_node
+    FROM root
+    UNION ALL
+    SELECT leaf, CAST(fid AS BIGINT), thr, polarity, n_correct, nn
+    FROM leafbest WHERE rn = 1
+    """,
+    doc="ML training: DEPTH-2 TREE INDUCTION — the recursion the "
+    "tree-level entry exists to enable, run end to end: find the best "
+    "root split across D=3 integer features (accuracy argmax over "
+    "every threshold and polarity, tie-break n_correct DESC, fid, "
+    "polarity, thr), PARTITION the rows by that split (leaf 1 = "
+    "feature <= thr, leaf 2 = above; the 1-row root broadcasts, the "
+    "assignment is one map-side CASE), then run the SAME level "
+    "machinery once more with leaf folded into the group key — the "
+    "melt/cumsum/argmax pipeline is literally reused with key "
+    "(leaf·D + fid), proving a full tree level per recursion step "
+    "costs ONE shared two-phase cumsum regardless of leaf count (the "
+    "distributed analog of XGBoost's per-level histogram pass; depth "
+    "d = d sequential passes, never d·leaves jobs). Emits the root "
+    "and both leaf splits with their accuracies and node sizes, all "
+    "integer-exact; the oracle replays both levels with rank "
+    "windows. At 100 TB: two scans of the feature table, one D-row "
+    "and one 2D-row broadcast, no single-partition window anywhere "
+    "(plan-asserted).",
+)
+def tree_depth2_orders(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ranks import exclusive_sum_offsets, global_cumsums
+
+    pts = (
+        load(spark, sf, "orders")
+        .filter(
+            F.col("o_totalprice").isNotNull()
+            & F.col("o_custkey").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+        )
+        .select(
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("f0"),
+            (F.col("o_custkey") % 97).cast("bigint").alias("f1"),
+            F.expr(
+                "CAST(months_between(date_trunc('MONTH', o_orderdate), "
+                "DATE '1992-01-01') AS BIGINT)"
+            ).alias("f2"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+
+    def level(rows: DataFrame, leaf_col) -> DataFrame:
+        """One split-search pass: returns per-(leaf, fid) candidates
+        (leaf, fid, thr, polarity, n_correct, n_node). ``leaf_col`` is
+        a Column (lit(0) for the root level). The whole level shares
+        ONE two-phase cumsum keyed on kf = leaf*3 + fid."""
+        m = rows.select(
+            leaf_col.cast("bigint").alias("leaf"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("bigint").alias("fid"),
+                            F.col(f"f{i}").alias("x"),
+                        )
+                        for i in range(3)
+                    ]
+                )
+            ).alias("fx"),
+            "y",
+        ).select(
+            (F.col("leaf") * 3 + F.col("fx.fid")).alias("kf"),
+            F.col("fx.x").alias("x"),
+            "y",
+        )
+        g = m.groupBy("kf", "x").agg(
+            F.sum("y").cast("bigint").alias("np"),
+            (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("nn"),
+        )
+        tot = (
+            g.groupBy("kf")
+            .agg(
+                F.sum("np").cast("bigint").alias("p"),
+                F.sum("nn").cast("bigint").alias("n"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        c = global_cumsums(
+            g,
+            [F.col("kf"), F.col("x")],
+            {"cp_g": F.col("np"), "cn_g": F.col("nn")},
+        )
+        off = exclusive_sum_offsets(
+            tot, "kf", {"p": "off_p", "n": "off_n"}
+        ).join(tot, "kf")
+        c = c.join(F.broadcast(off), "kf").select(
+            "kf",
+            F.col("x").alias("thr"),
+            (F.col("cp_g") - F.col("off_p")).alias("cp"),
+            (F.col("cn_g") - F.col("off_n")).alias("cn"),
+            "p",
+            "n",
+        )
+        return c.select(
+            F.expr("kf div 3").alias("leaf"),
+            (F.col("kf") % 3).alias("fid"),
+            "thr",
+            (F.col("p") + F.col("n")).cast("bigint").alias("n_node"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).cast("bigint").alias("polarity"),
+                        (F.col("cp") + (F.col("n") - F.col("cn")))
+                        .cast("bigint")
+                        .alias("n_correct"),
+                    ),
+                    F.struct(
+                        F.lit(1).cast("bigint").alias("polarity"),
+                        ((F.col("p") - F.col("cp")) + F.col("cn"))
+                        .cast("bigint")
+                        .alias("n_correct"),
+                    ),
+                )
+            ).alias("cd"),
+        ).select(
+            "leaf",
+            "fid",
+            "thr",
+            F.col("cd.polarity").alias("polarity"),
+            F.col("cd.n_correct").alias("n_correct"),
+            "n_node",
+        )
+
+    def best_per(cand: DataFrame, out_node) -> DataFrame:
+        """Deterministic argmax per leaf WITHOUT a window: min over
+        lexicographic structs, tie-break (n_correct DESC, fid,
+        polarity, thr) — matching the oracle's row_number."""
+        return (
+            cand.groupBy("leaf")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n_correct")).alias("neg"),
+                        F.col("fid").alias("fid"),
+                        F.col("polarity").alias("polarity"),
+                        F.col("thr").alias("thr"),
+                        F.col("n_correct").alias("nc"),
+                        F.col("n_node").alias("nn"),
+                    )
+                ).alias("b")
+            )
+            .select(
+                out_node.cast("bigint").alias("node"),
+                F.col("b.fid").alias("fid"),
+                F.col("b.thr").alias("thr"),
+                F.col("b.polarity").alias("polarity"),
+                F.col("b.nc").alias("n_correct"),
+                F.col("b.nn").alias("n_node"),
+            )
+        )
+
+    # level 0: root split (1-row result, pinned so the leaf assignment
+    # and the output row read ONE materialization, not a re-run of the
+    # whole level)
+    root = best_per(level(pts, F.lit(0)), F.lit(0)).localCheckpoint(
+        eager=True
+    )
+    # partition by the root split: map-side CASE against the broadcast
+    # 1-row root — leaf 1 = split-feature value <= thr, leaf 2 = above
+    root_b = F.broadcast(
+        root.select(
+            F.col("fid").alias("r_fid"), F.col("thr").alias("r_thr")
+        )
+    )
+    pts2 = pts.crossJoin(root_b).withColumn(
+        "leaf",
+        F.when(
+            F.expr(
+                "CASE r_fid WHEN 0 THEN f0 WHEN 1 THEN f1 ELSE f2 END"
+            )
+            <= F.col("r_thr"),
+            F.lit(1),
+        ).otherwise(F.lit(2)),
+    )
+    # level 1: the SAME machinery, leaf folded into the group key
+    leaves = best_per(level(pts2, F.col("leaf")), F.col("leaf"))
+    return root.unionByName(leaves)

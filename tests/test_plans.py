@@ -683,3 +683,13 @@ def test_image_resize_is_map_only_python_stage(spark, sf_dir, reg):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("MapInPandas") == 1
+
+
+def test_tree_depth2_windows_are_range_partitioned(spark, sf_dir, reg):
+    """Round-12 depth-2 tree: BOTH levels' prefix sums ride the shared
+    two-phase cumsum — every window in the plan is _pid-partitioned,
+    no single-partition ORDER BY at either level."""
+    plan = plan_of(reg["tree_depth2_orders"].fn(spark, sf_dir), "simple")
+    specs = _window_specs(plan)
+    assert specs, "expected the level cumsum windows in the plan"
+    assert all("_pid" in s.split(",")[0] for s in specs), specs

@@ -942,3 +942,85 @@ def test_epoch_shuffle_manifest_matches_python(spark, tmp_path):
     assert sorted(
         r for v in got.values() for r in range(v[1], v[2] + 1)
     ) == list(range(1, t + 1))
+
+
+def test_tree_depth2_matches_exhaustive_python(spark, tmp_path):
+    """Round-12 differential: depth-2 induction vs a brute-force
+    two-level Python search — root split (same tie-break), partition
+    by feature <= thr, then per-leaf exhaustive search."""
+    import datetime as dt
+    import math
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_graph_rag_spark.queries import registry
+
+    rng = random.Random(33)
+    n = 180
+    prices = [rng.uniform(900, 510000) for _ in range(n)] + [4200.0] * 4
+    m = len(prices)
+    custs = [rng.randrange(1, 4000) for _ in range(m)]
+    dates = [
+        dt.datetime(1992 + rng.randrange(0, 5), rng.randrange(1, 13), 3)
+        for _ in range(m)
+    ]
+    prios = [
+        rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"])
+        for _ in range(m)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": list(range(1, m + 1)),
+                "o_custkey": custs,
+                "o_orderstatus": ["O"] * m,
+                "o_totalprice": prices,
+                "o_orderdate": dates,
+                "o_orderpriority": prios,
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    rows = [
+        (
+            int(math.floor(p * 100)),
+            c % 97,
+            (d.year - 1992) * 12 + d.month - 1,
+            1 if pr in ("1-URGENT", "2-HIGH") else 0,
+        )
+        for p, c, d, pr in zip(prices, custs, dates, prios)
+    ]
+
+    def best_split(subset):
+        best = None
+        for fid in range(3):
+            xs = [r[fid] for r in subset]
+            for thr in sorted(set(xs)):
+                for pol in (0, 1):
+                    correct = sum(
+                        1
+                        for r in subset
+                        if (r[3] == 1)
+                        == ((r[fid] <= thr) if pol == 0 else (r[fid] > thr))
+                    )
+                    key = (-correct, fid, pol, thr)
+                    if best is None or key < best:
+                        best = key
+        return best  # (-n_correct, fid, polarity, thr)
+
+    rb = best_split(rows)
+    want = {0: (rb[1], rb[3], rb[2], -rb[0], m)}
+    left = [r for r in rows if r[rb[1]] <= rb[3]]
+    right = [r for r in rows if r[rb[1]] > rb[3]]
+    for node, subset in ((1, left), (2, right)):
+        b = best_split(subset)
+        want[node] = (b[1], b[3], b[2], -b[0], len(subset))
+    got = {
+        r["node"]: (r["fid"], r["thr"], r["polarity"], r["n_correct"], r["n_node"])
+        for r in registry()["tree_depth2_orders"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == want
