@@ -194,6 +194,44 @@ def fingerprint_stage_dir(src_path: str, kind: str) -> str:
     return base
 
 
+def stage_parquet(src_path: str, kind: str, write_to) -> str:
+    """Write-once fingerprint staging with an ATOMIC publish — THE one
+    implementation of the build-tmp-then-rename discipline (round-12
+    review: three near-identical staging helpers had grown, and the
+    two newer ones wrote ``mode("overwrite")`` straight into the final
+    dir after a _SUCCESS check — two concurrent cold builders, e.g.
+    bench.py and a pytest run hitting the same sf dir, could interleave
+    part-files and bless a torn directory with the survivor's
+    _SUCCESS).
+
+    ``write_to(tmp_dir)`` must write a complete parquet directory at
+    ``tmp_dir`` (Spark ``df.write.mode("overwrite").parquet(tmp)``).
+    The tmp dir is created NEXT TO the final dir (same filesystem, so
+    os.rename is atomic) with a prefix OUTSIDE fingerprint_stage_dir's
+    ``ngr_{kind}_*`` sweep glob. Losing a publish race is clean: the
+    rename fails on the winner's populated dir and the loser's tmp is
+    removed; readers only ever see a fully-built dir or none.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    dest = fingerprint_stage_dir(src_path, kind)
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        tmp = tempfile.mkdtemp(
+            prefix="ngrtmp_stage_", dir=os.path.dirname(dest)
+        )
+        try:
+            write_to(tmp)
+            os.rename(tmp, dest)
+        except OSError:  # concurrent builder won (EEXIST/ENOTEMPTY)
+            shutil.rmtree(tmp, ignore_errors=True)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+    return dest
+
+
 def load_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all TESTDATA tables as temp views (for spark.sql paths)."""
     for t in TABLES:

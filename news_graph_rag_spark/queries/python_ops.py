@@ -28,15 +28,18 @@ def _stage_stream_source(df, sf: str, kind: str, table: str = "events",
     EVERY invocation (round-8 review) — this reuses one dir per
     (source fingerprint, kind), the maintenance_compaction_roundtrip
     discipline, so repeated runs and the bench's repeats stop leaking
-    table copies under /tmp."""
+    table copies under /tmp. Publishes via catalog.stage_parquet's
+    build-tmp-then-atomic-rename (round-12 review: the direct
+    overwrite-into-place write raced concurrent cold builders)."""
     import os
 
-    from .catalog import fingerprint_stage_dir
+    from .catalog import stage_parquet
 
-    stage = fingerprint_stage_dir(os.path.join(sf, f"{table}.parquet"), kind)
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        df.coalesce(n_files).write.mode("overwrite").parquet(stage)
-    return stage
+    return stage_parquet(
+        os.path.join(sf, f"{table}.parquet"),
+        kind,
+        lambda tmp: df.coalesce(n_files).write.mode("overwrite").parquet(tmp),
+    )
 
 
 @contextmanager

@@ -101,14 +101,18 @@ def _staged(spark: SparkSession, sf: str, kind: str, build) -> DataFrame:
     — across entries AND processes — reads the tiny staged parquet.
     ``kind`` must encode the derivation's parameters (node space,
     sparsifier, doubling count): bumping it on any change is what
-    keeps a stale staged copy from silently serving the old graph."""
+    keeps a stale staged copy from silently serving the old graph.
+    Publishes via catalog.stage_parquet (build tmp, atomic rename) so
+    two concurrent cold builders can never tear the directory."""
     import os
 
-    from .catalog import fingerprint_stage_dir
+    from .catalog import stage_parquet
 
-    stage = fingerprint_stage_dir(os.path.join(sf, "lineitem.parquet"), kind)
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        build().coalesce(1).write.mode("overwrite").parquet(stage)
+    stage = stage_parquet(
+        os.path.join(sf, "lineitem.parquet"),
+        kind,
+        lambda tmp: build().coalesce(1).write.mode("overwrite").parquet(tmp),
+    )
     return spark.read.parquet(stage)
 
 

@@ -25,15 +25,20 @@ from pyspark.sql import functions as F
 
 from .catalog import load, register, spread
 
+
 # ---------------------------------------------------------------------------
-# Multi-feature split finding: a full tree level in one pass
+# Split finding, shared machinery: one level = melt -> per-value counts
+# -> shared two-phase cumsum -> both polarities; used by the tree-level
+# entry (per-feature best) and the depth-2 entry (per-leaf best) —
+# round-12 review: two hand-maintained ~110-line copies had appeared in
+# the same round that factored synth_rgb24 for exactly this hazard.
 # ---------------------------------------------------------------------------
 
+_N_FEATURES = 3
 
-@register(
-    "tree_level_split_orders",
-    oracle="""
-    WITH pts AS (
+#: ONE feature pipeline for both tree entries (integer features from
+#: orders + the urgent/high label; NULL rows filtered symmetrically).
+_SPLIT_PTS_SQL = """
       SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS f0,
              CAST(o_custkey % 97 AS BIGINT) AS f1,
              CAST(datediff('month', DATE '1992-01-01', o_orderdate)
@@ -43,73 +48,12 @@ from .catalog import load, register, spread
       FROM orders
       WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
         AND o_orderdate IS NOT NULL
-    ),
-    m AS (
-      SELECT CAST(0 AS BIGINT) AS fid, f0 AS x, y FROM pts
-      UNION ALL SELECT CAST(1 AS BIGINT), f1, y FROM pts
-      UNION ALL SELECT CAST(2 AS BIGINT), f2, y FROM pts
-    ),
-    g AS (
-      SELECT fid, x, CAST(SUM(y) AS BIGINT) AS np,
-             CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
-      FROM m GROUP BY fid, x
-    ),
-    tot AS (SELECT fid, CAST(SUM(np) AS BIGINT) AS p,
-                   CAST(SUM(nn) AS BIGINT) AS n
-            FROM g GROUP BY fid),
-    c AS (
-      SELECT fid, x,
-             SUM(np) OVER (PARTITION BY fid ORDER BY x) AS cp,
-             SUM(nn) OVER (PARTITION BY fid ORDER BY x) AS cn
-      FROM g
-    ),
-    cand AS (
-      SELECT c.fid, c.x AS thr, CAST(0 AS BIGINT) AS polarity,
-             CAST(c.cp + (t.n - c.cn) AS BIGINT) AS n_correct,
-             CAST(t.p + t.n AS BIGINT) AS n_total
-      FROM c JOIN tot t ON t.fid = c.fid
-      UNION ALL
-      SELECT c.fid, c.x, CAST(1 AS BIGINT),
-             CAST((t.p - c.cp) + c.cn AS BIGINT), CAST(t.p + t.n AS BIGINT)
-      FROM c JOIN tot t ON t.fid = c.fid
-    ),
-    best AS (
-      SELECT fid, thr, polarity, n_correct, n_total,
-             row_number() OVER (
-               PARTITION BY fid
-               ORDER BY n_correct DESC, polarity ASC, thr ASC
-             ) AS rn
-      FROM cand
-    )
-    SELECT CAST(fid AS BIGINT) AS fid, thr, polarity, n_correct, n_total
-    FROM best WHERE rn = 1
-    """,
-    doc="ML training: MULTI-FEATURE SPLIT FINDING — the round-11 "
-    "decision stump generalized to D features in ONE pass (the "
-    "split-search a distributed tree trainer runs per tree level; "
-    "this entry proves the stump doc's 'a full tree level fans out "
-    "trivially' claim with D=3 integer features: price cents, "
-    "customer-key residue, order-month index). One map-side melt "
-    "(explode of (fid, x) structs — D× the rows, zero joins), one "
-    "(fid, x) groupBy for per-value label counts, per-feature prefix "
-    "sums from a SINGLE two-phase ranks.global_cumsums pass over the "
-    "concatenated (fid, x) order (per-feature offsets subtracted via "
-    "a D-row broadcast — one cumsum machine for the whole level, NOT "
-    "one per feature, and never a single-partition window: "
-    "plan-asserted), and the per-feature argmax is a min-over-structs "
-    "aggregation ((-n_correct, polarity, thr) lexicographic — "
-    "map-side combinable, ties broken exactly like the oracle's "
-    "row_number). All counts integer-exact; the oracle replays the "
-    "same melt + rank windows. At 100 TB: melt scales linearly in "
-    "D·rows, distinct-value tables shrink per feature, and the "
-    "cumsum/argmax never concentrate on one executor — the classic "
-    "histogram-based split finding (XGBoost/LightGBM's approx mode "
-    "quantizes first; this is the exact-threshold variant).",
-)
-def tree_level_split_orders(spark: SparkSession, sf: str) -> DataFrame:
-    from ..ranks import exclusive_sum_offsets, global_cumsums
+"""
 
-    pts = (
+
+def _split_pts(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark twin of _SPLIT_PTS_SQL — (f0, f1, f2, y) integer rows."""
+    return (
         load(spark, sf, "orders")
         .filter(
             F.col("o_totalprice").isNotNull()
@@ -131,7 +75,64 @@ def tree_level_split_orders(spark: SparkSession, sf: str) -> DataFrame:
             .alias("y"),
         )
     )
-    m = pts.select(
+
+
+def _level_sql(pts: str, key: str, prefix: str) -> str:
+    """One split-search level as a CTE chain: melt -> per-value counts
+    -> per-group totals -> rank-window prefix sums -> both polarities,
+    with ``key`` the extra grouping column ('' for a root level).
+    Multiply-referenced CTEs are AS MATERIALIZED (the repo's oracle
+    discipline — round-12 review: without it DuckDB's inlining
+    re-expands the whole lower level inside every reference, ~100+
+    replays of the orders scan for the depth-2 oracle)."""
+    k = f"{key}, " if key else ""
+    return f"""{prefix}m AS (
+      SELECT {k}CAST(0 AS BIGINT) AS fid, f0 AS x, y FROM {pts}
+      UNION ALL SELECT {k}CAST(1 AS BIGINT), f1, y FROM {pts}
+      UNION ALL SELECT {k}CAST(2 AS BIGINT), f2, y FROM {pts}
+    ),
+    {prefix}g AS MATERIALIZED (
+      SELECT {k}fid, x, CAST(SUM(y) AS BIGINT) AS np,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+      FROM {prefix}m GROUP BY {k}fid, x
+    ),
+    {prefix}tot AS MATERIALIZED (
+      SELECT {k}fid, CAST(SUM(np) AS BIGINT) AS p,
+             CAST(SUM(nn) AS BIGINT) AS n
+      FROM {prefix}g GROUP BY {k}fid
+    ),
+    {prefix}c AS MATERIALIZED (
+      SELECT {k}fid, x,
+             SUM(np) OVER (PARTITION BY {k}fid ORDER BY x) AS cp,
+             SUM(nn) OVER (PARTITION BY {k}fid ORDER BY x) AS cn
+      FROM {prefix}g
+    ),
+    {prefix}cand AS (
+      SELECT c.*, t.p, t.n, CAST(0 AS BIGINT) AS polarity,
+             CAST(c.cp + (t.n - c.cn) AS BIGINT) AS n_correct
+      FROM {prefix}c c JOIN {prefix}tot t
+        ON t.fid = c.fid{f" AND t.{key} = c.{key}" if key else ""}
+      UNION ALL
+      SELECT c.*, t.p, t.n, CAST(1 AS BIGINT),
+             CAST((t.p - c.cp) + c.cn AS BIGINT)
+      FROM {prefix}c c JOIN {prefix}tot t
+        ON t.fid = c.fid{f" AND t.{key} = c.{key}" if key else ""}
+    )"""
+
+
+def _split_candidates(rows: DataFrame, leaf_col) -> DataFrame:
+    """One split-search level over ``rows`` (f0..f{D-1}, y), returning
+    every candidate (leaf, fid, thr, polarity, n_correct, n_node).
+    ``leaf_col`` is a Column (lit(0) for a root level); leaf folds
+    into the group key kf = leaf·D + fid, so a whole level — however
+    many leaves — costs ONE map-side melt, one (kf, x) groupBy pinned
+    ONCE (round-12 review: checkpointing only the totals left the
+    scan+melt running twice per level), one shared two-phase cumsum,
+    and a broadcast of per-kf exclusive offsets."""
+    from ..ranks import exclusive_sum_offsets, global_cumsums
+
+    m = rows.select(
+        leaf_col.cast("bigint").alias("leaf"),
         F.explode(
             F.array(
                 *[
@@ -139,54 +140,53 @@ def tree_level_split_orders(spark: SparkSession, sf: str) -> DataFrame:
                         F.lit(i).cast("bigint").alias("fid"),
                         F.col(f"f{i}").alias("x"),
                     )
-                    for i in range(3)
+                    for i in range(_N_FEATURES)
                 ]
             )
         ).alias("fx"),
         "y",
-    ).select(F.col("fx.fid").alias("fid"), F.col("fx.x").alias("x"), "y")
-    g = m.groupBy("fid", "x").agg(
-        F.sum("y").cast("bigint").alias("np"),
-        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("nn"),
+    ).select(
+        (F.col("leaf") * _N_FEATURES + F.col("fx.fid")).alias("kf"),
+        F.col("fx.x").alias("x"),
+        "y",
     )
-    # materialize the D-row totals ONCE (round-12 review #2): this
-    # frame feeds both sides of the offsets self-join plus the final
-    # totals join — left lazy, each reference re-executed the full
-    # scan + melt + groupBy just to rebuild 3 rows
-    tot = g.groupBy("fid").agg(
+    # pin the per-value histogram ONCE: totals, offsets, and the
+    # cumsum all derive from it, and it is distinct-values-sized
+    g = (
+        m.groupBy("kf", "x")
+        .agg(
+            F.sum("y").cast("bigint").alias("np"),
+            (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("nn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = g.groupBy("kf").agg(
         F.sum("np").cast("bigint").alias("p"),
         F.sum("nn").cast("bigint").alias("n"),
-    ).localCheckpoint(eager=True)
-    # ONE global cumsum pass (both count columns share a single range
-    # exchange, pin, and _pid window — round-12 review: two chained
-    # global_cumsum calls paid all three twice) over the concatenated
-    # (fid, x) order; the per-feature prefix is recovered by
-    # subtracting each feature's exclusive offset (sum over all
-    # strictly-earlier fids — the ranks offsets scaffold on the D-row
-    # totals table, then broadcast)
+    )
     c = global_cumsums(
         g,
-        [F.col("fid"), F.col("x")],
+        [F.col("kf"), F.col("x")],
         {"cp_g": F.col("np"), "cn_g": F.col("nn")},
     )
     off = exclusive_sum_offsets(
-        tot, "fid", {"p": "off_p", "n": "off_n"}
-    ).join(tot, "fid")
-    c = c.join(F.broadcast(off), "fid").select(
-        "fid",
+        tot, "kf", {"p": "off_p", "n": "off_n"}
+    ).join(tot, "kf")
+    c = c.join(F.broadcast(off), "kf").select(
+        "kf",
         F.col("x").alias("thr"),
         (F.col("cp_g") - F.col("off_p")).alias("cp"),
         (F.col("cn_g") - F.col("off_n")).alias("cn"),
         "p",
         "n",
     )
-    # both polarities from ONE pass over c (round-12 review #2: a
-    # unionByName of two c.select()s duplicated the whole cumsum
-    # subtree — window and broadcast join executed twice)
-    cand = c.select(
-        "fid",
+    # both polarities from ONE pass (a unionByName of two selects
+    # would duplicate the whole cumsum subtree)
+    return c.select(
+        F.expr(f"kf div {_N_FEATURES}").alias("leaf"),
+        (F.col("kf") % _N_FEATURES).alias("fid"),
         "thr",
-        (F.col("p") + F.col("n")).cast("bigint").alias("n_total"),
+        (F.col("p") + F.col("n")).cast("bigint").alias("n_node"),
         F.explode(
             F.array(
                 F.struct(
@@ -204,32 +204,90 @@ def tree_level_split_orders(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("cd"),
     ).select(
+        "leaf",
         "fid",
         "thr",
         F.col("cd.polarity").alias("polarity"),
         F.col("cd.n_correct").alias("n_correct"),
-        "n_total",
+        "n_node",
     )
-    # per-feature argmax WITHOUT a window: min over lexicographic
-    # structs — (-n_correct, polarity, thr) ordering reproduces the
-    # oracle's (n_correct DESC, polarity ASC, thr ASC) tie-break
-    best = cand.groupBy("fid").agg(
-        F.min(
-            F.struct(
-                (-F.col("n_correct")).alias("neg"),
-                F.col("polarity").alias("polarity"),
-                F.col("thr").alias("thr"),
-                F.col("n_correct").alias("nc"),
-                F.col("n_total").alias("nt"),
-            )
-        ).alias("b")
+
+
+def _split_best(cand: DataFrame, per_feature: bool) -> DataFrame:
+    """Deterministic argmax WITHOUT a window: min over lexicographic
+    structs. ``per_feature=True`` -> best per (leaf, fid), tie-break
+    (n_correct DESC, polarity, thr); ``per_feature=False`` -> best per
+    leaf across features, fid joining the tie-break after accuracy —
+    both matching the oracles' row_number orderings."""
+    neg = (-F.col("n_correct")).alias("neg")
+    tail = [
+        F.col("polarity").alias("polarity"),
+        F.col("thr").alias("thr"),
+        F.col("n_correct").alias("nc"),
+        F.col("n_node").alias("nn"),
+    ]
+    if per_feature:
+        group, fields = ["leaf", "fid"], [neg, *tail]
+    else:
+        group, fields = ["leaf"], [neg, F.col("fid").alias("fid"), *tail]
+    return cand.groupBy(*group).agg(F.min(F.struct(*fields)).alias("b"))
+
+
+@register(
+    "tree_level_split_orders",
+    oracle=f"""
+    WITH pts AS MATERIALIZED ({_SPLIT_PTS_SQL}),
+    {_level_sql("pts", "", "r")},
+    best AS (
+      SELECT fid, x AS thr, polarity, n_correct,
+             CAST(p + n AS BIGINT) AS n_total,
+             row_number() OVER (
+               PARTITION BY fid
+               ORDER BY n_correct DESC, polarity ASC, x ASC
+             ) AS rn
+      FROM rcand
+    )
+    SELECT CAST(fid AS BIGINT) AS fid, thr, polarity, n_correct, n_total
+    FROM best WHERE rn = 1
+    """,
+    doc="ML training: MULTI-FEATURE SPLIT FINDING — the round-11 "
+    "decision stump generalized to D features in ONE pass (the "
+    "split-search a distributed tree trainer runs per tree level; "
+    "this entry proves the stump doc's 'a full tree level fans out "
+    "trivially' claim with D=3 integer features: price cents, "
+    "customer-key residue, order-month index). One map-side melt "
+    "(explode of (fid, x) structs — D× the rows, zero joins), one "
+    "(fid, x) groupBy for per-value label counts — pinned ONCE so "
+    "totals, offsets, and prefix sums all read one materialization — "
+    "per-feature prefix sums from a SINGLE two-phase "
+    "ranks.global_cumsums pass over the concatenated (fid, x) order "
+    "(per-feature offsets subtracted via a D-row broadcast — one "
+    "cumsum machine for the whole level, NOT one per feature, and "
+    "never a single-partition window: plan-asserted), and the "
+    "per-feature argmax is a min-over-structs aggregation "
+    "((-n_correct, polarity, thr) lexicographic — map-side "
+    "combinable, ties broken exactly like the oracle's row_number). "
+    "The level machinery (_split_candidates) is SHARED VERBATIM with "
+    "tree_depth2_orders, which recurses it. All counts "
+    "integer-exact; the oracle replays the same melt + rank windows "
+    "(multiply-referenced CTEs MATERIALIZED per the repo's oracle "
+    "discipline). At 100 TB: melt scales linearly in D·rows, "
+    "distinct-value tables shrink per feature, and the cumsum/argmax "
+    "never concentrate on one executor — the classic histogram-based "
+    "split finding (XGBoost/LightGBM's approx mode quantizes first; "
+    "this is the exact-threshold variant).",
+)
+def tree_level_split_orders(spark: SparkSession, sf: str) -> DataFrame:
+    best = _split_best(
+        _split_candidates(_split_pts(spark, sf), F.lit(0)),
+        per_feature=True,
     )
     return best.select(
         F.col("fid").cast("bigint").alias("fid"),
         F.col("b.thr").alias("thr"),
         F.col("b.polarity").alias("polarity"),
         F.col("b.nc").alias("n_correct"),
-        F.col("b.nt").alias("n_total"),
+        F.col("b.nn").alias("n_total"),
     )
 
 
@@ -505,83 +563,30 @@ def multimodal_image_resize_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
 # ---------------------------------------------------------------------------
 # Depth-2 tree induction: root split, partition, per-leaf split search
 # ---------------------------------------------------------------------------
-
-_T2_PTS_SQL = """
-      SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS f0,
-             CAST(o_custkey % 97 AS BIGINT) AS f1,
-             CAST(datediff('month', DATE '1992-01-01', o_orderdate)
-                  AS BIGINT) AS f2,
-             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                  THEN 1 ELSE 0 END AS y
-      FROM orders
-      WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
-        AND o_orderdate IS NOT NULL
-"""
-
-
-def _t2_level_sql(pts: str, key: str, prefix: str) -> str:
-    """One level of split search as a CTE chain: melt -> per-value
-    counts -> per-group totals -> rank-window prefix sums -> both
-    polarities -> best per group, where ``key`` is the extra grouping
-    column ('' for the root level). Mirrors the Spark level machinery
-    (same tie-break: n_correct DESC, fid ASC, polarity ASC, thr ASC).
-    """
-    k = f"{key}, " if key else ""
-    return f"""{prefix}m AS (
-      SELECT {k}CAST(0 AS BIGINT) AS fid, f0 AS x, y FROM {pts}
-      UNION ALL SELECT {k}CAST(1 AS BIGINT), f1, y FROM {pts}
-      UNION ALL SELECT {k}CAST(2 AS BIGINT), f2, y FROM {pts}
-    ),
-    {prefix}g AS (
-      SELECT {k}fid, x, CAST(SUM(y) AS BIGINT) AS np,
-             CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
-      FROM {prefix}m GROUP BY {k}fid, x
-    ),
-    {prefix}tot AS (
-      SELECT {k}fid, CAST(SUM(np) AS BIGINT) AS p,
-             CAST(SUM(nn) AS BIGINT) AS n
-      FROM {prefix}g GROUP BY {k}fid
-    ),
-    {prefix}c AS (
-      SELECT {k}fid, x,
-             SUM(np) OVER (PARTITION BY {k}fid ORDER BY x) AS cp,
-             SUM(nn) OVER (PARTITION BY {k}fid ORDER BY x) AS cn
-      FROM {prefix}g
-    ),
-    {prefix}cand AS (
-      SELECT c.*, t.p, t.n, CAST(0 AS BIGINT) AS polarity,
-             CAST(c.cp + (t.n - c.cn) AS BIGINT) AS n_correct
-      FROM {prefix}c c JOIN {prefix}tot t
-        ON t.fid = c.fid{f" AND t.{key} = c.{key}" if key else ""}
-      UNION ALL
-      SELECT c.*, t.p, t.n, CAST(1 AS BIGINT),
-             CAST((t.p - c.cp) + c.cn AS BIGINT)
-      FROM {prefix}c c JOIN {prefix}tot t
-        ON t.fid = c.fid{f" AND t.{key} = c.{key}" if key else ""}
-    )"""
 
 
 @register(
     "tree_depth2_orders",
     oracle=f"""
-    WITH pts AS ({_T2_PTS_SQL}),
-    {_t2_level_sql("pts", "", "r")},
-    root AS (
+    WITH pts AS MATERIALIZED ({_SPLIT_PTS_SQL}),
+    {_level_sql("pts", "", "r")},
+    root AS MATERIALIZED (
       SELECT fid, x AS thr, polarity, n_correct, CAST(p + n AS BIGINT) AS nn
       FROM rcand
       ORDER BY n_correct DESC, fid ASC, polarity ASC, x ASC LIMIT 1
     ),
-    pts2 AS (
+    pts2 AS MATERIALIZED (
       SELECT pts.*,
              CASE WHEN (CASE root.fid WHEN 0 THEN f0 WHEN 1 THEN f1
                         ELSE f2 END) <= root.thr
                   THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS leaf
       FROM pts, root
     ),
-    {_t2_level_sql("pts2", "leaf", "l")},
+    {_level_sql("pts2", "leaf", "l")},
     leafbest AS (
       SELECT leaf, fid, x AS thr, polarity, n_correct,
              CAST(p + n AS BIGINT) AS nn,
@@ -604,160 +609,36 @@ def _t2_level_sql(pts: str, key: str, prefix: str) -> str:
     "every threshold and polarity, tie-break n_correct DESC, fid, "
     "polarity, thr), PARTITION the rows by that split (leaf 1 = "
     "feature <= thr, leaf 2 = above; the 1-row root broadcasts, the "
-    "assignment is one map-side CASE), then run the SAME level "
-    "machinery once more with leaf folded into the group key — the "
-    "melt/cumsum/argmax pipeline is literally reused with key "
-    "(leaf·D + fid), proving a full tree level per recursion step "
-    "costs ONE shared two-phase cumsum regardless of leaf count (the "
-    "distributed analog of XGBoost's per-level histogram pass; depth "
-    "d = d sequential passes, never d·leaves jobs). Emits the root "
-    "and both leaf splits with their accuracies and node sizes, all "
-    "integer-exact; the oracle replays both levels with rank "
-    "windows. At 100 TB: two scans of the feature table, one D-row "
-    "and one 2D-row broadcast, no single-partition window anywhere "
-    "(plan-asserted).",
+    "assignment is one map-side CASE), then run the SAME shared level "
+    "machinery (_split_candidates — one function, not a copy) once "
+    "more with leaf folded into the group key (leaf·D + fid), proving "
+    "a full tree level per recursion step costs ONE shared two-phase "
+    "cumsum regardless of leaf count (the distributed analog of "
+    "XGBoost's per-level histogram pass; depth d = d sequential "
+    "passes, never d·leaves jobs). Emits the root and both leaf "
+    "splits with their accuracies and node sizes, all integer-exact; "
+    "the oracle replays both levels with rank windows, "
+    "multiply-referenced CTEs MATERIALIZED (without it DuckDB's "
+    "inlining re-expands the lower level inside every reference). At "
+    "100 TB: one scan+melt per level (the per-value histogram is "
+    "pinned once per level), one D-row and one 2D-row broadcast, no "
+    "single-partition window anywhere (plan-asserted).",
 )
 def tree_depth2_orders(spark: SparkSession, sf: str) -> DataFrame:
-    from ..ranks import exclusive_sum_offsets, global_cumsums
-
-    pts = (
-        load(spark, sf, "orders")
-        .filter(
-            F.col("o_totalprice").isNotNull()
-            & F.col("o_custkey").isNotNull()
-            & F.col("o_orderdate").isNotNull()
-        )
+    pts = _split_pts(spark, sf)
+    # level 0: global best across features (1 row, pinned so the leaf
+    # assignment and the output row read ONE materialization)
+    root = (
+        _split_best(_split_candidates(pts, F.lit(0)), per_feature=False)
         .select(
-            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("f0"),
-            (F.col("o_custkey") % 97).cast("bigint").alias("f1"),
-            F.expr(
-                "CAST(months_between(date_trunc('MONTH', o_orderdate), "
-                "DATE '1992-01-01') AS BIGINT)"
-            ).alias("f2"),
-            F.when(
-                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
-            )
-            .otherwise(0)
-            .cast("bigint")
-            .alias("y"),
+            F.lit(0).cast("bigint").alias("node"),
+            F.col("b.fid").alias("fid"),
+            F.col("b.thr").alias("thr"),
+            F.col("b.polarity").alias("polarity"),
+            F.col("b.nc").alias("n_correct"),
+            F.col("b.nn").alias("n_node"),
         )
-    )
-
-    def level(rows: DataFrame, leaf_col) -> DataFrame:
-        """One split-search pass: returns per-(leaf, fid) candidates
-        (leaf, fid, thr, polarity, n_correct, n_node). ``leaf_col`` is
-        a Column (lit(0) for the root level). The whole level shares
-        ONE two-phase cumsum keyed on kf = leaf*3 + fid."""
-        m = rows.select(
-            leaf_col.cast("bigint").alias("leaf"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).cast("bigint").alias("fid"),
-                            F.col(f"f{i}").alias("x"),
-                        )
-                        for i in range(3)
-                    ]
-                )
-            ).alias("fx"),
-            "y",
-        ).select(
-            (F.col("leaf") * 3 + F.col("fx.fid")).alias("kf"),
-            F.col("fx.x").alias("x"),
-            "y",
-        )
-        g = m.groupBy("kf", "x").agg(
-            F.sum("y").cast("bigint").alias("np"),
-            (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("nn"),
-        )
-        tot = (
-            g.groupBy("kf")
-            .agg(
-                F.sum("np").cast("bigint").alias("p"),
-                F.sum("nn").cast("bigint").alias("n"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        c = global_cumsums(
-            g,
-            [F.col("kf"), F.col("x")],
-            {"cp_g": F.col("np"), "cn_g": F.col("nn")},
-        )
-        off = exclusive_sum_offsets(
-            tot, "kf", {"p": "off_p", "n": "off_n"}
-        ).join(tot, "kf")
-        c = c.join(F.broadcast(off), "kf").select(
-            "kf",
-            F.col("x").alias("thr"),
-            (F.col("cp_g") - F.col("off_p")).alias("cp"),
-            (F.col("cn_g") - F.col("off_n")).alias("cn"),
-            "p",
-            "n",
-        )
-        return c.select(
-            F.expr("kf div 3").alias("leaf"),
-            (F.col("kf") % 3).alias("fid"),
-            "thr",
-            (F.col("p") + F.col("n")).cast("bigint").alias("n_node"),
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit(0).cast("bigint").alias("polarity"),
-                        (F.col("cp") + (F.col("n") - F.col("cn")))
-                        .cast("bigint")
-                        .alias("n_correct"),
-                    ),
-                    F.struct(
-                        F.lit(1).cast("bigint").alias("polarity"),
-                        ((F.col("p") - F.col("cp")) + F.col("cn"))
-                        .cast("bigint")
-                        .alias("n_correct"),
-                    ),
-                )
-            ).alias("cd"),
-        ).select(
-            "leaf",
-            "fid",
-            "thr",
-            F.col("cd.polarity").alias("polarity"),
-            F.col("cd.n_correct").alias("n_correct"),
-            "n_node",
-        )
-
-    def best_per(cand: DataFrame, out_node) -> DataFrame:
-        """Deterministic argmax per leaf WITHOUT a window: min over
-        lexicographic structs, tie-break (n_correct DESC, fid,
-        polarity, thr) — matching the oracle's row_number."""
-        return (
-            cand.groupBy("leaf")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("n_correct")).alias("neg"),
-                        F.col("fid").alias("fid"),
-                        F.col("polarity").alias("polarity"),
-                        F.col("thr").alias("thr"),
-                        F.col("n_correct").alias("nc"),
-                        F.col("n_node").alias("nn"),
-                    )
-                ).alias("b")
-            )
-            .select(
-                out_node.cast("bigint").alias("node"),
-                F.col("b.fid").alias("fid"),
-                F.col("b.thr").alias("thr"),
-                F.col("b.polarity").alias("polarity"),
-                F.col("b.nc").alias("n_correct"),
-                F.col("b.nn").alias("n_node"),
-            )
-        )
-
-    # level 0: root split (1-row result, pinned so the leaf assignment
-    # and the output row read ONE materialization, not a re-run of the
-    # whole level)
-    root = best_per(level(pts, F.lit(0)), F.lit(0)).localCheckpoint(
-        eager=True
+        .localCheckpoint(eager=True)
     )
     # partition by the root split: map-side CASE against the broadcast
     # 1-row root — leaf 1 = split-feature value <= thr, leaf 2 = above
@@ -777,5 +658,14 @@ def tree_depth2_orders(spark: SparkSession, sf: str) -> DataFrame:
         ).otherwise(F.lit(2)),
     )
     # level 1: the SAME machinery, leaf folded into the group key
-    leaves = best_per(level(pts2, F.col("leaf")), F.col("leaf"))
+    leaves = _split_best(
+        _split_candidates(pts2, F.col("leaf")), per_feature=False
+    ).select(
+        F.col("leaf").cast("bigint").alias("node"),
+        F.col("b.fid").alias("fid"),
+        F.col("b.thr").alias("thr"),
+        F.col("b.polarity").alias("polarity"),
+        F.col("b.nc").alias("n_correct"),
+        F.col("b.nn").alias("n_node"),
+    )
     return root.unionByName(leaves)
