@@ -215,6 +215,22 @@ def stage_parquet(src_path: str, kind: str, write_to) -> str:
     import os
     import shutil
     import tempfile
+    import time
+
+    # Age-gated sweep of ngrtmp_* orphans (round-12 advice): a builder
+    # killed mid-write_to (SIGKILL/OOM) leaks a full tmp parquet copy
+    # that fingerprint_stage_dir's ngr_{kind}_* glob never matches.
+    # Same 300 s gate as the generation sweep — a live builder's tmp is
+    # being written right now, so its mtime is fresh.
+    now = time.time()
+    import glob
+
+    for orphan in glob.glob(os.path.join(tempfile.gettempdir(), "ngrtmp_*")):
+        try:
+            if now - os.path.getmtime(orphan) > 300.0:
+                shutil.rmtree(orphan, ignore_errors=True)
+        except OSError:
+            continue
 
     dest = fingerprint_stage_dir(src_path, kind)
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
@@ -222,13 +238,32 @@ def stage_parquet(src_path: str, kind: str, write_to) -> str:
             prefix="ngrtmp_stage_", dir=os.path.dirname(dest)
         )
         try:
+            # write_to failures (disk full, Spark error) must PROPAGATE,
+            # not be read as "concurrent builder won" (round-12 advice:
+            # the old broad `except OSError` around both calls masked
+            # them and returned a nonexistent dest).
             write_to(tmp)
-            os.rename(tmp, dest)
-        except OSError:  # concurrent builder won (EEXIST/ENOTEMPTY)
-            shutil.rmtree(tmp, ignore_errors=True)
         except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            # Either a concurrent builder won (dest is complete) or dest
+            # is a TORN leftover from a pre-atomic-publish crash (exists,
+            # no _SUCCESS). Verify before trusting it: a torn dir is
+            # repaired by replacing it with our complete tmp.
+            if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+                shutil.rmtree(dest, ignore_errors=True)
+                try:
+                    os.rename(tmp, dest)
+                except OSError:
+                    # lost the repair race too — winner must be complete
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+                        raise
+            else:
+                shutil.rmtree(tmp, ignore_errors=True)
     return dest
 
 

@@ -1680,8 +1680,18 @@ def _interval_join_replay(
     cold: dict = {}
 
     def with_sentinels(df):
+        import datetime as dt
+
         if "max_ts" not in cold:
             cold["max_ts"] = ev.agg(F.max("ts")).first()[0]
+        # END-OF-STREAM FLUSH CONTRACT (round-12 advice #3): the
+        # watermark the first sentinel advances must land STRICTLY past
+        # every real event plus the join's eviction horizon (interval +
+        # watermark delay), or the final batch leaves outer rows
+        # unemitted. Checked at the one place sentinels are minted.
+        assert dt.timedelta(days=10) > dt.timedelta(seconds=300) + dt.timedelta(
+            minutes=10
+        ), "flush sentinel #1 must exceed max real event time + horizon"
         stages = [df]
         for days in (10, 20):
             stages.append(

@@ -751,9 +751,14 @@ def mad_outlier_events(spark: SparkSession, sf: str) -> DataFrame:
     "event-time watermark guarantees nothing older can arrive, then "
     "emit in exact event-time order against a persistent ≤7-value "
     "tail; state = bounded buffer + O(1) tail per key. The replay "
-    "stages THREE chronological batches with deliberate cross-batch "
-    "stragglers (in-watermark late rows carried into the next batch) "
-    "plus two far-future sentinel batches to flush — and the oracle "
+    "stages THREE chronological arrival phases with deliberate "
+    "cross-batch stragglers (in-watermark late rows from phase 1 "
+    "carried into phase 2's batch — the structure under test) plus "
+    "two far-future flush sentinels; sentinel #1 shares phase 3's "
+    "staged file (the interval-join grouping trick, round-12 verdict "
+    "#4: the watermark it advances applies in the NEXT batch either "
+    "way, so 4 micro-batches replay emission-identically to the old "
+    "5) — and the oracle "
     "is the SAME batch lag-window SQL as ewma_user_value, so the "
     "driver gate verifies the streaming emission equals the batch "
     "window BIT-FOR-BIT on doubles (the strongest claim a stateful "
@@ -801,9 +806,24 @@ def streaming_ewma_users(spark: SparkSession, sf: str) -> DataFrame:
             )
             for days in (10, 20)
         ]
-        return [b1, b2, b3, *sents]
+        # END-OF-STREAM FLUSH CONTRACT (round-12 advice #3): release is
+        # strictly below the watermark, so the second-to-last batch's
+        # closing watermark (sentinel#1.ts − delay) must be STRICTLY
+        # past every real event or the final batch leaves rows buffered
+        # and silently unemitted. Asserted, not just documented.
+        delay = dt.timedelta(minutes=10)
+        assert hi + dt.timedelta(days=10) - delay > hi, (
+            "flush sentinel #1 must exceed max real event time + delay"
+        )
+        # sentinel #1 rides phase 3's file: the watermark it advances
+        # only applies in the NEXT batch regardless of which batch
+        # carries it, so [b1][b2][b3+s1][s2] is emission-identical to
+        # [b1][b2][b3][s1][s2] with one fewer micro-batch (s1's own row
+        # stays buffered at stream end in BOTH schemes — it is never
+        # part of the result; the sink filter drops sentinels anyway).
+        return [b1, b2, b3.unionByName(sents[0]), sents[1]]
 
-    src = _stage_ordered_batches(with_batches, sf, "ewma_replay")
+    src = _stage_ordered_batches(with_batches, sf, "ewma_replay_v2")
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", "1")
