@@ -198,6 +198,10 @@ HEADLINE = [
     "epoch_shuffle_shards",
     "multimodal_image_resize_stats",
     "tree_depth2_orders",
+    # round 13: Gini depth-3 tree, tokenize→pack→shard export, IVF-PQ
+    "tree_depth3_orders",
+    "tokenize_pack_export",
+    "ann_ivfpq_search_topk",
 ]
 
 
@@ -328,31 +332,66 @@ def _regression_guard(
         )
 
 
-def _prebuild_indexes(spark, sf_dirs) -> None:
+def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
     """Offline DDL step (reference graph.py:211-219): make sure the
-    persistent ANN indexes exist BEFORE the timing loop, so the
-    ann_*_search entries measure what they are — warm searches against
-    a materialized index. Build time is reported separately on stderr;
-    it is a once-per-dataset job, not a per-query cost."""
-    from news_graph_rag_spark.pipeline.ann_index import ensure_index
+    persistent ANN indexes (incl. the PQ layer) and the staged
+    graph-family tables exist BEFORE the timing loop, so the search /
+    graph entries measure what they are — warm reads against
+    materialized artifacts. Returns {build_name: seconds}: the costs
+    land in the bench JSON's "staged_builds" field (VERDICT r12 #6 —
+    the amortization claim is auditable from the artifact alone; a
+    warm cache hit reports ~0 and the parent keeps the per-name MAX,
+    i.e. the one cold build)."""
+    from news_graph_rag_spark.pipeline.ann_index import ensure_index, ensure_pq
     from news_graph_rag_spark.queries.retrieval_queries import _IVF_INCR_BASE
+    from news_graph_rag_spark.queries.round11 import (
+        _staged_scc_labels,
+        _staged_seq_edges,
+    )
+    from news_graph_rag_spark.queries.round13 import _PQ_KS, _PQ_M
 
     builds = [
-        {"widen_reps": None},
-        {"widen_reps": 12},
-        {"widen_reps": None, "subset_pred": _IVF_INCR_BASE.format(t="string")},
-        {"widen_reps": None, "variant": "tombstone-demo-v1"},
+        ("ann_ivf", lambda d: ensure_index(spark, d, n_centroids=8, iters=1)),
+        (
+            "ann_ivf_wide",
+            lambda d: ensure_index(
+                spark, d, widen_reps=12, n_centroids=8, iters=1
+            ),
+        ),
+        (
+            "ann_ivf_incr_base",
+            lambda d: ensure_index(
+                spark,
+                d,
+                n_centroids=8,
+                iters=1,
+                subset_pred=_IVF_INCR_BASE.format(t="string"),
+            ),
+        ),
+        (
+            "ann_ivf_tombstone_variant",
+            lambda d: ensure_index(
+                spark, d, n_centroids=8, iters=1, variant="tombstone-demo-v1"
+            ),
+        ),
+        ("ann_ivfpq", lambda d: ensure_pq(spark, d, m=_PQ_M, ks=_PQ_KS)),
+        ("graph_seq_edges", lambda d: _staged_seq_edges(spark, d).count()),
+        ("graph_scc_closure", lambda d: _staged_scc_labels(spark, d).count()),
     ]
+    out: dict[str, float] = {}
     for sf_dir in sf_dirs:
-        for kw in builds:
+        tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        for name, fn in builds:
             t0 = time.perf_counter()
-            ensure_index(spark, sf_dir, n_centroids=8, iters=1, **kw)
+            fn(sf_dir)
             dt = time.perf_counter() - t0
+            out[f"{name}@{tag}"] = round(dt, 3)
             if dt > 0.5:  # a cache hit costs ~nothing; only report builds
                 print(
-                    f"# index build ({kw}, {sf_dir}): {dt:.2f}s",
+                    f"# staged build {name}@{tag}: {dt:.2f}s",
                     file=sys.stderr,
                 )
+    return out
 
 
 N_FAMILIES = int(os.environ.get("SPARK_GRAFT_BENCH_FAMILIES", "8"))
@@ -377,7 +416,7 @@ def _run_family_inprocess(names: list[str]) -> None:
     spark = get_spark("bench")
     reg = registry()
     warmup_dir = WARMUP_DIR if os.path.isdir(WARMUP_DIR) else SF_DIR
-    _prebuild_indexes(spark, {warmup_dir, SF_DIR})
+    staged = _prebuild_staged(spark, {warmup_dir, SF_DIR})
 
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -413,7 +452,16 @@ def _run_family_inprocess(names: list[str]) -> None:
             f"{'/'.join(f'{r:.2f}' for r in runs)} ({n} rows)",
             file=sys.stderr,
         )
-    print(json.dumps({"metric": "family", "queries": times, "spread": spreads}))
+    print(
+        json.dumps(
+            {
+                "metric": "family",
+                "staged_builds": staged,
+                "queries": times,
+                "spread": spreads,
+            }
+        )
+    )
 
 
 def _data_stats(sf_dir: str) -> dict:
@@ -453,6 +501,7 @@ def _run_parent() -> None:
 
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    staged_builds: dict[str, float] = {}
     here = os.path.abspath(__file__)
     for idx, names in enumerate(_families()):
         env = dict(os.environ, SPARK_GRAFT_BENCH_FAMILY=str(idx))
@@ -488,6 +537,10 @@ def _run_parent() -> None:
         doc = json.loads(line)
         times.update(doc["queries"])
         spreads.update(doc.get("spread", {}))
+        # per-name MAX across families = the one COLD build; warm
+        # cache hits in later families report ~0 and must not mask it
+        for k, v in (doc.get("staged_builds") or {}).items():
+            staged_builds[k] = max(staged_builds.get(k, 0.0), float(v))
 
     _regression_guard(times, spreads)
 
@@ -505,6 +558,7 @@ def _run_parent() -> None:
                 "value": total,
                 "unit": "sec",
                 "spread": spreads,
+                "staged_builds": staged_builds,
                 "data": _data_stats(SF_DIR),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "queries": times,

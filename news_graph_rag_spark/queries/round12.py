@@ -120,9 +120,14 @@ def _level_sql(pts: str, key: str, prefix: str) -> str:
     )"""
 
 
-def _split_candidates(rows: DataFrame, leaf_col) -> DataFrame:
+def _split_counts(rows: DataFrame, leaf_col) -> DataFrame:
     """One split-search level over ``rows`` (f0..f{D-1}, y), returning
-    every candidate (leaf, fid, thr, polarity, n_correct, n_node).
+    per candidate threshold the raw prefix counts
+    (leaf, fid, thr, cp, cn, p, n) — cp/cn = positives/negatives at
+    values <= thr, p/n = the (leaf, fid) totals. Every split criterion
+    (accuracy, Gini gain, entropy) is a pure function of these four
+    counts, so this is the ONE level pass both the accuracy entries
+    (via _split_candidates) and the round-13 Gini tree share.
     ``leaf_col`` is a Column (lit(0) for a root level); leaf folds
     into the group key kf = leaf·D + fid, so a whole level — however
     many leaves — costs ONE map-side melt, one (kf, x) groupBy pinned
@@ -172,19 +177,26 @@ def _split_candidates(rows: DataFrame, leaf_col) -> DataFrame:
     off = exclusive_sum_offsets(
         tot, "kf", {"p": "off_p", "n": "off_n"}
     ).join(tot, "kf")
-    c = c.join(F.broadcast(off), "kf").select(
-        "kf",
+    return c.join(F.broadcast(off), "kf").select(
+        F.expr(f"kf div {_N_FEATURES}").alias("leaf"),
+        (F.col("kf") % _N_FEATURES).alias("fid"),
         F.col("x").alias("thr"),
         (F.col("cp_g") - F.col("off_p")).alias("cp"),
         (F.col("cn_g") - F.col("off_n")).alias("cn"),
         "p",
         "n",
     )
-    # both polarities from ONE pass (a unionByName of two selects
-    # would duplicate the whole cumsum subtree)
+
+
+def _split_candidates(rows: DataFrame, leaf_col) -> DataFrame:
+    """Accuracy candidates (leaf, fid, thr, polarity, n_correct,
+    n_node) derived from _split_counts' prefix counts — both
+    polarities from ONE pass (a unionByName of two selects would
+    duplicate the whole cumsum subtree)."""
+    c = _split_counts(rows, leaf_col)
     return c.select(
-        F.expr(f"kf div {_N_FEATURES}").alias("leaf"),
-        (F.col("kf") % _N_FEATURES).alias("fid"),
+        "leaf",
+        "fid",
         "thr",
         (F.col("p") + F.col("n")).cast("bigint").alias("n_node"),
         F.explode(
