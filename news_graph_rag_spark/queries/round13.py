@@ -206,12 +206,13 @@ def tree_depth3_orders(spark: SparkSession, sf: str) -> DataFrame:
     cur = _split_pts(spark, sf).withColumn("node", F.lit(1).cast("bigint"))
     outs: list[DataFrame] = []
     for level in range(_TREE_DEPTH):
-        # ONE shared level pass, however many leaves; pinned so the
-        # next level's assignment and the output row read one
-        # materialization (tiny: ≤ 2^level rows)
-        best = _gini_best(_split_counts(cur, F.col("node"))).localCheckpoint(
-            eager=True
-        )
+        # ONE shared level pass, however many leaves
+        best = _gini_best(_split_counts(cur, F.col("node")))
+        if level < _TREE_DEPTH - 1:
+            # pinned so the next level's assignment and the output row
+            # read one materialization (tiny: ≤ 2^level rows); the LAST
+            # level has a single consumer and stays live in the plan
+            best = best.localCheckpoint(eager=True)
         outs.append(_gini_rows(best))
         if level < _TREE_DEPTH - 1:
             b = F.broadcast(

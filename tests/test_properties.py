@@ -1024,3 +1024,281 @@ def test_tree_depth2_matches_exhaustive_python(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_tree_depth3_matches_exhaustive_python(spark, tmp_path):
+    """Round-13 differential: depth-3 Gini induction vs a brute-force
+    three-level Python trainer using the SAME gain arithmetic
+    (float(S)**2 / float(lt*rt) — Python floats are IEEE doubles, so
+    the key is bit-identical to the entry's), with a Fraction-exact
+    guard asserting no distinct-gain pair of candidates collides in
+    double on this fixture — i.e. the differential is insensitive to
+    double rounding here."""
+    import datetime as dt
+    import math
+    import random
+    from fractions import Fraction
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_graph_rag_spark.queries import registry
+
+    rng = random.Random(47)
+    n = 200
+    prices = [rng.uniform(900, 510000) for _ in range(n)] + [3100.0] * 4
+    m = len(prices)
+    custs = [rng.randrange(1, 4000) for _ in range(m)]
+    dates = [
+        dt.datetime(1992 + rng.randrange(0, 5), rng.randrange(1, 13), 9)
+        for _ in range(m)
+    ]
+    prios = [
+        rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"])
+        for _ in range(m)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": list(range(1, m + 1)),
+                "o_custkey": custs,
+                "o_orderstatus": ["O"] * m,
+                "o_totalprice": prices,
+                "o_orderdate": dates,
+                "o_orderpriority": prios,
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    rows = [
+        (
+            int(math.floor(p * 100)),
+            c % 97,
+            (d.year - 1992) * 12 + d.month - 1,
+            1 if pr in ("1-URGENT", "2-HIGH") else 0,
+        )
+        for p, c, d, pr in zip(prices, custs, dates, prios)
+    ]
+
+    def best_split(subset):
+        p = sum(r[3] for r in subset)
+        nn = len(subset) - p
+        best, seen = None, {}
+        for fid in range(3):
+            xs = sorted(set(r[fid] for r in subset))
+            for thr in xs:
+                cp = sum(1 for r in subset if r[fid] <= thr and r[3] == 1)
+                cn = sum(1 for r in subset if r[fid] <= thr and r[3] == 0)
+                lt, rt = cp + cn, (p + nn) - (cp + cn)
+                if rt == 0:
+                    continue
+                s = cp * nn - cn * p
+                gain = float(s) * float(s) / float(lt * rt)
+                seen[Fraction(s * s, lt * rt)] = gain
+                key = (-gain, fid, thr)
+                if best is None or key < best:
+                    best = (*key, lt, rt, s)
+        # no two distinct exact gains collide in double on this fixture
+        assert len(seen) == len(set(seen.values()))
+        return best  # (-gain, fid, thr, lt, rt, s)
+
+    want = {}
+    nodes = {1: rows}
+    for level in range(3):
+        nxt = {}
+        for node, subset in sorted(nodes.items()):
+            b = best_split(subset)
+            if b is None:
+                continue
+            want[node] = (b[1], b[2], b[3], b[4], b[5])
+            if level < 2:
+                fid, thr = b[1], b[2]
+                nxt[2 * node] = [r for r in subset if r[fid] <= thr]
+                nxt[2 * node + 1] = [r for r in subset if r[fid] > thr]
+        nodes = {k: v for k, v in nxt.items() if v}
+    got = {
+        r["node"]: (r["fid"], r["thr"], r["n_left"], r["n_right"], r["s_cross"])
+        for r in registry()["tree_depth3_orders"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == want
+
+
+def test_tree_depth2_one_leaf_empty_parity(spark, tmp_path):
+    """Round-13 edge (VERDICT r12 #7): a root split that sends EVERY
+    row to leaf 1 (all features single-valued, so the only threshold is
+    the max — nothing lands above it). Leaf 2 then has no rows and must
+    be ABSENT from the output on both engines, not NULL-filled."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_graph_rag_spark.queries import registry
+
+    m = 6
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": list(range(1, m + 1)),
+                "o_custkey": [97] * m,  # f1 = 0 for every row
+                "o_orderstatus": ["O"] * m,
+                "o_totalprice": [1000.0] * m,  # f0 single-valued
+                "o_orderdate": [__import__("datetime").datetime(1992, 1, 5)]
+                * m,  # f2 single-valued
+                "o_orderpriority": ["1-URGENT", "5-LOW"] * (m // 2),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    reg = registry()["tree_depth2_orders"]
+    got = sorted(
+        (r["node"], r["fid"], r["thr"], r["n_correct"], r["n_node"])
+        for r in reg.fn(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+    )
+    want = sorted(
+        (r[0], r[1], r[2], r[4], r[5])
+        for r in con.execute(reg.oracle).fetchall()
+    )
+    assert got == want
+    assert [r[0] for r in got] == [0, 1]  # root + leaf 1 only; leaf 2 empty
+
+
+def test_epoch_shuffle_h2_collision_tiebreak(spark, tmp_path):
+    """Round-13 edge (VERDICT r12 #7): doc_ids that differ by exactly
+    2^31 collide in the LCG mix (the reduction is mod 2^31 by design),
+    so their permuted order is decided ONLY by the doc_id tie-break —
+    pin that it is ascending and engine-identical, against both the
+    DuckDB oracle and a Python replay."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_graph_rag_spark.queries import registry
+    from news_graph_rag_spark.queries.round12 import (
+        _CHECKSUM_MOD,
+        _EPOCH,
+        _N_SHARDS,
+    )
+
+    base = [5, 17, 101, 999]
+    doc_ids = base + [d + 2**31 for d in base] + [d + 2**32 for d in base]
+    pq.write_table(
+        pa.table({"doc_id": doc_ids}), str(tmp_path / "documents.parquet")
+    )
+    mix = lambda d: (  # noqa: E731
+        (((d % 2147483648) * 1103515245 + 12345 + _EPOCH * 7919) % 2147483648)
+        * 69069
+        + 1
+    ) % 2147483648
+    for d in base:
+        assert mix(d) == mix(d + 2**31) == mix(d + 2**32)  # real collisions
+    order = sorted(doc_ids, key=lambda d: (mix(d), d))
+    t = len(order)
+    want: dict = {}
+    for rnk, d in enumerate(order, start=1):
+        sid = (rnk - 1) * _N_SHARDS // t
+        s = want.setdefault(sid, [0, rnk, rnk, 0])
+        s[0] += 1
+        s[2] = rnk
+        s[3] += (mix(d) + d) % _CHECKSUM_MOD
+    reg = registry()["epoch_shuffle_shards"]
+    got = {
+        r["shard_id"]: [r["n_rows"], r["min_rank"], r["max_rank"], r["checksum"]]
+        for r in reg.fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {k: list(v) for k, v in want.items()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    oracle = {
+        r[0]: [r[1], r[2], r[3], r[4]]
+        for r in con.execute(reg.oracle).fetchall()
+    }
+    assert got == oracle
+
+
+def test_tokenize_pack_export_composes_pieces(spark, tmp_path):
+    """Round-13 differential (VERDICT r12 #2): the end-to-end export
+    manifest must equal a Python replay built from the PIECES — real
+    apply_bpe per-doc token counts, the pack_sequences binning rule,
+    and the round-12 epoch-shuffle mix — plus the trainer invariants
+    (shard sizes within 1, rank ranges partition 1..T, token total
+    conserved)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_graph_rag_spark.pipeline.bpe import apply_bpe
+    from news_graph_rag_spark.queries import registry
+    from news_graph_rag_spark.queries.round12 import _CHECKSUM_MOD, _EPOCH
+    from news_graph_rag_spark.queries.round13 import (
+        _EXPORT_MERGES,
+        _TPE_BUDGET,
+        _TPE_SHARDS,
+    )
+
+    texts = {
+        1: "the slower window order flow went lower",
+        2: "fast fast fast aggregation over every order " * 40,
+        3: None,
+        4: "",
+        5: "erst erster lowest snow flower " * 25,
+        6: "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 10,
+        7: "partition pruning keeps the scan narrow " * 30,
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(texts),
+                "text": [texts[d] for d in texts],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    # piece 1: the REAL tokenizer's per-doc counts
+    counts = {
+        r["doc_id"]: r["n_tokens"]
+        for r in apply_bpe(docs, _EXPORT_MERGES).collect()
+    }
+    # piece 2: pack_sequences' exclusive-cumsum binning rule
+    bins: dict = {}
+    run = 0
+    for d in sorted(counts):
+        b = run // _TPE_BUDGET
+        s = bins.setdefault(b, [0, 0])
+        s[0] += 1
+        s[1] += counts[d]
+        run += counts[d]
+    # piece 3: the round-12 shuffle mix over bins
+    mix = lambda v: (  # noqa: E731
+        (((v % 2147483648) * 1103515245 + 12345 + _EPOCH * 7919) % 2147483648)
+        * 69069
+        + 1
+    ) % 2147483648
+    order = sorted(bins, key=lambda b: (mix(b), b))
+    t = len(order)
+    want: dict = {}
+    for rnk, b in enumerate(order, start=1):
+        sid = (rnk - 1) * _TPE_SHARDS // t
+        s = want.setdefault(sid, [0, 0, 0, 0])
+        s[0] += 1
+        s[1] += bins[b][0]
+        s[2] += bins[b][1]
+        s[3] += (mix(b) + b) % _CHECKSUM_MOD
+    got = {
+        r["shard_id"]: [r["n_sequences"], r["n_docs"], r["n_tokens"], r["checksum"]]
+        for r in registry()["tokenize_pack_export"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {k: list(v) for k, v in want.items()}
+    assert sum(v[1] for v in got.values()) == len(texts)
+    assert sum(v[2] for v in got.values()) == sum(counts.values())
+    sizes = [v[0] for v in got.values()]
+    assert max(sizes) - min(sizes) <= 1
