@@ -620,6 +620,19 @@ def compact_tombstones(spark: SparkSession, path: str) -> int:
     # tombstones are folded in — retire the table (swap-out, then rm:
     # a concurrent search holding the old DataFrame either read the
     # tombstones before (mask applied twice — harmless) or sees none)
+    # a trained PQ layer still holds the purged vectors' CODES (and
+    # nrm), and search_pq_by_id's delete mask is the tombstone table
+    # that is about to retire — folding in the tombstones must
+    # invalidate the PQ layer too, or a PQ search would resurrect the
+    # deleted rows AND their embedding-derived codes would survive a
+    # GDPR purge on disk (round-13 review). The layer is a derived
+    # artifact; the next ensure_pq retrains it from the compacted
+    # lists. Removed BEFORE the tombstones retire so no window exists
+    # where stale codes are servable unmasked.
+    pqd = _pq_dir(path)
+    if os.path.exists(pqd):
+        shutil.rmtree(pqd, ignore_errors=True)
+        _PQ_CACHE.pop(path, None)
     tdir = _tombstone_dir(path)
     retired_ts = f"{tdir}__old_{uuid.uuid4().hex[:8]}"
     os.rename(tdir, retired_ts)
@@ -1447,8 +1460,18 @@ def train_pq(spark: SparkSession, path: str, m: int = 4, ks: int = 4) -> str:
         try:
             os.rename(staging, dest)
         except OSError:
+            # dest may be a TORN leftover (e.g. a kill mid-rmtree in
+            # ensure_pq's param-change path: meta.json gone, part
+            # files remaining) — without repair every later train_pq
+            # fails ENOTEMPTY forever (round-13 review; same repair
+            # discipline as catalog.stage_parquet)
             if not os.path.exists(os.path.join(dest, "meta.json")):
-                raise  # dest torn/absent and rename still failed
+                shutil.rmtree(dest, ignore_errors=True)
+                try:
+                    os.rename(staging, dest)
+                except OSError:
+                    if not os.path.exists(os.path.join(dest, "meta.json")):
+                        raise
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     _PQ_CACHE.pop(path, None)

@@ -220,14 +220,20 @@ def stage_parquet(src_path: str, kind: str, write_to) -> str:
     # Age-gated sweep of ngrtmp_* orphans (round-12 advice): a builder
     # killed mid-write_to (SIGKILL/OOM) leaks a full tmp parquet copy
     # that fingerprint_stage_dir's ngr_{kind}_* glob never matches.
-    # Same 300 s gate as the generation sweep — a live builder's tmp is
-    # being written right now, so its mtime is fresh.
+    # Same 300 s gate as the generation sweep — gated on the NEWEST
+    # mtime inside the dir (ann_index._newest_mtime), not the root's:
+    # a long Spark write adds part files under tmp/_temporary/ without
+    # touching the root mtime, and a root-mtime gate would sweep a
+    # live builder's dir mid-write (the exact round-8 bug the helper
+    # exists for; round-13 review caught the same shape here).
+    from ..pipeline.ann_index import _newest_mtime
+
     now = time.time()
     import glob
 
     for orphan in glob.glob(os.path.join(tempfile.gettempdir(), "ngrtmp_*")):
         try:
-            if now - os.path.getmtime(orphan) > 300.0:
+            if now - _newest_mtime(orphan) > 300.0:
                 shutil.rmtree(orphan, ignore_errors=True)
         except OSError:
             continue

@@ -1600,7 +1600,9 @@ def motif_anti_no_urgent_order(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _stage_ordered_batches(dfs_fn, sf: str, kind: str) -> str:
+def _stage_ordered_batches(
+    dfs_fn, sf: str, kind: str, retired_kinds: "tuple[str, ...]" = ()
+) -> str:
     """Stage a list of DataFrames (produced by the zero-arg ``dfs_fn``,
     called only on a cold build) as ONE parquet file each with strictly
     increasing mtimes, so a maxFilesPerTrigger=1 file stream replays
@@ -1617,6 +1619,25 @@ def _stage_ordered_batches(dfs_fn, sf: str, kind: str) -> str:
     import time
 
     from .catalog import fingerprint_stage_dir
+
+    # a RENAMED kind (e.g. ewma_replay -> ewma_replay_v2 when the batch
+    # layout changed in round 13) orphans the old kind's generations
+    # forever — fingerprint_stage_dir's sweep only globs within the
+    # CURRENT kind (round-13 review). Callers name their retired kinds
+    # and we age-sweep them here, excluding dirs of the live kind
+    # (whose name may share the retired prefix).
+    for rk in retired_kinds:
+        now = time.time()
+        for stale in glob.glob(
+            os.path.join(tempfile.gettempdir(), f"ngr_{rk}_*")
+        ):
+            if os.path.basename(stale).startswith(f"ngr_{kind}_"):
+                continue
+            try:
+                if now - os.path.getmtime(stale) > 300.0:
+                    shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                continue
 
     src = fingerprint_stage_dir(os.path.join(sf, "events.parquet"), kind)
     marker = os.path.join(src, "_STAGED")
@@ -1642,6 +1663,10 @@ def _stage_ordered_batches(dfs_fn, sf: str, kind: str) -> str:
 
 
 _SENTINEL_USER = 999_999_999
+_SSJ_INTERVAL_S = 300  # interval-join window — shared by the flush contract
+_SSJ_WM_HOURS = 1  # both sides' watermark delay (join state horizon)
+_SSJ_WM = f"{_SSJ_WM_HOURS} hour"
+_SSJ_SENT_DAYS = (10, 20)  # flush-sentinel offsets past max real ts
 
 
 def _interval_join_replay(
@@ -1687,13 +1712,20 @@ def _interval_join_replay(
         # END-OF-STREAM FLUSH CONTRACT (round-12 advice #3): the
         # watermark the first sentinel advances must land STRICTLY past
         # every real event plus the join's eviction horizon (interval +
-        # watermark delay), or the final batch leaves outer rows
-        # unemitted. Checked at the one place sentinels are minted.
-        assert dt.timedelta(days=10) > dt.timedelta(seconds=300) + dt.timedelta(
-            minutes=10
-        ), "flush sentinel #1 must exceed max real event time + horizon"
+        # watermark delay). The operands are the SAME constants the
+        # stream is built from (_SSJ_SENT_DAYS mints the sentinels,
+        # _SSJ_INTERVAL_S/_SSJ_WM feed stream_stream_interval_join
+        # below), so changing any one without the others trips this —
+        # round-13 review: the first version compared free-standing
+        # literals and could never fire.
+        horizon = dt.timedelta(seconds=_SSJ_INTERVAL_S) + dt.timedelta(
+            hours=_SSJ_WM_HOURS
+        )
+        assert dt.timedelta(days=min(_SSJ_SENT_DAYS)) > horizon, (
+            "flush sentinel #1 must exceed max real event time + horizon"
+        )
         stages = [df]
-        for days in (10, 20):
+        for days in _SSJ_SENT_DAYS:
             stages.append(
                 spark.sql(
                     f"SELECT CAST({_SENTINEL_USER} AS BIGINT) AS user_id, "
@@ -1729,7 +1761,9 @@ def _interval_join_replay(
     )
     with _replay_shuffle_partitions(spark):
         q = (
-            stream_stream_interval_join(ps, cs, interval_seconds=300, how=how)
+            stream_stream_interval_join(
+                ps, cs, interval_seconds=_SSJ_INTERVAL_S, watermark=_SSJ_WM, how=how
+            )
             .writeStream.outputMode("append")
             .format("memory")
             .queryName(name)

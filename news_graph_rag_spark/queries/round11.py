@@ -739,6 +739,11 @@ def mad_outlier_events(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_EWMA_WM_MINUTES = 10  # watermark delay — shared by the replay contract
+_EWMA_STRAG_MINUTES = 5  # straggler margin; must stay < the delay
+_EWMA_SENT_DAYS = (10, 20)  # flush-sentinel offsets past max real ts
+
+
 @register(
     "streaming_ewma_users",
     oracle=_ewma_oracle(),
@@ -786,7 +791,7 @@ def streaming_ewma_users(spark: SparkSession, sf: str) -> DataFrame:
         lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
         third = (hi - lo) / 3
         t1, t2 = lo + third, lo + 2 * third
-        margin = dt.timedelta(minutes=5)  # < the 10-min watermark delay
+        margin = dt.timedelta(minutes=_EWMA_STRAG_MINUTES)
         strag = (
             (F.col("ts") >= F.lit(t1 - margin))
             & (F.col("ts") < F.lit(t1))
@@ -804,16 +809,26 @@ def streaming_ewma_users(spark: SparkSession, sf: str) -> DataFrame:
                 f"CAST({_SENTINEL_USER} AS BIGINT) AS user_id, "
                 "CAST(0.0 AS DOUBLE) AS value"
             )
-            for days in (10, 20)
+            for days in _EWMA_SENT_DAYS
         ]
         # END-OF-STREAM FLUSH CONTRACT (round-12 advice #3): release is
         # strictly below the watermark, so the second-to-last batch's
         # closing watermark (sentinel#1.ts − delay) must be STRICTLY
         # past every real event or the final batch leaves rows buffered
-        # and silently unemitted. Asserted, not just documented.
-        delay = dt.timedelta(minutes=10)
-        assert hi + dt.timedelta(days=10) - delay > hi, (
+        # and silently unemitted. The operands are the SAME constants
+        # the stream is built from (_EWMA_SENT_DAYS feeds the sentinel
+        # SQL above, _EWMA_WM_MINUTES feeds stateful_ewma's watermark
+        # below), so changing either without the other trips this —
+        # round-13 review: the first version re-declared the literals
+        # locally and could never fire. The straggler margin must also
+        # stay inside the delay or phase-1 stragglers would be
+        # watermark-late instead of in-watermark-late.
+        delay = dt.timedelta(minutes=_EWMA_WM_MINUTES)
+        assert dt.timedelta(days=min(_EWMA_SENT_DAYS)) > delay, (
             "flush sentinel #1 must exceed max real event time + delay"
+        )
+        assert dt.timedelta(minutes=_EWMA_STRAG_MINUTES) < delay, (
+            "stragglers must arrive within the watermark delay"
         )
         # sentinel #1 rides phase 3's file: the watermark it advances
         # only applies in the NEXT batch regardless of which batch
@@ -823,7 +838,9 @@ def streaming_ewma_users(spark: SparkSession, sf: str) -> DataFrame:
         # part of the result; the sink filter drops sentinels anyway).
         return [b1, b2, b3.unionByName(sents[0]), sents[1]]
 
-    src = _stage_ordered_batches(with_batches, sf, "ewma_replay_v2")
+    src = _stage_ordered_batches(
+        with_batches, sf, "ewma_replay_v2", retired_kinds=("ewma_replay",)
+    )
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", "1")
@@ -832,7 +849,7 @@ def streaming_ewma_users(spark: SparkSession, sf: str) -> DataFrame:
     name = "streaming_ewma_out"
     with _replay_shuffle_partitions(spark):
         q = (
-            stateful_ewma(stream, watermark="10 minutes")
+            stateful_ewma(stream, watermark=f"{_EWMA_WM_MINUTES} minutes")
             .writeStream.outputMode("append")
             .format("memory")
             .queryName(name)

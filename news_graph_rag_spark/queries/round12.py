@@ -312,6 +312,23 @@ _N_SHARDS = 8
 _CHECKSUM_MOD = 1_000_000_007
 
 
+def _lcg_mix(col: F.Column) -> F.Column:
+    """THE keyed two-round LCG permutation mix (epoch-salted,
+    overflow-guarded mod-2³¹ reduction before the first multiply) —
+    one implementation shared by epoch_shuffle_shards and round-13's
+    tokenize_pack_export (round-13 review: two inline copies had
+    appeared; an edit to one would silently desync the export chain
+    from the shuffle entry)."""
+    return (
+        (
+            ((col % 2147483648) * 1103515245 + 12345 + _EPOCH * 7919)
+            % 2147483648
+        )
+        * 69069
+        + 1
+    ) % 2147483648
+
+
 @register(
     "epoch_shuffle_shards",
     oracle=f"""
@@ -373,19 +390,7 @@ def epoch_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("doc_id").isNotNull())
         .select("doc_id")
     )
-    hh = docs.select(
-        "doc_id",
-        (
-            (
-                ((F.col("doc_id") % 2147483648) * 1103515245
-                 + 12345 + _EPOCH * 7919)
-                % 2147483648
-            )
-            * 69069
-            + 1
-        )
-        % 2147483648,
-    ).toDF("doc_id", "h2")
+    hh = docs.select("doc_id", _lcg_mix(F.col("doc_id")).alias("h2"))
     # rank_type="long": shard_id multiplies the rank by N — an int rank
     # overflows at 2^31/N rows (ANSI raises, legacy wraps negative),
     # exactly the class of bound the mix reduction above guards

@@ -30,6 +30,7 @@ from .catalog import load, register, spread
 from .round12 import (
     _CHECKSUM_MOD,
     _EPOCH,
+    _lcg_mix,
     _level_sql,
     _split_counts,
     _split_pts,
@@ -290,20 +291,6 @@ def _bpe_len_sql(word: str) -> str:
     for a, b in _EXPORT_MERGES:
         s = f"replace({s}, '{_D1}{a}{_D2}{_D1}{b}{_D2}', '{_D1}{a}{b}{_D2}')"
     return s
-
-
-def _lcg_mix(col: F.Column) -> F.Column:
-    """round-12 epoch_shuffle_shards' keyed two-round LCG mix, the ONE
-    permutation the export chain and the standalone shuffle entry
-    share (same epoch salt, same overflow-guarded mod-2³¹ reduction)."""
-    return (
-        (
-            ((col % 2147483648) * 1103515245 + 12345 + _EPOCH * 7919)
-            % 2147483648
-        )
-        * 69069
-        + 1
-    ) % 2147483648
 
 
 def _wsq() -> str:

@@ -2333,3 +2333,58 @@ def test_ivfpq_ensure_retrains_on_param_change(spark, tmp_path):
     with open(mp) as f:
         got = json.load(f)
     assert (got.get("m"), got.get("ks")) == (8, 8)
+
+
+def test_ivfpq_invalidated_by_tombstone_compaction(spark, tmp_path):
+    """Round-13 review: compact_tombstones folds the delete mask into
+    the inverted lists and RETIRES the tombstone table — the PQ layer
+    (which still holds the purged vectors' codes and is masked only by
+    that table) must be invalidated in the same operation, or a PQ
+    search would resurrect deleted vectors and their codes would
+    survive a GDPR purge on disk."""
+    import os
+
+    import numpy as np
+
+    from news_graph_rag_spark.pipeline.ann_index import (
+        _pq_dir,
+        build_and_save,
+        compact_tombstones,
+        delete_vectors,
+        search_pq_by_id,
+        train_pq,
+    )
+
+    rng = np.random.RandomState(11)
+    _write_embeddings(tmp_path, rng.randint(-60, 61, size=(96, 64)))
+    path = str(tmp_path / "idx")
+    build_and_save(
+        spark.read.parquet(str(tmp_path / "embeddings.parquet")),
+        path,
+        n_centroids=4,
+        iters=1,
+    )
+    train_pq(spark, path, m=4, ks=4)
+    victim = int(
+        search_pq_by_id(spark, path, probe_vec_id=0, k=3, nprobe=4)
+        .collect()[0]["vec_id"]
+    )
+    delete_vectors(spark, path, [victim])
+    # masked while the tombstone table lives
+    live = {
+        r["vec_id"]
+        for r in search_pq_by_id(spark, path, probe_vec_id=0, k=10, nprobe=4)
+        .collect()
+    }
+    assert victim not in live
+    assert compact_tombstones(spark, path) >= 1
+    # the PQ layer is gone with the tombstones it depended on
+    assert not os.path.exists(os.path.join(_pq_dir(path), "meta.json"))
+    # a retrained layer (from the compacted lists) cannot resurrect it
+    train_pq(spark, path, m=4, ks=4)
+    live = {
+        r["vec_id"]
+        for r in search_pq_by_id(spark, path, probe_vec_id=0, k=10, nprobe=4)
+        .collect()
+    }
+    assert victim not in live

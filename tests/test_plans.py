@@ -736,11 +736,6 @@ def test_ivfpq_search_prunes_code_partitions(spark, sf_dir, reg):
     point-lookup into assignments, so that table may appear once.)"""
     df = reg["ann_ivfpq_search_topk"].fn(spark, sf_dir)
     plan = plan_of(df)
-    part_lines = [
-        line
-        for line in plan.splitlines()
-        if "PartitionFilters" in line and "codes.parquet" not in line
-    ]
     code_lines = [
         line for line in plan.splitlines() if "PartitionFilters" in line
     ]
@@ -748,3 +743,9 @@ def test_ivfpq_search_prunes_code_partitions(spark, sf_dir, reg):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "embeddings.parquet" not in plan
+    # the memory-budget claim itself: the SCORING plan must read the
+    # codes table only — the stored d-dim vectors (assignments' q8)
+    # must not appear (the probe's point lookup runs eagerly inside
+    # the entry and is not part of the returned plan)
+    assert "codes.parquet" in plan
+    assert "assignments.parquet" not in plan
