@@ -688,15 +688,29 @@ def strongly_connected_components_fbtrim(
             .join(inb, ["part", "id"], "left")
             .select(
                 "id",
-                (
-                    F.col("part") * 3
-                    + F.when(F.col("_f").isNotNull(), F.lit(0))
-                    .when(F.col("_b").isNotNull(), F.lit(1))
-                    .otherwise(F.lit(2))
-                ).alias("part"),
+                "part",
+                F.when(F.col("_f").isNotNull(), F.lit(0))
+                .when(F.col("_b").isNotNull(), F.lit(1))
+                .otherwise(F.lit(2))
+                .alias("_cls"),
             )
         )
-        state = _pin(survivors)
+        # relabel every (part, class) group by its MIN NODE ID: the
+        # obvious dense encoding part' = 3·part + class grows as
+        # 3^round and overflows int64 by round ~40 — inside the default
+        # budget, and ANSI Spark raises mid-job instead of the
+        # documented convergence error (round-13 review). Min-id labels
+        # are unique per group (groups partition the node set), stay
+        # inside the id domain at ANY round count, and cost one
+        # tiny-group aggregation + join per round.
+        relabel = survivors.groupBy("part", "_cls").agg(
+            F.min("id").alias("_newpart")
+        )
+        state = _pin(
+            survivors.join(relabel, ["part", "_cls"]).select(
+                "id", F.col("_newpart").alias("part")
+            )
+        )
     else:
         if not state.isEmpty():
             raise ValueError(

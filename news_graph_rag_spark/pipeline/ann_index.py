@@ -629,10 +629,13 @@ def compact_tombstones(spark: SparkSession, path: str) -> int:
     # artifact; the next ensure_pq retrains it from the compacted
     # lists. Removed BEFORE the tombstones retire so no window exists
     # where stale codes are servable unmasked.
-    pqd = _pq_dir(path)
-    if os.path.exists(pqd):
-        shutil.rmtree(pqd, ignore_errors=True)
-        _PQ_CACHE.pop(path, None)
+    import glob as _g
+
+    for pqd in _g.glob(os.path.join(path, "pq_m*_ks*")):
+        if "__old_" in os.path.basename(pqd) or ".staging-" in pqd:
+            continue
+        _retire_dir(pqd)
+        _PQ_CACHE.pop(pqd, None)
     tdir = _tombstone_dir(path)
     retired_ts = f"{tdir}__old_{uuid.uuid4().hex[:8]}"
     os.rename(tdir, retired_ts)
@@ -1274,14 +1277,34 @@ def ensure_index(
 PQ_FORMAT_VERSION = "ivfpq-v1"
 
 
-def _pq_dir(path: str) -> str:
-    return os.path.join(path, "pq")
+def _pq_dir(path: str, m: int = 8, ks: int = 16) -> str:
+    # PARAM-KEYED layer dir (round-13 review pass 2): folding (m, ks)
+    # into the path — the family's fingerprint discipline — means a
+    # param change NEVER mutates a live layer in place (no retrain
+    # thrash, no rmtree→publish crash window for concurrent searches,
+    # no publish race returning the other caller's params); distinct
+    # param sets simply coexist.
+    return os.path.join(path, f"pq_m{m}_ks{ks}")
 
 
-def train_pq(spark: SparkSession, path: str, m: int = 4, ks: int = 4) -> str:
+def _retire_dir(d: str) -> None:
+    """Swap-out-then-rm (the tombstone-retire discipline): an atomic
+    rename makes the layer vanish as a unit, so a crash mid-delete can
+    never leave meta.json alive over partially-removed data that a
+    later reader would serve as a valid layer."""
+    retired = f"{d}__old_{uuid.uuid4().hex[:8]}"
+    try:
+        os.rename(d, retired)
+    except OSError:
+        return  # already gone (concurrent retire)
+    shutil.rmtree(retired, ignore_errors=True)
+
+
+def train_pq(spark: SparkSession, path: str, m: int = 8, ks: int = 16) -> str:
     """Train and publish PQ residual codebooks + codes for the index at
-    ``path``. Write-once per index (guarded by pq/meta.json), published
-    by staging-dir + atomic rename like the index itself.
+    ``path``. Write-once per (index, m, ks) — the layer dir is
+    param-keyed and guarded by its meta.json — published by
+    staging-dir + atomic rename like the index itself.
 
     Deterministic build, mirroring the coarse quantizer so the DuckDB
     oracle can replay it: per (centroid, subspace) the seeds are the
@@ -1444,7 +1467,7 @@ def train_pq(spark: SparkSession, path: str, m: int = 4, ks: int = 4) -> str:
         )
     )
 
-    dest = _pq_dir(path)
+    dest = _pq_dir(path, m, ks)
     staging = f"{dest}.staging-{uuid.uuid4().hex[:8]}"
     try:
         spark.createDataFrame(
@@ -1474,20 +1497,28 @@ def train_pq(spark: SparkSession, path: str, m: int = 4, ks: int = 4) -> str:
                         raise
     finally:
         shutil.rmtree(staging, ignore_errors=True)
-    _PQ_CACHE.pop(path, None)
+    _PQ_CACHE.pop(dest, None)
     return dest
 
 
 _PQ_CACHE: dict[str, tuple] = {}
 
 
-def _pq_tables(spark: SparkSession, path: str):
+def _pq_tables(spark: SparkSession, pq: str):
     """(meta dict, {(cid, sub, code): e-list}) for a trained PQ layer,
-    driver-cached like the centroid rows."""
-    got = _PQ_CACHE.get(path)
-    if got is None:
-        pq = _pq_dir(path)
-        with open(os.path.join(pq, "meta.json")) as f:
+    driver-cached like the centroid rows — but VALIDATED against the
+    published meta.json's (mtime_ns, ino) on every call (round-13
+    review pass 2): another PROCESS can retire and retrain the layer
+    (compaction → ensure_pq), and scoring new codes against a stale
+    cached codebook would be silently wrong. The atomic-rename publish
+    guarantees a changed layer has a new meta inode/mtime; one stat
+    per search is the cost."""
+    mp = os.path.join(pq, "meta.json")
+    st = os.stat(mp)
+    sig = (st.st_mtime_ns, st.st_ino)
+    got = _PQ_CACHE.get(pq)
+    if got is None or got[0] != sig:
+        with open(mp) as f:
             meta = json.load(f)
         cb = {
             (int(r["centroid_id"]), int(r["sub"]), int(r["code"])): [
@@ -1497,9 +1528,9 @@ def _pq_tables(spark: SparkSession, path: str):
                 os.path.join(pq, "codebook.parquet")
             ).collect()
         }
-        got = (meta, cb)
-        _PQ_CACHE[path] = got
-    return got
+        got = (sig, meta, cb)
+        _PQ_CACHE[pq] = got
+    return got[1], got[2]
 
 
 def search_pq_by_id(
@@ -1508,6 +1539,8 @@ def search_pq_by_id(
     probe_vec_id: int = 0,
     k: int = 10,
     nprobe: int = 4,
+    m: int = 8,
+    ks: int = 16,
 ) -> DataFrame:
     """IVF-PQ asymmetric-distance search: rank inverted lists with the
     family's shared cosine rule, build the per-list ADC tables
@@ -1522,7 +1555,8 @@ def search_pq_by_id(
 
     from ..ranks import top_k_ranked
 
-    meta, cb = _pq_tables(spark, path)
+    pq = _pq_dir(path, m, ks)
+    meta, cb = _pq_tables(spark, pq)
     m, ks, subd = int(meta["m"]), int(meta["ks"]), int(meta["subd"])
     assignments = _live_only(
         spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
@@ -1553,7 +1587,7 @@ def search_pq_by_id(
     )
 
     cand = (
-        spark.read.parquet(os.path.join(_pq_dir(path), "codes.parquet"))
+        spark.read.parquet(os.path.join(pq, "codes.parquet"))
         .filter(F.col("centroid_id").isin(probes))
         .filter(F.col("vec_id") != probe_vec_id)
     )
@@ -1583,8 +1617,8 @@ def search_pq_by_id(
 def ensure_pq(
     spark: SparkSession,
     sf_dir: str,
-    m: int = 4,
-    ks: int = 4,
+    m: int = 8,
+    ks: int = 16,
     n_centroids: int = 8,
     iters: int = 1,
     widen_reps: int | None = None,
@@ -1595,19 +1629,20 @@ def ensure_pq(
     path = ensure_index(
         spark, sf_dir, widen_reps=widen_reps, n_centroids=n_centroids, iters=iters
     )
-    mp = os.path.join(_pq_dir(path), "meta.json")
+    pqd = _pq_dir(path, m, ks)
+    mp = os.path.join(pqd, "meta.json")
     need = not os.path.exists(mp)
     if not need:
-        # param change on an existing layer: retrain instead of serving
-        # a codebook built for different (m, ks)
+        # the layer dir is param-keyed, so only a FORMAT-version bump
+        # (algorithm change) can invalidate an existing layer — retired
+        # by atomic swap-out, never an in-place rmtree (a crash mid-rm
+        # must not leave meta.json over partial codes)
         with open(mp) as f:
             got = json.load(f)
-        need = (got.get("m"), got.get("ks")) != (m, ks) or got.get(
-            "format"
-        ) != PQ_FORMAT_VERSION
+        need = got.get("format") != PQ_FORMAT_VERSION
         if need:
-            shutil.rmtree(_pq_dir(path), ignore_errors=True)
-            _PQ_CACHE.pop(path, None)
+            _retire_dir(pqd)
+            _PQ_CACHE.pop(pqd, None)
     if need:
         train_pq(spark, path, m=m, ks=ks)
     return path

@@ -1626,6 +1626,8 @@ def _stage_ordered_batches(
     # CURRENT kind (round-13 review). Callers name their retired kinds
     # and we age-sweep them here, excluding dirs of the live kind
     # (whose name may share the retired prefix).
+    from ..pipeline.ann_index import _newest_mtime
+
     for rk in retired_kinds:
         now = time.time()
         for stale in glob.glob(
@@ -1634,7 +1636,11 @@ def _stage_ordered_batches(
             if os.path.basename(stale).startswith(f"ngr_{kind}_"):
                 continue
             try:
-                if now - os.path.getmtime(stale) > 300.0:
+                # NEWEST mtime inside the dir, never the root's — a
+                # still-running old-release builder writing batch files
+                # leaves the root mtime stale (the same root-mtime trap
+                # stage_parquet's sweep fixed this round)
+                if now - _newest_mtime(stale) > 300.0:
                     shutil.rmtree(stale, ignore_errors=True)
             except OSError:
                 continue
@@ -1667,6 +1673,17 @@ _SSJ_INTERVAL_S = 300  # interval-join window — shared by the flush contract
 _SSJ_WM_HOURS = 1  # both sides' watermark delay (join state horizon)
 _SSJ_WM = f"{_SSJ_WM_HOURS} hour"
 _SSJ_SENT_DAYS = (10, 20)  # flush-sentinel offsets past max real ts
+
+# END-OF-STREAM FLUSH CONTRACT, checked at IMPORT (round-13 review
+# pass 2: inside the cold-build closure it never ran against a warm
+# staged dir): sentinel #1's watermark must land strictly past every
+# real event plus the join's eviction horizon (interval + watermark
+# delay) or the final batch leaves outer rows unemitted. Same caveat
+# as the EWMA contract: the staged fingerprint does not cover these
+# constants — bump the staging kind when changing them.
+assert _SSJ_SENT_DAYS[0] * 24 * 3600 > _SSJ_INTERVAL_S + _SSJ_WM_HOURS * 3600, (
+    "flush sentinel #1 must exceed max real event time + horizon"
+)
 
 
 def _interval_join_replay(
@@ -1705,25 +1722,10 @@ def _interval_join_replay(
     cold: dict = {}
 
     def with_sentinels(df):
-        import datetime as dt
-
         if "max_ts" not in cold:
             cold["max_ts"] = ev.agg(F.max("ts")).first()[0]
-        # END-OF-STREAM FLUSH CONTRACT (round-12 advice #3): the
-        # watermark the first sentinel advances must land STRICTLY past
-        # every real event plus the join's eviction horizon (interval +
-        # watermark delay). The operands are the SAME constants the
-        # stream is built from (_SSJ_SENT_DAYS mints the sentinels,
-        # _SSJ_INTERVAL_S/_SSJ_WM feed stream_stream_interval_join
-        # below), so changing any one without the others trips this —
-        # round-13 review: the first version compared free-standing
-        # literals and could never fire.
-        horizon = dt.timedelta(seconds=_SSJ_INTERVAL_S) + dt.timedelta(
-            hours=_SSJ_WM_HOURS
-        )
-        assert dt.timedelta(days=min(_SSJ_SENT_DAYS)) > horizon, (
-            "flush sentinel #1 must exceed max real event time + horizon"
-        )
+        # (the end-of-stream flush contract on these constants is
+        # asserted at module import — see the constants above)
         stages = [df]
         for days in _SSJ_SENT_DAYS:
             stages.append(

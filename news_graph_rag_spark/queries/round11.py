@@ -743,6 +743,22 @@ _EWMA_WM_MINUTES = 10  # watermark delay — shared by the replay contract
 _EWMA_STRAG_MINUTES = 5  # straggler margin; must stay < the delay
 _EWMA_SENT_DAYS = (10, 20)  # flush-sentinel offsets past max real ts
 
+# END-OF-STREAM FLUSH CONTRACT, checked at IMPORT (round-13 review
+# pass 2: inside the cold-build closure it never ran on machines with
+# a warm staged dir): sentinel #1 must advance the watermark strictly
+# past every real event (release is strictly below the watermark), and
+# stragglers must be in-watermark late, not watermark-late. These are
+# the constants the stream is built from — changing one without the
+# others fails every import, warm stage or not (the staged fingerprint
+# does NOT cover these constants; bump the staging kind when changing
+# them).
+assert _EWMA_SENT_DAYS[0] * 24 * 60 > _EWMA_WM_MINUTES, (
+    "flush sentinel #1 must exceed max real event time + delay"
+)
+assert _EWMA_STRAG_MINUTES < _EWMA_WM_MINUTES, (
+    "stragglers must arrive within the watermark delay"
+)
+
 
 @register(
     "streaming_ewma_users",
@@ -811,25 +827,8 @@ def streaming_ewma_users(spark: SparkSession, sf: str) -> DataFrame:
             )
             for days in _EWMA_SENT_DAYS
         ]
-        # END-OF-STREAM FLUSH CONTRACT (round-12 advice #3): release is
-        # strictly below the watermark, so the second-to-last batch's
-        # closing watermark (sentinel#1.ts − delay) must be STRICTLY
-        # past every real event or the final batch leaves rows buffered
-        # and silently unemitted. The operands are the SAME constants
-        # the stream is built from (_EWMA_SENT_DAYS feeds the sentinel
-        # SQL above, _EWMA_WM_MINUTES feeds stateful_ewma's watermark
-        # below), so changing either without the other trips this —
-        # round-13 review: the first version re-declared the literals
-        # locally and could never fire. The straggler margin must also
-        # stay inside the delay or phase-1 stragglers would be
-        # watermark-late instead of in-watermark-late.
-        delay = dt.timedelta(minutes=_EWMA_WM_MINUTES)
-        assert dt.timedelta(days=min(_EWMA_SENT_DAYS)) > delay, (
-            "flush sentinel #1 must exceed max real event time + delay"
-        )
-        assert dt.timedelta(minutes=_EWMA_STRAG_MINUTES) < delay, (
-            "stragglers must arrive within the watermark delay"
-        )
+        # (the end-of-stream flush contract on these constants is
+        # asserted at module import — see the constants above)
         # sentinel #1 rides phase 3's file: the watermark it advances
         # only applies in the NEXT batch regardless of which batch
         # carries it, so [b1][b2][b3+s1][s2] is emission-identical to

@@ -329,16 +329,24 @@ def _lcg_mix(col: F.Column) -> F.Column:
     ) % 2147483648
 
 
+def _lcg_mix_sql(col: str) -> str:
+    """DuckDB twin of _lcg_mix — the ONE SQL form of the permutation
+    mix, shared by the epoch-shuffle and tokenize-pack-export oracles
+    (round-13 review pass 2: the Spark-side dedup had left two inline
+    SQL copies that could still drift)."""
+    return (
+        f"(((({col} % 2147483648) * 1103515245 + 12345 + {_EPOCH} * 7919) "
+        f"% 2147483648) * 69069 + 1) % 2147483648"
+    )
+
+
 @register(
     "epoch_shuffle_shards",
     oracle=f"""
-    WITH h AS (
-      SELECT doc_id,
-             ((doc_id % 2147483648) * 1103515245 + 12345 + {_EPOCH} * 7919)
-               % 2147483648 AS h1
+    WITH hh AS (
+      SELECT doc_id, {_lcg_mix_sql("doc_id")} AS h2
       FROM documents WHERE doc_id IS NOT NULL
     ),
-    hh AS (SELECT doc_id, (h1 * 69069 + 1) % 2147483648 AS h2 FROM h),
     r AS (
       SELECT doc_id, h2,
              row_number() OVER (ORDER BY h2, doc_id) AS rnk,

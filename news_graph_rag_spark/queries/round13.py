@@ -29,8 +29,8 @@ from pyspark.sql import functions as F
 from .catalog import load, register, spread
 from .round12 import (
     _CHECKSUM_MOD,
-    _EPOCH,
     _lcg_mix,
+    _lcg_mix_sql,
     _level_sql,
     _split_counts,
     _split_pts,
@@ -332,12 +332,10 @@ def _tpe_oracle() -> str:
              CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
       FROM pk GROUP BY bin_id
     ),
-    h AS (
-      SELECT *, ((bin_id % 2147483648) * 1103515245 + 12345
-                 + {_EPOCH} * 7919) % 2147483648 AS h1
+    hh AS (
+      SELECT *, {_lcg_mix_sql("bin_id")} AS h2
       FROM bins
     ),
-    hh AS (SELECT *, (h1 * 69069 + 1) % 2147483648 AS h2 FROM h),
     r AS (
       SELECT *, row_number() OVER (ORDER BY h2, bin_id) AS rnk,
              count(*) OVER () AS t
@@ -581,4 +579,6 @@ def ann_ivfpq_search_topk(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.ann_index import ensure_pq, search_pq_by_id
 
     path = ensure_pq(spark, sf, m=_PQ_M, ks=_PQ_KS)
-    return search_pq_by_id(spark, path, probe_vec_id=0, k=10, nprobe=4)
+    return search_pq_by_id(
+        spark, path, probe_vec_id=0, k=10, nprobe=4, m=_PQ_M, ks=_PQ_KS
+    )

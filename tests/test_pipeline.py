@@ -2290,49 +2290,44 @@ def test_ivfpq_recall_floor_testdata(spark, sf_dir):
     assert len(got & exact) / 10 >= 0.4
 
 
-def test_ivfpq_ensure_retrains_on_param_change(spark, tmp_path):
-    """ensure_pq must not serve a codebook built for different (m, ks)
-    — the param change retrains in place (atomic republish)."""
+def test_ivfpq_ensure_pq_param_isolation_and_format_retrain(spark, sf_dir):
+    """ensure_pq itself (round-13 review pass 2: the first version
+    replayed its logic by hand, leaving the real entrypoint's decision
+    branch uncovered): (a) distinct (m, ks) get PARAM-KEYED layer dirs
+    that coexist — a param change never rewrites another caller's live
+    layer; (b) a FORMAT-version mismatch retrains via atomic swap-out;
+    (c) a warm call is a no-op (same meta inode survives)."""
     import json
     import os
 
-    import numpy as np
+    from news_graph_rag_spark.pipeline.ann_index import _pq_dir, ensure_pq
 
-    from news_graph_rag_spark.pipeline.ann_index import (
-        _pq_dir,
-        build_and_save,
-        ensure_index,  # noqa: F401 — documents the prod entrypoint
-        train_pq,
-    )
-
-    rng = np.random.RandomState(3)
-    _write_embeddings(tmp_path, rng.randint(-50, 51, size=(64, 64)))
-    path = str(tmp_path / "idx")
-    build_and_save(
-        spark.read.parquet(str(tmp_path / "embeddings.parquet")),
-        path,
-        n_centroids=4,
-        iters=1,
-    )
-    train_pq(spark, path, m=4, ks=4)
-    with open(os.path.join(_pq_dir(path), "meta.json")) as f:
+    path = ensure_pq(spark, sf_dir, m=4, ks=4)
+    d44 = _pq_dir(path, 4, 4)
+    with open(os.path.join(d44, "meta.json")) as f:
         assert json.load(f)["m"] == 4
-    # ensure_pq goes through ensure_index's fingerprint path, so drive
-    # the retrain decision directly the way ensure_pq does
-    from news_graph_rag_spark.pipeline import ann_index as ai
-
-    mp = os.path.join(_pq_dir(path), "meta.json")
-    with open(mp) as f:
+    ino44 = os.stat(os.path.join(d44, "meta.json")).st_ino
+    # (a) another param set builds NEXT TO it, not over it
+    assert ensure_pq(spark, sf_dir, m=8, ks=16) == path
+    d816 = _pq_dir(path, 8, 16)
+    assert d44 != d816
+    with open(os.path.join(d816, "meta.json")) as f:
         got = json.load(f)
-    assert (got.get("m"), got.get("ks")) != (8, 8)
-    import shutil
-
-    shutil.rmtree(_pq_dir(path), ignore_errors=True)
-    ai._PQ_CACHE.pop(path, None)
-    train_pq(spark, path, m=8, ks=8)
-    with open(mp) as f:
-        got = json.load(f)
-    assert (got.get("m"), got.get("ks")) == (8, 8)
+    assert (got["m"], got["ks"]) == (8, 16)
+    assert os.stat(os.path.join(d44, "meta.json")).st_ino == ino44
+    # (c) warm call: no republish
+    ensure_pq(spark, sf_dir, m=4, ks=4)
+    assert os.stat(os.path.join(d44, "meta.json")).st_ino == ino44
+    # (b) a format bump retrains through the REAL branch
+    meta_p = os.path.join(d44, "meta.json")
+    with open(meta_p) as f:
+        doc = json.load(f)
+    doc["format"] = "ivfpq-v0-obsolete"
+    with open(meta_p, "w") as f:
+        json.dump(doc, f)
+    ensure_pq(spark, sf_dir, m=4, ks=4)
+    with open(meta_p) as f:
+        assert json.load(f)["format"] != "ivfpq-v0-obsolete"
 
 
 def test_ivfpq_invalidated_by_tombstone_compaction(spark, tmp_path):
@@ -2366,25 +2361,27 @@ def test_ivfpq_invalidated_by_tombstone_compaction(spark, tmp_path):
     )
     train_pq(spark, path, m=4, ks=4)
     victim = int(
-        search_pq_by_id(spark, path, probe_vec_id=0, k=3, nprobe=4)
+        search_pq_by_id(spark, path, probe_vec_id=0, k=3, nprobe=4, m=4, ks=4)
         .collect()[0]["vec_id"]
     )
     delete_vectors(spark, path, [victim])
     # masked while the tombstone table lives
     live = {
         r["vec_id"]
-        for r in search_pq_by_id(spark, path, probe_vec_id=0, k=10, nprobe=4)
-        .collect()
+        for r in search_pq_by_id(
+            spark, path, probe_vec_id=0, k=10, nprobe=4, m=4, ks=4
+        ).collect()
     }
     assert victim not in live
     assert compact_tombstones(spark, path) >= 1
     # the PQ layer is gone with the tombstones it depended on
-    assert not os.path.exists(os.path.join(_pq_dir(path), "meta.json"))
+    assert not os.path.exists(os.path.join(_pq_dir(path, 4, 4), "meta.json"))
     # a retrained layer (from the compacted lists) cannot resurrect it
     train_pq(spark, path, m=4, ks=4)
     live = {
         r["vec_id"]
-        for r in search_pq_by_id(spark, path, probe_vec_id=0, k=10, nprobe=4)
-        .collect()
+        for r in search_pq_by_id(
+            spark, path, probe_vec_id=0, k=10, nprobe=4, m=4, ks=4
+        ).collect()
     }
     assert victim not in live
