@@ -202,6 +202,7 @@ HEADLINE = [
     "tree_depth3_orders",
     "tokenize_pack_export",
     "ann_ivfpq_search_topk",
+    "ann_ivfpq_rerank_topk",
 ]
 
 

@@ -1646,3 +1646,63 @@ def ensure_pq(
     if need:
         train_pq(spark, path, m=m, ks=ks)
     return path
+
+
+def search_pq_rerank_by_id(
+    spark: SparkSession,
+    path: str,
+    probe_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 4,
+    cand_mult: int = 4,
+    m: int = 8,
+    ks: int = 16,
+) -> DataFrame:
+    """The two-tier serving pattern every production IVF-PQ deployment
+    runs: the PQ layer produces a cheap SHORTLIST of k·cand_mult
+    candidates (codes only — the d-dim vectors never touched), then
+    ONLY those rows are re-scored exactly against the int8 lists and
+    the top k re-ranked. Result quality equals the exact scan whenever
+    the true top-k survives the shortlist (recall floor tested); cost
+    at 10^9 vectors is the PQ scan (m bytes/vector over nprobe lists)
+    plus k·cand_mult point lookups — the exact tier never scans.
+
+    Returns (rnk, vec_id, dot) — the same exact-integer output as
+    search_by_id, so the catalog entry hash-verifies against a DuckDB
+    oracle replaying shortlist + rerank end to end."""
+    import numpy as np
+
+    from ..ranks import top_k_ranked
+
+    shortlist = search_pq_by_id(
+        spark,
+        path,
+        probe_vec_id=probe_vec_id,
+        k=k * cand_mult,
+        nprobe=nprobe,
+        m=m,
+        ks=ks,
+    ).select("vec_id")
+    assignments = _live_only(
+        spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
+    )
+    probe_row = (
+        assignments.filter(F.col("vec_id") == probe_vec_id).select("q8").first()
+    )
+    if probe_row is None:
+        raise ValueError(f"probe vec_id {probe_vec_id} not in index (or zero-norm)")
+    p = np.asarray(probe_row["q8"], dtype=np.int64)
+    probes = _rank_probe_lists(
+        p, _centroid_arrays(_centroid_rows(spark, path)), nprobe
+    )
+    # the exact tier reads ONLY the shortlisted rows: partition-pruned
+    # to the probed lists AND broadcast-semi-joined on the k·mult ids
+    cand = (
+        assignments.filter(F.col("centroid_id").isin(probes))
+        .join(F.broadcast(shortlist), "vec_id", "left_semi")
+        .filter(F.col("vec_id") != probe_vec_id)
+    )
+    scored = _jvm_scored(cand, p)
+    return top_k_ranked(
+        scored, [F.desc("score"), F.asc("vec_id")], k
+    ).select("rnk", "vec_id", "dot")

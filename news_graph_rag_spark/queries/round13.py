@@ -450,7 +450,10 @@ def _l2_sql(a: str, b: str) -> str:
     )
 
 
-def _ivfpq_oracle(k: int = 10, nprobe: int = 4, probe_id: int = 0) -> str:
+def _ivfpq_cte(nprobe: int = 4, probe_id: int = 0) -> str:
+    """The full IVF-PQ replay chain through ``scored`` (per-candidate
+    exact-integer asymmetric dot + stored norm) — shared by the plain
+    PQ readout and the rerank entry's two-tier tail."""
     from .retrieval_queries import _IVF_DOT, _IVF_SCORE, _ivf_int8_build_cte
 
     dot, score = _IVF_DOT, _IVF_SCORE
@@ -528,7 +531,7 @@ def _ivfpq_oracle(k: int = 10, nprobe: int = 4, probe_id: int = 0) -> str:
       SELECT c.cid, {dot.format(a="p.q8", b="c.c8")} AS bd
       FROM c1n c JOIN pc ON c.cid = pc.cid CROSS JOIN probe p
     ),
-    scored AS (
+    scored AS MATERIALIZED (
       SELECT e.vec_id, CAST(MIN(bd.bd) + SUM(a.t) AS BIGINT) AS adot,
              CAST(MIN(b.nrm) AS BIGINT) AS nrm
       FROM penc e
@@ -537,7 +540,12 @@ def _ivfpq_oracle(k: int = 10, nprobe: int = 4, probe_id: int = 0) -> str:
       JOIN bdot bd ON bd.cid = e.cid
       WHERE e.vec_id <> {probe_id}
       GROUP BY e.vec_id
-    )
+    )"""
+
+
+def _ivfpq_oracle(k: int = 10, nprobe: int = 4, probe_id: int = 0) -> str:
+    return f"""
+    {_ivfpq_cte(nprobe, probe_id)}
     SELECT CAST(row_number() OVER (
              ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE)) DESC,
                       vec_id) AS INT) AS rnk,
@@ -581,4 +589,72 @@ def ann_ivfpq_search_topk(spark: SparkSession, sf: str) -> DataFrame:
     path = ensure_pq(spark, sf, m=_PQ_M, ks=_PQ_KS)
     return search_pq_by_id(
         spark, path, probe_vec_id=0, k=10, nprobe=4, m=_PQ_M, ks=_PQ_KS
+    )
+
+
+_PQ_RERANK_MULT = 4
+
+
+def _ivfpq_rerank_oracle(
+    k: int = 10, nprobe: int = 4, probe_id: int = 0, cand_mult: int = 4
+) -> str:
+    from .retrieval_queries import _IVF_DOT, _IVF_SCORE
+
+    dot, score = _IVF_DOT, _IVF_SCORE
+    return f"""
+    {_ivfpq_cte(nprobe, probe_id)},
+    shortlist AS (
+      SELECT vec_id FROM scored
+      ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE)) DESC, vec_id
+      LIMIT {k * cand_mult}
+    ),
+    rr AS (
+      SELECT b.vec_id,
+             {dot.format(a="b.q8", b="p.q8")} AS dot,
+             {score.format(a="b.q8", b="p.q8", n="b.nrm")} AS score
+      FROM b1 b
+      JOIN shortlist sl ON b.vec_id = sl.vec_id
+      CROSS JOIN probe p
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INT)
+             AS rnk,
+           vec_id, dot
+    FROM rr ORDER BY score DESC, vec_id LIMIT {k}
+    """
+
+
+@register(
+    "ann_ivfpq_rerank_topk",
+    oracle=_ivfpq_rerank_oracle(
+        k=10, nprobe=4, probe_id=0, cand_mult=_PQ_RERANK_MULT
+    ),
+    doc="ANN serving, the TWO-TIER pattern every production IVF-PQ "
+    "deployment runs: the PQ layer (codes only, m bytes/vector) "
+    "produces a k·4 SHORTLIST, then ONLY those rows are re-scored "
+    "exactly against the int8 lists (partition-pruned scan + a "
+    "broadcast semi-join on the shortlist ids — the exact tier does "
+    "point lookups, never a scan) and the top k re-ranked by the "
+    "family's exact dot/sqrt(nrm). This is how PQ's memory budget and "
+    "the exact tier's precision compose: at 10^9 vectors the heavy "
+    "pass reads m·nprobe/n_centroids bytes per vector and the exact "
+    "pass touches k·cand_mult rows. Output (rnk, vec_id, dot) is the "
+    "same exact-integer shape as ann_ivf_search_topk, and equals it "
+    "outright whenever the true top-k survives the shortlist "
+    "(recall-floor tested); the DuckDB oracle replays build + PQ "
+    "train + encode + ADC shortlist + exact rerank end to end, so the "
+    "two-tier result is HASH-verified like the rest of the family.",
+)
+def ann_ivfpq_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import ensure_pq, search_pq_rerank_by_id
+
+    path = ensure_pq(spark, sf, m=_PQ_M, ks=_PQ_KS)
+    return search_pq_rerank_by_id(
+        spark,
+        path,
+        probe_vec_id=0,
+        k=10,
+        nprobe=4,
+        cand_mult=_PQ_RERANK_MULT,
+        m=_PQ_M,
+        ks=_PQ_KS,
     )

@@ -2385,3 +2385,39 @@ def test_ivfpq_invalidated_by_tombstone_compaction(spark, tmp_path):
         ).collect()
     }
     assert victim not in live
+
+
+def test_ivfpq_rerank_recall_vs_exact(spark, sf_dir):
+    """Two-tier rerank: the exact tier can only fix ranking WITHIN the
+    shortlist, so rerank recall@10 vs the exact scan >= plain PQ
+    recall@10, and every rerank hit carries the EXACT dot (equal to
+    the exact scan's for the same vec_id)."""
+    from news_graph_rag_spark.pipeline.ann_index import (
+        ensure_pq,
+        search_by_id,
+        search_pq_by_id,
+        search_pq_rerank_by_id,
+    )
+    from news_graph_rag_spark.queries.round13 import _PQ_KS, _PQ_M
+
+    path = ensure_pq(spark, sf_dir, m=_PQ_M, ks=_PQ_KS)
+    exact = {
+        r["vec_id"]: r["dot"]
+        for r in search_by_id(spark, path, probe_vec_id=0, k=10, nprobe=8).collect()
+    }
+    pq = {
+        r["vec_id"]
+        for r in search_pq_by_id(
+            spark, path, probe_vec_id=0, k=10, nprobe=8
+        ).collect()
+    }
+    rr = {
+        r["vec_id"]: r["dot"]
+        for r in search_pq_rerank_by_id(
+            spark, path, probe_vec_id=0, k=10, nprobe=8, cand_mult=4
+        ).collect()
+    }
+    assert len(set(rr) & set(exact)) >= len(pq & set(exact))
+    for vid, dot in rr.items():
+        if vid in exact:
+            assert dot == exact[vid]
