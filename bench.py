@@ -203,6 +203,7 @@ HEADLINE = [
     "tokenize_pack_export",
     "ann_ivfpq_search_topk",
     "ann_ivfpq_rerank_topk",
+    "tree_depth3_leaf_stats",
 ]
 
 
@@ -349,7 +350,11 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
         _staged_scc_labels,
         _staged_seq_edges,
     )
-    from news_graph_rag_spark.queries.round13 import _PQ_KS, _PQ_M
+    from news_graph_rag_spark.queries.round13 import (
+        _PQ_KS,
+        _PQ_M,
+        _staged_tree3_splits,
+    )
 
     builds = [
         ("ann_ivf", lambda d: ensure_index(spark, d, n_centroids=8, iters=1)),
@@ -378,6 +383,7 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
         ("ann_ivfpq", lambda d: ensure_pq(spark, d, m=_PQ_M, ks=_PQ_KS)),
         ("graph_seq_edges", lambda d: _staged_seq_edges(spark, d).count()),
         ("graph_scc_closure", lambda d: _staged_scc_labels(spark, d).count()),
+        ("tree3_splits", lambda d: _staged_tree3_splits(spark, d).count()),
     ]
     out: dict[str, float] = {}
     for sf_dir in sf_dirs:

@@ -216,33 +216,7 @@ def tree_depth3_orders(spark: SparkSession, sf: str) -> DataFrame:
             best = best.localCheckpoint(eager=True)
         outs.append(_gini_rows(best))
         if level < _TREE_DEPTH - 1:
-            b = F.broadcast(
-                best.select(
-                    F.col("leaf").alias("node"),
-                    F.col("b.fid").alias("b_fid"),
-                    F.col("b.thr").alias("b_thr"),
-                )
-            )
-            # heap numbering: child = 2·node + (split-feature > thr);
-            # the inner join drops rows of a node with no candidates
-            # (single-distinct-value node) symmetrically with the
-            # oracle's JOIN
-            cur = (
-                cur.join(b, "node")
-                .withColumn(
-                    "node",
-                    F.col("node") * 2
-                    + F.when(
-                        F.expr(
-                            "CASE b_fid WHEN 0 THEN f0 WHEN 1 THEN f1 "
-                            "ELSE f2 END"
-                        )
-                        <= F.col("b_thr"),
-                        F.lit(0),
-                    ).otherwise(F.lit(1)),
-                )
-                .drop("b_fid", "b_thr")
-            )
+            cur = _tree_assign(cur, best)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -657,4 +631,178 @@ def ann_ivfpq_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
         cand_mult=_PQ_RERANK_MULT,
         m=_PQ_M,
         ks=_PQ_KS,
+    )
+
+
+def _tree_assign(cur: DataFrame, best: DataFrame) -> DataFrame:
+    """Heap-numbered child assignment against a level's (pinned) best
+    splits: child = 2·node + (split-feature > thr). Inner join drops
+    rows of nodes with no candidates, symmetric with the oracles."""
+    b = F.broadcast(
+        best.select(
+            F.col("leaf").alias("node"),
+            F.col("b.fid").alias("b_fid"),
+            F.col("b.thr").alias("b_thr"),
+        )
+    )
+    return (
+        cur.join(b, "node")
+        .withColumn(
+            "node",
+            F.col("node") * 2
+            + F.when(
+                F.expr("CASE b_fid WHEN 0 THEN f0 WHEN 1 THEN f1 ELSE f2 END")
+                <= F.col("b_thr"),
+                F.lit(0),
+            ).otherwise(F.lit(1)),
+        )
+        .drop("b_fid", "b_thr")
+    )
+
+
+def _staged_tree3_splits(spark: SparkSession, sf: str) -> DataFrame:
+    """The trained depth-3 Gini tree (node, fid, thr — 7 rows), staged
+    once per dataset fingerprint via catalog.stage_parquet (the
+    graph-closure discipline): a tree is a TRAINED ARTIFACT — serving
+    must load it, not retrain it per query. The leaf-stats entry's
+    oracle still replays the FULL training in SQL, so staging can
+    never mask a wrong split (the r12 SCC-staging precedent)."""
+    import os
+
+    from .catalog import stage_parquet
+
+    def build(tmp: str) -> None:
+        cur = _split_pts(spark, sf).withColumn(
+            "node", F.lit(1).cast("bigint")
+        )
+        levels: list[DataFrame] = []
+        for _ in range(_TREE_DEPTH):
+            best = _gini_best(
+                _split_counts(cur, F.col("node"))
+            ).localCheckpoint(eager=True)
+            levels.append(
+                best.select(
+                    F.col("leaf").cast("bigint").alias("node"),
+                    F.col("b.fid").cast("bigint").alias("fid"),
+                    F.col("b.thr").alias("thr"),
+                )
+            )
+            cur = _tree_assign(cur, best)
+        out = levels[0]
+        for lv in levels[1:]:
+            out = out.unionByName(lv)
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+
+    stage = stage_parquet(
+        os.path.join(sf, "orders.parquet"), "tree3gini_v1", build
+    )
+    return spark.read.parquet(stage)
+
+
+_TREE3_LEAF_ORACLE = f"""
+    WITH pts AS MATERIALIZED ({_SPLIT_PTS_SQL}),
+    {_level_sql("pts", "", "a")},
+    {_gini_cand_sql("", "a")},
+    pts2 AS MATERIALIZED (
+      SELECT pts.*,
+             CAST(2 + {_node_case("b.fid", "b.thr", "pts")} AS BIGINT) AS node
+      FROM pts, (SELECT fid, thr FROM agb WHERE rn = 1) b
+    ),
+    {_level_sql("pts2", "node", "b")},
+    {_gini_cand_sql("node", "b")},
+    pts3 AS MATERIALIZED (
+      SELECT p.f0, p.f1, p.f2, p.y,
+             CAST(p.node * 2 + {_node_case("b.fid", "b.thr", "p")} AS BIGINT)
+               AS node
+      FROM pts2 p
+      JOIN (SELECT node, fid, thr FROM bgb WHERE rn = 1) b
+        ON b.node = p.node
+    ),
+    {_level_sql("pts3", "node", "d")},
+    {_gini_cand_sql("node", "d")},
+    pts4 AS (
+      SELECT p.y,
+             CAST(p.node * 2 + {_node_case("b.fid", "b.thr", "p")} AS BIGINT)
+               AS node
+      FROM pts3 p
+      JOIN (SELECT node, fid, thr FROM dgb WHERE rn = 1) b
+        ON b.node = p.node
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(CASE WHEN 2 * SUM(y) > COUNT(*) THEN 1 ELSE 0 END AS BIGINT)
+             AS predict,
+           CAST(CASE WHEN 2 * SUM(y) > COUNT(*) THEN SUM(y)
+                ELSE COUNT(*) - SUM(y) END AS BIGINT) AS n_correct
+    FROM pts4 GROUP BY node
+    """
+
+
+@register(
+    "tree_depth3_leaf_stats",
+    oracle=_TREE3_LEAF_ORACLE,
+    doc="ML training, the INFERENCE half: apply the depth-3 Gini tree "
+    "to the training rows and read out the 8 leaves — per leaf its "
+    "size, positive count, majority-label PREDICTION (ties to 0, "
+    "deterministic), and training accuracy numerator. This is what a "
+    "trained tree is FOR, and the readout a trainer logs per "
+    "iteration; with tree_depth3_orders (the split table) the pair is "
+    "a complete train→predict loop. The tree is a TRAINED ARTIFACT: "
+    "the splits are staged once per dataset fingerprint "
+    "(_staged_tree3_splits — the graph-closure staging discipline) "
+    "and scoring is 3 broadcast-CASE hops against the 7-row model — "
+    "at serving time a depth-d tree costs d map-side comparisons per "
+    "row against a 2^d-row broadcast, no shuffle and NO retraining at "
+    "any corpus size; the leaf readout is one map-side-combinable "
+    "aggregation over ≤2^d groups. The oracle replays ALL THREE "
+    "training levels plus the final assignment and aggregation, so "
+    "staging can never mask a wrong split; nodes emptied by the inner "
+    "assignment joins drop symmetrically. All outputs exact "
+    "integers.",
+)
+def tree_depth3_leaf_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # serving path: load the STAGED trained splits (7 rows, built once
+    # per dataset fingerprint) and score with d broadcast-CASE hops —
+    # inference never retrains (the staged-artifact discipline; the
+    # oracle replays the full training so the gate is unweakened)
+    splits = F.broadcast(_staged_tree3_splits(spark, sf))
+    cur = _split_pts(spark, sf).withColumn("node", F.lit(1).cast("bigint"))
+    for _ in range(_TREE_DEPTH):
+        cur = (
+            cur.join(splits, "node")  # matches this level's nodes only
+            .withColumn(
+                "node",
+                F.col("node") * 2
+                + F.when(
+                    F.expr(
+                        "CASE fid WHEN 0 THEN f0 WHEN 1 THEN f1 ELSE f2 END"
+                    )
+                    <= F.col("thr"),
+                    F.lit(0),
+                ).otherwise(F.lit(1)),
+            )
+            .drop("fid", "thr")
+        )
+    return (
+        cur.groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+        )
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            "n_rows",
+            "n_pos",
+            F.when(2 * F.col("n_pos") > F.col("n_rows"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("predict"),
+            F.when(
+                2 * F.col("n_pos") > F.col("n_rows"), F.col("n_pos")
+            )
+            .otherwise(F.col("n_rows") - F.col("n_pos"))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
     )

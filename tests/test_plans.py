@@ -749,3 +749,13 @@ def test_ivfpq_search_prunes_code_partitions(spark, sf_dir, reg):
     # the entry and is not part of the returned plan)
     assert "codes.parquet" in plan
     assert "assignments.parquet" not in plan
+
+
+def test_tree_leaf_stats_is_broadcast_scoring(spark, sf_dir, reg):
+    """Round-13 inference readout: scoring must be broadcast-CASE hops
+    + one small aggregation — no sort-merge join, no window at all in
+    the live plan (the trained splits are pinned broadcasts)."""
+    plan = plan_of(reg["tree_depth3_leaf_stats"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
