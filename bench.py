@@ -204,6 +204,7 @@ HEADLINE = [
     "ann_ivfpq_search_topk",
     "ann_ivfpq_rerank_topk",
     "tree_depth3_leaf_stats",
+    "streaming_interval_join_semi",
 ]
 
 

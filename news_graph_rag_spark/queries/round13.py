@@ -806,3 +806,42 @@ def tree_depth3_leaf_stats(spark: SparkSession, sf: str) -> DataFrame:
             .alias("n_correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT SEMI interval join (completes the join family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_interval_join_semi",
+    oracle="""
+    SELECT p.user_id, p.ts AS purchase_ts
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    WHERE EXISTS (
+      SELECT 1 FROM (SELECT user_id, ts FROM events
+                     WHERE event_type = 'click') c
+      WHERE c.user_id = p.user_id
+        AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+    )
+    """,
+    doc="Structured Streaming: stream-stream LEFT SEMI interval join — "
+    "completes the inner (r2) / left-outer (r10) / full-outer (r11) "
+    "family with the EXISTENCE shape: a purchase emits EXACTLY ONCE "
+    "when its first in-window click arrives, never again (no match "
+    "fan-out — the streaming twin of the batch semi_join_exists "
+    "entry), and unmatched purchases never emit at all, so no "
+    "eviction flush is needed for the RESULT (state still expires on "
+    "the watermark like the inner variant). Shares the verified "
+    "replay harness (_interval_join_replay: one staged source for "
+    "the whole family, sentinel drop at the sink, import-time flush "
+    "contract); the oracle is the batch EXISTS. At 100 TB state is "
+    "the inner join's envelope minus the match fan-out on the "
+    "output side.",
+)
+def streaming_interval_join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    from .python_ops import _interval_join_replay
+
+    return _interval_join_replay(
+        spark, sf, how="leftSemi", kind="ssjx", name="ssjs_catalog_out"
+    )

@@ -172,10 +172,14 @@ def stream_stream_interval_join(
     with a NULL purchase side — the key column is coalesced across the
     two sides so a click-only row keeps its user (a no-op for
     inner/leftOuter, where the purchase side is always present).
+    With ``how="leftSemi"`` (round 13) a purchase emits EXACTLY ONCE
+    on its first match and carries no click columns (Spark exposes
+    only the left side of a semi join) — the "did anything qualify"
+    shape, with state bounded like the inner variant.
     """
     p = purchases.withWatermark(ts_col, watermark).alias("p")
     c = clicks.withWatermark(ts_col, watermark).alias("c")
-    return p.join(
+    joined = p.join(
         c,
         F.expr(
             f"p.{key_col} = c.{key_col} "
@@ -183,7 +187,13 @@ def stream_stream_interval_join(
             f"AND c.{ts_col} <= p.{ts_col}"
         ),
         how,
-    ).select(
+    )
+    if how in ("leftSemi", "left_semi", "semi"):
+        return joined.select(
+            F.col(f"p.{key_col}").alias(key_col),
+            F.col(f"p.{ts_col}").alias("purchase_ts"),
+        )
+    return joined.select(
         F.coalesce(F.col(f"p.{key_col}"), F.col(f"c.{key_col}")).alias(key_col),
         F.col(f"p.{ts_col}").alias("purchase_ts"),
         F.col(f"c.{ts_col}").alias("click_ts"),
