@@ -205,6 +205,13 @@ HEADLINE = [
     "ann_ivfpq_rerank_topk",
     "tree_depth3_leaf_stats",
     "streaming_interval_join_semi",
+    # round 14: batch PQ serving, PQ tombstones, token-id shard
+    # readback, one GBT boosting round, anti interval join
+    "ann_ivfpq_batch_topk",
+    "ann_ivfpq_search_tombstoned",
+    "tokenize_export_readback",
+    "gbt_2round_orders",
+    "streaming_interval_join_anti",
 ]
 
 
@@ -356,6 +363,7 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
         _PQ_M,
         _staged_tree3_splits,
     )
+    from news_graph_rag_spark.queries.round14 import _staged_token_shards
 
     builds = [
         ("ann_ivf", lambda d: ensure_index(spark, d, n_centroids=8, iters=1)),
@@ -382,9 +390,16 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
             ),
         ),
         ("ann_ivfpq", lambda d: ensure_pq(spark, d, m=_PQ_M, ks=_PQ_KS)),
+        (
+            "ann_ivfpq_tombstone_variant",
+            lambda d: ensure_pq(
+                spark, d, m=_PQ_M, ks=_PQ_KS, variant="tombstone-demo-v1"
+            ),
+        ),
         ("graph_seq_edges", lambda d: _staged_seq_edges(spark, d).count()),
         ("graph_scc_closure", lambda d: _staged_scc_labels(spark, d).count()),
         ("tree3_splits", lambda d: _staged_tree3_splits(spark, d).count()),
+        ("token_shards", lambda d: _staged_token_shards(spark, d)),
     ]
     out: dict[str, float] = {}
     for sf_dir in sf_dirs:

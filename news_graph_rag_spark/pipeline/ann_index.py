@@ -1533,6 +1533,30 @@ def _pq_tables(spark: SparkSession, pq: str):
     return got[1], got[2]
 
 
+def _adc_rows(p, probes: "list[int]", cmap, cb, m: int, ks: int, subd: int):
+    """Driver-side ADC construction for ONE probe vector: per probed
+    list, the base dot(q, c8) plus the m×ks table of exact-integer
+    dots between the probe's subvectors and the list's residual
+    codebook — nprobe·m·ks tiny integer dot products, the constant
+    factor every ADC search pays once per (query, list). Shared by the
+    single-probe and batch search paths so the arithmetic the oracles
+    replay has exactly one implementation."""
+    import numpy as np
+
+    rows = []
+    for cid in probes:
+        bd = int(p @ cmap[cid])
+        adc = [[0] * ks for _ in range(m)]
+        for s in range(m):
+            ps = p[s * subd : (s + 1) * subd]
+            for code in range(ks):
+                e = cb.get((cid, s, code))
+                if e is not None:
+                    adc[s][code] = int(ps @ np.asarray(e, dtype=np.int64))
+        rows.append((cid, bd, adc))
+    return rows
+
+
 def search_pq_by_id(
     spark: SparkSession,
     path: str,
@@ -1571,19 +1595,9 @@ def search_pq_by_id(
     probes = _rank_probe_lists(p, _centroid_arrays(cent_rows), nprobe)
     cmap = {cid: np.asarray(c8, dtype=np.int64) for cid, c8, _ in cent_rows}
 
-    adc_rows = []
-    for cid in probes:
-        bd = int(p @ cmap[cid])
-        adc = [[0] * ks for _ in range(m)]
-        for s in range(m):
-            ps = p[s * subd : (s + 1) * subd]
-            for code in range(ks):
-                e = cb.get((cid, s, code))
-                if e is not None:
-                    adc[s][code] = int(ps @ np.asarray(e, dtype=np.int64))
-        adc_rows.append((cid, bd, adc))
     adc_df = spark.createDataFrame(
-        adc_rows, "centroid_id int, bd bigint, adc array<array<bigint>>"
+        _adc_rows(p, probes, cmap, cb, m, ks, subd),
+        "centroid_id int, bd bigint, adc array<array<bigint>>",
     )
 
     cand = (
@@ -1622,12 +1636,22 @@ def ensure_pq(
     n_centroids: int = 8,
     iters: int = 1,
     widen_reps: int | None = None,
+    variant: str | None = None,
 ) -> str:
     """Idempotent DDL analog for the PQ layer: ensure the base index,
     then train+publish PQ once per index path (pq/meta.json guard;
-    concurrent builders race benignly through the atomic rename)."""
+    concurrent builders race benignly through the atomic rename).
+    ``variant`` passes through to ensure_index: an entry that MUTATES
+    its index (tombstones) needs a PRIVATE copy, or it would desync
+    every other PQ entry served from the shared fingerprint path —
+    the same rule as the int8 tombstone entry."""
     path = ensure_index(
-        spark, sf_dir, widen_reps=widen_reps, n_centroids=n_centroids, iters=iters
+        spark,
+        sf_dir,
+        widen_reps=widen_reps,
+        n_centroids=n_centroids,
+        iters=iters,
+        variant=variant,
     )
     pqd = _pq_dir(path, m, ks)
     mp = os.path.join(pqd, "meta.json")
@@ -1706,3 +1730,112 @@ def search_pq_rerank_by_id(
     return top_k_ranked(
         scored, [F.desc("score"), F.asc("vec_id")], k
     ).select("rnk", "vec_id", "dot")
+
+
+def search_pq_batch(
+    spark: SparkSession,
+    path: str,
+    probe_ids: "list[int]",
+    k: int = 10,
+    nprobe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+) -> DataFrame:
+    """Batched multi-probe IVF-PQ asymmetric-distance search: score a
+    BATCH of query vectors in ONE job — the production retrieval
+    serving shape (a RAG tier scores a request batch, never one vector
+    at a time), and the PQ twin of the int8 tier's ``batch_search``
+    (VERDICT r13 #1).
+
+    Per probe: rank the driver-resident centroids with the family's
+    shared cosine rule and build its per-list ADC tables driver-side
+    (``_adc_rows`` — Q·nprobe·m·ks exact-integer dots, the constant
+    ADC setup cost). The UNION of all probed lists is ONE
+    partition-pruned scan of the codes table; a broadcast
+    (probe, list, bd, adc) relation fans each candidate row out only
+    to the probes that actually probed its list; scoring is the same
+    one-fold JVM readout as the single-probe path; and ranking is a
+    PROBE-partitioned window, never global. Returns
+    (probe_id, rnk, vec_id, adot) — exact integers, hash-verifiable
+    like the whole family.
+
+    At 100 TB / 10^9 vectors: cost is one scan of the DISTINCT probed
+    lists' codes (m bytes per vector) REGARDLESS of batch size — the
+    stored d-dim vectors are never read — and the shuffle carries only
+    (probe_id, vec_id, adot, nrm) rows for candidates inside probed
+    lists. The broadcast relation is Q·nprobe rows of m·ks bigints;
+    at Q beyond broadcast budget, hash-partition both sides on
+    centroid_id instead (same plan minus the broadcast)."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    pq = _pq_dir(path, m, ks)
+    meta, cb = _pq_tables(spark, pq)
+    m, ks, subd = int(meta["m"]), int(meta["ks"]), int(meta["subd"])
+    assignments = _live_only(
+        spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
+    )
+    probes = {
+        int(r["vec_id"]): np.asarray(r["q8"], dtype=np.int64)
+        for r in assignments.filter(
+            F.col("vec_id").isin([int(p) for p in probe_ids])
+        ).select("vec_id", "q8").collect()
+    }
+    missing = set(map(int, probe_ids)) - set(probes)
+    if missing:
+        raise ValueError(f"probe vec_ids not in index (or zero-norm): {missing}")
+
+    cent_rows = _centroid_rows(spark, path)
+    arrays = _centroid_arrays(cent_rows)  # once per batch
+    cmap = {cid: np.asarray(c8, dtype=np.int64) for cid, c8, _ in cent_rows}
+    probe_lists = {
+        pid: _rank_probe_lists(p, arrays, nprobe) for pid, p in probes.items()
+    }
+    all_lists = sorted({c for lists in probe_lists.values() for c in lists})
+
+    adc_rel = spark.createDataFrame(
+        [
+            (pid, cid, bd, adc)
+            for pid, lists in probe_lists.items()
+            for cid, bd, adc in _adc_rows(
+                probes[pid], lists, cmap, cb, m, ks, subd
+            )
+        ],
+        "probe_id long, centroid_id int, bd bigint, adc array<array<bigint>>",
+    )
+
+    cand = spark.read.parquet(os.path.join(pq, "codes.parquet")).filter(
+        F.col("centroid_id").isin(all_lists)
+    )
+    ts = tombstones(spark, path)
+    if ts is not None:
+        cand = cand.join(F.broadcast(ts), "vec_id", "left_anti")
+    adot = F.col("bd") + F.expr(
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), "
+        "(acc, s) -> acc + adc[s][codes[s]])"
+    )
+    scored = (
+        cand.join(F.broadcast(adc_rel), "centroid_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            adot.cast("bigint").alias("adot"),
+            "nrm",
+        )
+        .select(
+            "probe_id",
+            "vec_id",
+            "adot",
+            (
+                F.col("adot").cast("double") / F.sqrt(F.col("nrm").cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "rnk", "vec_id", "adot")
+    )

@@ -1678,9 +1678,13 @@ _SSJ_SENT_DAYS = (10, 20)  # flush-sentinel offsets past max real ts
 # pass 2: inside the cold-build closure it never ran against a warm
 # staged dir): sentinel #1's watermark must land strictly past every
 # real event plus the join's eviction horizon (interval + watermark
-# delay) or the final batch leaves outer rows unemitted. Same caveat
-# as the EWMA contract: the staged fingerprint does not cover these
-# constants — bump the staging kind when changing them.
+# delay) or the final batch leaves outer rows unemitted. The round-14
+# LEFT ANTI variant depends on this contract HARDEST: every one of its
+# output rows is an eviction-flush row (matched purchases emit
+# nothing), so a too-small sentinel makes it return an empty frame
+# rather than a merely-incomplete one. Same caveat as the EWMA
+# contract: the staged fingerprint does not cover these constants —
+# bump the staging kind when changing them.
 assert _SSJ_SENT_DAYS[0] * 24 * 3600 > _SSJ_INTERVAL_S + _SSJ_WM_HOURS * 3600, (
     "flush sentinel #1 must exceed max real event time + horizon"
 )

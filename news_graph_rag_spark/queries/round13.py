@@ -424,13 +424,15 @@ def _l2_sql(a: str, b: str) -> str:
     )
 
 
-def _ivfpq_cte(nprobe: int = 4, probe_id: int = 0) -> str:
-    """The full IVF-PQ replay chain through ``scored`` (per-candidate
-    exact-integer asymmetric dot + stored norm) — shared by the plain
-    PQ readout and the rerank entry's two-tier tail."""
-    from .retrieval_queries import _IVF_DOT, _IVF_SCORE, _ivf_int8_build_cte
+def _ivfpq_train_cte() -> str:
+    """The PROBE-INDEPENDENT half of the IVF-PQ replay: coarse build
+    (``_ivf_int8_build_cte``) + residual subvectors + deterministic PQ
+    seed selection + one integer Lloyd round + final encode, ending at
+    ``pcb`` (the trained residual codebooks) and ``penc`` (the codes
+    table). Shared by the single-probe tail below and the round-14
+    batch tail (many probes, one codes relation)."""
+    from .retrieval_queries import _ivf_int8_build_cte
 
-    dot, score = _IVF_DOT, _IVF_SCORE
     m, ks, subd = _PQ_M, _PQ_KS, _PQ_SUBD
     return f"""
     {_ivf_int8_build_cte(8)},
@@ -484,7 +486,24 @@ def _ivfpq_cte(nprobe: int = 4, probe_id: int = 0) -> str:
         FROM rsub r JOIN pcb c ON r.cid = c.cid AND r.sub = c.sub
       ) QUALIFY row_number() OVER (PARTITION BY vec_id, sub
                                    ORDER BY d ASC, code ASC) = 1
-    ),
+    )"""
+
+
+def _ivfpq_cte(
+    nprobe: int = 4, probe_id: int = 0, dead_where: str = "FALSE"
+) -> str:
+    """The full IVF-PQ replay chain through ``scored`` (per-candidate
+    exact-integer asymmetric dot + stored norm) — shared by the plain
+    PQ readout and the rerank entry's two-tier tail. ``dead_where``
+    recomputes a TOMBSTONE mask over the CANDIDATE set only (the PQ
+    train, like the coarse build, runs over ALL vectors — deletes
+    never retrain the quantizer or the codebooks; they mask serving,
+    exactly the broadcast anti-join in search_pq_by_id)."""
+    from .retrieval_queries import _IVF_DOT, _IVF_SCORE
+
+    dot, score = _IVF_DOT, _IVF_SCORE
+    m, ks, subd = _PQ_M, _PQ_KS, _PQ_SUBD
+    return f"""{_ivfpq_train_cte()},
     probe AS (SELECT q8, nrm FROM live WHERE vec_id = {probe_id}),
     pc AS (
       SELECT cid FROM (
@@ -513,13 +532,16 @@ def _ivfpq_cte(nprobe: int = 4, probe_id: int = 0) -> str:
       JOIN b1 b ON b.vec_id = e.vec_id
       JOIN bdot bd ON bd.cid = e.cid
       WHERE e.vec_id <> {probe_id}
+        AND NOT ({dead_where.format(v="e.vec_id")})
       GROUP BY e.vec_id
     )"""
 
 
-def _ivfpq_oracle(k: int = 10, nprobe: int = 4, probe_id: int = 0) -> str:
+def _ivfpq_oracle(
+    k: int = 10, nprobe: int = 4, probe_id: int = 0, dead_where: str = "FALSE"
+) -> str:
     return f"""
-    {_ivfpq_cte(nprobe, probe_id)}
+    {_ivfpq_cte(nprobe, probe_id, dead_where)}
     SELECT CAST(row_number() OVER (
              ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE)) DESC,
                       vec_id) AS INT) AS rnk,

@@ -176,9 +176,25 @@ def stream_stream_interval_join(
     on its first match and carries no click columns (Spark exposes
     only the left side of a semi join) — the "did anything qualify"
     shape, with state bounded like the inner variant.
+    With ``how="leftAnti"`` (round 14) a purchase emits exactly once
+    IFF no click ever lands in its window — the streaming
+    DECONTAMINATION primitive (the twin of the batch anti_join /
+    NOT EXISTS entries), and the one member of the family whose
+    every output row is produced by the WATERMARK EVICTION FLUSH
+    alone (a matched purchase emits nothing). Structured Streaming
+    has no native stream-stream leftAnti, so it composes as the
+    leftOuter join filtered to its NULL-click eviction rows ABOVE the
+    join — semantically exact because an unmatched purchase's single
+    outer row is precisely the anti row, and state/eviction mechanics
+    are the leftOuter variant's unchanged. The filter sits on the
+    join OUTPUT (a NULL test on the right side is not null-rejecting,
+    so Catalyst cannot push it below the join and starve the
+    watermark — contrast the sentinel-drop hazard documented on the
+    replay harness).
     """
     p = purchases.withWatermark(ts_col, watermark).alias("p")
     c = clicks.withWatermark(ts_col, watermark).alias("c")
+    anti = how in ("leftAnti", "left_anti", "anti")
     joined = p.join(
         c,
         F.expr(
@@ -186,8 +202,13 @@ def stream_stream_interval_join(
             f"AND c.{ts_col} > p.{ts_col} - INTERVAL {interval_seconds} SECONDS "
             f"AND c.{ts_col} <= p.{ts_col}"
         ),
-        how,
+        "leftOuter" if anti else how,
     )
+    if anti:
+        return joined.filter(F.col(f"c.{ts_col}").isNull()).select(
+            F.col(f"p.{key_col}").alias(key_col),
+            F.col(f"p.{ts_col}").alias("purchase_ts"),
+        )
     if how in ("leftSemi", "left_semi", "semi"):
         return joined.select(
             F.col(f"p.{key_col}").alias(key_col),

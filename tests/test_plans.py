@@ -759,3 +759,60 @@ def test_tree_leaf_stats_is_broadcast_scoring(spark, sf_dir, reg):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_ivfpq_batch_search_one_codes_scan(spark, sf_dir, reg):
+    """Round-14 batch PQ serving: ALL probes must share ONE
+    partition-pruned scan of the codes table (the whole point of
+    batching — cost independent of batch size), the per-probe ADC
+    relation must broadcast, ranking must be a probe-partitioned
+    window (no global exchange for the rank), and neither the raw
+    embeddings nor the stored d-dim vectors may be read for scoring."""
+    df = reg["ann_ivfpq_batch_topk"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    scans = [
+        line
+        for line in plan.splitlines()
+        if "Location" in line and "codes.parquet" in line
+    ]
+    assert len(scans) == 1, f"expected exactly one codes scan: {scans}"
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert any("centroid_id" in line and "IN" in line for line in pf)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "embeddings.parquet" not in plan
+    assert "assignments.parquet" not in plan
+    # the rank is per-probe: every window partitions on probe_id,
+    # never a global (empty-partition) rank
+    specs = _window_specs(plan)
+    assert specs, "expected the per-probe rank window in the plan"
+    assert all("probe_id" in s.split(",")[0] for s in specs), specs
+
+
+def test_gbt_live_plan_is_broadcast_only(spark, sf_dir, reg):
+    """Round-14 boosting round: the live plan reads the pinned
+    inter-round prediction cache (the localCheckpoint every
+    distributed GBDT keeps between iterations) and applies only
+    BROADCAST hops — the 4-row leaf-stats join, the ≤4-row level
+    splits — plus the final map-side-combinable readout agg. No
+    window, no sort-merge join anywhere (the level-pass cumsum
+    windows execute at their pins and are _pid-asserted on the shared
+    machinery by the tree_level/depth2/depth3 tests)."""
+    plan = plan_of(reg["gbt_2round_orders"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+    # training inputs never rescanned on the serving side of the pin
+    assert "orders.parquet" not in plan
+
+
+def test_tokenize_readback_is_pruned_shard_scan(spark, sf_dir, reg):
+    """Round-14 export readback: the entry reads the WRITTEN shards —
+    a plain partitioned parquet scan plus one group-by; no window, no
+    sort-merge join, and none of the export chain's inputs (the
+    documents table) appear in the serving plan."""
+    plan = plan_of(reg["tokenize_export_readback"].fn(spark, sf_dir))
+    assert "documents.parquet" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan

@@ -642,3 +642,108 @@ def test_stateful_ewma_tail_persists_and_orders_late_rows(spark, tmp_path):
     # here because its true position is after all emitted rows
     assert got[4] == (4.0 * 0.5 + 2.0 * 0.25 + 8.0 * 0.0625) / (0.5 + 0.25 + 0.0625)
     assert set(got) == {1, 2, 3, 4}
+
+
+def test_stream_stream_left_anti_join_eviction_only(spark, tmp_path):
+    """Left-anti stream-stream interval join (round 14): a purchase
+    with NO click in its window emits exactly once — and ONLY at
+    watermark eviction (sentinel-driven), because until the window
+    closes a match could still arrive; a MATCHED purchase never emits
+    at all. Also pins that the NULL-click filter composes ABOVE the
+    join (output schema carries only the purchase side)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from news_graph_rag_spark.streaming.ingest_stream import (
+        stream_stream_interval_join,
+    )
+
+    def stage(dfs, name):
+        root = str(tmp_path / name)
+        os.makedirs(root)
+        now = time.time()
+        for i, df in enumerate(dfs):
+            t = tempfile.mkdtemp()
+            df.coalesce(1).write.mode("overwrite").parquet(t)
+            dest = os.path.join(root, f"{i:03d}.parquet")
+            shutil.copy(glob.glob(f"{t}/part-*.parquet")[0], dest)
+            os.utime(dest, (now + i * 10, now + i * 10))
+            shutil.rmtree(t, ignore_errors=True)
+        return root
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "user_id bigint, ts timestamp"
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    real_p = mk([(1, t0), (2, t0 + dt.timedelta(minutes=90))])
+    real_c = mk([(1, t0)])  # user 1 matches; user 2 has no click
+    sents = [mk([(999, t0 + dt.timedelta(days=d))]) for d in (10, 20, 30)]
+
+    # phase 1: NO sentinels — the watermark never passes any eviction
+    # horizon, so the anti join must emit NOTHING (not even user 2)
+    p1 = stage([real_p], "p1")
+    c1 = stage([real_c], "c1")
+    ps = (
+        spark.readStream.schema(real_p.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(p1)
+    )
+    cs = (
+        spark.readStream.schema(real_c.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(c1)
+    )
+    joined = stream_stream_interval_join(
+        ps, cs, interval_seconds=300, how="leftAnti"
+    )
+    assert joined.columns == ["user_id", "purchase_ts"]
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssja_phase1")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.table("ssja_phase1").count() == 0
+
+    # phase 2: sentinel batches drive the watermark past the horizon —
+    # user 2 evicts as the single anti row; user 1 (matched) never emits
+    p2 = stage([real_p] + sents, "p2")
+    c2 = stage([real_c] + sents, "c2")
+    ps2 = (
+        spark.readStream.schema(real_p.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(p2)
+    )
+    cs2 = (
+        spark.readStream.schema(real_c.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(c2)
+    )
+    q2 = (
+        stream_stream_interval_join(
+            ps2, cs2, interval_seconds=300, how="leftAnti"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssja_phase2")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = [
+        (r["user_id"], str(r["purchase_ts"]))
+        for r in spark.table("ssja_phase2")
+        .filter(F.col("user_id") != 999)
+        .collect()
+    ]
+    assert got == [(2, str(t0 + dt.timedelta(minutes=90)))]
