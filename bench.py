@@ -212,6 +212,8 @@ HEADLINE = [
     "tokenize_export_readback",
     "gbt_2round_orders",
     "streaming_interval_join_anti",
+    "ann_ivfpq_batch_rerank_topk",
+    "bpe_vocab_table",
 ]
 
 

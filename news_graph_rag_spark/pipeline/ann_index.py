@@ -1839,3 +1839,74 @@ def search_pq_batch(
         .filter(F.col("rnk") <= k)
         .select("probe_id", "rnk", "vec_id", "adot")
     )
+
+
+def search_pq_rerank_batch(
+    spark: SparkSession,
+    path: str,
+    probe_ids: "list[int]",
+    k: int = 10,
+    nprobe: int = 4,
+    cand_mult: int = 4,
+    m: int = 8,
+    ks: int = 16,
+) -> DataFrame:
+    """Batched TWO-TIER serving — the full production retrieval plan in
+    one job: ``search_pq_batch`` produces every probe's k·cand_mult
+    PQ shortlist (one pruned codes scan for the whole batch), then ONE
+    pruned scan of the int8 lists re-scores exactly ONLY the
+    shortlisted (probe, vec) pairs and re-ranks per probe. Completes
+    the serving matrix {single, batch} × {PQ, PQ→exact rerank}.
+
+    The exact tier joins the broadcast shortlist PAIRS (probe_id,
+    vec_id) — a vector shortlisted for probe A but not probe B is
+    re-scored only for A — then picks up each probe's vector from a
+    broadcast (probe_id, pq8) relation and scores with the family's
+    one-fold JVM kernel. At 10^9 vectors the exact tier touches
+    Q·k·cand_mult rows off a partition-pruned scan; everything heavier
+    ran against m-byte codes. Returns (probe_id, rnk, vec_id, dot) —
+    the same exact-integer shape as the single-probe rerank, hash-
+    verifiable end to end."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    shortlist = search_pq_batch(
+        spark, path, probe_ids, k=k * cand_mult, nprobe=nprobe, m=m, ks=ks
+    ).select("probe_id", "vec_id")
+    assignments = _live_only(
+        spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
+    )
+    probes = {
+        int(r["vec_id"]): np.asarray(r["q8"], dtype=np.int64)
+        for r in assignments.filter(
+            F.col("vec_id").isin([int(p) for p in probe_ids])
+        ).select("vec_id", "q8").collect()
+    }
+    arrays = _centroid_arrays(_centroid_rows(spark, path))
+    all_lists = sorted(
+        {
+            c
+            for p in probes.values()
+            for c in _rank_probe_lists(p, arrays, nprobe)
+        }
+    )
+    probe_rel = spark.createDataFrame(
+        [(pid, [int(x) for x in q]) for pid, q in probes.items()],
+        "probe_id long, pq8 array<int>",
+    )
+    # exact tier: partition-pruned to the probed lists AND inner
+    # broadcast join on the shortlist PAIRS — point lookups, no scan
+    # of unshortlisted rows' vectors beyond the pruned partitions
+    cand = (
+        assignments.filter(F.col("centroid_id").isin(all_lists))
+        .join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(probe_rel), "probe_id")
+    )
+    scored = _jvm_scored(cand, F.col("pq8"), extra_cols=("probe_id",))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "rnk", "vec_id", "dot")
+    )

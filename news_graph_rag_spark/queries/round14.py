@@ -72,12 +72,12 @@ _PQ_BATCH_K = 5
 _PQ_BATCH_NPROBE = 4
 
 
-def _ivfpq_batch_oracle(
-    probe_ids: "tuple[int, ...]", k: int, nprobe: int
-) -> str:
-    """Batch tail over the shared PQ train replay: per-probe centroid
-    ranking, per-(probe, list) ADC tables, ONE candidate relation keyed
-    by (probe_id, vec_id), probe-partitioned rank."""
+def _ivfpq_batch_cte(probe_ids: "tuple[int, ...]", nprobe: int) -> str:
+    """Batch replay over the shared PQ train chain, through ``scored``
+    (per (probe_id, vec_id): exact-integer asymmetric dot + stored
+    norm): per-probe centroid ranking, per-(probe, list) ADC tables,
+    ONE candidate relation — shared by the plain batch readout and the
+    batch two-tier rerank tail."""
     from .retrieval_queries import _IVF_DOT, _IVF_SCORE
 
     dot, score = _IVF_DOT, _IVF_SCORE
@@ -124,7 +124,14 @@ def _ivfpq_batch_oracle(
       JOIN bdot bd ON bd.cid = e.cid AND bd.probe_id = a.probe_id
       WHERE e.vec_id <> a.probe_id
       GROUP BY a.probe_id, e.vec_id
-    )
+    )"""
+
+
+def _ivfpq_batch_oracle(
+    probe_ids: "tuple[int, ...]", k: int, nprobe: int
+) -> str:
+    return f"""
+    {_ivfpq_batch_cte(probe_ids, nprobe)}
     SELECT probe_id,
            CAST(row_number() OVER (
              PARTITION BY probe_id
@@ -226,6 +233,22 @@ def ann_ivfpq_search_tombstoned(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _tpe_vocab(tok: DataFrame) -> DataFrame:
+    """(token, tid): the export vocab — distinct BPE symbols of the
+    tokenized corpus, ids by sorted symbol order via the two-phase
+    rank (Zipf-bounded table, no single-partition sort). This is the
+    vocab file a trainer ships alongside the shards; deterministic,
+    so DuckDB replays it as DISTINCT + row_number."""
+    from ..ranks import global_row_number
+
+    return global_row_number(
+        tok.select(F.explode("tokens").alias("token")).distinct(),
+        [F.asc("token")],
+        rank_col="rn",
+        rank_type="long",
+    ).select("token", (F.col("rn") - 1).cast("bigint").alias("tid"))
+
+
 def _tpe_ids(spark: SparkSession, sf: str) -> DataFrame:
     """The PRE-WRITE export frame: (shard_id, bin_id, n_docs, n_tokens,
     seq) where ``seq`` is the REAL packed token-id sequence — the
@@ -254,12 +277,7 @@ def _tpe_ids(spark: SparkSession, sf: str) -> DataFrame:
     # id encoding — without the checkpoint apply_bpe's Arrow pass runs
     # twice (a real trainer writes the tokenized corpus once, too)
     tok = apply_bpe(spread(docs), _EXPORT_MERGES).localCheckpoint(eager=True)
-    vocab = global_row_number(
-        tok.select(F.explode("tokens").alias("token")).distinct(),
-        [F.asc("token")],
-        rank_col="rn",
-        rank_type="long",
-    ).select("token", (F.col("rn") - 1).cast("bigint").alias("tid"))
+    vocab = _tpe_vocab(tok)
     vmap = vocab.agg(
         F.map_from_entries(F.collect_list(F.struct("token", "tid"))).alias("vm")
     )
@@ -632,3 +650,128 @@ def streaming_interval_join_anti(spark: SparkSession, sf: str) -> DataFrame:
     return _interval_join_replay(
         spark, sf, how="leftAnti", kind="ssjx", name="ssja_catalog_out"
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched two-tier rerank + the vocab artifact (round-14 second pass)
+# ---------------------------------------------------------------------------
+
+_PQ_BATCH_RERANK_MULT = 4
+
+
+def _ivfpq_batch_rerank_oracle(
+    probe_ids: "tuple[int, ...]", k: int, nprobe: int, cand_mult: int
+) -> str:
+    from .retrieval_queries import _IVF_DOT, _IVF_SCORE
+
+    dot, score = _IVF_DOT, _IVF_SCORE
+    return f"""
+    {_ivfpq_batch_cte(probe_ids, nprobe)},
+    shortlist AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (
+                 PARTITION BY probe_id
+                 ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE))
+                            DESC,
+                          vec_id) AS srn
+        FROM scored
+      ) WHERE srn <= {k * cand_mult}
+    ),
+    rr AS (
+      SELECT sl.probe_id, b.vec_id,
+             {dot.format(a="b.q8", b="p.q8")} AS dot,
+             {score.format(a="b.q8", b="p.q8", n="b.nrm")} AS score
+      FROM shortlist sl
+      JOIN b1 b ON b.vec_id = sl.vec_id
+      JOIN probes p ON p.probe_id = sl.probe_id
+    )
+    SELECT probe_id,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY score DESC, vec_id) AS INT)
+             AS rnk,
+           vec_id, dot
+    FROM rr
+    QUALIFY rnk <= {k}
+    """
+
+
+@register(
+    "ann_ivfpq_batch_rerank_topk",
+    oracle=_ivfpq_batch_rerank_oracle(
+        _PQ_BATCH_PROBE_IDS,
+        k=_PQ_BATCH_K,
+        nprobe=_PQ_BATCH_NPROBE,
+        cand_mult=_PQ_BATCH_RERANK_MULT,
+    ),
+    doc="the FULL production retrieval plan in one job — batched "
+    "two-tier serving, completing the {single, batch} × {PQ, "
+    "PQ→exact rerank} matrix: search_pq_batch produces every probe's "
+    "k·4 PQ shortlist off ONE pruned codes scan, then ONE pruned scan "
+    "of the int8 lists re-scores exactly ONLY the shortlisted "
+    "(probe, vec) PAIRS (a vector shortlisted for probe A but not B "
+    "is re-scored only for A — the pair join, not an id set) and "
+    "re-ranks per probe. Plan-asserted: one codes scan + one "
+    "assignments scan total, both partition-pruned, broadcast-only "
+    "joins, probe-partitioned windows. At 10^9 vectors the exact tier "
+    "touches Q·k·4 rows; everything heavier ran against m-byte codes. "
+    "Exact-integer dot output, hash-verified against a DuckDB replay "
+    "of build + PQ train + encode + batch ADC shortlist + exact "
+    "rerank.",
+)
+def ann_ivfpq_batch_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import ensure_pq, search_pq_rerank_batch
+
+    path = ensure_pq(spark, sf, m=_PQ_M, ks=_PQ_KS)
+    return search_pq_rerank_batch(
+        spark,
+        path,
+        list(_PQ_BATCH_PROBE_IDS),
+        k=_PQ_BATCH_K,
+        nprobe=_PQ_BATCH_NPROBE,
+        cand_mult=_PQ_BATCH_RERANK_MULT,
+        m=_PQ_M,
+        ks=_PQ_KS,
+    )
+
+
+@register(
+    "bpe_vocab_table",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, u.w AS w
+      FROM documents, unnest(regexp_split_to_array(lower(text), '{_wsq()}'))
+             AS u(w)
+      WHERE doc_id IS NOT NULL AND u.w <> ''
+    ),
+    enc AS (SELECT doc_id, {_bpe_len_sql("w")} AS e FROM words),
+    toks AS (
+      SELECT substr(u.t, 2) AS token
+      FROM enc, unnest(regexp_split_to_array(e, '{_D2}')) AS u(t)
+      WHERE u.t <> ''
+    )
+    SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS tid,
+           token
+    FROM (SELECT DISTINCT token FROM toks)
+    """,
+    doc="the export VOCAB as a first-class verified artifact — the "
+    "vocab.json every trainer ships next to its shards: distinct BPE "
+    "symbols of the tokenized corpus with ids by sorted symbol order "
+    "(deterministic; Zipf-bounded like every vocabulary table; ranked "
+    "with the two-phase helper, no single-partition sort). This is "
+    "the table tokenize_export_readback's id encoding broadcasts; "
+    "publishing it as its own entry means a vocab drift (a tokenizer "
+    "change, a collation difference) surfaces HERE as a value "
+    "mismatch, pinpointed, rather than only as a checksum mismatch "
+    "deep in the shard manifest. Oracle replays tokenize (string-"
+    "rewrite BPE) → token split → DISTINCT → rank.",
+)
+def bpe_vocab_table(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.bpe import apply_bpe
+
+    docs = (
+        load(spark, sf, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "text")
+    )
+    return _tpe_vocab(apply_bpe(spread(docs), _EXPORT_MERGES))

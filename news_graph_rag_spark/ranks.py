@@ -210,7 +210,14 @@ def top_k_ranked(
 
     The heavy lifting is TakeOrdered; the rank window only ever sees k
     rows (the plan's un-partitioned Window sits ABOVE the global limit).
-    """
+
+    Executors log ``WindowExec: No Partition Defined for Window
+    operation`` for this helper (and its ≤k·cand_mult readout
+    variants): EXPECTED and bounded — the single-partition stage holds
+    exactly the k limit survivors, never input-sized data, so the
+    warning is informational here. Anything else emitting it is a real
+    scale bug; keep the warning channel meaningful by routing all
+    intentional tiny-frame ranks through this helper."""
     top = df.orderBy(*order_by).limit(k)
     w = Window.orderBy(*order_by)
     return top.withColumn(rank_col, F.row_number().over(w).cast("int"))

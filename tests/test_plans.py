@@ -816,3 +816,32 @@ def test_tokenize_readback_is_pruned_shard_scan(spark, sf_dir, reg):
     assert "documents.parquet" not in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_ivfpq_batch_rerank_two_pruned_scans(spark, sf_dir, reg):
+    """Round-14 batched two-tier rerank: the whole plan reads exactly
+    ONE codes scan (the batch PQ shortlist) and ONE assignments scan
+    (the exact tier's point lookups), both partition-pruned to the
+    probed lists; joins are broadcast-only; every window partitions on
+    probe_id; the raw embeddings are never read."""
+    df = reg["ann_ivfpq_batch_rerank_topk"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    code_scans = [
+        line
+        for line in plan.splitlines()
+        if "Location" in line and "codes.parquet" in line
+    ]
+    assign_scans = [
+        line
+        for line in plan.splitlines()
+        if "Location" in line and "assignments.parquet" in line
+    ]
+    assert len(code_scans) == 1, code_scans
+    assert len(assign_scans) == 1, assign_scans
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert sum("centroid_id" in line and "IN" in line for line in pf) >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "embeddings.parquet" not in plan
+    specs = _window_specs(plan)
+    assert specs and all("probe_id" in s.split(",")[0] for s in specs), specs
