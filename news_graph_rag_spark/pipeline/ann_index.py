@@ -1004,6 +1004,40 @@ def search_by_vector_filtered(
     ).select("rnk", "vec_id", "dot")
 
 
+def _collect_probes(assignments: DataFrame, probe_ids) -> dict:
+    """probe_id -> int64 q8 vector for a batch of probe ids, with the
+    loud missing-probe check — THE one probes-dict construction for
+    every batch search path (int8, PQ, PQ-rerank; round-14 review #3:
+    three verbatim copies had appeared, and a drift between the
+    shortlist tier's copy and the rerank tier's copy would silently
+    desync their partition pruning)."""
+    import numpy as np
+
+    probes = {
+        int(r["vec_id"]): np.asarray(r["q8"], dtype=np.int64)
+        for r in assignments.filter(
+            F.col("vec_id").isin([int(p) for p in probe_ids])
+        ).select("vec_id", "q8").collect()
+    }
+    missing = set(map(int, probe_ids)) - set(probes)
+    if missing:
+        raise ValueError(f"probe vec_ids not in index (or zero-norm): {missing}")
+    return probes
+
+
+def _batch_probe_lists(
+    spark: SparkSession, path: str, probes: dict, nprobe: int
+) -> "tuple[dict, list[int]]":
+    """(probe_id -> ranked probe lists, sorted union of all probed
+    lists) — the centroid arrays are built once per batch."""
+    arrays = _centroid_arrays(_centroid_rows(spark, path))
+    probe_lists = {
+        pid: _rank_probe_lists(p, arrays, nprobe) for pid, p in probes.items()
+    }
+    all_lists = sorted({c for lists in probe_lists.values() for c in lists})
+    return probe_lists, all_lists
+
+
 def batch_search(
     spark: SparkSession,
     path: str,
@@ -1022,29 +1056,13 @@ def batch_search(
     integers, hash-verifiable. At 100 TB: cost is one scan of the
     DISTINCT probed lists regardless of batch size, and the shuffle
     carries only the per-probe candidate rows."""
-    import numpy as np
-
     from pyspark.sql.window import Window
 
     assignments = _live_only(
         spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
     )
-    probes = {
-        int(r["vec_id"]): np.asarray(r["q8"], dtype=np.int64)
-        for r in assignments.filter(
-            F.col("vec_id").isin([int(p) for p in probe_ids])
-        ).select("vec_id", "q8").collect()
-    }
-    missing = set(map(int, probe_ids)) - set(probes)
-    if missing:
-        raise ValueError(f"probe vec_ids not in index (or zero-norm): {missing}")
-
-    arrays = _centroid_arrays(_centroid_rows(spark, path))  # once per batch
-    probe_lists: dict[int, list[int]] = {
-        pid: _rank_probe_lists(p, arrays, nprobe) for pid, p in probes.items()
-    }
-
-    all_lists = sorted({c for lists in probe_lists.values() for c in lists})
+    probes = _collect_probes(assignments, probe_ids)
+    probe_lists, all_lists = _batch_probe_lists(spark, path, probes, nprobe)
     cand = assignments.filter(F.col("centroid_id").isin(all_lists))
 
     # (probe_id, centroid_id, probe_q8) relation — a broadcast-sized
@@ -1776,23 +1794,10 @@ def search_pq_batch(
     assignments = _live_only(
         spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
     )
-    probes = {
-        int(r["vec_id"]): np.asarray(r["q8"], dtype=np.int64)
-        for r in assignments.filter(
-            F.col("vec_id").isin([int(p) for p in probe_ids])
-        ).select("vec_id", "q8").collect()
-    }
-    missing = set(map(int, probe_ids)) - set(probes)
-    if missing:
-        raise ValueError(f"probe vec_ids not in index (or zero-norm): {missing}")
-
+    probes = _collect_probes(assignments, probe_ids)
+    probe_lists, all_lists = _batch_probe_lists(spark, path, probes, nprobe)
     cent_rows = _centroid_rows(spark, path)
-    arrays = _centroid_arrays(cent_rows)  # once per batch
     cmap = {cid: np.asarray(c8, dtype=np.int64) for cid, c8, _ in cent_rows}
-    probe_lists = {
-        pid: _rank_probe_lists(p, arrays, nprobe) for pid, p in probes.items()
-    }
-    all_lists = sorted({c for lists in probe_lists.values() for c in lists})
 
     adc_rel = spark.createDataFrame(
         [
@@ -1867,8 +1872,6 @@ def search_pq_rerank_batch(
     ran against m-byte codes. Returns (probe_id, rnk, vec_id, dot) —
     the same exact-integer shape as the single-probe rerank, hash-
     verifiable end to end."""
-    import numpy as np
-
     from pyspark.sql.window import Window
 
     shortlist = search_pq_batch(
@@ -1877,20 +1880,11 @@ def search_pq_rerank_batch(
     assignments = _live_only(
         spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
     )
-    probes = {
-        int(r["vec_id"]): np.asarray(r["q8"], dtype=np.int64)
-        for r in assignments.filter(
-            F.col("vec_id").isin([int(p) for p in probe_ids])
-        ).select("vec_id", "q8").collect()
-    }
-    arrays = _centroid_arrays(_centroid_rows(spark, path))
-    all_lists = sorted(
-        {
-            c
-            for p in probes.values()
-            for c in _rank_probe_lists(p, arrays, nprobe)
-        }
-    )
+    # the SAME probe collection + list ranking the shortlist tier just
+    # used (shared helpers — a drift between the two tiers' pruning
+    # would silently shrink the exact tier's candidate set)
+    probes = _collect_probes(assignments, probe_ids)
+    _, all_lists = _batch_probe_lists(spark, path, probes, nprobe)
     probe_rel = spark.createDataFrame(
         [(pid, [int(x) for x in q]) for pid, q in probes.items()],
         "probe_id long, pq8 array<int>",

@@ -273,15 +273,30 @@ def _wsq() -> str:
     return WHITESPACE
 
 
-def _tpe_oracle() -> str:
-    return f"""
-    WITH words AS (
+def _tpe_words_enc_sql() -> str:
+    """The tokenizer trunk shared by every export oracle (this one,
+    round-14's readback and vocab oracles — round-14 review #4: the
+    words/enc scaffolding is the piece most likely to change — the
+    whitespace class, the delimiter scheme — and must change in ONE
+    place): per-word rows + the delimiter-wrapped BPE rewrite."""
+    return f"""words AS (
       SELECT doc_id, u.w AS w
       FROM documents, unnest(regexp_split_to_array(lower(text), '{_wsq()}'))
              AS u(w)
       WHERE doc_id IS NOT NULL AND u.w <> ''
     ),
-    enc AS (SELECT doc_id, {_bpe_len_sql("w")} AS e FROM words),
+    enc AS (SELECT doc_id, {_bpe_len_sql("w")} AS e FROM words)"""
+
+
+def _tpe_shard_sql(rnk: str = "rnk", t: str = "t") -> str:
+    """The equal-width shard id formula — one definition for every
+    export oracle (and mirrored by the Spark frames)."""
+    return f"CAST((({rnk} - 1) * {_TPE_SHARDS}) // {t} AS BIGINT)"
+
+
+def _tpe_oracle() -> str:
+    return f"""
+    WITH {_tpe_words_enc_sql()},
     wt AS (
       SELECT doc_id,
              CAST(SUM(len(e) - len(replace(e, '{_D2}', ''))) AS BIGINT)
@@ -315,7 +330,7 @@ def _tpe_oracle() -> str:
              count(*) OVER () AS t
       FROM hh
     )
-    SELECT CAST(((rnk - 1) * {_TPE_SHARDS}) // t AS BIGINT) AS shard_id,
+    SELECT {_tpe_shard_sql()} AS shard_id,
            CAST(COUNT(*) AS BIGINT) AS n_sequences,
            CAST(SUM(n_docs) AS BIGINT) AS n_docs,
            CAST(SUM(bin_tokens) AS BIGINT) AS n_tokens,

@@ -44,7 +44,6 @@ from .round12 import (
     _SPLIT_PTS_SQL,
 )
 from .round13 import (
-    _bpe_len_sql,
     _D2,
     _EXPORT_MERGES,
     _gini_best,
@@ -55,10 +54,11 @@ from .round13 import (
     _PQ_KS,
     _PQ_M,
     _PQ_SUBD,
+    _tpe_shard_sql,
+    _tpe_words_enc_sql,
     _tree_assign,
     _TPE_BUDGET,
     _TPE_SHARDS,
-    _wsq,
 )
 
 # ---------------------------------------------------------------------------
@@ -206,7 +206,9 @@ def ann_ivfpq_batch_topk(spark: SparkSession, sf: str) -> DataFrame:
 )
 def ann_ivfpq_search_tombstoned(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.ann_index import (
+        _CENTROID_CACHE,
         _has_tombstones,
+        _retire_dir,
         delete_vectors,
         ensure_pq,
         load_index,
@@ -216,6 +218,27 @@ def ann_ivfpq_search_tombstoned(spark: SparkSession, sf: str) -> DataFrame:
     path = ensure_pq(
         spark, sf, m=_PQ_M, ks=_PQ_KS, variant="tombstone-demo-v1"
     )
+    # SELF-HEAL (round-14 review #2): if compact_tombstones ever ran on
+    # this shared variant, the forget-set rows were PHYSICALLY removed
+    # and ensure_pq retrained the PQ codebooks from the compacted
+    # lists (seeds = ks smallest vec_ids, which now exclude the dead
+    # ids) — while the oracle replays training over ALL vectors, so a
+    # compacted variant can never hash-match again (the int8 twin
+    # survives compaction because its centroids are never retrained;
+    # the PQ tier's residual codebooks are). Detect the compacted
+    # state (no forget-set row left in the raw assignments) and
+    # rebuild the variant from source: atomic retire, then one fresh
+    # ensure_pq over the full vector set.
+    raw = spark.read.parquet(os.path.join(path, "assignments.parquet"))
+    if (
+        raw.filter(F.expr(_TOMB_PRED.format(v="vec_id"))).limit(1).count()
+        == 0
+    ):
+        _retire_dir(path)
+        _CENTROID_CACHE.pop(path, None)
+        path = ensure_pq(
+            spark, sf, m=_PQ_M, ks=_PQ_KS, variant="tombstone-demo-v1"
+        )
     if not _has_tombstones(path):
         dead = (
             load_index(spark, path)[0]
@@ -241,12 +264,15 @@ def _tpe_vocab(tok: DataFrame) -> DataFrame:
     so DuckDB replays it as DISTINCT + row_number."""
     from ..ranks import global_row_number
 
+    # column order (tid, token) matches the oracle's SELECT exactly —
+    # the local gates sort columns by name before hashing, but the
+    # external driver's schema check need not (round-14 review #1)
     return global_row_number(
         tok.select(F.explode("tokens").alias("token")).distinct(),
         [F.asc("token")],
         rank_col="rn",
         rank_type="long",
-    ).select("token", (F.col("rn") - 1).cast("bigint").alias("tid"))
+    ).select((F.col("rn") - 1).cast("bigint").alias("tid"), "token")
 
 
 def _tpe_ids(spark: SparkSession, sf: str) -> DataFrame:
@@ -344,20 +370,22 @@ def _staged_token_shards(spark: SparkSession, sf: str) -> str:
     )
 
 
-def _tpe_readback_oracle() -> str:
-    return f"""
-    WITH words AS (
-      SELECT doc_id, u.w AS w
-      FROM documents, unnest(regexp_split_to_array(lower(text), '{_wsq()}'))
-             AS u(w)
-      WHERE doc_id IS NOT NULL AND u.w <> ''
-    ),
-    enc AS (SELECT doc_id, {_bpe_len_sql("w")} AS e FROM words),
+def _tpe_toks_sql() -> str:
+    """Tokenizer trunk + per-token rows: round13's shared words/enc
+    CTEs plus the delimiter-split token extraction — shared by the
+    readback and vocab oracles (one definition of how a token is
+    recovered from the string rewrite)."""
+    return f"""{_tpe_words_enc_sql()},
     toks AS (  -- token extraction: split the delimiter-wrapped rewrite
       SELECT doc_id, substr(u.t, 2) AS token
       FROM enc, unnest(regexp_split_to_array(e, '{_D2}')) AS u(t)
       WHERE u.t <> ''
-    ),
+    )"""
+
+
+def _tpe_readback_oracle() -> str:
+    return f"""
+    WITH {_tpe_toks_sql()},
     vocab AS (
       SELECT token,
              CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS tid
@@ -394,7 +422,7 @@ def _tpe_readback_oracle() -> str:
              count(*) OVER () AS t
       FROM hh
     )
-    SELECT CAST(((rnk - 1) * {_TPE_SHARDS}) // t AS BIGINT) AS shard_id,
+    SELECT {_tpe_shard_sql()} AS shard_id,
            CAST(COUNT(*) AS BIGINT) AS n_sequences,
            CAST(SUM(n_docs) AS BIGINT) AS n_docs,
            CAST(SUM(bin_tokens) AS BIGINT) AS n_tokens,
@@ -738,18 +766,7 @@ def ann_ivfpq_batch_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "bpe_vocab_table",
     oracle=f"""
-    WITH words AS (
-      SELECT doc_id, u.w AS w
-      FROM documents, unnest(regexp_split_to_array(lower(text), '{_wsq()}'))
-             AS u(w)
-      WHERE doc_id IS NOT NULL AND u.w <> ''
-    ),
-    enc AS (SELECT doc_id, {_bpe_len_sql("w")} AS e FROM words),
-    toks AS (
-      SELECT substr(u.t, 2) AS token
-      FROM enc, unnest(regexp_split_to_array(e, '{_D2}')) AS u(t)
-      WHERE u.t <> ''
-    )
+    WITH {_tpe_toks_sql()}
     SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS tid,
            token
     FROM (SELECT DISTINCT token FROM toks)

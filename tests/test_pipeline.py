@@ -2421,3 +2421,39 @@ def test_ivfpq_rerank_recall_vs_exact(spark, sf_dir):
     for vid, dot in rr.items():
         if vid in exact:
             assert dot == exact[vid]
+
+
+def test_pq_tombstone_entry_self_heals_after_compaction(spark, tmp_path):
+    """Round-14 review #2: compact_tombstones on the shared tombstone
+    variant physically removes the forget-set rows and retires the PQ
+    layer; a naive re-ensure would retrain the PQ codebooks from the
+    COMPACTED lists (seeds = ks smallest vec_ids, now excluding the
+    dead ids) and desync the entry's all-vectors oracle forever. The
+    entry must detect the compacted state and rebuild the variant from
+    source, returning bit-identical results before and after."""
+    import random
+
+    from news_graph_rag_spark.pipeline import ann_index
+    from news_graph_rag_spark.queries import registry
+    from news_graph_rag_spark.queries.round13 import _PQ_KS, _PQ_M
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(40)]
+    _write_embeddings(tmp_path, vecs)
+
+    fn = registry()["ann_ivfpq_search_tombstoned"].fn
+    first = [tuple(r) for r in fn(spark, str(tmp_path)).collect()]
+    assert first  # non-trivial fixture
+
+    path = ann_index.ensure_pq(
+        spark, str(tmp_path), m=_PQ_M, ks=_PQ_KS, variant="tombstone-demo-v1"
+    )
+    assert ann_index.compact_tombstones(spark, path) >= 1
+    # post-compaction: the forget-set is physically gone from the lists
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(f"{path}/assignments.parquet")
+    assert raw.filter(F.expr("vec_id % 7 = 3")).count() == 0
+
+    second = [tuple(r) for r in fn(spark, str(tmp_path)).collect()]
+    assert second == first
