@@ -214,6 +214,8 @@ HEADLINE = [
     "streaming_interval_join_anti",
     "ann_ivfpq_batch_rerank_topk",
     "bpe_vocab_table",
+    "ann_ivfpq_filtered_search_topk",
+    "ann_ivfpq_recall_at_k",
 ]
 
 

@@ -1583,6 +1583,7 @@ def search_pq_by_id(
     nprobe: int = 4,
     m: int = 8,
     ks: int = 16,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ asymmetric-distance search: rank inverted lists with the
     family's shared cosine rule, build the per-list ADC tables
@@ -1592,7 +1593,15 @@ def search_pq_by_id(
     stored d-dim vectors are never read. Returns (rnk, vec_id, adot);
     adot is the exact-integer asymmetric dot, the score it ranks by is
     adot/sqrt(nrm) (two IEEE ops on exact ints), so the whole readout
-    is replayable in SQL and the catalog entry hash-verifies."""
+    is replayable in SQL and the catalog entry hash-verifies.
+
+    ``allowed`` (a vec_id DataFrame) applies as a broadcast semi-join
+    PRE-filter on the pruned codes scan, BEFORE ranking — the
+    metadata-constrained serving shape ('nearest WITHIN this
+    tenant/source/date range'), identical in position and semantics to
+    the int8 tier's search_by_vector_filtered: top-k is exact over the
+    allowed subset inside the probed lists, never the post-filter trap
+    that under-fills k on selective predicates."""
     import numpy as np
 
     from ..ranks import top_k_ranked
@@ -1626,6 +1635,10 @@ def search_pq_by_id(
     ts = tombstones(spark, path)
     if ts is not None:
         cand = cand.join(F.broadcast(ts), "vec_id", "left_anti")
+    if allowed is not None:
+        cand = cand.join(
+            F.broadcast(allowed.select("vec_id")), "vec_id", "left_semi"
+        )
     adot = F.col("bd") + F.expr(
         f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), "
         "(acc, s) -> acc + adc[s][codes[s]])"

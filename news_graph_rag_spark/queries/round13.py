@@ -505,7 +505,10 @@ def _ivfpq_train_cte() -> str:
 
 
 def _ivfpq_cte(
-    nprobe: int = 4, probe_id: int = 0, dead_where: str = "FALSE"
+    nprobe: int = 4,
+    probe_id: int = 0,
+    dead_where: str = "FALSE",
+    allow_where: str = "TRUE",
 ) -> str:
     """The full IVF-PQ replay chain through ``scored`` (per-candidate
     exact-integer asymmetric dot + stored norm) — shared by the plain
@@ -513,7 +516,9 @@ def _ivfpq_cte(
     recomputes a TOMBSTONE mask over the CANDIDATE set only (the PQ
     train, like the coarse build, runs over ALL vectors — deletes
     never retrain the quantizer or the codebooks; they mask serving,
-    exactly the broadcast anti-join in search_pq_by_id)."""
+    exactly the broadcast anti-join in search_pq_by_id); ``allow_where``
+    recomputes a FILTERED-search eligible set (the broadcast semi-join
+    pre-filter), mirroring the int8 oracle's parameters."""
     from .retrieval_queries import _IVF_DOT, _IVF_SCORE
 
     dot, score = _IVF_DOT, _IVF_SCORE
@@ -548,15 +553,20 @@ def _ivfpq_cte(
       JOIN bdot bd ON bd.cid = e.cid
       WHERE e.vec_id <> {probe_id}
         AND NOT ({dead_where.format(v="e.vec_id")})
+        AND ({allow_where.format(v="e.vec_id")})
       GROUP BY e.vec_id
     )"""
 
 
 def _ivfpq_oracle(
-    k: int = 10, nprobe: int = 4, probe_id: int = 0, dead_where: str = "FALSE"
+    k: int = 10,
+    nprobe: int = 4,
+    probe_id: int = 0,
+    dead_where: str = "FALSE",
+    allow_where: str = "TRUE",
 ) -> str:
     return f"""
-    {_ivfpq_cte(nprobe, probe_id, dead_where)}
+    {_ivfpq_cte(nprobe, probe_id, dead_where, allow_where)}
     SELECT CAST(row_number() OVER (
              ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE)) DESC,
                       vec_id) AS INT) AS rnk,

@@ -792,3 +792,127 @@ def bpe_vocab_table(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "text")
     )
     return _tpe_vocab(apply_bpe(spread(docs), _EXPORT_MERGES))
+
+
+# ---------------------------------------------------------------------------
+# PQ-tier feature parity: filtered search + recall telemetry
+# ---------------------------------------------------------------------------
+
+_PQ_ALLOW_PRED = "{v} % 3 = 0"
+
+
+@register(
+    "ann_ivfpq_filtered_search_topk",
+    oracle=_ivfpq_oracle(
+        k=10, nprobe=4, probe_id=1, allow_where=_PQ_ALLOW_PRED
+    ),
+    doc="FILTERED vector search on the PQ tier — the metadata-"
+    "constrained serving shape ('nearest chunks WITHIN this tenant/"
+    "source/date range') at the memory budget where it actually runs "
+    "in production: an eligible-id set (vec_id % 3 = 0, a "
+    "deterministic stand-in for any attribute predicate) applies as a "
+    "BROADCAST semi-join PRE-filter on the partition-pruned CODES "
+    "scan, BEFORE ranking — top-k exact over the allowed subset "
+    "inside the probed lists, never the post-filter trap that "
+    "under-fills k on selective predicates; same position and "
+    "semantics as the int8 tier's ann_ivf_filtered_search_topk, so "
+    "the two tiers' filtered results are comparable. Probe is vec 1 "
+    "(1 % 3 ≠ 0: the probe itself is outside the allowed set — the "
+    "cross-tenant-query shape). VALUE-VERIFIED: the oracle replays "
+    "build + PQ train + encode and applies the same eligibility mask "
+    "to the candidate set only.",
+)
+def ann_ivfpq_filtered_search_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import ensure_pq, load_index, search_pq_by_id
+
+    path = ensure_pq(spark, sf, m=_PQ_M, ks=_PQ_KS)
+    allowed = (
+        load_index(spark, path)[0]
+        .filter(F.expr(_PQ_ALLOW_PRED.format(v="vec_id")))
+        .select("vec_id")
+    )
+    return search_pq_by_id(
+        spark,
+        path,
+        probe_vec_id=1,
+        k=10,
+        nprobe=4,
+        m=_PQ_M,
+        ks=_PQ_KS,
+        allowed=allowed,
+    )
+
+
+def _ivfpq_recall_oracle(
+    probe_ids: "tuple[int, ...]", k: int, nprobe: int
+) -> str:
+    from .retrieval_queries import _IVF_SCORE
+
+    score = _IVF_SCORE
+    return f"""
+    {_ivfpq_batch_cte(probe_ids, nprobe)},
+    approx AS (  -- the PQ tier's pruned ADC top-k per probe
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (
+                 PARTITION BY probe_id
+                 ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE))
+                            DESC,
+                          vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {k}
+    ),
+    exact AS (  -- ground truth: exhaustive exact-int8 scan per probe
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, b.vec_id,
+               {score.format(a="b.q8", b="p.q8", n="b.nrm")} AS score
+        FROM probes p CROSS JOIN b1 b
+        WHERE b.vec_id <> p.probe_id
+      ) QUALIFY row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY score DESC, vec_id) <= {k}
+    )
+    SELECT e.probe_id,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+           CAST({k} AS BIGINT) AS k
+    FROM exact e LEFT JOIN approx a
+      ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+    GROUP BY e.probe_id
+    """
+
+
+@register(
+    "ann_ivfpq_recall_at_k",
+    oracle=_ivfpq_recall_oracle(
+        _PQ_BATCH_PROBE_IDS, k=10, nprobe=_PQ_BATCH_NPROBE
+    ),
+    doc="PQ QUALITY TELEMETRY — recall@10 of the IVF-PQ ADC search vs "
+    "the index's own exact-int8 exhaustive ranking, as a driver-"
+    "visible catalog entry (the PQ twin of ann_ivf_recall_at_k): PQ "
+    "is doubly approximate (pruned lists + quantized residuals), so "
+    "its recall is the number a serving tier must monitor to size "
+    "nprobe/m/ks — this entry makes it a VALUE-VERIFIED integer "
+    "readout instead of a buried pytest floor. Per probe (the 3 batch "
+    "probes): the batch ADC top-10 off one pruned codes scan, the "
+    "exact top-10 from an every-list batch_search (nprobe = "
+    "n_centroids — exhaustive under the index's integer scoring, the "
+    "same value-verified machinery), and the per-probe HIT COUNT of "
+    "the PQ set inside the exact set. Integers, not float ratios, so "
+    "the oracle replays both rankings and the counts hash-verify.",
+)
+def ann_ivfpq_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import batch_search, ensure_pq, search_pq_batch
+
+    path = ensure_pq(spark, sf, m=_PQ_M, ks=_PQ_KS)
+    probes = list(_PQ_BATCH_PROBE_IDS)
+    approx = search_pq_batch(
+        spark, path, probes, k=10, nprobe=_PQ_BATCH_NPROBE, m=_PQ_M, ks=_PQ_KS
+    ).select("probe_id", "vec_id", F.lit(1).alias("hit"))
+    exact = batch_search(spark, path, probes, k=10, nprobe=8).select(
+        "probe_id", "vec_id"
+    )
+    return (
+        exact.join(approx, ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(F.count("hit").alias("n_hits"))
+        .withColumn("k", F.lit(10).cast("long"))
+    )

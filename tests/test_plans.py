@@ -845,3 +845,23 @@ def test_ivfpq_batch_rerank_two_pruned_scans(spark, sf_dir, reg):
     assert "embeddings.parquet" not in plan
     specs = _window_specs(plan)
     assert specs and all("probe_id" in s.split(",")[0] for s in specs), specs
+
+
+def test_ivfpq_filtered_search_prefilters_before_rank(spark, sf_dir, reg):
+    """Round-14 filtered PQ search: the eligibility set must apply as a
+    broadcast semi-join on the PRUNED codes scan BEFORE the rank (the
+    pre-filter position the int8 twin pins), with the stored d-dim
+    vectors still never read for scoring (the allow-list build's own
+    vec_id projection of assignments is permitted)."""
+    df = reg["ann_ivfpq_filtered_search_topk"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert any("centroid_id" in line and "IN" in line for line in pf)
+    assert "SortMergeJoin" not in plan
+    assert "embeddings.parquet" not in plan
+    # the allow-list reads assignments' vec_id column ONLY — q8 must
+    # not appear in any assignments ReadSchema
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "assignments" in line:
+            assert "q8" not in line, line
