@@ -216,6 +216,8 @@ HEADLINE = [
     "bpe_vocab_table",
     "ann_ivfpq_filtered_search_topk",
     "ann_ivfpq_recall_at_k",
+    "ann_ivfpq_search_by_vector_topk",
+    "ann_ivfpq_incremental_encode",
 ]
 
 
@@ -398,6 +400,16 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
             "ann_ivfpq_tombstone_variant",
             lambda d: ensure_pq(
                 spark, d, m=_PQ_M, ks=_PQ_KS, variant="tombstone-demo-v1"
+            ),
+        ),
+        (
+            "ann_ivfpq_incr_base",
+            lambda d: ensure_pq(
+                spark,
+                d,
+                m=_PQ_M,
+                ks=_PQ_KS,
+                subset_pred=_IVF_INCR_BASE.format(t="string"),
             ),
         ),
         ("graph_seq_edges", lambda d: _staged_seq_edges(spark, d).count()),

@@ -1604,11 +1604,6 @@ def search_pq_by_id(
     that under-fills k on selective predicates."""
     import numpy as np
 
-    from ..ranks import top_k_ranked
-
-    pq = _pq_dir(path, m, ks)
-    meta, cb = _pq_tables(spark, pq)
-    m, ks, subd = int(meta["m"]), int(meta["ks"]), int(meta["subd"])
     assignments = _live_only(
         spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
     )
@@ -1618,6 +1613,42 @@ def search_pq_by_id(
     if probe_row is None:
         raise ValueError(f"probe vec_id {probe_vec_id} not in index (or zero-norm)")
     p = np.asarray(probe_row["q8"], dtype=np.int64)
+    return _search_pq_core(
+        spark,
+        path,
+        p,
+        k=k,
+        nprobe=nprobe,
+        m=m,
+        ks=ks,
+        exclude_vec_id=probe_vec_id,
+        allowed=allowed,
+    )
+
+
+def _search_pq_core(
+    spark: SparkSession,
+    path: str,
+    p,
+    k: int,
+    nprobe: int,
+    m: int,
+    ks: int,
+    exclude_vec_id: int | None = None,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """The ONE single-probe ADC scan + rank: probed-list ranking,
+    driver-side ADC tables, pruned codes scan, tombstone anti-join,
+    optional allow-list semi-join, JVM fold, TakeOrdered — shared by
+    the by-id path (which excludes the probe's own row) and the
+    by-vector path (external query, nothing to exclude)."""
+    import numpy as np
+
+    from ..ranks import top_k_ranked
+
+    pq = _pq_dir(path, m, ks)
+    meta, cb = _pq_tables(spark, pq)
+    m, ks, subd = int(meta["m"]), int(meta["ks"]), int(meta["subd"])
     cent_rows = _centroid_rows(spark, path)
     probes = _rank_probe_lists(p, _centroid_arrays(cent_rows), nprobe)
     cmap = {cid: np.asarray(c8, dtype=np.int64) for cid, c8, _ in cent_rows}
@@ -1627,11 +1658,11 @@ def search_pq_by_id(
         "centroid_id int, bd bigint, adc array<array<bigint>>",
     )
 
-    cand = (
-        spark.read.parquet(os.path.join(pq, "codes.parquet"))
-        .filter(F.col("centroid_id").isin(probes))
-        .filter(F.col("vec_id") != probe_vec_id)
+    cand = spark.read.parquet(os.path.join(pq, "codes.parquet")).filter(
+        F.col("centroid_id").isin(probes)
     )
+    if exclude_vec_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_vec_id)
     ts = tombstones(spark, path)
     if ts is not None:
         cand = cand.join(F.broadcast(ts), "vec_id", "left_anti")
@@ -1659,6 +1690,42 @@ def search_pq_by_id(
     ).select("rnk", "vec_id", "adot")
 
 
+def search_pq_by_vector(
+    spark: SparkSession,
+    path: str,
+    query_vector,
+    k: int = 10,
+    nprobe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ search for an EXTERNAL float query vector — the serving
+    reality (a RAG query embedding is not a stored id): the query is
+    quantized driver-side with the index's OWN scheme (quantize_query,
+    widen from meta — so it scores in the same exact-integer domain as
+    the stored codes), then runs the shared single-probe ADC core with
+    no self-exclusion. The PQ twin of the int8 tier's
+    search_by_vector; an ``allowed`` id set composes for
+    metadata-constrained external queries."""
+    import numpy as np
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    q8 = quantize_query(query_vector, widen_reps=meta.get("widen_reps"))
+    return _search_pq_core(
+        spark,
+        path,
+        np.asarray(q8, dtype=np.int64),
+        k=k,
+        nprobe=nprobe,
+        m=m,
+        ks=ks,
+        exclude_vec_id=None,
+        allowed=allowed,
+    )
+
+
 def ensure_pq(
     spark: SparkSession,
     sf_dir: str,
@@ -1668,6 +1735,7 @@ def ensure_pq(
     iters: int = 1,
     widen_reps: int | None = None,
     variant: str | None = None,
+    subset_pred: str | None = None,
 ) -> str:
     """Idempotent DDL analog for the PQ layer: ensure the base index,
     then train+publish PQ once per index path (pq/meta.json guard;
@@ -1675,7 +1743,8 @@ def ensure_pq(
     ``variant`` passes through to ensure_index: an entry that MUTATES
     its index (tombstones) needs a PRIVATE copy, or it would desync
     every other PQ entry served from the shared fingerprint path —
-    the same rule as the int8 tombstone entry."""
+    the same rule as the int8 tombstone entry. ``subset_pred`` also
+    passes through (the incremental-maintenance base split)."""
     path = ensure_index(
         spark,
         sf_dir,
@@ -1683,6 +1752,7 @@ def ensure_pq(
         n_centroids=n_centroids,
         iters=iters,
         variant=variant,
+        subset_pred=subset_pred,
     )
     pqd = _pq_dir(path, m, ks)
     mp = os.path.join(pqd, "meta.json")
@@ -1916,4 +1986,81 @@ def search_pq_rerank_batch(
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
         .select("probe_id", "rnk", "vec_id", "dot")
+    )
+
+
+def encode_new(
+    spark: SparkSession,
+    path: str,
+    assigned: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+) -> DataFrame:
+    """Incremental PQ maintenance — the ENCODE half of the standard
+    IVF-PQ insert path: new vectors (already coarse-assigned by
+    ``assign_new``, quantizer frozen) are encoded against the FROZEN
+    residual codebooks — residual vs the assigned centroid, per-
+    subspace exact-integer L2 argmin with ties to the smallest code,
+    the same arithmetic train_pq's final encode runs — and returned as
+    (vec_id, centroid_id, codes) rows ready to append under their code
+    partitions. No retraining, no shuffle of stored data: the
+    centroids and codebooks are broadcast-sized constants, so encoding
+    is map-side over the incoming rows only. At 100 TB this is how
+    streaming ingest keeps the PQ serving tier fresh while the
+    quantizer AND codebooks retrain on a slow cadence (the codebook
+    version is pinned by the pq meta fingerprint)."""
+    pq = _pq_dir(path, m, ks)
+    meta, cb = _pq_tables(spark, pq)
+    m, ks, subd = int(meta["m"]), int(meta["ks"]), int(meta["subd"])
+    cent_rows = _centroid_rows(spark, path)
+    cents_df = spark.createDataFrame(
+        [(cid, c8) for cid, c8, _ in cent_rows], "centroid_id int, c8 array<int>"
+    )
+    res = assigned.join(F.broadcast(cents_df), "centroid_id").select(
+        "vec_id",
+        "centroid_id",
+        F.zip_with("q8", "c8", lambda a, b: a - b).alias("r"),
+    )
+    rsub = res.select(
+        "vec_id",
+        "centroid_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("sub"),
+                        F.slice("r", s * subd + 1, subd).alias("rs"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sv"),
+    ).select("vec_id", "centroid_id", "sv.sub", "sv.rs")
+    cb_df = spark.createDataFrame(
+        [(cid, sub, code, e) for (cid, sub, code), e in sorted(cb.items())],
+        "centroid_id int, sub int, code int, e array<int>",
+    )
+    d = F.aggregate(
+        F.zip_with("rs", "e", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cand = rsub.join(F.broadcast(cb_df), ["centroid_id", "sub"]).select(
+        "vec_id", "centroid_id", "sub", "code", d.alias("d")
+    )
+    # argmin without a window: (d, code) is unique per (vec, sub) group
+    return (
+        cand.groupBy("vec_id", "centroid_id", "sub")
+        .agg(
+            F.min(
+                F.struct(F.col("d").alias("d"), F.col("code").alias("code"))
+            ).alias("wn")
+        )
+        .groupBy("vec_id", "centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", F.col("wn.code").alias("code")))),
+                lambda x: x["code"],
+            ).alias("codes")
+        )
     )

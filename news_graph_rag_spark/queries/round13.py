@@ -439,7 +439,7 @@ def _l2_sql(a: str, b: str) -> str:
     )
 
 
-def _ivfpq_train_cte() -> str:
+def _ivfpq_train_cte(base_where: str = "TRUE") -> str:
     """The PROBE-INDEPENDENT half of the IVF-PQ replay: coarse build
     (``_ivf_int8_build_cte``) + residual subvectors + deterministic PQ
     seed selection + one integer Lloyd round + final encode, ending at
@@ -450,7 +450,7 @@ def _ivfpq_train_cte() -> str:
 
     m, ks, subd = _PQ_M, _PQ_KS, _PQ_SUBD
     return f"""
-    {_ivf_int8_build_cte(8)},
+    {_ivf_int8_build_cte(8, base_where=base_where)},
     res AS MATERIALIZED (
       SELECT b.vec_id, b.cid, b.nrm,
              [b.q8[i] - c.c8[i] FOR i IN range(1, len(b.q8) + 1)] AS r
@@ -509,6 +509,7 @@ def _ivfpq_cte(
     probe_id: int = 0,
     dead_where: str = "FALSE",
     allow_where: str = "TRUE",
+    exclude_probe: bool = True,
 ) -> str:
     """The full IVF-PQ replay chain through ``scored`` (per-candidate
     exact-integer asymmetric dot + stored norm) — shared by the plain
@@ -518,11 +519,15 @@ def _ivfpq_cte(
     never retrain the quantizer or the codebooks; they mask serving,
     exactly the broadcast anti-join in search_pq_by_id); ``allow_where``
     recomputes a FILTERED-search eligible set (the broadcast semi-join
-    pre-filter), mirroring the int8 oracle's parameters."""
+    pre-filter), mirroring the int8 oracle's parameters;
+    ``exclude_probe=False`` matches the by-vector serving path, which
+    never id-excludes (the probe is an external query vector whose
+    quantization coincides with the stored row's)."""
     from .retrieval_queries import _IVF_DOT, _IVF_SCORE
 
     dot, score = _IVF_DOT, _IVF_SCORE
     m, ks, subd = _PQ_M, _PQ_KS, _PQ_SUBD
+    probe_excl = f"e.vec_id <> {probe_id}" if exclude_probe else "TRUE"
     return f"""{_ivfpq_train_cte()},
     probe AS (SELECT q8, nrm FROM live WHERE vec_id = {probe_id}),
     pc AS (
@@ -551,7 +556,7 @@ def _ivfpq_cte(
       JOIN adc a ON a.cid = e.cid AND a.sub = e.sub AND a.code = e.code
       JOIN b1 b ON b.vec_id = e.vec_id
       JOIN bdot bd ON bd.cid = e.cid
-      WHERE e.vec_id <> {probe_id}
+      WHERE {probe_excl}
         AND NOT ({dead_where.format(v="e.vec_id")})
         AND ({allow_where.format(v="e.vec_id")})
       GROUP BY e.vec_id
@@ -564,9 +569,10 @@ def _ivfpq_oracle(
     probe_id: int = 0,
     dead_where: str = "FALSE",
     allow_where: str = "TRUE",
+    exclude_probe: bool = True,
 ) -> str:
     return f"""
-    {_ivfpq_cte(nprobe, probe_id, dead_where, allow_where)}
+    {_ivfpq_cte(nprobe, probe_id, dead_where, allow_where, exclude_probe)}
     SELECT CAST(row_number() OVER (
              ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE)) DESC,
                       vec_id) AS INT) AS rnk,

@@ -916,3 +916,124 @@ def ann_ivfpq_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("hit").alias("n_hits"))
         .withColumn("k", F.lit(10).cast("long"))
     )
+
+
+@register(
+    "ann_ivfpq_search_by_vector_topk",
+    oracle=_ivfpq_oracle(k=10, nprobe=4, probe_id=1, exclude_probe=False),
+    doc="IVF-PQ search for an EXTERNAL float query vector — the "
+    "serving reality (a RAG query embedding is not a stored id), and "
+    "the PQ twin of the int8 tier's by-vector entries: the probe is "
+    "vec 1's RAW embedding served through search_pq_by_vector, which "
+    "quantizes driver-side with the index's own scheme "
+    "(quantize_query — float32 promotion, the same floor rule, widen "
+    "from meta), so the external query scores in the identical "
+    "exact-integer domain as the stored codes; no self-exclusion (the "
+    "external path has no id). The shared _search_pq_core then runs "
+    "the pruned-ADC readout unchanged. VALUE-VERIFIED: the oracle "
+    "uses the STORED q8 of vec 1 — equal by construction to "
+    "quantize_query(raw vec 1), the property the int8 by-vector "
+    "entries already pin — with the probe row kept in the candidate "
+    "set (exclude_probe=False), so its rank-1 self-hit doubles as a "
+    "quantization-consistency check.",
+)
+def ann_ivfpq_search_by_vector_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import ensure_pq, search_pq_by_vector
+
+    path = ensure_pq(spark, sf, m=_PQ_M, ks=_PQ_KS)
+    emb = load(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    return search_pq_by_vector(
+        spark, path, qv, k=10, nprobe=4, m=_PQ_M, ks=_PQ_KS
+    )
+
+
+def _ivfpq_incr_oracle() -> str:
+    from .retrieval_queries import _IVF_SCORE, _IVF_INCR_BASE
+    from .round13 import _l2_sql
+
+    score = _IVF_SCORE
+    base = _IVF_INCR_BASE.format(t="VARCHAR")
+    m, subd = _PQ_M, _PQ_SUBD
+    return f"""
+    {_ivfpq_train_cte(base_where=base)},
+    incoming AS (
+      SELECT * FROM live WHERE NOT ({base})
+    ),
+    new_assign AS (
+      SELECT vec_id, cid, q8 FROM (
+        SELECT l.vec_id, c.cid, l.q8,
+               {score.format(a="l.q8", b="c.c8", n="c.cnrm")} AS score
+        FROM incoming l CROSS JOIN c1n c
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY score DESC, cid) = 1
+    ),
+    nres AS MATERIALIZED (
+      SELECT n.vec_id, n.cid,
+             [n.q8[i] - c.c8[i] FOR i IN range(1, len(n.q8) + 1)] AS r
+      FROM new_assign n JOIN c1n c ON c.cid = n.cid
+    ),
+    nrsub AS MATERIALIZED (
+      SELECT vec_id, cid, s.s AS sub,
+             list_slice(r, s.s * {subd} + 1, (s.s + 1) * {subd}) AS rs
+      FROM nres, unnest(range(0, {m})) AS s(s)
+    ),
+    nenc AS (
+      SELECT vec_id, cid, sub, code FROM (
+        SELECT r.vec_id, r.cid, r.sub, c.code,
+               {_l2_sql("r.rs", "c.e")} AS d
+        FROM nrsub r JOIN pcb c ON r.cid = c.cid AND r.sub = c.sub
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY d ASC, code ASC) = 1
+    )
+    SELECT cid AS centroid_id, CAST(sub AS BIGINT) AS sub,
+           CAST(code AS BIGINT) AS code,
+           CAST(COUNT(*) AS BIGINT) AS n_new
+    FROM nenc GROUP BY cid, sub, code
+    """
+
+
+@register(
+    "ann_ivfpq_incremental_encode",
+    oracle=_ivfpq_incr_oracle(),
+    doc="incremental PQ maintenance — the INSERT path at the memory-"
+    "budget tier (the PQ twin of ann_ivf_incremental_assign, same "
+    "md5-bucket base/incoming split, SAME base index): the coarse "
+    "quantizer AND the residual codebooks stay FROZEN while new "
+    "vectors are assigned (assign_new, map-side argmax) and then "
+    "ENCODED against the frozen per-list codebooks (encode_new: "
+    "residual vs assigned centroid, per-subspace exact-integer L2 "
+    "argmin, ties to the smallest code — bit-identical to train_pq's "
+    "final encode), producing codes ready to append under their "
+    "partitions. At 100 TB this is how streaming ingest keeps the PQ "
+    "serving tier fresh between slow-cadence retrains. Output is the "
+    "per-(list, subspace, code) histogram of the NEW codes — the "
+    "drift signal a maintenance job monitors to decide a codebook "
+    "retrain (a hot code = residual distribution shifting away from "
+    "the trained centroids). VALUE-VERIFIED: the oracle replays the "
+    "base-subset build + PQ train + frozen assignment + frozen "
+    "encode, all exact integers.",
+)
+def ann_ivfpq_incremental_encode(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import assign_new, encode_new, ensure_pq
+    from .retrieval_queries import _IVF_INCR_BASE
+
+    pred = _IVF_INCR_BASE.format(t="string")
+    path = ensure_pq(spark, sf, m=_PQ_M, ks=_PQ_KS, subset_pred=pred)
+    incoming = load(spark, sf, "embeddings").filter(~F.expr(pred))
+    assigned = assign_new(spark, path, incoming)
+    codes = encode_new(spark, path, assigned, m=_PQ_M, ks=_PQ_KS)
+    return (
+        codes.select(
+            "centroid_id",
+            F.posexplode("codes").alias("sub", "code"),
+        )
+        .groupBy("centroid_id", "sub", "code")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+        .select(
+            "centroid_id",
+            F.col("sub").cast("bigint").alias("sub"),
+            F.col("code").cast("bigint").alias("code"),
+            "n_new",
+        )
+    )

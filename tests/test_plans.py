@@ -865,3 +865,33 @@ def test_ivfpq_filtered_search_prefilters_before_rank(spark, sf_dir, reg):
     for line in plan.splitlines():
         if "ReadSchema" in line and "assignments" in line:
             assert "q8" not in line, line
+
+
+def test_ivfpq_by_vector_reads_codes_only(spark, sf_dir, reg):
+    """Round-14 external-query PQ search: the by-vector path has no
+    probe row to fetch, so the WHOLE plan reads the codes table only —
+    pruned to the probed lists — plus the one-row embeddings lookup
+    that happens eagerly in the entry (not in the returned plan). No
+    assignments scan, no window below the k-row rank."""
+    df = reg["ann_ivfpq_search_by_vector_topk"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert any("centroid_id" in line and "IN" in line for line in pf)
+    assert "codes.parquet" in plan
+    assert "assignments.parquet" not in plan
+    assert "embeddings.parquet" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_incremental_encode_is_broadcast_map_side(spark, sf_dir, reg):
+    """Round-14 incremental PQ encode: centroids and codebooks are
+    broadcast constants; encoding shuffles only the incoming rows'
+    (vec, sub) keys for the argmin aggregation — no sort-merge join
+    anywhere, and the stored codes/assignments of the BASE index are
+    never scanned (the insert path must not touch the existing
+    index's data)."""
+    plan = plan_of(reg["ann_ivfpq_incremental_encode"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "codes.parquet" not in plan
+    assert "assignments.parquet" not in plan
