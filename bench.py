@@ -8,7 +8,8 @@ Measurement design (VERDICT r6 #2 — the harness was the noisiest
 instrument in the loop, 4.8x single-shot run-to-run spread in a churned
 shared JVM):
 
-- FAMILY ISOLATION: the headline list is split into N_FAMILIES chunks,
+- FAMILY ISOLATION: the headline list is split into FIXED-SIZE chunks
+  (FAMILY_CHUNK — append-stable cohorts, VERDICT r14 #7),
   each run in a FRESH SUBPROCESS (own JVM), so allocation debris,
   codegen-cache eviction, and GC pressure from one family can't pollute
   another, and cross-round comparisons compare like against like.
@@ -218,6 +219,11 @@ HEADLINE = [
     "ann_ivfpq_recall_at_k",
     "ann_ivfpq_search_by_vector_topk",
     "ann_ivfpq_incremental_encode",
+    # round 15: batch by-vector PQ serving, PQ codebook retrain, boosted
+    # two-tree inference readout
+    "ann_ivfpq_batch_by_vector_topk",
+    "ann_ivfpq_retrain_roundtrip",
+    "gbt_2round_leaf_stats",
 ]
 
 
@@ -370,6 +376,7 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
         _staged_tree3_splits,
     )
     from news_graph_rag_spark.queries.round14 import _staged_token_shards
+    from news_graph_rag_spark.queries.round15 import _staged_gbt2_model
 
     builds = [
         ("ann_ivf", lambda d: ensure_index(spark, d, n_centroids=8, iters=1)),
@@ -412,10 +419,17 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
                 subset_pred=_IVF_INCR_BASE.format(t="string"),
             ),
         ),
+        (
+            "ann_ivf_retrain_variant",
+            lambda d: ensure_index(
+                spark, d, n_centroids=8, iters=1, variant="retrain-demo-v1"
+            ),
+        ),
         ("graph_seq_edges", lambda d: _staged_seq_edges(spark, d).count()),
         ("graph_scc_closure", lambda d: _staged_scc_labels(spark, d).count()),
         ("tree3_splits", lambda d: _staged_tree3_splits(spark, d).count()),
         ("token_shards", lambda d: _staged_token_shards(spark, d)),
+        ("gbt2_model", lambda d: _staged_gbt2_model(spark, d)),
     ]
     out: dict[str, float] = {}
     for sf_dir in sf_dirs:
@@ -433,14 +447,30 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
     return out
 
 
-N_FAMILIES = int(os.environ.get("SPARK_GRAFT_BENCH_FAMILIES", "8"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+# PINNED family chunk size (VERDICT r14 #7): the old ceil(len/8) sizing
+# recomputed every boundary when HEADLINE grew, so each round's appends
+# RESHUFFLED which queries share a JVM and cross-round per-entry deltas
+# compared unlike cohorts (the r14 mjpeg 1.69x false alarm). A constant
+# chunk makes family assignment INVARIANT under appends: every existing
+# name keeps its family and its within-family predecessors forever; new
+# names fill the final partial chunk and then open new families. 19 is
+# the r14 value (ceil(147/8)), so the pin itself reshuffles nothing.
+# SPARK_GRAFT_BENCH_FAMILIES (legacy count-based override) still wins
+# when set explicitly — smoke runs that want one big family keep working.
+FAMILY_CHUNK = 19
 
 
 def _families() -> list[list[str]]:
-    """HEADLINE split into N_FAMILIES near-equal contiguous chunks."""
-    n = max(1, min(N_FAMILIES, len(HEADLINE)))
-    size = -(-len(HEADLINE) // n)
+    """HEADLINE split into FIXED-SIZE contiguous chunks (append-stable
+    cohorts; see FAMILY_CHUNK)."""
+    n_env = os.environ.get("SPARK_GRAFT_BENCH_FAMILIES")
+    if n_env is not None:
+        n = max(1, min(int(n_env), len(HEADLINE)))
+        size = -(-len(HEADLINE) // n)
+    else:
+        size = FAMILY_CHUNK
     return [HEADLINE[i : i + size] for i in range(0, len(HEADLINE), size)]
 
 

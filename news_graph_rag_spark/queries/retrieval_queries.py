@@ -1389,16 +1389,19 @@ def ann_ivf_batch_search_topk(spark: SparkSession, sf: str) -> DataFrame:
     "never as the serving path.",
 )
 def ann_ivf_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
-    from ..pipeline.ann_index import batch_search, ensure_index
+    from ..pipeline.ann_index import _centroid_rows, batch_search, ensure_index
 
     path = ensure_index(spark, sf, widen_reps=None, n_centroids=8, iters=1)
     probes = list(_BATCH_PROBE_IDS)
     approx = batch_search(spark, path, probes, k=10, nprobe=2).select(
         "probe_id", "vec_id", F.lit(1).alias("hit")
     )
-    exact = batch_search(spark, path, probes, k=10, nprobe=8).select(
-        "probe_id", "vec_id"
-    )
+    # exhaustive baseline: nprobe = the index's OWN centroid count, not
+    # the build-default literal (round-14 advice — a changed default
+    # would silently de-exhaust the ground truth)
+    exact = batch_search(
+        spark, path, probes, k=10, nprobe=len(_centroid_rows(spark, path))
+    ).select("probe_id", "vec_id")
     return (
         exact.join(approx, ["probe_id", "vec_id"], "left")
         .groupBy("probe_id")

@@ -439,22 +439,36 @@ def _l2_sql(a: str, b: str) -> str:
     )
 
 
-def _ivfpq_train_cte(base_where: str = "TRUE") -> str:
+def _ivfpq_train_cte(
+    base_where: str = "TRUE", pq_dead_where: "str | None" = None
+) -> str:
     """The PROBE-INDEPENDENT half of the IVF-PQ replay: coarse build
     (``_ivf_int8_build_cte``) + residual subvectors + deterministic PQ
     seed selection + one integer Lloyd round + final encode, ending at
     ``pcb`` (the trained residual codebooks) and ``penc`` (the codes
     table). Shared by the single-probe tail below and the round-14
-    batch tail (many probes, one codes relation)."""
+    batch tail (many probes, one codes relation). ``pq_dead_where``
+    (round 15) replays retrain_pq: the COARSE quantizer still builds
+    over all vectors (deletes never retrain it), but the PQ seeds,
+    Lloyd round, and encode see only the LIVE rows — the tombstone
+    mask applied to training input, not just to serving."""
     from .retrieval_queries import _ivf_int8_build_cte
 
     m, ks, subd = _PQ_M, _PQ_KS, _PQ_SUBD
+    bsrc = "b1"
+    pqb = ""
+    if pq_dead_where is not None:
+        bsrc = "pqb"
+        pqb = f"""
+    pqb AS MATERIALIZED (
+      SELECT * FROM b1 WHERE NOT ({pq_dead_where.format(v="vec_id")})
+    ),"""
     return f"""
-    {_ivf_int8_build_cte(8, base_where=base_where)},
+    {_ivf_int8_build_cte(8, base_where=base_where)},{pqb}
     res AS MATERIALIZED (
       SELECT b.vec_id, b.cid, b.nrm,
              [b.q8[i] - c.c8[i] FOR i IN range(1, len(b.q8) + 1)] AS r
-      FROM b1 b JOIN c1n c ON b.cid = c.cid
+      FROM {bsrc} b JOIN c1n c ON b.cid = c.cid
     ),
     rsub AS MATERIALIZED (
       SELECT vec_id, cid, nrm, s.s AS sub,
@@ -465,7 +479,7 @@ def _ivfpq_train_cte(base_where: str = "TRUE") -> str:
       SELECT vec_id, cid,
              CAST(row_number() OVER (PARTITION BY cid ORDER BY vec_id) - 1
                   AS INT) AS code
-      FROM b1
+      FROM {bsrc}
       QUALIFY row_number() OVER (PARTITION BY cid ORDER BY vec_id) <= {ks}
     ),
     pb0 AS MATERIALIZED (
@@ -510,6 +524,7 @@ def _ivfpq_cte(
     dead_where: str = "FALSE",
     allow_where: str = "TRUE",
     exclude_probe: bool = True,
+    pq_dead_where: "str | None" = None,
 ) -> str:
     """The full IVF-PQ replay chain through ``scored`` (per-candidate
     exact-integer asymmetric dot + stored norm) — shared by the plain
@@ -528,7 +543,7 @@ def _ivfpq_cte(
     dot, score = _IVF_DOT, _IVF_SCORE
     m, ks, subd = _PQ_M, _PQ_KS, _PQ_SUBD
     probe_excl = f"e.vec_id <> {probe_id}" if exclude_probe else "TRUE"
-    return f"""{_ivfpq_train_cte()},
+    return f"""{_ivfpq_train_cte(pq_dead_where=pq_dead_where)},
     probe AS (SELECT q8, nrm FROM live WHERE vec_id = {probe_id}),
     pc AS (
       SELECT cid FROM (
@@ -570,9 +585,11 @@ def _ivfpq_oracle(
     dead_where: str = "FALSE",
     allow_where: str = "TRUE",
     exclude_probe: bool = True,
+    pq_dead_where: "str | None" = None,
 ) -> str:
     return f"""
-    {_ivfpq_cte(nprobe, probe_id, dead_where, allow_where, exclude_probe)}
+    {_ivfpq_cte(nprobe, probe_id, dead_where, allow_where, exclude_probe,
+                pq_dead_where=pq_dead_where)}
     SELECT CAST(row_number() OVER (
              ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE)) DESC,
                       vec_id) AS INT) AS rnk,

@@ -72,21 +72,40 @@ _PQ_BATCH_K = 5
 _PQ_BATCH_NPROBE = 4
 
 
-def _ivfpq_batch_cte(probe_ids: "tuple[int, ...]", nprobe: int) -> str:
+def _ivfpq_batch_cte(
+    probe_ids: "tuple[int, ...]",
+    nprobe: int,
+    exclude_probe: bool = True,
+    by_position: bool = False,
+) -> str:
     """Batch replay over the shared PQ train chain, through ``scored``
     (per (probe_id, vec_id): exact-integer asymmetric dot + stored
     norm): per-probe centroid ranking, per-(probe, list) ADC tables,
-    ONE candidate relation — shared by the plain batch readout and the
-    batch two-tier rerank tail."""
+    ONE candidate relation — shared by the plain batch readout, the
+    batch two-tier rerank tail, and (round 15) the batch BY-VECTOR
+    readout. ``by_position=True`` numbers the probes by their BATCH
+    POSITION instead of their vec_id (an external query batch has no
+    stored ids — the oracle uses the stored q8 of each source row per
+    the by-vector quantization-equality property) and
+    ``exclude_probe=False`` keeps each source row in its own candidate
+    set (the rank-1 self-hit doubles as the consistency check), both
+    mirroring search_pq_batch_by_vectors."""
     from .retrieval_queries import _IVF_DOT, _IVF_SCORE
 
     dot, score = _IVF_DOT, _IVF_SCORE
     m, subd = _PQ_M, _PQ_SUBD
     ids = ", ".join(str(int(p)) for p in probe_ids)
+    if by_position:
+        pid = "CASE vec_id " + " ".join(
+            f"WHEN {int(v)} THEN {i}" for i, v in enumerate(probe_ids)
+        ) + " END"
+    else:
+        pid = "vec_id"
+    probe_excl = "e.vec_id <> a.probe_id" if exclude_probe else "TRUE"
     return f"""
     {_ivfpq_train_cte()},
     probes AS (
-      SELECT vec_id AS probe_id, q8 FROM live WHERE vec_id IN ({ids})
+      SELECT {pid} AS probe_id, q8 FROM live WHERE vec_id IN ({ids})
     ),
     ppc AS (
       SELECT probe_id, cid FROM (
@@ -122,16 +141,21 @@ def _ivfpq_batch_cte(probe_ids: "tuple[int, ...]", nprobe: int) -> str:
       JOIN adc a ON a.cid = e.cid AND a.sub = e.sub AND a.code = e.code
       JOIN b1 b ON b.vec_id = e.vec_id
       JOIN bdot bd ON bd.cid = e.cid AND bd.probe_id = a.probe_id
-      WHERE e.vec_id <> a.probe_id
+      WHERE {probe_excl}
       GROUP BY a.probe_id, e.vec_id
     )"""
 
 
 def _ivfpq_batch_oracle(
-    probe_ids: "tuple[int, ...]", k: int, nprobe: int
+    probe_ids: "tuple[int, ...]",
+    k: int,
+    nprobe: int,
+    exclude_probe: bool = True,
+    by_position: bool = False,
 ) -> str:
     return f"""
-    {_ivfpq_batch_cte(probe_ids, nprobe)}
+    {_ivfpq_batch_cte(probe_ids, nprobe, exclude_probe=exclude_probe,
+                      by_position=by_position)}
     SELECT probe_id,
            CAST(row_number() OVER (
              PARTITION BY probe_id
@@ -226,13 +250,23 @@ def ann_ivfpq_search_tombstoned(spark: SparkSession, sf: str) -> DataFrame:
     # compacted variant can never hash-match again (the int8 twin
     # survives compaction because its centroids are never retrained;
     # the PQ tier's residual codebooks are). Detect the compacted
-    # state (no forget-set row left in the raw assignments) and
-    # rebuild the variant from source: atomic retire, then one fresh
-    # ensure_pq over the full vector set.
+    # state and rebuild the variant from source: atomic retire, then
+    # one fresh ensure_pq over the full vector set. The trigger is
+    # "the raw assignments lost forget-set rows the SOURCE has"
+    # (round-14 advice): raw emptiness alone would re-fire on every
+    # call against a dataset that simply contains no forget-set ids —
+    # a wasted full rebuild per invocation — so the (equally cheap)
+    # source probe runs only in the raw-empty case and distinguishes
+    # compacted-index from degenerate-dataset.
     raw = spark.read.parquet(os.path.join(path, "assignments.parquet"))
     if (
         raw.filter(F.expr(_TOMB_PRED.format(v="vec_id"))).limit(1).count()
         == 0
+        and load(spark, sf, "embeddings")
+        .filter(F.expr(_TOMB_PRED.format(v="vec_id")))
+        .limit(1)
+        .count()
+        > 0
     ):
         _retire_dir(path)
         _CENTROID_CACHE.pop(path, None)
@@ -358,16 +392,23 @@ def _staged_token_shards(spark: SparkSession, sf: str) -> str:
     ``partitionBy(shard_id)`` on the export frame, exactly the write
     the round-13 entry asserted and this round exercises. The staged
     dir IS the deliverable a trainer consumes (one directory per
-    shard, each holding its packed int-array sequences)."""
+    shard, each holding its packed int-array sequences).
+
+    The staging fingerprint covers documents.parquet only, so the
+    constants that also shape shard content are FOLDED INTO THE KIND
+    string (budget, shard count, merge-rule count — round-14 advice);
+    an EDIT to an existing _EXPORT_MERGES rule is the one change the
+    kind cannot see — bump the version suffix when touching rule
+    content (the same caveat the EWMA and interval-join staging
+    document)."""
 
     def build(tmp: str) -> None:
         _tpe_ids(spark, sf).repartition(_TPE_SHARDS, "shard_id").write.partitionBy(
             "shard_id"
         ).mode("overwrite").parquet(tmp)
 
-    return stage_parquet(
-        os.path.join(sf, "documents.parquet"), "tpe_shards_v1", build
-    )
+    kind = f"tpe_shards_v1_b{_TPE_BUDGET}_s{_TPE_SHARDS}_m{len(_EXPORT_MERGES)}"
+    return stage_parquet(os.path.join(sf, "documents.parquet"), kind, build)
 
 
 def _tpe_toks_sql() -> str:
@@ -484,12 +525,13 @@ def tokenize_export_readback(spark: SparkSession, sf: str) -> DataFrame:
 _GBT_DEPTH = 2
 
 
-def _gbt_oracle() -> str:
-    """Replay BOTH trees: depth-2 Gini tree A on y, exact-integer
-    residual classes, depth-2 Gini tree B on the residual sign, then
-    the combined (leaf_a, leaf_b) readout. Prefixes a/b = tree A's two
-    levels, e/f = tree B's (each _level_sql/_gini_cand_sql expansion
-    owns its prefix namespace)."""
+def _gbt_cte() -> str:
+    """Replay BOTH trainings through ``ptsb3`` (per-row: tree-A leaf,
+    tree-B leaf, label, exact residual numerator, residual class) with
+    ``leafa`` (tree A's per-leaf n/positives) alive — the shared trunk
+    of the training readout below and round15's staged-inference
+    oracle. Prefixes a/b = tree A's two levels, e/f = tree B's (each
+    _level_sql/_gini_cand_sql expansion owns its prefix namespace)."""
     return f"""
     WITH pts AS MATERIALIZED ({_SPLIT_PTS_SQL}),
     {_level_sql("pts", "", "a")},
@@ -538,7 +580,13 @@ def _gbt_oracle() -> str:
       FROM ptsb2 p
       JOIN (SELECT node, fid, thr FROM fgb WHERE rn = 1) b
         ON b.node = p.node
-    )
+    )"""
+
+
+def _gbt_oracle() -> str:
+    """The training-telemetry readout over the shared two-tree replay
+    trunk (``_gbt_cte``)."""
+    return f"""{_gbt_cte()}
     SELECT CAST(node_a AS BIGINT) AS node_a,
            CAST(node_b AS BIGINT) AS node_b,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -549,10 +597,8 @@ def _gbt_oracle() -> str:
     """
 
 
-@register(
-    "gbt_2round_orders",
-    oracle=_gbt_oracle(),
-    doc="ML training, ONE GRADIENT-BOOSTING ROUND on the level-pass "
+_GBT_REG_DOC = (
+    "ML training, ONE GRADIENT-BOOSTING ROUND on the level-pass "
     "machinery (VERDICT r13 #3 — this is the loop the tree entries' "
     "docstrings invoke): tree A = depth-2 Gini induction on y (the "
     "shared _split_counts/_gini_best kernels); its leaf SCORES are "
@@ -573,15 +619,27 @@ def _gbt_oracle() -> str:
     "regardless of leaf count. The oracle replays BOTH trainings and "
     "the residual construction end to end; differential-tested vs a "
     "brute-force two-tree Python trainer. All outputs exact "
-    "integers.",
+    "integers."
 )
-def gbt_2round_orders(spark: SparkSession, sf: str) -> DataFrame:
+
+
+def _gbt_train(
+    spark: SparkSession, sf: str
+) -> "tuple[list[DataFrame], list[DataFrame], DataFrame, DataFrame]":
+    """Run the full two-tree boosting round ONCE and hand back every
+    trained piece: per-level best splits of tree A and tree B (each a
+    pinned (leaf, b{fid, thr}) frame), tree A's leaf table (node, n_a,
+    p_a), and the final scored frame (node_a, node=node_b, y0, ra, y).
+    Shared by the training-telemetry entry below and round15's staged
+    model build — ONE training implementation, two readouts."""
     # ----- boosting round 1: depth-2 Gini tree on y -----
     cur = _split_pts(spark, sf).withColumn("node", F.lit(1).cast("bigint"))
+    splits_a: "list[DataFrame]" = []
     for _ in range(_GBT_DEPTH):
         best = _gini_best(_split_counts(cur, F.col("node"))).localCheckpoint(
             eager=True
         )
+        splits_a.append(best)
         cur = _tree_assign(cur, best)
     # pin the scored frame ONCE: the leaf-stats agg and the residual
     # join both read it (the inter-round prediction cache every
@@ -612,11 +670,19 @@ def gbt_2round_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
     # ----- boosting round 2: depth-2 Gini tree on the residual class -----
     curb = ptsb.withColumn("node", F.lit(1).cast("bigint"))
+    splits_b: "list[DataFrame]" = []
     for _ in range(_GBT_DEPTH):
         bestb = _gini_best(_split_counts(curb, F.col("node"))).localCheckpoint(
             eager=True
         )
+        splits_b.append(bestb)
         curb = _tree_assign(curb, bestb)
+    return splits_a, splits_b, leaf, curb
+
+
+@register("gbt_2round_orders", oracle=_gbt_oracle(), doc=_GBT_REG_DOC)
+def gbt_2round_orders(spark: SparkSession, sf: str) -> DataFrame:
+    *_, curb = _gbt_train(spark, sf)
     return (
         curb.withColumnRenamed("node", "node_b")
         .groupBy("node_a", "node_b")
@@ -900,16 +966,25 @@ def _ivfpq_recall_oracle(
     "the oracle replays both rankings and the counts hash-verify.",
 )
 def ann_ivfpq_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
-    from ..pipeline.ann_index import batch_search, ensure_pq, search_pq_batch
+    from ..pipeline.ann_index import (
+        _centroid_rows,
+        batch_search,
+        ensure_pq,
+        search_pq_batch,
+    )
 
     path = ensure_pq(spark, sf, m=_PQ_M, ks=_PQ_KS)
     probes = list(_PQ_BATCH_PROBE_IDS)
     approx = search_pq_batch(
         spark, path, probes, k=10, nprobe=_PQ_BATCH_NPROBE, m=_PQ_M, ks=_PQ_KS
     ).select("probe_id", "vec_id", F.lit(1).alias("hit"))
-    exact = batch_search(spark, path, probes, k=10, nprobe=8).select(
-        "probe_id", "vec_id"
-    )
+    # the ground truth must stay EXHAUSTIVE: derive nprobe from the
+    # index's own centroid count instead of hard-coding the build
+    # default (round-14 advice — a changed default would silently turn
+    # the baseline approximate and surface only as an oracle mismatch)
+    exact = batch_search(
+        spark, path, probes, k=10, nprobe=len(_centroid_rows(spark, path))
+    ).select("probe_id", "vec_id")
     return (
         exact.join(approx, ["probe_id", "vec_id"], "left")
         .groupBy("probe_id")

@@ -1,0 +1,351 @@
+"""Round-15 catalog extensions.
+
+ANN serving: the LAST cell of the PQ serving matrix — a BATCH of
+EXTERNAL float query vectors (``ann_ivfpq_batch_by_vector_topk`` — the
+literal production RAG request shape, VERDICT r14 #1) — and the PQ
+MAINTENANCE loop closed (``ann_ivfpq_retrain_roundtrip`` — retrain_pq,
+the codebook rebuild the incremental-encode drift histogram triggers,
+VERDICT r14 #2). ML serving: the boosted model's INFERENCE half
+(``gbt_2round_leaf_stats`` — staged two-tree model, broadcast-CASE
+scoring, leaf-mean + exact residual correction, accuracy readout;
+VERDICT r14 #6).
+
+Appended as the LAST module in queries/__init__.py's pinned
+``_ROUND_MODULES`` order (first-50 driver prefix + full-order manifest
+both test-frozen).
+
+Determinism per catalog.py's rules: every output column is an exact
+integer; the one non-integer comparison (the ADC rank score) is the
+IEEE double the whole PQ family uses, produced by identical expression
+trees on exact integers in both engines with total integer tie-breaks;
+the boosted-model prediction avoids floats entirely — the leaf-mean +
+residual-mean threshold comparison is CROSS-MULTIPLIED to integers
+(2·(p_a·n + Σra) vs n_a·n), the catalog's ratio discipline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load, register, stage_parquet
+from .round12 import _split_pts
+from .round13 import _ivfpq_oracle, _PQ_KS, _PQ_M
+from .round14 import (
+    _gbt_cte,
+    _gbt_train,
+    _GBT_DEPTH,
+    _ivfpq_batch_oracle,
+)
+
+# ---------------------------------------------------------------------------
+# Batched by-vector IVF-PQ serving (VERDICT r14 #1)
+# ---------------------------------------------------------------------------
+
+#: source rows whose RAW float embeddings form the external query
+#: batch — disjoint from the by-id batch probes (0, 7, 19) so the two
+#: batch exhibits exercise different probed-list unions; each returns
+#: its own stored row at rank 1 (the quantization-consistency property
+#: the single-probe by-vector entry pins)
+_PQ_BYVEC_SRC_IDS = (2, 11, 23)
+_PQ_BYVEC_K = 5
+_PQ_BYVEC_NPROBE = 4
+
+
+@register(
+    "ann_ivfpq_batch_by_vector_topk",
+    oracle=_ivfpq_batch_oracle(
+        _PQ_BYVEC_SRC_IDS,
+        k=_PQ_BYVEC_K,
+        nprobe=_PQ_BYVEC_NPROBE,
+        exclude_probe=False,
+        by_position=True,
+    ),
+    doc="the LAST cell of the PQ serving matrix (VERDICT r14 #1): a "
+    "BATCH of EXTERNAL float query vectors — the literal production "
+    "RAG request (vector_index.ipynb raw 65 under concurrency: many "
+    "query embeddings at once, none of them stored ids). Each raw "
+    "vector is quantized DRIVER-side with the index's own scheme "
+    "(quantize_query, widen from meta), given its batch POSITION as a "
+    "synthetic probe_id, and served through the SHARED "
+    "_search_pq_batch_core — the same ONE partition-pruned codes scan, "
+    "broadcast (probe, list, bd, adc) relation, and probe-partitioned "
+    "rank as the by-id batch entry (no forked readout), with NO "
+    "self-exclusion (an external query has no id). The query batch is "
+    "the raw embeddings of rows 2/11/23, so each probe's rank-1 hit "
+    "is its own source row — three quantization-consistency checks "
+    "riding the result. VALUE-VERIFIED: the oracle uses the stored q8 "
+    "of each source row (equal by construction to quantize_query of "
+    "the raw vector — the by-vector equality property) numbered by "
+    "batch position, keeps the probe rows in their candidate sets, "
+    "and replays build + PQ train + encode + batch ADC end to end.",
+)
+def ann_ivfpq_batch_by_vector_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import ensure_pq, search_pq_batch_by_vectors
+
+    path = ensure_pq(spark, sf, m=_PQ_M, ks=_PQ_KS)
+    emb = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in load(spark, sf, "embeddings")
+        .filter(F.col("vec_id").isin(list(_PQ_BYVEC_SRC_IDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    qvs = [emb[i] for i in _PQ_BYVEC_SRC_IDS]
+    return search_pq_batch_by_vectors(
+        spark,
+        path,
+        qvs,
+        k=_PQ_BYVEC_K,
+        nprobe=_PQ_BYVEC_NPROBE,
+        m=_PQ_M,
+        ks=_PQ_KS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ codebook retrain — the maintenance loop closed (VERDICT r14 #2)
+# ---------------------------------------------------------------------------
+
+#: the retrain demo's forget-set — disjoint from the tombstone twin's
+#: (vec_id % 7 = 3) and the filtered entry's allow-set (% 3 = 0), and
+#: keeping probe 0 live (0 % 5 = 0)
+_RETRAIN_DEAD = "{v} % 5 = 2"
+
+
+@register(
+    "ann_ivfpq_retrain_roundtrip",
+    oracle=_ivfpq_oracle(
+        k=10,
+        nprobe=4,
+        probe_id=0,
+        dead_where=_RETRAIN_DEAD,
+        pq_dead_where=_RETRAIN_DEAD,
+    ),
+    doc="the PQ MAINTENANCE LOOP CLOSED (VERDICT r14 #2): retrain_pq — "
+    "the codebook rebuild the incremental-encode entry's drift "
+    "histogram exists to trigger. A deterministic forget-set "
+    "(vec_id % 5 = 2) is tombstoned into a PRIVATE variant index "
+    "(retrain-demo-v1 — retraining mutates the layer, so it can never "
+    "share the fingerprint path, the tombstone-entry rule), then "
+    "retrain_pq rebuilds the residual codebooks from the CURRENT LIVE "
+    "rows only — seeds, the integer Lloyd round, and the final encode "
+    "all behind the tombstone mask, so the forget-set's residuals "
+    "stop shaping the model (the model-level half of a GDPR purge; "
+    "compaction is the data-level half, and a compacted index "
+    "retrains identically — test-pinned). The new layer publishes by "
+    "the format-bump contract: built complete in staging, old layer "
+    "retired by atomic swap-out, (mtime, ino) validation drops every "
+    "process's cached codebooks; meta records trained_over=live so "
+    "repeat invocations serve without re-training (idempotent, like "
+    "ensure_pq). The COARSE quantizer never retrains (deletes don't "
+    "move centroids — the int8-tier contract). VALUE-VERIFIED: the "
+    "oracle replays the full build over ALL vectors, then PQ seed "
+    "selection + Lloyd + encode over the LIVE subset only "
+    "(pq_dead_where — the tombstone mask applied to TRAINING input, "
+    "not just serving), then the pruned ADC readout.",
+)
+def ann_ivfpq_retrain_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import (
+        _has_tombstones,
+        _pq_dir,
+        delete_vectors,
+        ensure_index,
+        load_index,
+        PQ_FORMAT_VERSION,
+        retrain_pq,
+        search_pq_by_id,
+    )
+
+    path = ensure_index(
+        spark, sf, n_centroids=8, iters=1, variant="retrain-demo-v1"
+    )
+    if not _has_tombstones(path):
+        dead = (
+            load_index(spark, path)[0]
+            .filter(F.expr(_RETRAIN_DEAD.format(v="vec_id")))
+            .select("vec_id")
+        )
+        delete_vectors(spark, path, dead)
+    # train the layer DIRECTLY via retrain_pq (live rows only) — no
+    # initial all-rows train_pq to immediately throw away; meta's
+    # trained_over=live marker makes repeat invocations serve-only
+    pqd = _pq_dir(path, _PQ_M, _PQ_KS)
+    mp = os.path.join(pqd, "meta.json")
+    need = not os.path.exists(mp)
+    if not need:
+        with open(mp) as f:
+            got = json.load(f)
+        need = (
+            got.get("format") != PQ_FORMAT_VERSION
+            or got.get("trained_over") != "live"
+        )
+    if need:
+        retrain_pq(spark, path, m=_PQ_M, ks=_PQ_KS)
+    return search_pq_by_id(
+        spark, path, probe_vec_id=0, k=10, nprobe=4, m=_PQ_M, ks=_PQ_KS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boosted-model inference: staged two-tree scoring (VERDICT r14 #6)
+# ---------------------------------------------------------------------------
+
+
+def _staged_gbt2_model(spark: SparkSession, sf: str) -> str:
+    """The trained boosted model as a STAGED ARTIFACT (the
+    tree3-splits discipline — a model is trained once and loaded at
+    serving time, never retrained per query): one fingerprint-keyed
+    dir holding three broadcast-sized tables — splits_a / splits_b
+    (the two depth-2 trees' (node, fid, thr) rows) and cells (the
+    per-(leaf_a, leaf_b) model stats: cell size, exact residual mass,
+    tree-A leaf totals). The leaf-stats entry's oracle still replays
+    BOTH trainings in SQL, so staging can never mask a wrong split."""
+
+    def build(tmp: str) -> None:
+        splits_a, splits_b, leaf, curb = _gbt_train(spark, sf)
+
+        def _splits_frame(levels: "list[DataFrame]") -> DataFrame:
+            out = None
+            for lv in levels:
+                flat = lv.select(
+                    F.col("leaf").cast("bigint").alias("node"),
+                    F.col("b.fid").cast("bigint").alias("fid"),
+                    F.col("b.thr").alias("thr"),
+                )
+                out = flat if out is None else out.unionByName(flat)
+            return out
+
+        _splits_frame(splits_a).coalesce(1).write.parquet(
+            os.path.join(tmp, "splits_a")
+        )
+        _splits_frame(splits_b).coalesce(1).write.parquet(
+            os.path.join(tmp, "splits_b")
+        )
+        cells = (
+            curb.withColumnRenamed("node", "node_b")
+            .groupBy("node_a", "node_b")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_cell"),
+                F.sum("ra").cast("bigint").alias("sum_ra"),
+            )
+            .join(
+                F.broadcast(leaf.withColumnRenamed("node", "node_a")),
+                "node_a",
+            )
+        )
+        cells.coalesce(1).write.parquet(os.path.join(tmp, "cells"))
+        # multi-table staging: the publish gate checks _SUCCESS at the
+        # dir ROOT (single-table stages get it from the parquet write)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return stage_parquet(os.path.join(sf, "orders.parquet"), "gbt2_model_v1", build)
+
+
+def _gbt_leaf_oracle() -> str:
+    """Replay BOTH trainings (the shared _gbt_cte trunk), then the
+    boosted readout per (leaf_a, leaf_b) cell: prediction = tree-A
+    leaf mean + the cell's exact mean residual, thresholded at 1/2 by
+    CROSS-MULTIPLICATION (p_a/n_a + Σra/(n·n_a) > 1/2 ⟺
+    2·(p_a·n + Σra) > n_a·n — exact integers end to end, n_a and n
+    both positive)."""
+    return f"""{_gbt_cte()},
+    cells AS (
+      SELECT p.node_a, p.node_b,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(p.y0) AS BIGINT) AS n_pos,
+             CAST(SUM(p.ra) AS BIGINT) AS sum_ra,
+             CAST(MIN(l.n_a) AS BIGINT) AS n_a,
+             CAST(MIN(l.p_a) AS BIGINT) AS p_a
+      FROM ptsb3 p JOIN leafa l ON l.node = p.node_a
+      GROUP BY p.node_a, p.node_b
+    )
+    SELECT CAST(node_a AS BIGINT) AS node_a,
+           CAST(node_b AS BIGINT) AS node_b,
+           n_rows, n_pos,
+           CAST(CASE WHEN 2 * (p_a * n_rows + sum_ra) > n_a * n_rows
+                THEN 1 ELSE 0 END AS BIGINT) AS predict,
+           CAST(CASE WHEN 2 * (p_a * n_rows + sum_ra) > n_a * n_rows
+                THEN n_pos ELSE n_rows - n_pos END AS BIGINT) AS n_correct
+    FROM cells
+    """
+
+
+@register(
+    "gbt_2round_leaf_stats",
+    oracle=_gbt_leaf_oracle(),
+    doc="the boosted model's INFERENCE half (VERDICT r14 #6), "
+    "completing train→predict for the GBT pair the way "
+    "tree_depth3_leaf_stats completed it for the single tree: the "
+    "trained two-tree model is a STAGED ARTIFACT (_staged_gbt2_model, "
+    "built once per dataset fingerprint — both trees' split tables "
+    "plus the per-(leaf_a, leaf_b) cell stats), and serving scores "
+    "every row through BOTH trees with 2·depth broadcast-CASE hops "
+    "(no shuffle, no retraining at any corpus size), joins the "
+    "broadcast cell table, and predicts per cell as tree-A LEAF MEAN "
+    "+ EXACT RESIDUAL CORRECTION: p_a/n_a + Σra/(n·n_a) > 1/2, "
+    "cross-multiplied to the all-integer comparison "
+    "2·(p_a·n + Σra) > n_a·n (the catalog's ratio discipline — no "
+    "float ever materializes). Readout per composite cell: size, "
+    "positives, the boosted prediction, and the training-accuracy "
+    "numerator — the post-iteration eval a GBDT trainer logs next to "
+    "gbt_2round_orders' telemetry. The oracle replays BOTH trainings "
+    "and the boosted threshold end to end, so staging can never mask "
+    "a wrong split; rows of nodes emptied by the inner assignment "
+    "joins drop symmetrically. All outputs exact integers.",
+)
+def gbt_2round_leaf_stats(spark: SparkSession, sf: str) -> DataFrame:
+    model = _staged_gbt2_model(spark, sf)
+    sa = F.broadcast(spark.read.parquet(os.path.join(model, "splits_a")))
+    sb = F.broadcast(spark.read.parquet(os.path.join(model, "splits_b")))
+    cells = F.broadcast(spark.read.parquet(os.path.join(model, "cells")))
+
+    def hops(cur: DataFrame, splits: DataFrame) -> DataFrame:
+        for _ in range(_GBT_DEPTH):
+            cur = (
+                cur.join(splits, "node")  # matches this level's nodes only
+                .withColumn(
+                    "node",
+                    F.col("node") * 2
+                    + F.when(
+                        F.expr(
+                            "CASE fid WHEN 0 THEN f0 WHEN 1 THEN f1 ELSE f2 END"
+                        )
+                        <= F.col("thr"),
+                        F.lit(0),
+                    ).otherwise(F.lit(1)),
+                )
+                .drop("fid", "thr")
+            )
+        return cur
+
+    rows = _split_pts(spark, sf).withColumn("node", F.lit(1).cast("bigint"))
+    a = hops(rows, sa).withColumnRenamed("node", "node_a")
+    b = hops(
+        a.withColumn("node", F.lit(1).cast("bigint")), sb
+    ).withColumnRenamed("node", "node_b")
+    agg = b.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    # the prediction is a function of the MODEL alone (n_cell, not the
+    # serving count — equal on training data, but the model is what a
+    # deployment would apply to unseen rows)
+    pred = (
+        2 * (F.col("p_a") * F.col("n_cell") + F.col("sum_ra"))
+        > F.col("n_a") * F.col("n_cell")
+    )
+    return agg.join(cells, ["node_a", "node_b"]).select(
+        F.col("node_a").cast("bigint").alias("node_a"),
+        F.col("node_b").cast("bigint").alias("node_b"),
+        "n_rows",
+        "n_pos",
+        F.when(pred, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("predict"),
+        F.when(pred, F.col("n_pos"))
+        .otherwise(F.col("n_rows") - F.col("n_pos"))
+        .cast("bigint")
+        .alias("n_correct"),
+    )

@@ -26,7 +26,31 @@ def test_families_partition_headline_exactly(bench):
     flat = [n for fam in fams for n in fam]
     assert flat == bench.HEADLINE  # order-preserving, no dups, no gaps
     assert all(fam for fam in fams)
-    assert len(fams) <= bench.N_FAMILIES
+    assert all(len(fam) == bench.FAMILY_CHUNK for fam in fams[:-1])
+
+
+def test_family_assignment_invariant_under_appends(bench, monkeypatch):
+    """VERDICT r14 #7: appending new HEADLINE entries must never move
+    an existing query to a different family or change its
+    within-family predecessors — the fixed-chunk pin that makes
+    cross-round per-entry comparisons compare like cohorts (the old
+    ceil(len/8) sizing reshuffled every boundary on growth)."""
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_FAMILIES", raising=False)
+
+    def fam_of(names):
+        out = {}
+        size = bench.FAMILY_CHUNK
+        for i, n in enumerate(names):
+            out[n] = (i // size, i % size)
+        return out
+
+    base = fam_of(bench.HEADLINE)
+    grown = fam_of(bench.HEADLINE + [f"__new_{i}" for i in range(40)])
+    assert all(grown[n] == base[n] for n in bench.HEADLINE)
+    # and the live _families() agrees with the fixed-chunk assignment
+    fams = bench._families()
+    live = {n: (fi, pi) for fi, fam in enumerate(fams) for pi, n in enumerate(fam)}
+    assert live == base
 
 
 def test_headline_names_all_registered(bench):

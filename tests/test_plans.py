@@ -895,3 +895,93 @@ def test_ivfpq_incremental_encode_is_broadcast_map_side(spark, sf_dir, reg):
     assert "SortMergeJoin" not in plan
     assert "codes.parquet" not in plan
     assert "assignments.parquet" not in plan
+
+
+def test_ivfpq_batch_by_vector_one_codes_scan(spark, sf_dir, reg):
+    """Round-15 batch BY-VECTOR PQ serving: the external-query batch
+    must inherit the by-id batch plan unchanged (shared core, no
+    forked readout) — ONE partition-pruned codes scan for all queries,
+    broadcast ADC relation, probe-partitioned rank — with neither the
+    assignments (no stored probes to fetch in the plan) nor the raw
+    embeddings (the query batch was collected eagerly) read."""
+    df = reg["ann_ivfpq_batch_by_vector_topk"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    scans = [
+        line
+        for line in plan.splitlines()
+        if "Location" in line and "codes.parquet" in line
+    ]
+    assert len(scans) == 1, f"expected exactly one codes scan: {scans}"
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert any("centroid_id" in line and "IN" in line for line in pf)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "embeddings.parquet" not in plan
+    assert "assignments.parquet" not in plan
+    specs = _window_specs(plan)
+    assert specs and all("probe_id" in s.split(",")[0] for s in specs), specs
+
+
+def test_ivfpq_batch_broadcast_budget_fallback_values_equal(
+    spark, sf_dir, monkeypatch
+):
+    """Round-15 (VERDICT r14 #4): the batch core's broadcast-budget
+    guard. Under the default budget the small batch BROADCASTS the ADC
+    relation (plan-asserted by test_ivfpq_batch_search_one_codes_scan);
+    with the budget pinned to 0 the same call hash-partitions both
+    sides on centroid_id (shuffle-hash, never sort-merge) and must
+    produce IDENTICAL values — the hub-fallback-values-unchanged
+    discipline."""
+    from news_graph_rag_spark.pipeline import ann_index
+    from news_graph_rag_spark.queries.round13 import _PQ_KS, _PQ_M
+    from news_graph_rag_spark.queries.round14 import (
+        _PQ_BATCH_K,
+        _PQ_BATCH_NPROBE,
+        _PQ_BATCH_PROBE_IDS,
+    )
+
+    path = ann_index.ensure_pq(spark, sf_dir, m=_PQ_M, ks=_PQ_KS)
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in ann_index.search_pq_batch(
+                spark,
+                path,
+                list(_PQ_BATCH_PROBE_IDS),
+                k=_PQ_BATCH_K,
+                nprobe=_PQ_BATCH_NPROBE,
+                m=_PQ_M,
+                ks=_PQ_KS,
+            ).collect()
+        )
+
+    default = run()
+    monkeypatch.setattr(ann_index, "ADC_BROADCAST_MAX_CELLS", 0)
+    fb_df = ann_index.search_pq_batch(
+        spark,
+        path,
+        list(_PQ_BATCH_PROBE_IDS),
+        k=_PQ_BATCH_K,
+        nprobe=_PQ_BATCH_NPROBE,
+        m=_PQ_M,
+        ks=_PQ_KS,
+    )
+    plan = plan_of(fb_df)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" in plan  # the over-budget join strategy
+    fallback = sorted(tuple(r) for r in fb_df.collect())
+    assert fallback == default and len(default) > 0
+
+
+def test_gbt_leaf_stats_is_broadcast_scoring(spark, sf_dir, reg):
+    """Round-15 boosted-model inference: scoring must be 2·depth
+    broadcast-CASE hops against the staged model tables plus one
+    map-side-combinable aggregation — no sort-merge join, no window
+    anywhere in the live plan (the model is a pinned broadcast
+    artifact, exactly the tree3 leaf-stats shape)."""
+    plan = plan_of(reg["gbt_2round_leaf_stats"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
