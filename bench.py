@@ -224,6 +224,9 @@ HEADLINE = [
     "ann_ivfpq_batch_by_vector_topk",
     "ann_ivfpq_retrain_roundtrip",
     "gbt_2round_leaf_stats",
+    "ann_ivf_batch_by_vector_topk",
+    "ann_ivfpq_batch_filtered_topk",
+    "tokenize_shard_doc_offsets",
 ]
 
 

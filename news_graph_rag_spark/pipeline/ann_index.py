@@ -1038,6 +1038,51 @@ def _batch_probe_lists(
     return probe_lists, all_lists
 
 
+def _batch_search_core(
+    spark: SparkSession,
+    path: str,
+    probes: dict,
+    k: int,
+    nprobe: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """The ONE int8 batch scan + rank shared by the by-id path
+    (``batch_search``) and the by-vector path
+    (``batch_search_by_vectors``): per-probe list ranking, one pruned
+    assignments scan for the whole batch, broadcast (probe, list, q8)
+    fan-out, probe-partitioned rank. ``probes`` maps probe_id → int64
+    q8 vector."""
+    from pyspark.sql.window import Window
+
+    assignments = _live_only(
+        spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
+    )
+    probe_lists, all_lists = _batch_probe_lists(spark, path, probes, nprobe)
+    cand = assignments.filter(F.col("centroid_id").isin(all_lists))
+
+    # (probe_id, centroid_id, probe_q8) relation — a broadcast-sized
+    # constant; the join fans each candidate out only to the probes
+    # actually probing its list
+    probe_rel = spark.createDataFrame(
+        [
+            (pid, cid, [int(x) for x in probes[pid]])
+            for pid, lists in probe_lists.items()
+            for cid in lists
+        ],
+        "probe_id long, centroid_id int, pq8 array<int>",
+    )
+    joined = cand.join(F.broadcast(probe_rel), "centroid_id")
+    if exclude_self:
+        joined = joined.filter(F.col("vec_id") != F.col("probe_id"))
+    scored = _jvm_scored(joined, F.col("pq8"), extra_cols=("probe_id",))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "rnk", "vec_id", "dot")
+    )
+
+
 def batch_search(
     spark: SparkSession,
     path: str,
@@ -1056,38 +1101,43 @@ def batch_search(
     integers, hash-verifiable. At 100 TB: cost is one scan of the
     DISTINCT probed lists regardless of batch size, and the shuffle
     carries only the per-probe candidate rows."""
-    from pyspark.sql.window import Window
-
     assignments = _live_only(
         spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
     )
     probes = _collect_probes(assignments, probe_ids)
-    probe_lists, all_lists = _batch_probe_lists(spark, path, probes, nprobe)
-    cand = assignments.filter(F.col("centroid_id").isin(all_lists))
+    return _batch_search_core(
+        spark, path, probes, k=k, nprobe=nprobe, exclude_self=True
+    )
 
-    # (probe_id, centroid_id, probe_q8) relation — a broadcast-sized
-    # constant; the join fans each candidate out only to the probes
-    # actually probing its list
-    probe_rel = spark.createDataFrame(
-        [
-            (pid, cid, [int(x) for x in probes[pid]])
-            for pid, lists in probe_lists.items()
-            for cid in lists
-        ],
-        "probe_id long, centroid_id int, pq8 array<int>",
-    )
-    scored = _jvm_scored(
-        cand.join(F.broadcast(probe_rel), "centroid_id").filter(
-            F.col("vec_id") != F.col("probe_id")
-        ),
-        F.col("pq8"),
-        extra_cols=("probe_id",),
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= k)
-        .select("probe_id", "rnk", "vec_id", "dot")
+
+def batch_search_by_vectors(
+    spark: SparkSession,
+    path: str,
+    query_vectors,
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Batch KNN for EXTERNAL float query vectors — the int8 twin of
+    ``search_pq_batch_by_vectors``, completing the int8 tier's own
+    {single, batch} × {by-id, by-vector} matrix: each query quantizes
+    driver-side with the index's scheme (``quantize_query``, widen
+    from meta), takes its batch POSITION as a synthetic probe_id, and
+    rides the shared ``_batch_search_core`` with no self-exclusion.
+    Returns (probe_id = position in ``query_vectors``, rnk, vec_id,
+    dot)."""
+    import numpy as np
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    probes = {
+        i: np.asarray(
+            quantize_query(qv, widen_reps=meta.get("widen_reps")),
+            dtype=np.int64,
+        )
+        for i, qv in enumerate(query_vectors)
+    }
+    return _batch_search_core(
+        spark, path, probes, k=k, nprobe=nprobe, exclude_self=False
     )
 
 
@@ -1928,14 +1978,18 @@ def _search_pq_batch_core(
     m: int,
     ks: int,
     exclude_self: bool,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """The ONE batch ADC scan + rank shared by the by-id path
     (``search_pq_batch`` — stored probes, self-excluded) and the
     by-vector path (``search_pq_batch_by_vectors`` — external queries,
     nothing to exclude): per-probe list ranking, driver-side ADC
     tables, ONE pruned codes scan for the whole batch, tombstone
-    anti-join, probe-partitioned rank. ``probes`` maps probe_id →
-    int64 q8 vector (a stored id or a synthetic batch position)."""
+    anti-join, optional allow-list semi-join PRE-filter (the
+    metadata-constrained batch — applied before ranking, same position
+    as the single-probe filtered path), probe-partitioned rank.
+    ``probes`` maps probe_id → int64 q8 vector (a stored id or a
+    synthetic batch position)."""
     import numpy as np
 
     from pyspark.sql.window import Window
@@ -1964,6 +2018,10 @@ def _search_pq_batch_core(
     ts = tombstones(spark, path)
     if ts is not None:
         cand = cand.join(F.broadcast(ts), "vec_id", "left_anti")
+    if allowed is not None:
+        cand = cand.join(
+            F.broadcast(allowed.select("vec_id")), "vec_id", "left_semi"
+        )
     adot = F.col("bd") + F.expr(
         f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), "
         "(acc, s) -> acc + adc[s][codes[s]])"
@@ -2009,6 +2067,7 @@ def search_pq_batch(
     nprobe: int = 4,
     m: int = 8,
     ks: int = 16,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Batched multi-probe IVF-PQ asymmetric-distance search: score a
     BATCH of query vectors in ONE job — the production retrieval
@@ -2035,13 +2094,24 @@ def search_pq_batch(
     lists. The broadcast relation is Q·nprobe rows of m·ks bigints;
     at Q beyond ``ADC_BROADCAST_MAX_CELLS`` the shared core
     hash-partitions both sides on centroid_id instead (same plan minus
-    the broadcast — value-equality is test-pinned)."""
+    the broadcast — value-equality is test-pinned). ``allowed`` (a
+    vec_id frame) applies as the broadcast semi-join PRE-filter on the
+    pruned codes scan, before ranking — the metadata-constrained
+    batch."""
     assignments = _live_only(
         spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
     )
     probes = _collect_probes(assignments, probe_ids)
     return _search_pq_batch_core(
-        spark, path, probes, k=k, nprobe=nprobe, m=m, ks=ks, exclude_self=True
+        spark,
+        path,
+        probes,
+        k=k,
+        nprobe=nprobe,
+        m=m,
+        ks=ks,
+        exclude_self=True,
+        allowed=allowed,
     )
 
 

@@ -77,6 +77,7 @@ def _ivfpq_batch_cte(
     nprobe: int,
     exclude_probe: bool = True,
     by_position: bool = False,
+    allow_where: str = "TRUE",
 ) -> str:
     """Batch replay over the shared PQ train chain, through ``scored``
     (per (probe_id, vec_id): exact-integer asymmetric dot + stored
@@ -102,6 +103,13 @@ def _ivfpq_batch_cte(
     else:
         pid = "vec_id"
     probe_excl = "e.vec_id <> a.probe_id" if exclude_probe else "TRUE"
+    # appended only when an allow-set is given, so the default text
+    # stays byte-identical to the frozen round-14 oracles
+    allow_line = (
+        ""
+        if allow_where == "TRUE"
+        else f"\n        AND ({allow_where.format(v='e.vec_id')})"
+    )
     return f"""
     {_ivfpq_train_cte()},
     probes AS (
@@ -141,7 +149,7 @@ def _ivfpq_batch_cte(
       JOIN adc a ON a.cid = e.cid AND a.sub = e.sub AND a.code = e.code
       JOIN b1 b ON b.vec_id = e.vec_id
       JOIN bdot bd ON bd.cid = e.cid AND bd.probe_id = a.probe_id
-      WHERE {probe_excl}
+      WHERE {probe_excl}{allow_line}
       GROUP BY a.probe_id, e.vec_id
     )"""
 
@@ -152,10 +160,11 @@ def _ivfpq_batch_oracle(
     nprobe: int,
     exclude_probe: bool = True,
     by_position: bool = False,
+    allow_where: str = "TRUE",
 ) -> str:
     return f"""
     {_ivfpq_batch_cte(probe_ids, nprobe, exclude_probe=exclude_probe,
-                      by_position=by_position)}
+                      by_position=by_position, allow_where=allow_where)}
     SELECT probe_id,
            CAST(row_number() OVER (
              PARTITION BY probe_id
@@ -361,15 +370,18 @@ def _tpe_ids(spark: SparkSession, sf: str) -> DataFrame:
         "ids",
         F.expr(f"CAST(_excl DIV {_TPE_BUDGET} AS BIGINT)").alias("bin_id"),
     )
+    # ONE budget-bounded collect per bin feeds both the packed id
+    # sequence and the per-doc length vector (round 15: doc_lens — in
+    # the same doc_id pack order — is the sequence-boundary metadata a
+    # packed-sequence trainer needs for attention-mask resets)
+    packed = F.array_sort(F.collect_list(F.struct("doc_id", "ids")))
     bins = pk.groupBy("bin_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("doc_id", "ids"))),
-                lambda s: s["ids"],
-            )
-        ).alias("seq"),
+        F.flatten(F.transform(packed, lambda s: s["ids"])).alias("seq"),
+        F.transform(packed, lambda s: F.size(s["ids"]).cast("bigint")).alias(
+            "doc_lens"
+        ),
     )
     hh = bins.withColumn("h2", _lcg_mix(F.col("bin_id")))
     r = global_row_number(
@@ -384,6 +396,7 @@ def _tpe_ids(spark: SparkSession, sf: str) -> DataFrame:
         "n_docs",
         "n_tokens",
         "seq",
+        "doc_lens",
     )
 
 
@@ -407,7 +420,9 @@ def _staged_token_shards(spark: SparkSession, sf: str) -> str:
             "shard_id"
         ).mode("overwrite").parquet(tmp)
 
-    kind = f"tpe_shards_v1_b{_TPE_BUDGET}_s{_TPE_SHARDS}_m{len(_EXPORT_MERGES)}"
+    # v2: round 15 added the doc_lens column (the documented
+    # bump-on-content-change discipline in action)
+    kind = f"tpe_shards_v2_b{_TPE_BUDGET}_s{_TPE_SHARDS}_m{len(_EXPORT_MERGES)}"
     return stage_parquet(os.path.join(sf, "documents.parquet"), kind, build)
 
 

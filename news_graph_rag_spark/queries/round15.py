@@ -8,7 +8,13 @@ the codebook rebuild the incremental-encode drift histogram triggers,
 VERDICT r14 #2). ML serving: the boosted model's INFERENCE half
 (``gbt_2round_leaf_stats`` — staged two-tree model, broadcast-CASE
 scoring, leaf-mean + exact residual correction, accuracy readout;
-VERDICT r14 #6).
+VERDICT r14 #6). Second pass: the int8 tier's own by-vector batch
+(``ann_ivf_batch_by_vector_topk`` — closing the FULL {int8, PQ} ×
+{single, batch} × {by-id, by-vector} serving matrix), the filtered
+batch (``ann_ivfpq_batch_filtered_topk`` — one broadcast pre-filter on
+the shared pruned scan), and the packed-sequence doc-boundary artifact
+(``tokenize_shard_doc_offsets`` — per-doc offsets/lengths inside each
+packed bin, served from the written v2 shards).
 
 Appended as the LAST module in queries/__init__.py's pinned
 ``_ROUND_MODULES`` order (first-50 driver prefix + full-order manifest
@@ -348,4 +354,239 @@ def gbt_2round_leaf_stats(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.col("n_rows") - F.col("n_pos"))
         .cast("bigint")
         .alias("n_correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-15 second pass: int8 batch by-vector, filtered PQ batch, and the
+# packed-sequence doc-boundary artifact
+# ---------------------------------------------------------------------------
+
+#: raw-embedding sources for the int8 by-vector batch — disjoint from
+#: the int8 by-id batch's (0..4)
+_IVF_BYVEC_SRC_IDS = (5, 12, 31)
+
+#: the filtered-batch entry composes the round-14 batch probes with the
+#: round-14 allow predicate — SAME constants (imported, not copied), so
+#: the three entries stay comparable
+from .round14 import (  # noqa: E402
+    _PQ_ALLOW_PRED as _PQ_ALLOW_PRED_R15,
+    _PQ_BATCH_PROBE_IDS as _PQ_FB_PROBE_IDS,
+    _staged_token_shards,
+    _tpe_toks_sql,
+)
+
+
+def _ivf_batch_byvec_oracle(
+    probe_ids: "tuple[int, ...]", k: int, nprobe: int
+) -> str:
+    """Int8 batch replay with POSITION-numbered probes and no
+    self-exclusion — the by-vector twin of the inline
+    ann_ivf_batch_search_topk oracle (stored q8 per the by-vector
+    quantization-equality property)."""
+    from .retrieval_queries import _IVF_DOT, _IVF_SCORE, _ivf_int8_build_cte
+
+    pid = "CASE vec_id " + " ".join(
+        f"WHEN {int(v)} THEN {i}" for i, v in enumerate(probe_ids)
+    ) + " END"
+    ids = ", ".join(str(int(p)) for p in probe_ids)
+    return f"""
+    {_ivf_int8_build_cte(n_centroids=8)},
+    probes AS (
+      SELECT {pid} AS probe_id, q8 AS pq8
+      FROM live WHERE vec_id IN ({ids})
+    ),
+    ppc AS (
+      SELECT probe_id, cid FROM (
+        SELECT p.probe_id, c.cid,
+               {_IVF_SCORE.format(a="p.pq8", b="c.c8", n="c.cnrm")} AS score
+        FROM probes p CROSS JOIN c1n c
+      ) QUALIFY row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY score DESC, cid) <= {nprobe}
+    ),
+    cand AS (
+      SELECT pp.probe_id, b.vec_id, b.q8, b.nrm, p.pq8
+      FROM ppc pp
+      JOIN b1 b ON b.cid = pp.cid
+      JOIN probes p ON p.probe_id = pp.probe_id
+    ),
+    scored AS (
+      SELECT probe_id, vec_id,
+             {_IVF_DOT.format(a="q8", b="pq8")} AS dot,
+             {_IVF_SCORE.format(a="q8", b="pq8", n="nrm")} AS score
+      FROM cand
+    )
+    SELECT probe_id,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY score DESC, vec_id) AS INT)
+             AS rnk,
+           vec_id, dot
+    FROM scored
+    QUALIFY rnk <= {k}
+    """
+
+
+@register(
+    "ann_ivf_batch_by_vector_topk",
+    oracle=_ivf_batch_byvec_oracle(_IVF_BYVEC_SRC_IDS, k=3, nprobe=2),
+    doc="the int8 tier's OWN {batch} × {by-vector} cell, symmetric "
+    "with the PQ twin added this round: a batch of EXTERNAL float "
+    "query embeddings quantizes driver-side (quantize_query, widen "
+    "from meta), takes batch positions as synthetic probe_ids, and "
+    "rides the SAME _batch_search_core as the by-id batch entry — one "
+    "partition-pruned assignments scan for the whole batch, broadcast "
+    "(probe, list, q8) fan-out, probe-partitioned rank, no "
+    "self-exclusion (each probe's rank-1 hit is its own source row — "
+    "the quantization-consistency property). With this the FULL "
+    "serving matrix {int8, PQ} × {single, batch} × {by-id, by-vector} "
+    "is closed. VALUE-VERIFIED: the oracle uses the stored q8 of the "
+    "source rows numbered by batch position and replays build + "
+    "per-probe pruning + exact scoring end to end.",
+)
+def ann_ivf_batch_by_vector_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import batch_search_by_vectors, ensure_index
+
+    path = ensure_index(spark, sf, widen_reps=None, n_centroids=8, iters=1)
+    emb = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in load(spark, sf, "embeddings")
+        .filter(F.col("vec_id").isin(list(_IVF_BYVEC_SRC_IDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    qvs = [emb[i] for i in _IVF_BYVEC_SRC_IDS]
+    return batch_search_by_vectors(spark, path, qvs, k=3, nprobe=2)
+
+
+@register(
+    "ann_ivfpq_batch_filtered_topk",
+    oracle=_ivfpq_batch_oracle(
+        _PQ_FB_PROBE_IDS,
+        k=5,
+        nprobe=4,
+        allow_where=_PQ_ALLOW_PRED_R15,
+    ),
+    doc="FILTERED batch PQ serving — the metadata-constrained request "
+    "BATCH ('nearest chunks within this tenant, for all Q queries at "
+    "once'), composing the two serving dimensions the tier already "
+    "pins separately (ann_ivfpq_batch_topk × "
+    "ann_ivfpq_filtered_search_topk): the eligible-id set "
+    "(vec_id % 3 = 0) applies as ONE broadcast semi-join PRE-filter "
+    "on the single partition-pruned codes scan shared by the whole "
+    "batch, BEFORE the per-probe ranks — top-k exact over the allowed "
+    "subset inside each probe's lists, never the post-filter trap, "
+    "and the filter is applied once regardless of batch size. "
+    "VALUE-VERIFIED: the oracle replays the batch ADC chain with the "
+    "same eligibility mask on the candidate set only.",
+)
+def ann_ivfpq_batch_filtered_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import ensure_pq, load_index, search_pq_batch
+
+    path = ensure_pq(spark, sf, m=_PQ_M, ks=_PQ_KS)
+    allowed = (
+        load_index(spark, path)[0]
+        .filter(F.expr(_PQ_ALLOW_PRED_R15.format(v="vec_id")))
+        .select("vec_id")
+    )
+    return search_pq_batch(
+        spark,
+        path,
+        list(_PQ_FB_PROBE_IDS),
+        k=5,
+        nprobe=4,
+        m=_PQ_M,
+        ks=_PQ_KS,
+        allowed=allowed,
+    )
+
+
+def _tpe_offsets_oracle() -> str:
+    """Replay tokenize → pack → shuffle → shard with NO access to the
+    written shards, down to PER-DOC rows: each doc's bin, its position
+    in the bin's doc_id pack order, its exclusive token offset, and
+    its length."""
+    from .round12 import _lcg_mix_sql
+    from .round13 import _tpe_shard_sql, _TPE_BUDGET as _B
+
+    return f"""
+    WITH {_tpe_toks_sql()},
+    dsum AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY doc_id
+    ),
+    dt AS (
+      SELECT d.doc_id, CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+      LEFT JOIN dsum s ON s.doc_id = d.doc_id
+    ),
+    pk AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  // {_B} AS BIGINT) AS bin_id
+      FROM dt
+    ),
+    bins AS (SELECT bin_id FROM pk GROUP BY bin_id),
+    hh AS (SELECT *, {_lcg_mix_sql("bin_id")} AS h2 FROM bins),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY h2, bin_id) AS rnk,
+             count(*) OVER () AS t
+      FROM hh
+    ),
+    sh AS (SELECT bin_id, {_tpe_shard_sql()} AS shard_id FROM r)
+    SELECT s.shard_id, p.bin_id,
+           CAST(row_number() OVER (PARTITION BY p.bin_id
+                                   ORDER BY p.doc_id) - 1 AS BIGINT) AS pos,
+           CAST(COALESCE(SUM(p.n_tokens) OVER (
+                  PARTITION BY p.bin_id ORDER BY p.doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS doc_off,
+           p.n_tokens AS doc_len
+    FROM pk p JOIN sh s ON s.bin_id = p.bin_id
+    """
+
+
+@register(
+    "tokenize_shard_doc_offsets",
+    oracle=_tpe_offsets_oracle(),
+    doc="the SEQUENCE-BOUNDARY table of the token-id export — the "
+    "third artifact a packed-sequence trainer ships next to the "
+    "shards and the vocab: per packed 512-token bin, every document's "
+    "position, exclusive token OFFSET, and length (what the data "
+    "loader uses to reset attention masks / position ids at document "
+    "boundaries inside a packed row). Served from the WRITTEN shards: "
+    "the staged export (v2) stores each bin's per-doc length vector "
+    "in pack order next to its id sequence, so the entry is one "
+    "posexplode + a BIN-partitioned running sum over the read-back "
+    "files — bins are budget-bounded (≤512 tokens), so every window "
+    "partition is tiny and the table streams out of the shard scan "
+    "with one hash exchange on bin_id. VALUE-VERIFIED with no access "
+    "to the files: the oracle replays tokenize → pack → shuffle → "
+    "shard down to per-doc rows, so a mis-packed bin, a wrong length "
+    "vector, or an order drift between seq and doc_lens surfaces as a "
+    "value mismatch. All outputs exact integers.",
+)
+def tokenize_shard_doc_offsets(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    df = spark.read.parquet(_staged_token_shards(spark, sf))
+    ex = df.select(
+        "shard_id",
+        "bin_id",
+        F.posexplode("doc_lens").alias("pos", "doc_len"),
+    )
+    w = (
+        Window.partitionBy("bin_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ex.select(
+        "shard_id",
+        "bin_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.coalesce(F.sum("doc_len").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("doc_off"),
+        F.col("doc_len").cast("bigint").alias("doc_len"),
     )

@@ -985,3 +985,60 @@ def test_gbt_leaf_stats_is_broadcast_scoring(spark, sf_dir, reg):
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_ivf_batch_by_vector_one_pruned_scan(spark, sf_dir, reg):
+    """Round-15 int8 batch by-vector: the external-query batch rides
+    the shared int8 batch core — one partition-pruned assignments
+    scan, broadcast probe fan-out, probe-partitioned rank; the raw
+    embeddings never appear in the serving plan (collected eagerly)."""
+    df = reg["ann_ivf_batch_by_vector_topk"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    scans = [
+        line
+        for line in plan.splitlines()
+        if "Location" in line and "assignments.parquet" in line
+    ]
+    assert len(scans) == 1, scans
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert any("centroid_id" in line and "IN" in line for line in pf)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "embeddings.parquet" not in plan
+    specs = _window_specs(plan)
+    assert specs and all("probe_id" in s.split(",")[0] for s in specs), specs
+
+
+def test_ivfpq_batch_filtered_prefilters_one_scan(spark, sf_dir, reg):
+    """Round-15 filtered batch PQ: the allow-set must apply as a
+    broadcast SEMI-join pre-filter on the ONE pruned codes scan shared
+    by the whole batch — before ranking, once per batch — with the
+    stored d-dim vectors still never read for scoring."""
+    df = reg["ann_ivfpq_batch_filtered_topk"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    scans = [
+        line
+        for line in plan.splitlines()
+        if "Location" in line and "codes.parquet" in line
+    ]
+    assert len(scans) == 1, scans
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert any("centroid_id" in line and "IN" in line for line in pf)
+    assert "SortMergeJoin" not in plan
+    specs = _window_specs(plan)
+    assert specs and all("probe_id" in s.split(",")[0] for s in specs), specs
+
+
+def test_tokenize_doc_offsets_reads_shards_only(spark, sf_dir, reg):
+    """Round-15 doc-offsets artifact: served from the WRITTEN shards —
+    one partitioned scan + posexplode + a BIN-partitioned running sum;
+    the export chain's inputs (documents) never appear, no sort-merge
+    join, and the one window partitions on bin_id (budget-bounded
+    partitions, never global)."""
+    df = reg["tokenize_shard_doc_offsets"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "documents.parquet" not in plan
+    assert "SortMergeJoin" not in plan
+    specs = _window_specs(plan)
+    assert specs and all("bin_id" in s.split(",")[0] for s in specs), specs
