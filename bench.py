@@ -227,6 +227,7 @@ HEADLINE = [
     "ann_ivf_batch_by_vector_topk",
     "ann_ivfpq_batch_filtered_topk",
     "tokenize_shard_doc_offsets",
+    "ann_ivfpq_insert_search_topk",
 ]
 
 
@@ -426,6 +427,17 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
             "ann_ivf_retrain_variant",
             lambda d: ensure_index(
                 spark, d, n_centroids=8, iters=1, variant="retrain-demo-v1"
+            ),
+        ),
+        (
+            "ann_ivfpq_insert_variant",
+            lambda d: ensure_pq(
+                spark,
+                d,
+                m=_PQ_M,
+                ks=_PQ_KS,
+                variant="pqinsert-demo-v1",
+                subset_pred=_IVF_INCR_BASE.format(t="string"),
             ),
         ),
         ("graph_seq_edges", lambda d: _staged_seq_edges(spark, d).count()),

@@ -2228,7 +2228,8 @@ def encode_new(
     residual codebooks — residual vs the assigned centroid, per-
     subspace exact-integer L2 argmin with ties to the smallest code,
     the same arithmetic train_pq's final encode runs — and returned as
-    (vec_id, centroid_id, codes) rows ready to append under their code
+    (vec_id, centroid_id, nrm, codes) rows in the codes table's own
+    schema, ready for ``append_codes`` to land under their code
     partitions. No retraining, no shuffle of stored data: the
     centroids and codebooks are broadcast-sized constants, so encoding
     is map-side over the incoming rows only. At 100 TB this is how
@@ -2245,11 +2246,13 @@ def encode_new(
     res = assigned.join(F.broadcast(cents_df), "centroid_id").select(
         "vec_id",
         "centroid_id",
+        "nrm",
         F.zip_with("q8", "c8", lambda a, b: a - b).alias("r"),
     )
     rsub = res.select(
         "vec_id",
         "centroid_id",
+        "nrm",
         F.explode(
             F.array(
                 *[
@@ -2261,7 +2264,7 @@ def encode_new(
                 ]
             )
         ).alias("sv"),
-    ).select("vec_id", "centroid_id", "sv.sub", "sv.rs")
+    ).select("vec_id", "centroid_id", "nrm", "sv.sub", "sv.rs")
     cb_df = spark.createDataFrame(
         [(cid, sub, code, e) for (cid, sub, code), e in sorted(cb.items())],
         "centroid_id int, sub int, code int, e array<int>",
@@ -2281,16 +2284,16 @@ def encode_new(
     # there — zero extra cost.
     cand = rsub.join(
         F.broadcast(cb_df), ["centroid_id", "sub"], "left"
-    ).select("vec_id", "centroid_id", "sub", "code", d.alias("d"))
+    ).select("vec_id", "centroid_id", "nrm", "sub", "code", d.alias("d"))
     # argmin without a window: (d, code) is unique per (vec, sub) group
     enc = (
-        cand.groupBy("vec_id", "centroid_id", "sub")
+        cand.groupBy("vec_id", "centroid_id", "nrm", "sub")
         .agg(
             F.min(
                 F.struct(F.col("d").alias("d"), F.col("code").alias("code"))
             ).alias("wn")
         )
-        .groupBy("vec_id", "centroid_id")
+        .groupBy("vec_id", "centroid_id", "nrm")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("sub", F.col("wn.code").alias("code")))),
@@ -2306,6 +2309,7 @@ def encode_new(
     return enc.select(
         "vec_id",
         "centroid_id",
+        "nrm",
         F.when(
             F.exists("codes", lambda c: c.isNull()),
             F.raise_error(
@@ -2324,3 +2328,49 @@ def encode_new(
         .otherwise(F.col("codes"))
         .alias("codes"),
     )
+
+
+def append_codes(
+    spark: SparkSession,
+    path: str,
+    assigned: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+) -> int:
+    """The WRITE half of incremental PQ maintenance — the PQ twin of
+    ``append_vectors``, landing coarse-assigned incoming rows in BOTH
+    serving tiers at once: the (vec_id, q8, nrm, centroid_id) rows
+    append as new files inside their inverted-list partitions, and
+    their frozen-codebook codes (``encode_new``) append inside their
+    code partitions — nothing is rewritten, and searches on either
+    tier see the union immediately because partition pruning reads
+    whole list directories. The assigned frame is pinned once
+    (localCheckpoint) so the quantize+assign pipeline runs a single
+    time for both writes. Returns the number of rows appended.
+
+    Write order is assignments FIRST, codes LAST: a crash in between
+    leaves int8 rows servable but the PQ tier blind to them — the
+    detectable torn state (codes missing for rows the assignments
+    have) a caller heals by retiring the variant, never the reverse
+    (codes for rows no assignment lookup can serve). Same caveat as
+    ``append_vectors``: an appended index no longer equals the
+    from-scratch deterministic build, so appends belong to
+    caller-managed / variant paths, not the shared fingerprint
+    indexes."""
+    pq = _pq_dir(path, m, ks)
+    pinned = assigned.localCheckpoint(eager=True)
+    try:
+        n = pinned.count()
+        pinned.select("vec_id", "q8", "nrm", "centroid_id").write.mode(
+            "append"
+        ).partitionBy("centroid_id").parquet(
+            os.path.join(path, "assignments.parquet")
+        )
+        encode_new(spark, path, pinned, m=m, ks=ks).select(
+            "vec_id", "nrm", "codes", "centroid_id"
+        ).write.mode("append").partitionBy("centroid_id").parquet(
+            os.path.join(pq, "codes.parquet")
+        )
+    finally:
+        pinned.unpersist()
+    return int(n)

@@ -1038,7 +1038,11 @@ def ann_ivfpq_search_by_vector_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _ivfpq_incr_oracle() -> str:
+def _ivfpq_incr_cte() -> str:
+    """The base-subset build + frozen assign + frozen encode replay,
+    through ``nenc`` (the incoming rows' codes) — shared by the
+    incremental-encode histogram readout below and round15's
+    insert-search oracle (which serves over penc ∪ nenc)."""
     from .retrieval_queries import _IVF_SCORE, _IVF_INCR_BASE
     from .round13 import _l2_sql
 
@@ -1075,7 +1079,11 @@ def _ivfpq_incr_oracle() -> str:
         FROM nrsub r JOIN pcb c ON r.cid = c.cid AND r.sub = c.sub
       ) QUALIFY row_number() OVER (PARTITION BY vec_id, sub
                                    ORDER BY d ASC, code ASC) = 1
-    )
+    )"""
+
+
+def _ivfpq_incr_oracle() -> str:
+    return f"""{_ivfpq_incr_cte()}
     SELECT cid AS centroid_id, CAST(sub AS BIGINT) AS sub,
            CAST(code AS BIGINT) AS code,
            CAST(COUNT(*) AS BIGINT) AS n_new

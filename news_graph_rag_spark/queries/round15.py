@@ -45,6 +45,7 @@ from .round14 import (
     _gbt_train,
     _GBT_DEPTH,
     _ivfpq_batch_oracle,
+    _ivfpq_incr_cte,
 )
 
 # ---------------------------------------------------------------------------
@@ -589,4 +590,152 @@ def tokenize_shard_doc_offsets(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("doc_off"),
         F.col("doc_len").cast("bigint").alias("doc_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The PQ INSERT path closed end to end: append + immediately servable
+# ---------------------------------------------------------------------------
+
+_PQINSERT_VARIANT = "pqinsert-demo-v1"
+
+
+def _ivfpq_insert_oracle(k: int, nprobe: int) -> str:
+    """Replay base-subset build + PQ train + frozen assign + frozen
+    encode of the incoming rows (the shared ``_ivfpq_incr_cte``), then
+    serve a single-probe ADC search over the UNION of base codes and
+    freshly appended codes, probing with the smallest INSERTED vector
+    — the value the write path exists to produce."""
+    from .retrieval_queries import _IVF_DOT, _IVF_SCORE
+    from .round13 import _PQ_SUBD
+
+    dot, score = _IVF_DOT, _IVF_SCORE
+    m, subd = _PQ_M, _PQ_SUBD
+    return f"""
+    {_ivfpq_incr_cte()},
+    allc AS (
+      SELECT vec_id, cid, sub, code FROM penc
+      UNION ALL
+      SELECT vec_id, cid, sub, code FROM nenc
+    ),
+    iprobe AS (
+      SELECT vec_id, q8 FROM live
+      WHERE vec_id = (SELECT MIN(vec_id) FROM incoming)
+    ),
+    ipc AS (
+      SELECT cid FROM (
+        SELECT c.cid, {score.format(a="p.q8", b="c.c8", n="c.cnrm")} AS score
+        FROM c1n c CROSS JOIN iprobe p
+      ) ORDER BY score DESC, cid LIMIT {nprobe}
+    ),
+    iqsub AS (
+      SELECT s.s AS sub,
+             list_slice(p.q8, s.s * {subd} + 1, (s.s + 1) * {subd}) AS qs
+      FROM iprobe p, unnest(range(0, {m})) AS s(s)
+    ),
+    iadc AS (
+      SELECT c.cid, c.sub, c.code, {dot.format(a="q.qs", b="c.e")} AS t
+      FROM pcb c JOIN ipc ON c.cid = ipc.cid JOIN iqsub q ON q.sub = c.sub
+    ),
+    ibdot AS (
+      SELECT c.cid, {dot.format(a="p.q8", b="c.c8")} AS bd
+      FROM c1n c JOIN ipc ON c.cid = ipc.cid CROSS JOIN iprobe p
+    ),
+    iscored AS (
+      SELECT e.vec_id, CAST(MIN(bd.bd) + SUM(a.t) AS BIGINT) AS adot,
+             CAST(MIN(l.nrm) AS BIGINT) AS nrm
+      FROM allc e
+      JOIN iadc a ON a.cid = e.cid AND a.sub = e.sub AND a.code = e.code
+      JOIN live l ON l.vec_id = e.vec_id
+      JOIN ibdot bd ON bd.cid = e.cid
+      CROSS JOIN iprobe p
+      WHERE e.vec_id <> p.vec_id
+      GROUP BY e.vec_id
+    )
+    SELECT CAST(row_number() OVER (
+             ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE)) DESC,
+                      vec_id) AS INT) AS rnk,
+           vec_id, adot
+    FROM iscored
+    ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE)) DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@register(
+    "ann_ivfpq_insert_search_topk",
+    oracle=_ivfpq_insert_oracle(k=10, nprobe=4),
+    doc="the PQ INSERT path closed END TO END — the data half that "
+    "round-14's incremental encode (compute only) left open: the "
+    "md5-bucket incoming rows are coarse-assigned against the frozen "
+    "quantizer and APPENDED into BOTH serving tiers in one call "
+    "(append_codes: new files inside the inverted-list partitions AND "
+    "inside the PQ code partitions — nothing rewritten, the int8 tier "
+    "and the memory-budget tier see the union immediately), then the "
+    "entry searches probing with the smallest INSERTED vector: a "
+    "freshly ingested embedding is servable the moment the append "
+    "lands, ranking against base and incoming rows alike. Runs on a "
+    "PRIVATE variant (appends mutate the index — the tombstone-entry "
+    "rule) built over the base subset; repeat invocations detect the "
+    "already-appended state from the codes table and serve directly; "
+    "a TORN append (int8 rows landed, codes missing — the one "
+    "crash-window shape append_codes' write order makes detectable) "
+    "heals by atomic retire + rebuild. VALUE-VERIFIED: the oracle "
+    "replays base build + PQ train + frozen assign + frozen encode, "
+    "then serves over penc ∪ nenc with norms from the full vector "
+    "set — the same union the appended index stores.",
+)
+def ann_ivfpq_insert_search_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import (
+        _CENTROID_CACHE,
+        _pq_dir,
+        _retire_dir,
+        append_codes,
+        assign_new,
+        ensure_pq,
+        search_pq_by_id,
+    )
+    from .retrieval_queries import _IVF_INCR_BASE
+
+    pred = _IVF_INCR_BASE.format(t="string")
+    not_base = ~F.expr(pred)
+
+    def ensure():
+        return ensure_pq(
+            spark,
+            sf,
+            m=_PQ_M,
+            ks=_PQ_KS,
+            variant=_PQINSERT_VARIANT,
+            subset_pred=pred,
+        )
+
+    path = ensure()
+    codes_dir = os.path.join(_pq_dir(path, _PQ_M, _PQ_KS), "codes.parquet")
+    assign_dir = os.path.join(path, "assignments.parquet")
+    codes_has = (
+        spark.read.parquet(codes_dir).filter(not_base).limit(1).count() > 0
+    )
+    assign_has = (
+        spark.read.parquet(assign_dir).filter(not_base).limit(1).count() > 0
+    )
+    if assign_has and not codes_has:
+        # torn append (crash between the two writes): retire + rebuild
+        _retire_dir(path)
+        _CENTROID_CACHE.pop(path, None)
+        path = ensure()
+        codes_has = False
+    if not codes_has:
+        incoming = load(spark, sf, "embeddings").filter(not_base)
+        append_codes(
+            spark, path, assign_new(spark, path, incoming), m=_PQ_M, ks=_PQ_KS
+        )
+    probe_id = int(
+        spark.read.parquet(assign_dir)
+        .filter(not_base)
+        .agg(F.min("vec_id"))
+        .first()[0]
+    )
+    return search_pq_by_id(
+        spark, path, probe_vec_id=probe_id, k=10, nprobe=4, m=_PQ_M, ks=_PQ_KS
     )

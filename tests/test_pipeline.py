@@ -2608,6 +2608,59 @@ def test_encode_new_raises_on_missing_codebook(spark, tmp_path):
 
     incoming = assignments.filter(
         F.col("centroid_id") == victim_cid
-    ).select("vec_id", "centroid_id", "q8").limit(1)
+    ).select("vec_id", "centroid_id", "nrm", "q8").limit(1)
     with _pytest.raises(Exception, match="no trained PQ codebook"):
         ann_index.encode_new(spark, path, incoming, m=4, ks=8).collect()
+
+
+def test_append_codes_serves_both_tiers_immediately(spark, tmp_path):
+    """Round-15 PQ insert write half: append_codes lands new vectors
+    in BOTH serving tiers at once — the int8 inverted lists AND the PQ
+    code partitions — and each tier's search returns the inserted
+    rows immediately, with base rows untouched (file append, no
+    rewrite). The inserted vector itself is a servable probe on both
+    tiers."""
+    import os as _os
+
+    from news_graph_rag_spark.pipeline import ann_index
+
+    vecs = _recoverable_vec_rows(n=200)
+    _write_embeddings(tmp_path, vecs)
+    df = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+    path = str(tmp_path / "idx_append")
+    # base = first 160 rows; 40 arrive later
+    ann_index.build_and_save(
+        df.filter(F.col("vec_id") < 160), path, n_centroids=8, iters=1
+    )
+    ann_index.train_pq(spark, path, m=8, ks=16)
+    codes_dir = _os.path.join(ann_index._pq_dir(path, 8, 16), "codes.parquet")
+    n_codes0 = spark.read.parquet(codes_dir).count()
+    n_assign0 = ann_index.load_index(spark, path)[0].count()
+
+    incoming = df.filter(F.col("vec_id") >= 160)
+    assigned = ann_index.assign_new(spark, path, incoming)
+    n = ann_index.append_codes(spark, path, assigned, m=8, ks=16)
+    assert n == 40
+
+    assert spark.read.parquet(codes_dir).count() == n_codes0 + 40
+    assert ann_index.load_index(spark, path)[0].count() == n_assign0 + 40
+    # an inserted vector is immediately a servable probe on BOTH tiers,
+    # and (recoverable clustered fixture: vec 160 belongs to cluster
+    # 160 % 8 = 0, whose base members are nearest) both searches return
+    # same-cluster neighbors that include other INSERTED rows
+    int8_hits = {
+        r["vec_id"]
+        for r in ann_index.search_by_id(
+            spark, path, probe_vec_id=160, k=10, nprobe=8
+        ).collect()
+    }
+    pq_hits = {
+        r["vec_id"]
+        for r in ann_index.search_pq_by_id(
+            spark, path, probe_vec_id=160, k=10, nprobe=8
+        ).collect()
+    }
+    assert len(int8_hits) == 10 and len(pq_hits) == 10
+    inserted = set(range(160, 200))
+    assert int8_hits & inserted  # appended rows rank among neighbors
+    assert pq_hits & inserted
