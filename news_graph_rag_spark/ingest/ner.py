@@ -55,8 +55,12 @@ def merge_adjacent_entities(text: str, entities: list[Span]) -> list[Span]:
     current = dict(entities[0])
     for nxt in entities[1:]:
         if nxt["label"] == current["label"] and nxt["start"] <= current["end"] + 1:
-            current["text"] = text[current["start"] : nxt["end"]].strip()
-            current["end"] = nxt["end"]
+            # max(): a CONTAINED span (nxt entirely inside current) must
+            # not TRUNCATE the covering span to its own end (round-15
+            # review) — the merge invariant is "the single covering
+            # span", so the end only ever grows
+            current["end"] = max(current["end"], nxt["end"])
+            current["text"] = text[current["start"] : current["end"]].strip()
         else:
             merged.append(current)
             current = dict(nxt)

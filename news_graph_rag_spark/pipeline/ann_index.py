@@ -1045,18 +1045,24 @@ def _batch_search_core(
     k: int,
     nprobe: int,
     exclude_self: bool,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """The ONE int8 batch scan + rank shared by the by-id path
     (``batch_search``) and the by-vector path
     (``batch_search_by_vectors``): per-probe list ranking, one pruned
     assignments scan for the whole batch, broadcast (probe, list, q8)
     fan-out, probe-partitioned rank. ``probes`` maps probe_id → int64
-    q8 vector."""
+    q8 vector. The by-id wrapper passes its already-masked
+    ``assignments`` frame so the parquet listing and tombstone mask
+    plan once per call (round-15 review)."""
     from pyspark.sql.window import Window
 
-    assignments = _live_only(
-        spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
-    )
+    if assignments is None:
+        assignments = _live_only(
+            spark,
+            path,
+            spark.read.parquet(os.path.join(path, "assignments.parquet")),
+        )
     probe_lists, all_lists = _batch_probe_lists(spark, path, probes, nprobe)
     cand = assignments.filter(F.col("centroid_id").isin(all_lists))
 
@@ -1106,7 +1112,13 @@ def batch_search(
     )
     probes = _collect_probes(assignments, probe_ids)
     return _batch_search_core(
-        spark, path, probes, k=k, nprobe=nprobe, exclude_self=True
+        spark,
+        path,
+        probes,
+        k=k,
+        nprobe=nprobe,
+        exclude_self=True,
+        assignments=assignments,
     )
 
 
@@ -1125,20 +1137,34 @@ def batch_search_by_vectors(
     rides the shared ``_batch_search_core`` with no self-exclusion.
     Returns (probe_id = position in ``query_vectors``, rnk, vec_id,
     dot)."""
+    probes = _quantize_query_batch(path, query_vectors)
+    return _batch_search_core(
+        spark, path, probes, k=k, nprobe=nprobe, exclude_self=False
+    )
+
+
+def _quantize_query_batch(path: str, query_vectors) -> dict:
+    """position → int64 q8 for a batch of external query vectors, with
+    the single by-vector paths' loud all-zeros guard applied PER
+    POSITION (round-15 review: a degenerate query inside a batch must
+    fail with its position named, never silently rank every list by
+    cid and return dot-0 rows)."""
     import numpy as np
 
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
-    probes = {
-        i: np.asarray(
+    probes = {}
+    for i, qv in enumerate(query_vectors):
+        q8 = np.asarray(
             quantize_query(qv, widen_reps=meta.get("widen_reps")),
             dtype=np.int64,
         )
-        for i, qv in enumerate(query_vectors)
-    }
-    return _batch_search_core(
-        spark, path, probes, k=k, nprobe=nprobe, exclude_self=False
-    )
+        if not q8.any():
+            raise ValueError(
+                f"query vector at batch position {i} quantizes to all zeros"
+            )
+        probes[i] = q8
+    return probes
 
 
 def assign_new(
@@ -1636,9 +1662,27 @@ def retrain_pq(spark: SparkSession, path: str, m: int = 8, ks: int = 16) -> str:
             staging,
             extra_meta={"trained_over": "live"},
         )
-        if os.path.exists(dest):
-            _retire_dir(dest)
-        os.rename(staging, dest)
+        # bounded swap loop (round-15 review): a concurrent train_pq /
+        # ensure_pq can republish dest between our retire and rename —
+        # losing that race must not leave the OTHER caller's all-rows
+        # layer standing as if the purge-retrain happened (the retrain
+        # has GDPR semantics). Retire-and-rename again; a torn no-meta
+        # leftover is rmtree'd like train_pq's repair path. Still
+        # failing after the retries → raise (staging is cleaned up,
+        # dest holds SOME complete layer, and the caller knows the
+        # retrain did NOT land).
+        for attempt in range(3):
+            if os.path.exists(dest):
+                if os.path.exists(os.path.join(dest, "meta.json")):
+                    _retire_dir(dest)
+                else:
+                    shutil.rmtree(dest, ignore_errors=True)
+            try:
+                os.rename(staging, dest)
+                break
+            except OSError:
+                if attempt == 2:
+                    raise
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     _PQ_CACHE.pop(dest, None)
@@ -2139,17 +2183,7 @@ def search_pq_batch_by_vectors(
     rank 1 — the quantization-consistency property the single-probe
     by-vector entry pins). Returns (probe_id = position in
     ``query_vectors``, rnk, vec_id, adot)."""
-    import numpy as np
-
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
-    probes = {
-        i: np.asarray(
-            quantize_query(qv, widen_reps=meta.get("widen_reps")),
-            dtype=np.int64,
-        )
-        for i, qv in enumerate(query_vectors)
-    }
+    probes = _quantize_query_batch(path, query_vectors)
     return _search_pq_batch_core(
         spark, path, probes, k=k, nprobe=nprobe, m=m, ks=ks, exclude_self=False
     )

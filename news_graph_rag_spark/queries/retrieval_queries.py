@@ -1272,13 +1272,34 @@ def hybrid_search_indexed(spark: SparkSession, sf: str) -> DataFrame:
 _BATCH_PROBE_IDS = (0, 1, 2, 3, 4)
 
 
-@register(
-    "ann_ivf_batch_search_topk",
-    oracle=f"""
+def _ivf_batch_oracle(
+    probe_ids: "tuple[int, ...]",
+    k: int,
+    nprobe: int,
+    exclude_probe: bool = True,
+    by_position: bool = False,
+) -> str:
+    """THE int8 batch-search replay — one definition for the by-id
+    entry below and round15's by-vector twin (round-15 review: two
+    hand-maintained replicas of this chain were one drift away from
+    desyncing their pruning, the copy hazard the PQ side already
+    solved by parameterizing its batch CTE). ``by_position`` numbers
+    probes by batch position (the external-query shape, stored q8 per
+    the by-vector equality property); ``exclude_probe=False`` keeps
+    each source row in its own candidate set."""
+    if by_position:
+        pid = "CASE vec_id " + " ".join(
+            f"WHEN {int(v)} THEN {i}" for i, v in enumerate(probe_ids)
+        ) + " END"
+    else:
+        pid = "vec_id"
+    ids = "(" + ", ".join(str(int(p)) for p in probe_ids) + ")"
+    excl = "\n      WHERE b.vec_id <> pp.probe_id" if exclude_probe else ""
+    return f"""
     {_ivf_int8_build_cte(n_centroids=8)},
     probes AS (
-      SELECT vec_id AS probe_id, q8 AS pq8
-      FROM live WHERE vec_id IN {_BATCH_PROBE_IDS}
+      SELECT {pid} AS probe_id, q8 AS pq8
+      FROM live WHERE vec_id IN {ids}
     ),
     ppc AS (  -- per-probe nprobe nearest centroids
       SELECT probe_id, cid FROM (
@@ -1286,14 +1307,13 @@ _BATCH_PROBE_IDS = (0, 1, 2, 3, 4)
                {_IVF_SCORE.format(a="p.pq8", b="c.c8", n="c.cnrm")} AS score
         FROM probes p CROSS JOIN c1n c
       ) QUALIFY row_number() OVER (PARTITION BY probe_id
-                                   ORDER BY score DESC, cid) <= 2
+                                   ORDER BY score DESC, cid) <= {nprobe}
     ),
     cand AS (
       SELECT pp.probe_id, b.vec_id, b.q8, b.nrm, p.pq8
       FROM ppc pp
       JOIN b1 b ON b.cid = pp.cid
-      JOIN probes p ON p.probe_id = pp.probe_id
-      WHERE b.vec_id <> pp.probe_id
+      JOIN probes p ON p.probe_id = pp.probe_id{excl}
     ),
     scored AS (
       SELECT probe_id, vec_id,
@@ -1307,8 +1327,13 @@ _BATCH_PROBE_IDS = (0, 1, 2, 3, 4)
              AS rnk,
            vec_id, dot
     FROM scored
-    QUALIFY rnk <= 3
-    """,
+    QUALIFY rnk <= {k}
+    """
+
+
+@register(
+    "ann_ivf_batch_search_topk",
+    oracle=_ivf_batch_oracle(_BATCH_PROBE_IDS, k=3, nprobe=2),
     doc="batch KNN against the persistent index — the realistic "
     "serving shape (a retrieval layer scores a request BATCH, not one "
     "vector at a time): 5 probes rank the driver-resident centroids, "

@@ -370,6 +370,7 @@ _IVF_BYVEC_SRC_IDS = (5, 12, 31)
 #: the filtered-batch entry composes the round-14 batch probes with the
 #: round-14 allow predicate — SAME constants (imported, not copied), so
 #: the three entries stay comparable
+from .retrieval_queries import _ivf_batch_oracle  # noqa: E402
 from .round14 import (  # noqa: E402
     _PQ_ALLOW_PRED as _PQ_ALLOW_PRED_R15,
     _PQ_BATCH_PROBE_IDS as _PQ_FB_PROBE_IDS,
@@ -378,58 +379,11 @@ from .round14 import (  # noqa: E402
 )
 
 
-def _ivf_batch_byvec_oracle(
-    probe_ids: "tuple[int, ...]", k: int, nprobe: int
-) -> str:
-    """Int8 batch replay with POSITION-numbered probes and no
-    self-exclusion — the by-vector twin of the inline
-    ann_ivf_batch_search_topk oracle (stored q8 per the by-vector
-    quantization-equality property)."""
-    from .retrieval_queries import _IVF_DOT, _IVF_SCORE, _ivf_int8_build_cte
-
-    pid = "CASE vec_id " + " ".join(
-        f"WHEN {int(v)} THEN {i}" for i, v in enumerate(probe_ids)
-    ) + " END"
-    ids = ", ".join(str(int(p)) for p in probe_ids)
-    return f"""
-    {_ivf_int8_build_cte(n_centroids=8)},
-    probes AS (
-      SELECT {pid} AS probe_id, q8 AS pq8
-      FROM live WHERE vec_id IN ({ids})
-    ),
-    ppc AS (
-      SELECT probe_id, cid FROM (
-        SELECT p.probe_id, c.cid,
-               {_IVF_SCORE.format(a="p.pq8", b="c.c8", n="c.cnrm")} AS score
-        FROM probes p CROSS JOIN c1n c
-      ) QUALIFY row_number() OVER (PARTITION BY probe_id
-                                   ORDER BY score DESC, cid) <= {nprobe}
-    ),
-    cand AS (
-      SELECT pp.probe_id, b.vec_id, b.q8, b.nrm, p.pq8
-      FROM ppc pp
-      JOIN b1 b ON b.cid = pp.cid
-      JOIN probes p ON p.probe_id = pp.probe_id
-    ),
-    scored AS (
-      SELECT probe_id, vec_id,
-             {_IVF_DOT.format(a="q8", b="pq8")} AS dot,
-             {_IVF_SCORE.format(a="q8", b="pq8", n="nrm")} AS score
-      FROM cand
-    )
-    SELECT probe_id,
-           CAST(row_number() OVER (PARTITION BY probe_id
-                                   ORDER BY score DESC, vec_id) AS INT)
-             AS rnk,
-           vec_id, dot
-    FROM scored
-    QUALIFY rnk <= {k}
-    """
-
-
 @register(
     "ann_ivf_batch_by_vector_topk",
-    oracle=_ivf_batch_byvec_oracle(_IVF_BYVEC_SRC_IDS, k=3, nprobe=2),
+    oracle=_ivf_batch_oracle(
+        _IVF_BYVEC_SRC_IDS, k=3, nprobe=2, exclude_probe=False, by_position=True
+    ),
     doc="the int8 tier's OWN {batch} × {by-vector} cell, symmetric "
     "with the PQ twin added this round: a batch of EXTERNAL float "
     "query embeddings quantizes driver-side (quantize_query, widen "
@@ -583,7 +537,9 @@ def tokenize_shard_doc_offsets(spark: SparkSession, sf: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return ex.select(
-        "shard_id",
+        # partitionBy directory columns read back as int32 — cast to
+        # match the oracle's BIGINT (the round-14 readback-entry rule)
+        F.col("shard_id").cast("bigint").alias("shard_id"),
         "bin_id",
         F.col("pos").cast("bigint").alias("pos"),
         F.coalesce(F.sum("doc_len").over(w), F.lit(0))
@@ -713,19 +669,23 @@ def ann_ivfpq_insert_search_topk(spark: SparkSession, sf: str) -> DataFrame:
     path = ensure()
     codes_dir = os.path.join(_pq_dir(path, _PQ_M, _PQ_KS), "codes.parquet")
     assign_dir = os.path.join(path, "assignments.parquet")
-    codes_has = (
-        spark.read.parquet(codes_dir).filter(not_base).limit(1).count() > 0
-    )
-    assign_has = (
-        spark.read.parquet(assign_dir).filter(not_base).limit(1).count() > 0
-    )
-    if assign_has and not codes_has:
-        # torn append (crash between the two writes): retire + rebuild
+    # COUNT comparison, not an existence probe (round-15 review): a
+    # crash mid-commit of either multi-file append can leave a strict
+    # SUBSET of the incoming rows visible, which limit(1) would read as
+    # "already appended" and then serve rankings missing part of the
+    # batch. Equal non-base counts on both tiers is the fully-committed
+    # state (the codes write only STARTS after the assignments write
+    # commits in full, so equal-but-partial cannot occur); anything
+    # else is torn → retire + rebuild.
+    n_codes = spark.read.parquet(codes_dir).filter(not_base).count()
+    n_assign = spark.read.parquet(assign_dir).filter(not_base).count()
+    if n_assign != n_codes:
+        # torn append (crash inside either write): retire + rebuild
         _retire_dir(path)
         _CENTROID_CACHE.pop(path, None)
         path = ensure()
-        codes_has = False
-    if not codes_has:
+        n_codes = 0
+    if n_codes == 0:
         incoming = load(spark, sf, "embeddings").filter(not_base)
         append_codes(
             spark, path, assign_new(spark, path, incoming), m=_PQ_M, ks=_PQ_KS

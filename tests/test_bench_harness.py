@@ -21,7 +21,8 @@ def bench():
     return mod
 
 
-def test_families_partition_headline_exactly(bench):
+def test_families_partition_headline_exactly(bench, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_FAMILIES", raising=False)
     fams = bench._families()
     flat = [n for fam in fams for n in fam]
     assert flat == bench.HEADLINE  # order-preserving, no dups, no gaps

@@ -517,3 +517,20 @@ def test_merge_adjacent_entities_overlap_pinned():
         {"text": "City", "label": "organization", "start": 9, "end": 13},
     ]
     assert len(merge_adjacent_entities(text2, mixed_label)) == 2
+
+
+def test_merge_adjacent_entities_contained_span_never_truncates():
+    """Round-15 review: a same-label span fully CONTAINED in the
+    current one must not shrink the covering span's end — the merge
+    invariant is 'the single covering span', so end only grows."""
+    from news_graph_rag_spark.ingest.ner import merge_adjacent_entities
+
+    text = "Deutsche Bank AG"
+    contained = [
+        {"text": "Deutsche Bank AG", "label": "organization", "start": 0, "end": 16},
+        {"text": "Bank", "label": "organization", "start": 9, "end": 13},
+    ]
+    got = merge_adjacent_entities(text, contained)
+    assert len(got) == 1
+    assert got[0]["text"] == "Deutsche Bank AG"
+    assert (got[0]["start"], got[0]["end"]) == (0, 16)

@@ -2664,3 +2664,30 @@ def test_append_codes_serves_both_tiers_immediately(spark, tmp_path):
     inserted = set(range(160, 200))
     assert int8_hits & inserted  # appended rows rank among neighbors
     assert pq_hits & inserted
+
+
+def test_batch_by_vectors_zero_query_raises(spark, sf_dir):
+    """Round-15 review: a degenerate (all-zeros-quantizing) query
+    inside a BATCH must fail loudly with its position named — the
+    single by-vector paths' convention — on both tiers, never silently
+    rank every list by cid."""
+    import pytest as _pytest
+
+    from news_graph_rag_spark.pipeline.ann_index import (
+        batch_search_by_vectors,
+        ensure_index,
+        ensure_pq,
+        search_pq_batch_by_vectors,
+    )
+    from news_graph_rag_spark.queries.round13 import _PQ_KS, _PQ_M
+
+    path = ensure_pq(spark, sf_dir, m=_PQ_M, ks=_PQ_KS)
+    ensure_index(spark, sf_dir, n_centroids=8, iters=1)
+    good = [1.0] + [0.0] * 63
+    zero = [0.0] * 64
+    with _pytest.raises(ValueError, match="position 1"):
+        batch_search_by_vectors(spark, path, [good, zero], k=3, nprobe=2)
+    with _pytest.raises(ValueError, match="position 1"):
+        search_pq_batch_by_vectors(
+            spark, path, [good, zero], k=3, nprobe=2, m=_PQ_M, ks=_PQ_KS
+        )
