@@ -228,6 +228,7 @@ HEADLINE = [
     "ann_ivfpq_batch_filtered_topk",
     "tokenize_shard_doc_offsets",
     "ann_ivfpq_insert_search_topk",
+    "ann_ivfpq_code_utilization",
 ]
 
 

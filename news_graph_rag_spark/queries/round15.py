@@ -699,3 +699,60 @@ def ann_ivfpq_insert_search_topk(spark: SparkSession, sf: str) -> DataFrame:
     return search_pq_by_id(
         spark, path, probe_vec_id=probe_id, k=10, nprobe=4, m=_PQ_M, ks=_PQ_KS
     )
+
+
+# ---------------------------------------------------------------------------
+# Fourth pass: PQ code-utilization telemetry (the second retrain signal)
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_util_oracle() -> str:
+    from .round13 import _ivfpq_train_cte
+
+    return f"""
+    {_ivfpq_train_cte()}
+    SELECT cid AS centroid_id, CAST(sub AS BIGINT) AS sub,
+           CAST(COUNT(*) AS BIGINT) AS n_codes,
+           CAST(COUNT(DISTINCT code) AS BIGINT) AS n_used
+    FROM penc GROUP BY cid, sub
+    """
+
+
+@register(
+    "ann_ivfpq_code_utilization",
+    oracle=_ivfpq_util_oracle(),
+    doc="PQ-tier observability, the telemetry twin of "
+    "ann_ivf_index_stats: per (inverted list, subspace) the stored "
+    "code count and the number of DISTINCT codebook entries actually "
+    "used — the second retrain signal next to the incremental-encode "
+    "drift histogram (a subspace assigning most residuals to a few of "
+    "its ks codes means the codebook no longer spans the residual "
+    "distribution; utilization collapsing after heavy encode_new "
+    "traffic is the slow-cadence retrain_pq trigger). Served from the "
+    "materialized CODES table alone — one pruned-column scan + "
+    "posexplode + an exact distinct over ≤ks values per group; the "
+    "raw embeddings and the d-dim assignments are never read. "
+    "VALUE-VERIFIED: the oracle replays build + PQ train + encode and "
+    "aggregates the same per-(list, subspace) histogram.",
+)
+def ann_ivfpq_code_utilization(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import _pq_dir, ensure_pq
+
+    path = ensure_pq(spark, sf, m=_PQ_M, ks=_PQ_KS)
+    codes = spark.read.parquet(
+        os.path.join(_pq_dir(path, _PQ_M, _PQ_KS), "codes.parquet")
+    )
+    return (
+        codes.select("centroid_id", F.posexplode("codes").alias("sub", "code"))
+        .groupBy("centroid_id", "sub")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_codes"),
+            F.countDistinct("code").cast("bigint").alias("n_used"),
+        )
+        .select(
+            "centroid_id",
+            F.col("sub").cast("bigint").alias("sub"),
+            "n_codes",
+            "n_used",
+        )
+    )

@@ -1042,3 +1042,16 @@ def test_tokenize_doc_offsets_reads_shards_only(spark, sf_dir, reg):
     assert "SortMergeJoin" not in plan
     specs = _window_specs(plan)
     assert specs and all("bin_id" in s.split(",")[0] for s in specs), specs
+
+
+def test_ivfpq_code_utilization_reads_codes_only(spark, sf_dir, reg):
+    """Round-15 PQ utilization telemetry: one scan of the CODES table
+    only — the raw embeddings and the d-dim assignments never read —
+    plus an exact-distinct aggregation; no sort-merge join, no
+    window."""
+    plan = plan_of(reg["ann_ivfpq_code_utilization"].fn(spark, sf_dir))
+    assert "codes.parquet" in plan
+    assert "assignments.parquet" not in plan
+    assert "embeddings.parquet" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
