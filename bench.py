@@ -472,7 +472,8 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 # chunk makes family assignment INVARIANT under appends: every existing
 # name keeps its family and its within-family predecessors forever; new
 # names fill the final partial chunk and then open new families. 19 is
-# the r14 value (ceil(147/8)), so the pin itself reshuffles nothing.
+# the r14 value (ceil(151/8) — 151 HEADLINE entries at base commit
+# 65f105d, verified), so the pin itself reshuffles nothing.
 # SPARK_GRAFT_BENCH_FAMILIES (legacy count-based override) still wins
 # when set explicitly — smoke runs that want one big family keep working.
 FAMILY_CHUNK = 19

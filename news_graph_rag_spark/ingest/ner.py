@@ -35,7 +35,9 @@ Span = dict  # {"text","label","start","end","score"}
 ModelFn = Callable[[str, list[str], float], list[Span]]
 
 
-def merge_adjacent_entities(text: str, entities: list[Span]) -> list[Span]:
+def merge_adjacent_entities(
+    text: str, entities: list[Span], strict_adjacency: bool = False
+) -> list[Span]:
     """L6: merge same-label spans where next.start ≤ current.end + 1
     (reference ner.py:35-50).
 
@@ -48,13 +50,24 @@ def merge_adjacent_entities(text: str, entities: list[Span]) -> list[Span]:
     This implementation's ``<=`` also merges overlaps into the single
     covering span, which is the behavior span-merge exists for; the
     choice is pinned by tests/test_ingest.py::
-    test_merge_adjacent_entities_overlap_pinned."""
+    test_merge_adjacent_entities_overlap_pinned.
+
+    ``strict_adjacency=True`` (round-16, ADVICE r15 #4) is the
+    COMPATIBILITY mode for consumers that need byte-parity with the
+    upstream framework's entity output: only exactly-adjacent spans
+    (``next.start`` ∈ {current.end, current.end+1}) merge, and
+    overlapping/contained same-label spans pass through as separate
+    entities — the reference's literal rule, quirk included."""
     if not entities:
         return []
     merged: list[Span] = []
     current = dict(entities[0])
     for nxt in entities[1:]:
-        if nxt["label"] == current["label"] and nxt["start"] <= current["end"] + 1:
+        if strict_adjacency:
+            mergeable = nxt["start"] in (current["end"], current["end"] + 1)
+        else:
+            mergeable = nxt["start"] <= current["end"] + 1
+        if nxt["label"] == current["label"] and mergeable:
             # max(): a CONTAINED span (nxt entirely inside current) must
             # not TRUNCATE the covering span to its own end (round-15
             # review) — the merge invariant is "the single covering

@@ -234,6 +234,38 @@ def _recover_stranded(path: str) -> None:
             continue
 
 
+def _try_claim(
+    path: str, name: str, stale_after: float = _STRANDED_SWEEP_AGE_S
+) -> bool:
+    """Atomic cross-process CLAIM of a non-idempotent mutation on the
+    index at ``path`` (round-15 advice: two concurrent invocations of
+    an append entry could both observe the not-yet-appended state and
+    both run the append — the duplicated rows leave every count
+    comparison satisfied forever). O_CREAT|O_EXCL is the one-winner
+    primitive: True means this process owns the claimed section and
+    MUST ``os.unlink`` the claim file when its writes commit (or
+    fail); False means another live process holds it — wait for its
+    commit or bail. A claim older than ``stale_after`` belongs to a
+    crashed owner and is swept (the staging-dir staleness gate) before
+    one retry."""
+    import time
+
+    p = os.path.join(path, name)
+    for _ in range(2):
+        try:
+            os.close(os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            return True
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(p) > stale_after:
+                    os.unlink(p)
+                    continue
+            except OSError:
+                continue  # owner just released it — retry the claim
+            return False
+    return False
+
+
 def _newest_mtime(root: str, max_depth: int = 3) -> float:
     """Newest mtime across a shallow walk of ``root`` — the ROOT dir's
     mtime alone goes stale the moment a long parquet write starts
@@ -991,17 +1023,38 @@ def search_by_vector_filtered(
     assignments = _live_only(
         spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
     )
-    cand = (
-        assignments.filter(F.col("centroid_id").isin(probe_ids))
-        .join(
-            F.broadcast(allowed.select(F.col("vec_id").cast("long").alias("vec_id"))),
-            "vec_id",
-            "left_semi",
-        )
+    cand = _allowed_semi(
+        assignments.filter(F.col("centroid_id").isin(probe_ids)), allowed
     )
     return top_k_ranked(
         _jvm_scored(cand, p), [F.desc("score"), F.asc("vec_id")], k
     ).select("rnk", "vec_id", "dot")
+
+
+#: broadcast budget for an allow-set PRE-filter, in ROWS. A small
+#: eligible set (one tenant, one source, a date range) broadcasts —
+#: zero shuffle on the already-pruned candidate scan. A set beyond the
+#: budget (a BIG tenant) would exceed executor broadcast memory with
+#: no fallback (round-15 advice: the ADC relation got a budget guard
+#: while the allow-set stayed unconditionally broadcast), so past it
+#: the semi-join falls back to shuffle-hash on vec_id — same rows,
+#: one bounded exchange, the hub-fallback discipline of
+#: retrieval/hybrid.ppr_expand. Sizing the set costs one count job,
+#: the price ppr_expand already pays per round for the same decision.
+ALLOW_BROADCAST_MAX_ROWS = 5_000_000
+
+
+def _allowed_semi(cand: DataFrame, allowed: DataFrame) -> DataFrame:
+    """The ONE allow-set pre-filter for every filtered search path
+    (int8 single, PQ single, PQ batch): broadcast semi-join while the
+    eligible set fits the row budget, shuffle-hash semi-join beyond it.
+    Value-identical either way (semi-join semantics don't depend on
+    the physical strategy) — the fallback is plan-pinned in
+    tests/test_plans.py."""
+    ids = allowed.select(F.col("vec_id").cast("long").alias("vec_id"))
+    if ids.count() <= ALLOW_BROADCAST_MAX_ROWS:
+        return cand.join(F.broadcast(ids), "vec_id", "left_semi")
+    return cand.join(ids.hint("shuffle_hash"), "vec_id", "left_semi")
 
 
 def _collect_probes(assignments: DataFrame, probe_ids) -> dict:
@@ -1837,9 +1890,7 @@ def _search_pq_core(
     if ts is not None:
         cand = cand.join(F.broadcast(ts), "vec_id", "left_anti")
     if allowed is not None:
-        cand = cand.join(
-            F.broadcast(allowed.select("vec_id")), "vec_id", "left_semi"
-        )
+        cand = _allowed_semi(cand, allowed)
     adot = F.col("bd") + F.expr(
         f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), "
         "(acc, s) -> acc + adc[s][codes[s]])"
@@ -2063,9 +2114,7 @@ def _search_pq_batch_core(
     if ts is not None:
         cand = cand.join(F.broadcast(ts), "vec_id", "left_anti")
     if allowed is not None:
-        cand = cand.join(
-            F.broadcast(allowed.select("vec_id")), "vec_id", "left_semi"
-        )
+        cand = _allowed_semi(cand, allowed)
     adot = F.col("bd") + F.expr(
         f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), "
         "(acc, s) -> acc + adc[s][codes[s]])"

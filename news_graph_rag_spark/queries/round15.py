@@ -646,6 +646,7 @@ def ann_ivfpq_insert_search_topk(spark: SparkSession, sf: str) -> DataFrame:
         _CENTROID_CACHE,
         _pq_dir,
         _retire_dir,
+        _try_claim,
         append_codes,
         assign_new,
         ensure_pq,
@@ -667,31 +668,75 @@ def ann_ivfpq_insert_search_topk(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     path = ensure()
-    codes_dir = os.path.join(_pq_dir(path, _PQ_M, _PQ_KS), "codes.parquet")
-    assign_dir = os.path.join(path, "assignments.parquet")
+    incoming = load(spark, sf, "embeddings").filter(not_base)
+    # what a fully-committed append must have landed: one row per
+    # non-base source vector with a nonzero embedding (assign_new's
+    # nrm > 0 filter — amax > 0 always yields a ±127 component, so
+    # "any nonzero element" ⟺ "nrm > 0" without quantizing here)
+    expected = incoming.filter(
+        F.exists("embedding", lambda x: x != 0)
+    ).count()
+
+    def tier_counts(p: str) -> "tuple[int, int]":
+        codes_dir = os.path.join(_pq_dir(p, _PQ_M, _PQ_KS), "codes.parquet")
+        assign_dir = os.path.join(p, "assignments.parquet")
+        return (
+            spark.read.parquet(codes_dir).filter(not_base).count(),
+            spark.read.parquet(assign_dir).filter(not_base).count(),
+        )
+
     # COUNT comparison, not an existence probe (round-15 review): a
     # crash mid-commit of either multi-file append can leave a strict
     # SUBSET of the incoming rows visible, which limit(1) would read as
     # "already appended" and then serve rankings missing part of the
-    # batch. Equal non-base counts on both tiers is the fully-committed
-    # state (the codes write only STARTS after the assignments write
-    # commits in full, so equal-but-partial cannot occur); anything
-    # else is torn → retire + rebuild.
-    n_codes = spark.read.parquet(codes_dir).filter(not_base).count()
-    n_assign = spark.read.parquet(assign_dir).filter(not_base).count()
-    if n_assign != n_codes:
-        # torn append (crash inside either write): retire + rebuild
+    # batch. Fully committed = non-base counts EQUAL on both tiers AND
+    # equal to the incoming batch size (round-15 advice: equal counts
+    # alone cannot see a cross-process DUPLICATE append — two racers
+    # each landing the batch leave 2·N == 2·N, servable-looking
+    # forever while every search returns duplicated candidates).
+    # Anything else is torn → retire + rebuild.
+    n_codes, n_assign = tier_counts(path)
+    if n_assign != n_codes or n_assign not in (0, expected):
         _retire_dir(path)
         _CENTROID_CACHE.pop(path, None)
         path = ensure()
-        n_codes = 0
-    if n_codes == 0:
-        incoming = load(spark, sf, "embeddings").filter(not_base)
-        append_codes(
-            spark, path, assign_new(spark, path, incoming), m=_PQ_M, ks=_PQ_KS
-        )
+        n_codes = n_assign = 0
+    if n_assign == 0:
+        # the append is NON-idempotent — claim it atomically so two
+        # concurrent invocations (bench + pytest sharing the tempdir-
+        # keyed variant) can never both run it (round-15 advice). The
+        # loser waits for the winner's commit instead of appending.
+        if _try_claim(path, "_pq_append_claim"):
+            try:
+                append_codes(
+                    spark,
+                    path,
+                    assign_new(spark, path, incoming),
+                    m=_PQ_M,
+                    ks=_PQ_KS,
+                )
+            finally:
+                try:
+                    os.unlink(os.path.join(path, "_pq_append_claim"))
+                except OSError:
+                    pass
+        else:
+            import time
+
+            deadline = time.time() + 180.0
+            while time.time() < deadline:
+                n_codes, n_assign = tier_counts(path)
+                if n_codes == n_assign == expected:
+                    break
+                time.sleep(1.0)
+            else:
+                raise RuntimeError(
+                    "concurrent append_codes holder did not commit within "
+                    "180s; variant index left for the next invocation's "
+                    "torn-state heal"
+                )
     probe_id = int(
-        spark.read.parquet(assign_dir)
+        spark.read.parquet(os.path.join(path, "assignments.parquet"))
         .filter(not_base)
         .agg(F.min("vec_id"))
         .first()[0]

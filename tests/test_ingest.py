@@ -534,3 +534,41 @@ def test_merge_adjacent_entities_contained_span_never_truncates():
     assert len(got) == 1
     assert got[0]["text"] == "Deutsche Bank AG"
     assert (got[0]["start"], got[0]["end"]) == (0, 16)
+
+
+def test_merge_adjacent_entities_strict_adjacency_compat():
+    """Round-16 (ADVICE r15 #4): ``strict_adjacency=True`` is the
+    byte-parity compatibility mode with the reference's literal rule
+    (ner.py:41 — merge ONLY next.start == current.end or current.end
+    + 1): overlapping same-label spans pass through unmerged (the
+    upstream quirk, reproduced on request), while exact adjacency
+    still merges identically in both modes."""
+    from news_graph_rag_spark.ingest.ner import merge_adjacent_entities
+
+    text = "Deutsche Bank AG"
+    overlapping = [
+        {"text": "Deutsche Bank", "label": "organization", "start": 0, "end": 13},
+        {"text": "Bank AG", "label": "organization", "start": 9, "end": 16},
+    ]
+    # default mode merges; strict mode reproduces the reference: both
+    # spans survive, texts double-counting the overlap
+    assert len(merge_adjacent_entities(text, overlapping)) == 1
+    strict = merge_adjacent_entities(text, overlapping, strict_adjacency=True)
+    assert [(s["start"], s["end"]) for s in strict] == [(0, 13), (9, 16)]
+
+    # exact adjacency merges in BOTH modes (the agreed behavior)
+    text2 = "New York City"
+    adjacent = [
+        {"text": "New York", "label": "location", "start": 0, "end": 8},
+        {"text": "City", "label": "location", "start": 9, "end": 13},
+    ]
+    got = merge_adjacent_entities(text2, adjacent, strict_adjacency=True)
+    assert len(got) == 1 and got[0]["text"] == "New York City"
+
+    # a contained span does not merge under strict adjacency either
+    contained = [
+        {"text": "Deutsche Bank AG", "label": "organization", "start": 0, "end": 16},
+        {"text": "Bank", "label": "organization", "start": 9, "end": 13},
+    ]
+    strict2 = merge_adjacent_entities(text, contained, strict_adjacency=True)
+    assert [(s["start"], s["end"]) for s in strict2] == [(0, 16), (9, 13)]

@@ -2691,3 +2691,27 @@ def test_batch_by_vectors_zero_query_raises(spark, sf_dir):
         search_pq_batch_by_vectors(
             spark, path, [good, zero], k=3, nprobe=2, m=_PQ_M, ks=_PQ_KS
         )
+
+
+def test_try_claim_one_winner_and_stale_sweep(tmp_path):
+    """Round-16 (ADVICE r15 #1): _try_claim is the one-winner primitive
+    gating non-idempotent appends — exactly one concurrent claimer
+    wins, release reopens the claim, and a crashed owner's stale claim
+    (mtime past the staleness gate) is swept and re-won."""
+    import os
+
+    from news_graph_rag_spark.pipeline.ann_index import _try_claim
+
+    d = str(tmp_path)
+    assert _try_claim(d, "_pq_append_claim") is True
+    # a second claimer loses while the first holds it
+    assert _try_claim(d, "_pq_append_claim") is False
+    # release → claimable again
+    os.unlink(os.path.join(d, "_pq_append_claim"))
+    assert _try_claim(d, "_pq_append_claim") is True
+    # crashed owner: age the claim past the staleness gate — the next
+    # claimer sweeps it and wins
+    old = os.path.join(d, "_pq_append_claim")
+    past = 1_000_000.0
+    os.utime(old, (past, past))
+    assert _try_claim(d, "_pq_append_claim") is True

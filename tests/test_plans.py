@@ -1055,3 +1055,60 @@ def test_ivfpq_code_utilization_reads_codes_only(spark, sf_dir, reg):
     assert "embeddings.parquet" not in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_allow_set_budget_fallback_values_equal(spark, sf_dir, monkeypatch):
+    """Round-16 (ADVICE r15 #2): the allow-set PRE-filter now carries
+    the same size-budget guard as the batch ADC relation. Under the
+    default budget the eligible set broadcasts (plan-asserted by the
+    filtered entries' tests); with the budget pinned to 0 the same
+    call falls back to a shuffle-hash LEFT SEMI on vec_id — never a
+    sort-merge — and must produce IDENTICAL values, on BOTH the
+    single-probe PQ path and the batch path (the two callers of
+    _allowed_semi the advice named)."""
+    from pyspark.sql import functions as F
+
+    from news_graph_rag_spark.pipeline import ann_index
+    from news_graph_rag_spark.queries.round13 import _PQ_KS, _PQ_M
+    from news_graph_rag_spark.queries.round14 import (
+        _PQ_ALLOW_PRED,
+        _PQ_BATCH_PROBE_IDS,
+    )
+
+    path = ann_index.ensure_pq(spark, sf_dir, m=_PQ_M, ks=_PQ_KS)
+    allowed = (
+        ann_index.load_index(spark, path)[0]
+        .filter(F.expr(_PQ_ALLOW_PRED.format(v="vec_id")))
+        .select("vec_id")
+    )
+
+    def single():
+        return sorted(
+            tuple(r)
+            for r in ann_index.search_pq_by_id(
+                spark, path, probe_vec_id=1, k=10, nprobe=4,
+                m=_PQ_M, ks=_PQ_KS, allowed=allowed,
+            ).collect()
+        )
+
+    def batch():
+        return sorted(
+            tuple(r)
+            for r in ann_index.search_pq_batch(
+                spark, path, list(_PQ_BATCH_PROBE_IDS), k=5, nprobe=4,
+                m=_PQ_M, ks=_PQ_KS, allowed=allowed,
+            ).collect()
+        )
+
+    default_single, default_batch = single(), batch()
+    monkeypatch.setattr(ann_index, "ALLOW_BROADCAST_MAX_ROWS", 0)
+    fb_single_df = ann_index.search_pq_by_id(
+        spark, path, probe_vec_id=1, k=10, nprobe=4,
+        m=_PQ_M, ks=_PQ_KS, allowed=allowed,
+    )
+    plan = plan_of(fb_single_df)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" in plan  # the over-budget semi-join
+    assert sorted(tuple(r) for r in fb_single_df.collect()) == default_single
+    assert len(default_single) > 0
+    assert batch() == default_batch and len(default_batch) > 0
