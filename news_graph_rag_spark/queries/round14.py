@@ -769,13 +769,24 @@ _PQ_BATCH_RERANK_MULT = 4
 
 
 def _ivfpq_batch_rerank_oracle(
-    probe_ids: "tuple[int, ...]", k: int, nprobe: int, cand_mult: int
+    probe_ids: "tuple[int, ...]",
+    k: int,
+    nprobe: int,
+    cand_mult: int,
+    exclude_probe: bool = True,
+    by_position: bool = False,
 ) -> str:
+    """Batch two-tier replay: the shared batch CTE's shortlist plus
+    the exact-rerank tail. ``by_position``/``exclude_probe`` thread
+    through to ``_ivfpq_batch_cte`` for the round-16 by-vector rerank
+    (external queries numbered by batch position, nothing to exclude);
+    defaults keep the frozen round-14 oracle text byte-identical."""
     from .retrieval_queries import _IVF_DOT, _IVF_SCORE
 
     dot, score = _IVF_DOT, _IVF_SCORE
     return f"""
-    {_ivfpq_batch_cte(probe_ids, nprobe)},
+    {_ivfpq_batch_cte(probe_ids, nprobe,
+                      exclude_probe=exclude_probe, by_position=by_position)},
     shortlist AS (
       SELECT probe_id, vec_id FROM (
         SELECT probe_id, vec_id,

@@ -2715,3 +2715,101 @@ def test_try_claim_one_winner_and_stale_sweep(tmp_path):
     past = 1_000_000.0
     os.utime(old, (past, past))
     assert _try_claim(d, "_pq_append_claim") is True
+
+
+def test_split_list_outside_probes_unchanged_and_tiers_consistent(
+    spark, sf_dir
+):
+    """Round-16 (VERDICT r15 #2): splitting one hot list must leave
+    every search whose probed lists avoid the split BIT-UNCHANGED
+    (both tiers), conserve every row exactly once across lists in
+    BOTH tiers, and keep the PQ layer servable through the inherited
+    codebook (child lists own a codebook equal to the parent's; split
+    rows re-encode against their child centroid)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from news_graph_rag_spark.pipeline import ann_index as ai
+
+    path = ai.ensure_pq(spark, sf_dir, m=8, ks=16, variant="split-pytest-v1")
+    apath = os.path.join(path, "assignments.parquet")
+    counts = {
+        int(r["centroid_id"]): int(r["n"])
+        for r in spark.read.parquet(apath)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    hot = min(c for c, n in counts.items() if n == max(counts.values()))
+    pre_ids = sorted(
+        int(r["vec_id"]) for r in spark.read.parquet(apath).select("vec_id").collect()
+    )
+    arrays_pre = ai._centroid_arrays(ai._centroid_rows(spark, path))
+    probes = ai._collect_probes(spark.read.parquet(apath), list(range(6)))
+    pre_lists = {
+        pid: ai._rank_probe_lists(p, arrays_pre, 2) for pid, p in probes.items()
+    }
+    pre_int8 = {
+        pid: [tuple(r) for r in ai.search_by_id(spark, path, pid, k=5, nprobe=2).collect()]
+        for pid in probes
+    }
+    pre_pq = {
+        pid: [tuple(r) for r in ai.search_pq_by_id(spark, path, pid, k=5, nprobe=2).collect()]
+        for pid in probes
+    }
+
+    if not json.load(open(os.path.join(path, "meta.json"))).get("split_history"):
+        new_cid = ai.split_list(spark, path, hot)
+    else:  # warm re-run of the suite against a kept variant
+        new_cid = max(c for c, *_ in ai._centroid_rows(spark, path))
+
+    # conservation in BOTH tiers: same vec_ids, exactly once
+    post_ids = sorted(
+        int(r["vec_id"]) for r in spark.read.parquet(apath).select("vec_id").collect()
+    )
+    assert post_ids == pre_ids
+    codes = spark.read.parquet(
+        os.path.join(ai._pq_dir(path, 8, 16), "codes.parquet")
+    )
+    assert sorted(int(r["vec_id"]) for r in codes.select("vec_id").collect()) == pre_ids
+    # the two tiers agree on every row's list (the append invariant)
+    mismatch = (
+        spark.read.parquet(apath)
+        .select("vec_id", F.col("centroid_id").alias("ca"))
+        .join(codes.select("vec_id", F.col("centroid_id").alias("cc")), "vec_id")
+        .filter(F.col("ca") != F.col("cc"))
+        .count()
+    )
+    assert mismatch == 0
+    # inherited codebook: child B's table equals the parent's
+    cb = spark.read.parquet(
+        os.path.join(ai._pq_dir(path, 8, 16), "codebook.parquet")
+    )
+    child_b = {
+        (int(r["sub"]), int(r["code"])): list(r["e"])
+        for r in cb.filter(F.col("centroid_id") == new_cid).collect()
+    }
+    child_a = {
+        (int(r["sub"]), int(r["code"])): list(r["e"])
+        for r in cb.filter(F.col("centroid_id") == hot).collect()
+    }
+    assert child_b == child_a and len(child_b) > 0
+
+    # probes whose probed lists avoid the split entirely (pre == post
+    # list sets, none of them the parent or the child) are bit-unchanged
+    arrays_post = ai._centroid_arrays(ai._centroid_rows(spark, path))
+    tested = 0
+    for pid, p in probes.items():
+        post_lists = ai._rank_probe_lists(p, arrays_post, 2)
+        if post_lists != pre_lists[pid] or {hot, new_cid} & set(post_lists):
+            continue
+        tested += 1
+        assert [
+            tuple(r) for r in ai.search_by_id(spark, path, pid, k=5, nprobe=2).collect()
+        ] == pre_int8[pid]
+        assert [
+            tuple(r) for r in ai.search_pq_by_id(spark, path, pid, k=5, nprobe=2).collect()
+        ] == pre_pq[pid]
+    assert tested > 0, "fixture data left no probe outside the split"
