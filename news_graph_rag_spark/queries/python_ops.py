@@ -1601,7 +1601,11 @@ def motif_anti_no_urgent_order(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _stage_ordered_batches(
-    dfs_fn, sf: str, kind: str, retired_kinds: "tuple[str, ...]" = ()
+    dfs_fn,
+    sf: str,
+    kind: str,
+    retired_kinds: "tuple[str, ...]" = (),
+    src_table: str = "events.parquet",
 ) -> str:
     """Stage a list of DataFrames (produced by the zero-arg ``dfs_fn``,
     called only on a cold build) as ONE parquet file each with strictly
@@ -1645,7 +1649,10 @@ def _stage_ordered_batches(
             except OSError:
                 continue
 
-    src = fingerprint_stage_dir(os.path.join(sf, "events.parquet"), kind)
+    # ``src_table`` names the fingerprinted source (round 16: the
+    # streaming-ANN entry stages embedding batches, so its staging must
+    # track embeddings.parquet, not events.parquet)
+    src = fingerprint_stage_dir(os.path.join(sf, src_table), kind)
     marker = os.path.join(src, "_STAGED")
     if not os.path.exists(marker):
         tmp_root = tempfile.mkdtemp(

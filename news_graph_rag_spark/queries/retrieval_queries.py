@@ -1104,49 +1104,21 @@ def _hybrid_indexed_oracle(n_centroids: int = 8, nprobe: int = 4) -> str:
     """
 
 
-@register(
-    "hybrid_search_indexed",
-    oracle=_hybrid_indexed_oracle(),
-    doc="R3 through the SCALE path, VALUE-VERIFIED (the bucketed-path-"
-    "is-the-verified-path discipline of near_dup_lsh_banded, applied "
-    "to hybrid retrieval): BOTH signals are index-driven (VERDICT r7 "
-    "#4; reference semantics vector_index.ipynb raw 88-97 — the "
-    "keyword side is a Lucene INDEX, not a scan). Vector candidates "
-    "come from the PERSISTENT ivf-int8 index (top k·4 by exact-integer "
-    "ranking, partition-pruned nprobe probe); keyword candidates come "
-    "from a MATERIALIZED inverted token index — (token, doc_id, df) "
-    "posting lists, built once per source fingerprint like the vector "
-    "index, queried with the token predicate pushed to the parquet "
-    "scan and a max_df cap so stopword-grade lists can't flood the "
-    "candidate set (retrieval/hybrid.py:122's discipline). kw_hits and "
-    "the float cosine are then computed ONLY on the broadcast-joined "
-    "candidate union — no per-query full-corpus text or cosine scan "
-    "anywhere. Normalization maxima come from the candidate set, not "
-    "the corpus. The DuckDB oracle recomputes the identical index, "
-    "posting-list candidate generation (same df cap), and fusion, so "
-    "the whole scale path hash-matches.",
-)
-def hybrid_search_indexed(spark: SparkSession, sf: str) -> DataFrame:
+def _staged_token_index(spark: SparkSession, sf: str) -> str:
+    """Offline DDL analog for the KEYWORD signal: materialize the
+    (token, doc_id, df) inverted index once per source fingerprint,
+    PARTITIONED by a crc32(token) bucket — the keyword analog of the
+    vector index's centroid_id partitioning: a query's tokens map to
+    buckets DRIVER-SIDE (zlib.crc32 == Spark's crc32, tested), so the
+    lookup is a PARTITION-PRUNED scan of its few buckets, never the
+    whole posting table (plan-asserted in tests/test_plans.py).
+    Shared by the single-query scale path and round-16's BATCH hybrid
+    (one index, however many concurrent queries ride it)."""
     import os
 
-    from ..pipeline.ann_index import ensure_index, search_by_vector
     from .catalog import fingerprint_stage_dir
 
-    path = ensure_index(spark, sf, widen_reps=None, n_centroids=8, iters=1)
-    emb = load(spark, sf, "embeddings")
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    vec_cand = search_by_vector(
-        spark, path, qv, k=_HYBRID_IDX_CANDS, nprobe=4
-    ).select(F.col("vec_id").alias("doc_id"))
-
     docs = load(spark, sf, "documents")
-    # offline DDL analog for the KEYWORD signal: materialize the
-    # (token, doc_id, df) inverted index once per source fingerprint,
-    # PARTITIONED by a crc32(token) bucket — the keyword analog of the
-    # vector index's centroid_id partitioning: a query's tokens map to
-    # buckets DRIVER-SIDE (zlib.crc32 == Spark's crc32, tested), so the
-    # lookup is a PARTITION-PRUNED scan of its few buckets, never the
-    # whole posting table (plan-asserted in tests/test_plans.py)
     tok_dir = fingerprint_stage_dir(os.path.join(sf, "documents.parquet"), "tokidx2")
     if not os.path.exists(os.path.join(tok_dir, "_SUCCESS")):
         # build-to-staging + ATOMIC rename (the ensure_index discipline
@@ -1186,7 +1158,43 @@ def hybrid_search_indexed(spark: SparkSession, sf: str) -> DataFrame:
             import shutil as _shutil
 
             _shutil.rmtree(staging, ignore_errors=True)
-    toki = spark.read.parquet(tok_dir)
+    return tok_dir
+
+
+@register(
+    "hybrid_search_indexed",
+    oracle=_hybrid_indexed_oracle(),
+    doc="R3 through the SCALE path, VALUE-VERIFIED (the bucketed-path-"
+    "is-the-verified-path discipline of near_dup_lsh_banded, applied "
+    "to hybrid retrieval): BOTH signals are index-driven (VERDICT r7 "
+    "#4; reference semantics vector_index.ipynb raw 88-97 — the "
+    "keyword side is a Lucene INDEX, not a scan). Vector candidates "
+    "come from the PERSISTENT ivf-int8 index (top k·4 by exact-integer "
+    "ranking, partition-pruned nprobe probe); keyword candidates come "
+    "from a MATERIALIZED inverted token index — (token, doc_id, df) "
+    "posting lists, built once per source fingerprint like the vector "
+    "index, queried with the token predicate pushed to the parquet "
+    "scan and a max_df cap so stopword-grade lists can't flood the "
+    "candidate set (retrieval/hybrid.py:122's discipline). kw_hits and "
+    "the float cosine are then computed ONLY on the broadcast-joined "
+    "candidate union — no per-query full-corpus text or cosine scan "
+    "anywhere. Normalization maxima come from the candidate set, not "
+    "the corpus. The DuckDB oracle recomputes the identical index, "
+    "posting-list candidate generation (same df cap), and fusion, so "
+    "the whole scale path hash-matches.",
+)
+def hybrid_search_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import ensure_index, search_by_vector
+
+    path = ensure_index(spark, sf, widen_reps=None, n_centroids=8, iters=1)
+    emb = load(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    vec_cand = search_by_vector(
+        spark, path, qv, k=_HYBRID_IDX_CANDS, nprobe=4
+    ).select(F.col("vec_id").alias("doc_id"))
+
+    docs = load(spark, sf, "documents")
+    toki = spark.read.parquet(_staged_token_index(spark, sf))
 
     import zlib
 

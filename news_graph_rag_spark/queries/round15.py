@@ -556,12 +556,19 @@ def tokenize_shard_doc_offsets(spark: SparkSession, sf: str) -> DataFrame:
 _PQINSERT_VARIANT = "pqinsert-demo-v1"
 
 
-def _ivfpq_insert_oracle(k: int, nprobe: int) -> str:
+def _ivfpq_insert_oracle(
+    k: int,
+    nprobe: int,
+    probe_sel: str = "(SELECT MIN(vec_id) FROM incoming)",
+) -> str:
     """Replay base-subset build + PQ train + frozen assign + frozen
     encode of the incoming rows (the shared ``_ivfpq_incr_cte``), then
     serve a single-probe ADC search over the UNION of base codes and
     freshly appended codes, probing with the smallest INSERTED vector
-    — the value the write path exists to produce."""
+    — the value the write path exists to produce. ``probe_sel`` (round
+    16) selects a different inserted probe (the streaming entry probes
+    the LAST micro-batch); the default keeps the frozen round-15 text
+    byte-identical."""
     from .retrieval_queries import _IVF_DOT, _IVF_SCORE
     from .round13 import _PQ_SUBD
 
@@ -576,7 +583,7 @@ def _ivfpq_insert_oracle(k: int, nprobe: int) -> str:
     ),
     iprobe AS (
       SELECT vec_id, q8 FROM live
-      WHERE vec_id = (SELECT MIN(vec_id) FROM incoming)
+      WHERE vec_id = {probe_sel}
     ),
     ipc AS (
       SELECT cid FROM (

@@ -286,6 +286,59 @@ def streaming_index_append(
     return writer.start()
 
 
+def streaming_codes_append(
+    emb_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """readStream(embeddings) → foreachBatch(assign_new → append_codes)
+    — the BOTH-tiers streaming insert (VERDICT r15 #3), connecting the
+    two halves that already existed separately: continuous ingest
+    (this module) and the incremental index write path
+    (pipeline/ann_index.append_codes). Each micro-batch quantizes and
+    coarse-assigns against the frozen resident centroids (map-only),
+    then lands as new files inside its inverted-list partitions AND —
+    encoded against the frozen residual codebooks — inside the PQ code
+    partitions, so a crawled embedding is servable from BOTH tiers at
+    the next request with no rebuild (reference crawler.py:21-23
+    feeding graph.py:211-219's index, made continuous). Same replay
+    caveat as ``streaming_index_append``: foreachBatch is
+    at-least-once, so a replayed epoch re-appends — callers that need
+    exactly-once gate on append_codes' torn/duplicate count detection
+    (the catalog entry's pattern) or route through apply_changelog."""
+    from ..pipeline.ann_index import append_codes, assign_new
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        append_codes(
+            spark,
+            index_path,
+            assign_new(
+                spark,
+                index_path,
+                batch_df,
+                embedding_col=embedding_col,
+                id_col=id_col,
+            ),
+            m=m,
+            ks=ks,
+        )
+
+    writer = emb_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_hll_registers(
     events_stream: DataFrame,
     key_col: str = "event_type",

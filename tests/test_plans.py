@@ -1112,3 +1112,63 @@ def test_allow_set_budget_fallback_values_equal(spark, sf_dir, monkeypatch):
     assert sorted(tuple(r) for r in fb_single_df.collect()) == default_single
     assert len(default_single) > 0
     assert batch() == default_batch and len(default_batch) > 0
+
+
+def test_ivfpq_rerank_by_vector_two_pruned_scans(spark, sf_dir, reg):
+    """Round-16 by-vector two-tier rerank: the external-query batch
+    must inherit the by-id rerank plan unchanged (shared shortlist +
+    shared exact-rerank cores) — exactly ONE pruned codes scan (the PQ
+    shortlist) and ONE pruned assignments scan (the exact tier's point
+    lookups), broadcast-only joins, probe-partitioned windows, and
+    neither the raw embeddings (query batch collected eagerly) nor a
+    probe fetch anywhere in the serving plan."""
+    df = reg["ann_ivfpq_rerank_by_vector_topk"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    code_scans = [
+        line
+        for line in plan.splitlines()
+        if "Location" in line and "codes.parquet" in line
+    ]
+    assign_scans = [
+        line
+        for line in plan.splitlines()
+        if "Location" in line and "assignments.parquet" in line
+    ]
+    assert len(code_scans) == 1, code_scans
+    assert len(assign_scans) == 1, assign_scans
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert sum("centroid_id" in line and "IN" in line for line in pf) >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "embeddings.parquet" not in plan
+    specs = _window_specs(plan)
+    assert specs and all("probe_id" in s.split(",")[0] for s in specs), specs
+
+
+def test_hybrid_batch_one_token_scan_one_assignments_scan(spark, sf_dir, reg):
+    """Round-16 batch hybrid (VERDICT r15 #4's done-criterion): Q
+    concurrent queries must cost ONE partition-pruned token-index scan
+    and ONE partition-pruned assignments scan regardless of Q —
+    keyword candidates ride a single broadcast (probe, token) relation
+    and vector candidates the shared int8 batch core; per-query rank
+    windows partition on probe_id; no sort-merge join anywhere."""
+    df = reg["hybrid_batch_indexed_topk"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    tok_scans = [
+        line
+        for line in plan.splitlines()
+        if "Location" in line and "ngr_tokidx2" in line
+    ]
+    assign_scans = [
+        line
+        for line in plan.splitlines()
+        if "Location" in line and "assignments.parquet" in line
+    ]
+    assert len(tok_scans) == 1, tok_scans
+    assert len(assign_scans) == 1, assign_scans
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert any("tok_bucket" in line and "IN" in line for line in pf), pf
+    assert any("centroid_id" in line and "IN" in line for line in pf), pf
+    assert "SortMergeJoin" not in plan
+    specs = _window_specs(plan)
+    assert specs and all("probe_id" in s.split(",")[0] for s in specs), specs
