@@ -229,6 +229,14 @@ HEADLINE = [
     "tokenize_shard_doc_offsets",
     "ann_ivfpq_insert_search_topk",
     "ann_ivfpq_code_utilization",
+    # round 16: by-vector two-tier rerank, coarse-list split, streaming
+    # ANN ingest, batch hybrid, R-round GBT holdout, GDPR cascade
+    "ann_ivfpq_rerank_by_vector_topk",
+    "ann_ivf_split_list_roundtrip",
+    "streaming_ann_ingest_search",
+    "hybrid_batch_indexed_topk",
+    "gbt_3round_holdout_stats",
+    "gdpr_purge_cascade_ann",
 ]
 
 
@@ -382,6 +390,15 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
     )
     from news_graph_rag_spark.queries.round14 import _staged_token_shards
     from news_graph_rag_spark.queries.round15 import _staged_gbt2_model
+    from news_graph_rag_spark.queries.retrieval_queries import (
+        _staged_token_index,
+    )
+    from news_graph_rag_spark.queries.round16 import (
+        _GDPR_VARIANT,
+        _SPLIT_VARIANT,
+        _staged_gbt3h_model,
+        _STREAMINS_VARIANT,
+    )
 
     builds = [
         ("ann_ivf", lambda d: ensure_index(spark, d, n_centroids=8, iters=1)),
@@ -446,6 +463,41 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
         ("tree3_splits", lambda d: _staged_tree3_splits(spark, d).count()),
         ("token_shards", lambda d: _staged_token_shards(spark, d)),
         ("gbt2_model", lambda d: _staged_gbt2_model(spark, d)),
+        # round 16: the mutable-variant bases (append/split/purge run
+        # inside the timed entries only on their FIRST invocation — the
+        # base builds are the amortized offline halves), the staged
+        # token index the batch hybrid shares with the single-query
+        # scale path, and the R-round boosted model
+        (
+            "ann_ivf_split_variant",
+            lambda d: ensure_index(
+                spark,
+                d,
+                n_centroids=8,
+                iters=1,
+                variant=_SPLIT_VARIANT,
+                subset_pred=_IVF_INCR_BASE.format(t="string"),
+            ),
+        ),
+        (
+            "ann_ivfpq_streamins_variant",
+            lambda d: ensure_pq(
+                spark,
+                d,
+                m=_PQ_M,
+                ks=_PQ_KS,
+                variant=_STREAMINS_VARIANT,
+                subset_pred=_IVF_INCR_BASE.format(t="string"),
+            ),
+        ),
+        (
+            "ann_ivfpq_gdpr_variant",
+            lambda d: ensure_pq(
+                spark, d, m=_PQ_M, ks=_PQ_KS, variant=_GDPR_VARIANT
+            ),
+        ),
+        ("token_index", lambda d: _staged_token_index(spark, d)),
+        ("gbt3h_model", lambda d: _staged_gbt3h_model(spark, d)),
     ]
     out: dict[str, float] = {}
     for sf_dir in sf_dirs:

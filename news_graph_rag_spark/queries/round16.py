@@ -821,3 +821,559 @@ def hybrid_batch_indexed_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rnk") <= _BH_K)
         .select("probe_id", "doc_id", "kw_hits", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# GBT generalized: R boosting rounds + train/holdout eval (VERDICT r15 #6)
+# ---------------------------------------------------------------------------
+
+_GBT3_ROUNDS = 3
+#: the deterministic split rule of train_val_test_split, applied to the
+#: orders key: first md5 hex digit <= 'b' = the 12/16 TRAIN bucket;
+#: everything else (val+test, 4/16) is the held-out eval set
+_GBT3_TRAIN_PRED = "substr(md5(CAST(o_orderkey AS {t})), 1, 1) <= 'b'"
+
+
+def _split_pts_h(spark: SparkSession, sf: str) -> DataFrame:
+    """_split_pts plus the deterministic md5 train flag (the orders key
+    carried just long enough to derive it — the feature frame itself
+    stays (f0, f1, f2, y, is_train))."""
+    from .round12 import _split_pts  # noqa: F401  (doc cross-ref)
+
+    return (
+        load(spark, sf, "orders")
+        .filter(
+            F.col("o_totalprice").isNotNull()
+            & F.col("o_custkey").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+        )
+        .select(
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("f0"),
+            (F.col("o_custkey") % 97).cast("bigint").alias("f1"),
+            F.expr(
+                "CAST(months_between(date_trunc('MONTH', o_orderdate), "
+                "DATE '1992-01-01') AS BIGINT)"
+            ).alias("f2"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("y"),
+            (
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+                <= "b"
+            ).alias("is_train"),
+        )
+    )
+
+
+_SPLIT_PTS_H_SQL = f"""
+      SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS f0,
+             CAST(o_custkey % 97 AS BIGINT) AS f1,
+             CAST(datediff('month', DATE '1992-01-01', o_orderdate)
+                  AS BIGINT) AS f2,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y,
+             CASE WHEN {_GBT3_TRAIN_PRED.format(t="VARCHAR")}
+                  THEN 1 ELSE 0 END AS is_train
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+        AND o_orderdate IS NOT NULL
+"""
+
+
+def _gbt_train_r(
+    spark: SparkSession, sf: str, rounds: int = _GBT3_ROUNDS
+) -> "tuple[list[list[DataFrame]], DataFrame]":
+    """R-round stump-forest boosting on the level-pass machinery —
+    round-14's two-round recursion parameterized over rounds (VERDICT
+    r15 #6), trained on the md5 TRAIN bucket only: round 1 fits a
+    depth-2 Gini tree to y; round t+1 fits one to the SIGN of the
+    exact composite-cell residual (y·n_cell − p_cell over the
+    (node_1..node_t) cell — within a composite cell n_cell is
+    constant, so the sign is exact in BIGINT; the additive-correction
+    algebra of gbt_2round_leaf_stats telescopes to exactly this cell
+    mean, see that entry's cross-multiplication). Each round's scored
+    frame pins once (localCheckpoint — the inter-round prediction
+    cache every distributed GBDT keeps); each level stays ONE shared
+    melt + histogram + two-phase cumsum regardless of leaf count, so
+    training costs R·depth level passes at any corpus size. Returns
+    (per-round per-level best splits, the final frame with n0..n{R-1}
+    and y0)."""
+    from .round12 import _split_counts
+    from .round13 import _gini_best, _tree_assign
+    from .round14 import _GBT_DEPTH
+
+    tr = (
+        _split_pts_h(spark, sf)
+        .filter(F.col("is_train"))
+        .select("f0", "f1", "f2", "y")
+        .withColumn("y0", F.col("y"))
+    )
+    splits_all: "list[list[DataFrame]]" = []
+    state = tr
+    cell_cols: "list[str]" = []
+    for r in range(rounds):
+        cur = state.withColumn("node", F.lit(1).cast("bigint"))
+        splits: "list[DataFrame]" = []
+        for _ in range(_GBT_DEPTH):
+            best = _gini_best(
+                _split_counts(cur, F.col("node"))
+            ).localCheckpoint(eager=True)
+            splits.append(best)
+            cur = _tree_assign(cur, best)
+        splits_all.append(splits)
+        cur = cur.withColumnRenamed("node", f"n{r}").localCheckpoint(
+            eager=True
+        )
+        cell_cols.append(f"n{r}")
+        if r < rounds - 1:
+            cell = cur.groupBy(*cell_cols).agg(
+                F.count(F.lit(1)).cast("bigint").alias("_nc"),
+                F.sum("y0").cast("bigint").alias("_pc"),
+            )
+            state = (
+                cur.join(F.broadcast(cell), cell_cols)
+                .withColumn(
+                    "y",
+                    F.when(
+                        F.col("y0") * F.col("_nc") - F.col("_pc") > 0,
+                        F.lit(1),
+                    )
+                    .otherwise(F.lit(0))
+                    .cast("bigint"),
+                )
+                .drop("_nc", "_pc")
+            )
+        else:
+            state = cur
+    return splits_all, state
+
+
+def _staged_gbt3h_model(spark: SparkSession, sf: str) -> str:
+    """The trained R-round boosted model as a STAGED ARTIFACT (the
+    gbt2/tree3 discipline — train once per dataset fingerprint, load
+    at serving time): one dir holding `splits` ((rnd, node, fid, thr)
+    for every round and level) and `cells` (per final composite cell:
+    TRAIN size and TRAIN positives — the exact integers the majority
+    threshold 2·p_cell > n_cell needs). The holdout entry's oracle
+    replays ALL R trainings in SQL, so staging can never mask a wrong
+    split."""
+
+    def build(tmp: str) -> None:
+        splits_all, final = _gbt_train_r(spark, sf)
+        out = None
+        for r, levels in enumerate(splits_all):
+            for lv in levels:
+                flat = lv.select(
+                    F.lit(r).cast("bigint").alias("rnd"),
+                    F.col("leaf").cast("bigint").alias("node"),
+                    F.col("b.fid").cast("bigint").alias("fid"),
+                    F.col("b.thr").alias("thr"),
+                )
+                out = flat if out is None else out.unionByName(flat)
+        out.coalesce(1).write.parquet(os.path.join(tmp, "splits"))
+        cols = [f"n{r}" for r in range(_GBT3_ROUNDS)]
+        final.groupBy(*cols).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cell"),
+            F.sum("y0").cast("bigint").alias("p_cell"),
+        ).coalesce(1).write.parquet(os.path.join(tmp, "cells"))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return stage_parquet(
+        os.path.join(sf, "orders.parquet"),
+        f"gbt3h_model_v1_r{_GBT3_ROUNDS}",
+        build,
+    )
+
+
+def _gbt3h_oracle() -> str:
+    """Replay split + ALL THREE trainings + holdout scoring: the md5
+    train bucket trains round 1 on y and rounds 2..R on the exact
+    composite-cell residual sign; the holdout rows walk all R·depth
+    hops and score against the TRAIN cell majorities."""
+    from .round12 import _level_sql
+    from .round13 import _gini_cand_sql, _node_case
+
+    def hop_root(src: str, gb: str, out_node: str = "node") -> str:
+        return (
+            f"SELECT {src}.*, CAST(2 + "
+            f"{_node_case('b.fid', 'b.thr', src)} AS BIGINT) AS {out_node} "
+            f"FROM {src}, (SELECT fid, thr FROM {gb} WHERE rn = 1) b"
+        )
+
+    return f"""
+    WITH apts AS MATERIALIZED ({_SPLIT_PTS_H_SQL}),
+    tr AS MATERIALIZED (
+      SELECT f0, f1, f2, y FROM apts WHERE is_train = 1
+    ),
+    {_level_sql("tr", "", "ha")},
+    {_gini_cand_sql("", "ha")},
+    tr2 AS MATERIALIZED ({hop_root("tr", "hagb")}),
+    {_level_sql("tr2", "node", "hb")},
+    {_gini_cand_sql("node", "hb")},
+    tr3 AS MATERIALIZED (
+      SELECT p.f0, p.f1, p.f2, p.y,
+             CAST(p.node * 2 + {_node_case("b.fid", "b.thr", "p")} AS BIGINT)
+               AS n0
+      FROM tr2 p
+      JOIN (SELECT node, fid, thr FROM hbgb WHERE rn = 1) b ON b.node = p.node
+    ),
+    cell1 AS MATERIALIZED (
+      SELECT n0, CAST(COUNT(*) AS BIGINT) AS nc, CAST(SUM(y) AS BIGINT) AS pc
+      FROM tr3 GROUP BY n0
+    ),
+    trb AS MATERIALIZED (
+      SELECT p.f0, p.f1, p.f2, p.n0, p.y AS y0,
+             CAST(CASE WHEN p.y * c.nc - c.pc > 0 THEN 1 ELSE 0 END
+                  AS BIGINT) AS y
+      FROM tr3 p JOIN cell1 c USING (n0)
+    ),
+    {_level_sql("trb", "", "hc")},
+    {_gini_cand_sql("", "hc")},
+    trb2 AS MATERIALIZED ({hop_root("trb", "hcgb")}),
+    {_level_sql("trb2", "node", "hd")},
+    {_gini_cand_sql("node", "hd")},
+    trb3 AS MATERIALIZED (
+      SELECT p.f0, p.f1, p.f2, p.n0, p.y0,
+             CAST(p.node * 2 + {_node_case("b.fid", "b.thr", "p")} AS BIGINT)
+               AS n1
+      FROM trb2 p
+      JOIN (SELECT node, fid, thr FROM hdgb WHERE rn = 1) b ON b.node = p.node
+    ),
+    cell2 AS MATERIALIZED (
+      SELECT n0, n1, CAST(COUNT(*) AS BIGINT) AS nc,
+             CAST(SUM(y0) AS BIGINT) AS pc
+      FROM trb3 GROUP BY n0, n1
+    ),
+    trc AS MATERIALIZED (
+      SELECT p.f0, p.f1, p.f2, p.n0, p.n1, p.y0,
+             CAST(CASE WHEN p.y0 * c.nc - c.pc > 0 THEN 1 ELSE 0 END
+                  AS BIGINT) AS y
+      FROM trb3 p JOIN cell2 c ON c.n0 = p.n0 AND c.n1 = p.n1
+    ),
+    {_level_sql("trc", "", "he")},
+    {_gini_cand_sql("", "he")},
+    trc2 AS MATERIALIZED ({hop_root("trc", "hegb")}),
+    {_level_sql("trc2", "node", "hf")},
+    {_gini_cand_sql("node", "hf")},
+    trc3 AS MATERIALIZED (
+      SELECT p.n0, p.n1, p.y0,
+             CAST(p.node * 2 + {_node_case("b.fid", "b.thr", "p")} AS BIGINT)
+               AS n2
+      FROM trc2 p
+      JOIN (SELECT node, fid, thr FROM hfgb WHERE rn = 1) b ON b.node = p.node
+    ),
+    cells AS MATERIALIZED (
+      SELECT n0, n1, n2, CAST(COUNT(*) AS BIGINT) AS n_cell,
+             CAST(SUM(y0) AS BIGINT) AS p_cell
+      FROM trc3 GROUP BY n0, n1, n2
+    ),
+    hpts AS MATERIALIZED (
+      SELECT f0, f1, f2, y FROM apts WHERE is_train = 0
+    ),
+    hh1 AS ({hop_root("hpts", "hagb")}),
+    hh2 AS (
+      SELECT h.f0, h.f1, h.f2, h.y,
+             CAST(h.node * 2 + {_node_case("b.fid", "b.thr", "h")} AS BIGINT)
+               AS n0
+      FROM hh1 h
+      JOIN (SELECT node, fid, thr FROM hbgb WHERE rn = 1) b ON b.node = h.node
+    ),
+    hh3 AS ({hop_root("hh2", "hcgb")}),
+    hh4 AS (
+      SELECT h.f0, h.f1, h.f2, h.y, h.n0,
+             CAST(h.node * 2 + {_node_case("b.fid", "b.thr", "h")} AS BIGINT)
+               AS n1
+      FROM hh3 h
+      JOIN (SELECT node, fid, thr FROM hdgb WHERE rn = 1) b ON b.node = h.node
+    ),
+    hh5 AS ({hop_root("hh4", "hegb")}),
+    hh6 AS (
+      SELECT h.y, h.n0, h.n1,
+             CAST(h.node * 2 + {_node_case("b.fid", "b.thr", "h")} AS BIGINT)
+               AS n2
+      FROM hh5 h
+      JOIN (SELECT node, fid, thr FROM hfgb WHERE rn = 1) b ON b.node = h.node
+    )
+    SELECT h.n0, h.n1, h.n2,
+           CAST(COUNT(*) AS BIGINT) AS n_hold,
+           CAST(SUM(h.y) AS BIGINT) AS n_hold_pos,
+           CAST(CASE WHEN 2 * MIN(c.p_cell) > MIN(c.n_cell)
+                THEN 1 ELSE 0 END AS BIGINT) AS predict,
+           CAST(CASE WHEN 2 * MIN(c.p_cell) > MIN(c.n_cell)
+                THEN SUM(h.y) ELSE COUNT(*) - SUM(h.y) END AS BIGINT)
+             AS n_correct
+    FROM hh6 h JOIN cells c ON c.n0 = h.n0 AND c.n1 = h.n1 AND c.n2 = h.n2
+    GROUP BY h.n0, h.n1, h.n2
+    """
+
+
+@register(
+    "gbt_3round_holdout_stats",
+    oracle=_gbt3h_oracle(),
+    doc="the GBT loop GENERALIZED and EVALUATED (VERDICT r15 #6): R=3 "
+    "boosting rounds on the level-pass machinery — round 1 a depth-2 "
+    "Gini tree on y over the md5 TRAIN bucket (the SAME deterministic "
+    "12/16 split rule as train_val_test_split, keyed on o_orderkey), "
+    "rounds 2-3 on the SIGN of the exact composite-cell residual "
+    "(y·n_cell − p_cell over the cells of all prior trees — the "
+    "additive-correction algebra of gbt_2round_leaf_stats telescopes "
+    "to exactly the cell mean, so the R-round prediction is the final "
+    "cell's TRAIN majority, cross-multiplied to the all-integer "
+    "2·p_cell > n_cell). The trained model is a STAGED ARTIFACT "
+    "(splits of all R·2 levels + final cell stats); serving walks "
+    "each HOLDOUT row through R·2 broadcast-CASE hops (no shuffle, no "
+    "retraining) and reads out PER CELL what training accuracy alone "
+    "cannot show — the held-out eval: holdout size, holdout "
+    "positives, the model's prediction, and the holdout-accuracy "
+    "numerator. Cells no holdout row reaches (or that training never "
+    "populated) drop symmetrically in both engines. VALUE-VERIFIED: "
+    "the oracle replays split + ALL THREE trainings + the holdout "
+    "walk end to end, so a wrong split in ANY round, a leaked train "
+    "row, or a drifted residual class surfaces as a value mismatch; "
+    "the brute-force differential (test_properties.py) runs on a "
+    "fixture where the rounds genuinely DIVERGE (cells purify, the "
+    "masked target moves the later trees), while on the catalog "
+    "dataset no cell purifies, so rounds 2-3 reselect round 1's tree "
+    "— the residual-sign fixed point documented in round 15, now "
+    "VISIBLE as telemetry instead of a reason not to ship the "
+    "machinery. All outputs exact integers.",
+)
+def gbt_3round_holdout_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from .round14 import _GBT_DEPTH
+
+    model = _staged_gbt3h_model(spark, sf)
+    splits = spark.read.parquet(os.path.join(model, "splits"))
+    cells = F.broadcast(spark.read.parquet(os.path.join(model, "cells")))
+
+    rows = (
+        _split_pts_h(spark, sf)
+        .filter(~F.col("is_train"))
+        .select("f0", "f1", "f2", "y")
+    )
+    cur = rows
+    for r in range(_GBT3_ROUNDS):
+        rnd = F.broadcast(splits.filter(F.col("rnd") == r).drop("rnd"))
+        cur = cur.withColumn("node", F.lit(1).cast("bigint"))
+        for _ in range(_GBT_DEPTH):
+            cur = (
+                cur.join(rnd, "node")
+                .withColumn(
+                    "node",
+                    F.col("node") * 2
+                    + F.when(
+                        F.expr(
+                            "CASE fid WHEN 0 THEN f0 WHEN 1 THEN f1 ELSE f2 END"
+                        )
+                        <= F.col("thr"),
+                        F.lit(0),
+                    ).otherwise(F.lit(1)),
+                )
+                .drop("fid", "thr")
+            )
+        cur = cur.withColumnRenamed("node", f"n{r}")
+    agg = cur.groupBy("n0", "n1", "n2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hold"),
+        F.sum("y").cast("bigint").alias("n_hold_pos"),
+    )
+    pred = 2 * F.col("p_cell") > F.col("n_cell")
+    return agg.join(cells, ["n0", "n1", "n2"]).select(
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        "n_hold",
+        "n_hold_pos",
+        F.when(pred, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("predict"),
+        F.when(pred, F.col("n_hold_pos"))
+        .otherwise(F.col("n_hold") - F.col("n_hold_pos"))
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GDPR purge composed end to end across subsystems (VERDICT r15 #7)
+# ---------------------------------------------------------------------------
+
+_GDPR_VARIANT = "gdprdemo-v1"
+#: the forget-set: purge_user_cascade's own predicate (negative-balance
+#: AUTOMOBILE customers), reused verbatim so the relational and vector
+#: halves cascade from ONE key set; customers whose c_custkey indexes a
+#: profile embedding ({v} is the vec_id column) lose that vector too
+_GDPR_FORGET_VEC = (
+    "{v} IN (SELECT c_custkey FROM customer "
+    "WHERE c_acctbal < 0 AND c_mktsegment = 'AUTOMOBILE')"
+)
+
+
+def _gdpr_oracle() -> str:
+    """Replay BOTH halves: the relational cascade counts (the
+    purge_user_cascade chain) and the vector store's post-purge state —
+    physical rows after compaction (live minus forget) and the top-10
+    ADC dot sum of a post-retrain search, via the shared IVF-PQ chain
+    with the forget predicate applied BOTH as the serving mask and as
+    the PQ TRAINING mask (pq_dead_where = the retrain_pq replay;
+    retrain-after-compaction ≡ retrain-after-tombstone, test-pinned)."""
+    from .round13 import _ivfpq_cte
+
+    return f"""
+    {_ivfpq_cte(nprobe=4, probe_id=0, dead_where=_GDPR_FORGET_VEC,
+                pq_dead_where=_GDPR_FORGET_VEC)},
+    top10 AS (
+      SELECT adot FROM scored
+      ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE)) DESC, vec_id
+      LIMIT 10
+    ),
+    forget AS (
+      SELECT c_custkey FROM customer
+      WHERE c_acctbal < 0 AND c_mktsegment = 'AUTOMOBILE'
+    ),
+    kept_orders AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM forget)
+    )
+    SELECT 'customer_remaining' AS subsystem,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM forget)) AS n
+    UNION ALL
+    SELECT 'orders_remaining',
+           (SELECT CAST(count(*) AS BIGINT) FROM kept_orders)
+    UNION ALL
+    SELECT 'lineitem_remaining',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM kept_orders))
+    UNION ALL
+    SELECT 'ann_rows_physical',
+           (SELECT CAST(count(*) AS BIGINT) FROM live
+            WHERE NOT ({_GDPR_FORGET_VEC.format(v="vec_id")}))
+    UNION ALL
+    SELECT 'ann_top10_adot_sum',
+           (SELECT CAST(SUM(adot) AS BIGINT) FROM top10)
+    """
+
+
+@register(
+    "gdpr_purge_cascade_ann",
+    oracle=_gdpr_oracle(),
+    doc="the GDPR purge END TO END across subsystems (VERDICT r15 #7 — "
+    "the audit story a 100 TB pipeline must tell): ONE forget-set "
+    "(purge_user_cascade's negative-balance AUTOMOBILE customers) "
+    "cascades through the relational chain customer → orders → "
+    "lineitem (broadcast anti-joins, per-table surviving counts) AND "
+    "through the vector store: the forget customers' profile "
+    "embeddings (vec_id = c_custkey — the deterministic stand-in for "
+    "the owner column a real corpus carries) are TOMBSTONED "
+    "(delete_vectors — unservable immediately), physically removed "
+    "(compact_tombstones — the data-level half; only affected list "
+    "partitions rewrite), and the PQ codebooks RETRAINED from the "
+    "compacted lists (the model-level half — the forget residuals "
+    "stop shaping the model; compaction retires the stale PQ layer by "
+    "format contract and ensure/train rebuilds it live-only, the "
+    "retrain_pq ≡ retrain-after-compaction equivalence). Idempotent: "
+    "the purged state is detected from the index itself (raw "
+    "assignments hold no forget vector the source still has); the "
+    "non-idempotent mutation is claim-gated. Readout: the per-table "
+    "surviving counts, the index's physical row count, and the top-10 "
+    "exact ADC dot sum of a post-purge search — the model-level "
+    "values pinned into the audit row. VALUE-VERIFIED: the oracle "
+    "replays the cascade AND the full build + live-only PQ train + "
+    "masked search; a resurrected vector, an over-deleted list, or a "
+    "codebook still shaped by forgotten residuals all surface as "
+    "value mismatches.",
+)
+def gdpr_purge_cascade_ann(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import (
+        _try_claim,
+        compact_tombstones,
+        delete_vectors,
+        ensure_pq,
+        search_pq_by_id,
+        train_pq,
+    )
+
+    def ensure():
+        # also (re)trains the PQ layer from the CURRENT lists when the
+        # previous layer was retired by compaction's format contract
+        return ensure_pq(spark, sf, m=_PQ_M, ks=_PQ_KS, variant=_GDPR_VARIANT)
+
+    path = ensure()
+    cust = load(spark, sf, "customer")
+    forget = cust.filter(
+        (F.col("c_acctbal") < 0) & (F.col("c_mktsegment") == "AUTOMOBILE")
+    ).select("c_custkey")
+    forget_vec = forget.select(F.col("c_custkey").cast("long").alias("vec_id"))
+    apath = os.path.join(path, "assignments.parquet")
+    to_purge = (
+        spark.read.parquet(apath)
+        .join(F.broadcast(forget_vec), "vec_id", "left_semi")
+        .count()
+    )
+    if to_purge:
+        if _try_claim(path, "_gdpr_claim"):
+            try:
+                delete_vectors(spark, path, forget_vec)
+                compact_tombstones(spark, path)
+                train_pq(spark, path, m=_PQ_M, ks=_PQ_KS)
+            finally:
+                try:
+                    os.unlink(os.path.join(path, "_gdpr_claim"))
+                except OSError:
+                    pass
+        else:
+            import time
+
+            deadline = time.time() + 180.0
+            while time.time() < deadline:
+                if (
+                    spark.read.parquet(apath)
+                    .join(F.broadcast(forget_vec), "vec_id", "left_semi")
+                    .count()
+                    == 0
+                ):
+                    break
+                time.sleep(1.0)
+            else:
+                raise RuntimeError(
+                    "concurrent GDPR purge holder did not commit in 180s"
+                )
+        path = ensure()  # restore the PQ layer if a racer saw it retired
+
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    kept_cust = cust.join(F.broadcast(forget), "c_custkey", "left_anti")
+    kept_orders = orders.join(
+        F.broadcast(forget),
+        orders.o_custkey == forget.c_custkey,
+        "left_anti",
+    )
+    purged_orders = orders.join(
+        F.broadcast(forget), orders.o_custkey == forget.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    kept_li = li.join(
+        F.broadcast(purged_orders),
+        li.l_orderkey == purged_orders.o_orderkey,
+        "left_anti",
+    )
+    ann_rows = spark.read.parquet(apath)
+    top10_sum = search_pq_by_id(
+        spark, path, probe_vec_id=0, k=10, nprobe=4, m=_PQ_M, ks=_PQ_KS
+    ).agg(
+        F.lit("ann_top10_adot_sum").alias("subsystem"),
+        F.sum("adot").cast("bigint").alias("n"),
+    )
+
+    def counted(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("subsystem"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+
+    return (
+        counted(kept_cust, "customer_remaining")
+        .unionByName(counted(kept_orders, "orders_remaining"))
+        .unionByName(counted(kept_li, "lineitem_remaining"))
+        .unionByName(counted(ann_rows, "ann_rows_physical"))
+        .unionByName(top10_sum)
+    )

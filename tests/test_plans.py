@@ -1172,3 +1172,16 @@ def test_hybrid_batch_one_token_scan_one_assignments_scan(spark, sf_dir, reg):
     assert "SortMergeJoin" not in plan
     specs = _window_specs(plan)
     assert specs and all("probe_id" in s.split(",")[0] for s in specs), specs
+
+
+def test_gbt3_holdout_is_broadcast_scoring(spark, sf_dir, reg):
+    """Round-16 R-round holdout eval: serving must be R·depth
+    broadcast-CASE hops against the staged split tables plus one
+    map-side-combinable aggregation and a broadcast cell join — no
+    sort-merge join, no window, no training in the live plan (the
+    gbt_2round_leaf_stats discipline, one more round deep)."""
+    plan = plan_of(reg["gbt_3round_holdout_stats"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan

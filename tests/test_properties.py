@@ -1563,3 +1563,180 @@ def test_tokenize_export_readback_matches_python_and_prewrite(spark, tmp_path):
         for p in glob.glob(os.path.join(stage, "shard_id=*"))
     )
     assert dirs == sorted(got)
+
+
+def test_gbt_3round_holdout_matches_exhaustive_python(spark, tmp_path):
+    """Round-16 differential (VERDICT r15 #6): R=3 boosting rounds on
+    the md5 TRAIN bucket — round 1 a depth-2 Gini tree on y, rounds
+    2-3 on the sign of the exact composite-cell residual — then every
+    HOLDOUT row walked through all recorded splits and scored against
+    the train cell majorities, vs a brute-force Python trainer using
+    the same gain arithmetic, drop semantics, and split rule. The
+    Fraction guard from the depth-3 differential carries over."""
+    import datetime as dt
+    import hashlib
+    import math
+    import random
+    from fractions import Fraction
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_graph_rag_spark.queries import registry
+
+    rng = random.Random(47)
+    n = 260
+    prices = [rng.uniform(900, 510000) for _ in range(n)] + [7300.0] * 4
+    m = len(prices)
+    custs = [rng.randrange(1, 4000) for _ in range(m)]
+    dates = [
+        dt.datetime(1992 + rng.randrange(0, 5), rng.randrange(1, 13), 9)
+        for _ in range(m)
+    ]
+    prios = [
+        rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"])
+        for _ in range(m)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": list(range(1, m + 1)),
+                "o_custkey": custs,
+                "o_orderstatus": ["O"] * m,
+                "o_totalprice": prices,
+                "o_orderdate": dates,
+                "o_orderpriority": prios,
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    feats = [
+        (
+            int(math.floor(p * 100)),
+            c % 97,
+            (d.year - 1992) * 12 + d.month - 1,
+            1 if pr in ("1-URGENT", "2-HIGH") else 0,
+        )
+        for p, c, d, pr in zip(prices, custs, dates, prios)
+    ]
+    is_train = [
+        hashlib.md5(str(k).encode()).hexdigest()[0] <= "b"
+        for k in range(1, m + 1)
+    ]
+
+    def best_split(subset, label):
+        p = sum(r[label] for r in subset)
+        nn = len(subset) - p
+        best, seen = None, {}
+        for fid in range(3):
+            for thr in sorted(set(r[fid] for r in subset)):
+                cp = sum(1 for r in subset if r[fid] <= thr and r[label] == 1)
+                cn = sum(1 for r in subset if r[fid] <= thr and r[label] == 0)
+                lt, rt = cp + cn, (p + nn) - (cp + cn)
+                if rt == 0:
+                    continue
+                s = cp * nn - cn * p
+                gain = float(s) * float(s) / float(lt * rt)
+                seen[Fraction(s * s, lt * rt)] = gain
+                key = (-gain, fid, thr)
+                if best is None or key < best:
+                    best = key
+        if best is not None:
+            assert len(seen) == len(set(seen.values()))
+        return best
+
+    def train_depth2(rows_in, label):
+        """node -> rows, engine drop semantics; also returns the split
+        map {node: (fid, thr)} for the holdout walk."""
+        nodes, splits = {1: list(rows_in)}, {}
+        for _ in range(2):
+            nxt: dict = {}
+            for node, subset in sorted(nodes.items()):
+                b = best_split(subset, label)
+                if b is None:
+                    continue
+                splits[node] = (b[1], b[2])
+                fid, thr = b[1], b[2]
+                nxt[2 * node] = [r for r in subset if r[fid] <= thr]
+                nxt[2 * node + 1] = [r for r in subset if r[fid] > thr]
+            nodes = {k: v for k, v in nxt.items() if v}
+        return nodes, splits
+
+    # ----- R=3 rounds on the train bucket, composite-cell recursion
+    train_rows = [
+        list(f) + [f[3]] for f, t in zip(feats, is_train) if t
+    ]  # [f0, f1, f2, y_target, y0]; cells appended per round
+    split_maps = []
+    for rnd in range(3):
+        leaves, smap = train_depth2([tuple(r) for r in train_rows], 3)
+        split_maps.append(smap)
+        survivors = []
+        assign = {}
+        for node, subset in leaves.items():
+            for r in subset:
+                assign[r] = node
+        nxt_rows = []
+        for r in train_rows:
+            node = assign.get(tuple(r))
+            if node is None:
+                continue  # inner-join drop
+            nxt_rows.append(r + [node])
+        train_rows = nxt_rows
+        # composite cells over (n0..n_rnd) on y0, new residual target
+        cells: dict = {}
+        for r in train_rows:
+            key = tuple(r[5 : 6 + rnd])
+            s = cells.setdefault(key, [0, 0])
+            s[0] += 1
+            s[1] += r[4]
+        if rnd < 2:
+            for r in train_rows:
+                nc, pc = cells[tuple(r[5 : 6 + rnd])]
+                r[3] = 1 if r[4] * nc - pc > 0 else 0
+    cell_stats = cells  # final (n0, n1, n2) -> [n_cell, p_cell]
+
+    # ----- holdout walk through the recorded splits
+    want: dict = {}
+    for f, t in zip(feats, is_train):
+        if t:
+            continue
+        cell = []
+        dropped = False
+        for smap in split_maps:
+            node = 1
+            for _ in range(2):
+                if node not in smap:
+                    dropped = True
+                    break
+                fid, thr = smap[node]
+                node = 2 * node + (0 if f[fid] <= thr else 1)
+            if dropped:
+                break
+            cell.append(node)
+        if dropped or tuple(cell) not in cell_stats:
+            continue
+        s = want.setdefault(tuple(cell), [0, 0])
+        s[0] += 1
+        s[1] += f[3]
+    expect = {}
+    for cell, (n_hold, n_pos) in want.items():
+        nc, pc = cell_stats[cell]
+        predict = 1 if 2 * pc > nc else 0
+        expect[cell] = [
+            n_hold,
+            n_pos,
+            predict,
+            n_pos if predict else n_hold - n_pos,
+        ]
+    got = {
+        (r["n0"], r["n1"], r["n2"]): [
+            r["n_hold"],
+            r["n_hold_pos"],
+            r["predict"],
+            r["n_correct"],
+        ]
+        for r in registry()["gbt_3round_holdout_stats"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {k: list(v) for k, v in expect.items()} and got
