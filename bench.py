@@ -237,6 +237,7 @@ HEADLINE = [
     "hybrid_batch_indexed_topk",
     "gbt_3round_holdout_stats",
     "gdpr_purge_cascade_ann",
+    "ann_ivfpq_split_search_topk",
 ]
 
 
@@ -395,6 +396,7 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
     )
     from news_graph_rag_spark.queries.round16 import (
         _GDPR_VARIANT,
+        _PQSPLIT_VARIANT,
         _SPLIT_VARIANT,
         _staged_gbt3h_model,
         _STREAMINS_VARIANT,
@@ -494,6 +496,17 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
             "ann_ivfpq_gdpr_variant",
             lambda d: ensure_pq(
                 spark, d, m=_PQ_M, ks=_PQ_KS, variant=_GDPR_VARIANT
+            ),
+        ),
+        (
+            "ann_ivfpq_pqsplit_variant",
+            lambda d: ensure_pq(
+                spark,
+                d,
+                m=_PQ_M,
+                ks=_PQ_KS,
+                variant=_PQSPLIT_VARIANT,
+                subset_pred=_IVF_INCR_BASE.format(t="string"),
             ),
         ),
         ("token_index", lambda d: _staged_token_index(spark, d)),

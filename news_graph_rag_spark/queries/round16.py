@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load, register, stage_parquet
 from .round13 import _PQ_KS, _PQ_M
-from .round14 import _ivfpq_batch_rerank_oracle
+from .round14 import _ivfpq_batch_rerank_oracle, _ivfpq_incr_cte
 
 # ---------------------------------------------------------------------------
 # Two-tier rerank for EXTERNAL query vectors (VERDICT r15 #1)
@@ -119,27 +119,19 @@ def ann_ivfpq_rerank_by_vector_topk(spark: SparkSession, sf: str) -> DataFrame:
 _SPLIT_VARIANT = "splitdemo-v1"
 
 
-def _ivf_split_oracle(k: int, nprobe: int, probe_id: int) -> str:
-    """Replay the WHOLE lifecycle the entry runs: base-subset build
-    (the shared ``_ivf_int8_build_cte``), frozen-quantizer assign of
-    the md5-bucket incoming batch, union append, hot-list pick (max
-    count, ties to the smallest cid), the deterministic 2-means SPLIT
-    of that list (seeds = its 2 smallest vec_ids, the shared cosine
-    assignment rule, ONE integer Lloyd round with the same
-    double-division floor, final child assignment; child A keeps the
-    parent's cid, child B = max(cid) + 1), and a search over the
-    post-split centroid table + assignments."""
-    from .retrieval_queries import (
-        _ivf_int8_build_cte,
-        _IVF_DOT,
-        _IVF_INCR_BASE,
-        _IVF_SCORE,
-    )
+def _split_trunk_cte() -> str:
+    """The SHARED 2-means-split replay trunk (append → hot-list pick →
+    seeds → one integer Lloyd round → child assignment → post-split
+    centroid table), composed by the int8 roundtrip oracle and the
+    PQ-tier split oracle — ONE definition of the split semantics, the
+    same reuse rule as the batch CTEs. Expects the build CTEs (live,
+    c1n, b1) already in scope; defines newa, ball, hot, sl, sseed,
+    sb0, sel, ssums, sc1, sc1n, sb1, c2."""
+    from .retrieval_queries import _IVF_DOT, _IVF_INCR_BASE, _IVF_SCORE
 
     dot, score = _IVF_DOT, _IVF_SCORE
     base = _IVF_INCR_BASE.format(t="VARCHAR")
     return f"""
-    {_ivf_int8_build_cte(8, base_where=base)},
     newa AS (  -- frozen-quantizer assignment of the incoming batch
       SELECT vec_id, q8, nrm, cid FROM (
         SELECT l.vec_id, l.q8, l.nrm, c.cid,
@@ -210,7 +202,32 @@ def _ivf_split_oracle(k: int, nprobe: int, probe_id: int) -> str:
       SELECT CASE WHEN scid = 1 THEN (SELECT cid FROM hot)
                   ELSE (SELECT MAX(cid) FROM c1n) + 1 END AS cid, c8, cnrm
       FROM sc1n
-    ),
+    )
+    """
+
+
+def _ivf_split_oracle(k: int, nprobe: int, probe_id: int) -> str:
+    """Replay the WHOLE lifecycle the entry runs: base-subset build
+    (the shared ``_ivf_int8_build_cte``), frozen-quantizer assign of
+    the md5-bucket incoming batch, union append, hot-list pick (max
+    count, ties to the smallest cid), the deterministic 2-means SPLIT
+    of that list (seeds = its 2 smallest vec_ids, the shared cosine
+    assignment rule, ONE integer Lloyd round with the same
+    double-division floor, final child assignment; child A keeps the
+    parent's cid, child B = max(cid) + 1), and a search over the
+    post-split centroid table + assignments."""
+    from .retrieval_queries import (
+        _ivf_int8_build_cte,
+        _IVF_DOT,
+        _IVF_INCR_BASE,
+        _IVF_SCORE,
+    )
+
+    dot, score = _IVF_DOT, _IVF_SCORE
+    base = _IVF_INCR_BASE.format(t="VARCHAR")
+    return f"""
+    {_ivf_int8_build_cte(8, base_where=base)},
+    {_split_trunk_cte()},
     b2 AS (  -- post-split assignments
       SELECT vec_id, q8, nrm, cid FROM ball
       WHERE cid <> (SELECT cid FROM hot)
@@ -1376,4 +1393,283 @@ def gdpr_purge_cascade_ann(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(counted(kept_li, "lineitem_remaining"))
         .unionByName(counted(ann_rows, "ann_rows_physical"))
         .unionByName(top10_sum)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ-tier split readout: the inherited-codebook re-encode, value-verified
+# ---------------------------------------------------------------------------
+
+_PQSPLIT_VARIANT = "pqsplit-demo-v1"
+
+
+def _ivfpq_split_oracle(k: int, nprobe: int) -> str:
+    """Replay the FULL both-tiers split lifecycle: base build + PQ
+    train + frozen assign/encode of the incoming batch (the shared
+    ``_ivfpq_incr_cte``), the 2-means split trunk over the appended
+    union (the shared ``_split_trunk_cte``), then the PQ tier's OWN
+    post-split state — untouched lists keep their codes, the split
+    list's rows RE-ENCODE against their child centroid with the
+    parent's INHERITED codebook (duplicated under child B's id) — and
+    an ADC search over the post-split centroid table, effective
+    codebook, and code union."""
+    from .retrieval_queries import _IVF_DOT, _IVF_SCORE
+    from .round13 import _l2_sql, _PQ_SUBD
+
+    dot, score = _IVF_DOT, _IVF_SCORE
+    m, subd = _PQ_M, _PQ_SUBD
+    return f"""
+    {_ivfpq_incr_cte()},
+    {_split_trunk_cte()},
+    allc AS (  -- pre-split code union: base codes + appended codes
+      SELECT vec_id, cid, sub, code FROM penc
+      UNION ALL
+      SELECT vec_id, cid, sub, code FROM nenc
+    ),
+    childc AS (  -- the two children with their REAL ids
+      SELECT CASE WHEN scid = 1 THEN (SELECT cid FROM hot)
+                  ELSE (SELECT MAX(cid) FROM c1n) + 1 END AS cid, c8
+      FROM sc1n
+    ),
+    sres AS MATERIALIZED (  -- split rows: residual vs CHILD centroid
+      SELECT s.vec_id, s.cid,
+             [s.q8[i] - c.c8[i] FOR i IN range(1, len(s.q8) + 1)] AS r
+      FROM sb1 s JOIN childc c ON c.cid = s.cid
+    ),
+    srsub AS MATERIALIZED (
+      SELECT vec_id, cid, s.s AS sub,
+             list_slice(r, s.s * {subd} + 1, (s.s + 1) * {subd}) AS rs
+      FROM sres, unnest(range(0, {m})) AS s(s)
+    ),
+    senc AS (  -- re-encode against the parent's INHERITED codebook
+      SELECT vec_id, cid, sub, code FROM (
+        SELECT r.vec_id, r.cid, r.sub, c.code,
+               {_l2_sql("r.rs", "c.e")} AS d
+        FROM srsub r
+        JOIN pcb c ON c.cid = (SELECT cid FROM hot) AND c.sub = r.sub
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY d ASC, code ASC) = 1
+    ),
+    codes2 AS (  -- post-split codes: untouched lists + re-encoded split
+      SELECT vec_id, cid, sub, code FROM allc
+      WHERE cid <> (SELECT cid FROM hot)
+      UNION ALL
+      SELECT vec_id, cid, sub, code FROM senc
+    ),
+    cb2 AS (  -- post-split effective codebook (children inherit)
+      SELECT cid, sub, code, e FROM pcb
+      WHERE cid <> (SELECT cid FROM hot)
+      UNION ALL
+      SELECT ch.cid, c.sub, c.code, c.e
+      FROM pcb c CROSS JOIN (SELECT cid FROM childc) ch
+      WHERE c.cid = (SELECT cid FROM hot)
+    ),
+    sprobe AS (  -- probe: the split list's own smallest vector, so
+      -- the readout runs THROUGH the re-encoded children
+      SELECT vec_id, q8 FROM sl WHERE vec_id = (SELECT MIN(vec_id) FROM sl)
+    ),
+    spc AS (  -- probe ranking over the post-split centroid table
+      SELECT cid FROM (
+        SELECT c.cid, {score.format(a="p.q8", b="c.c8", n="c.cnrm")} AS score
+        FROM c2 c CROSS JOIN sprobe p
+      ) ORDER BY score DESC, cid LIMIT {nprobe}
+    ),
+    sqsub AS (
+      SELECT s.s AS sub,
+             list_slice(p.q8, s.s * {subd} + 1, (s.s + 1) * {subd}) AS qs
+      FROM sprobe p, unnest(range(0, {m})) AS s(s)
+    ),
+    sadc AS (
+      SELECT c.cid, c.sub, c.code, {dot.format(a="q.qs", b="c.e")} AS t
+      FROM cb2 c JOIN spc ON c.cid = spc.cid JOIN sqsub q ON q.sub = c.sub
+    ),
+    sbdot AS (
+      SELECT c.cid, {dot.format(a="p.q8", b="c.c8")} AS bd
+      FROM c2 c JOIN spc ON c.cid = spc.cid CROSS JOIN sprobe p
+    ),
+    pscored AS (
+      SELECT e.vec_id, CAST(MIN(bd.bd) + SUM(a.t) AS BIGINT) AS adot,
+             CAST(MIN(l.nrm) AS BIGINT) AS nrm
+      FROM codes2 e
+      JOIN sadc a ON a.cid = e.cid AND a.sub = e.sub AND a.code = e.code
+      JOIN live l ON l.vec_id = e.vec_id
+      JOIN sbdot bd ON bd.cid = e.cid
+      CROSS JOIN sprobe p
+      WHERE e.vec_id <> p.vec_id
+      GROUP BY e.vec_id
+    )
+    SELECT CAST(row_number() OVER (
+             ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE)) DESC,
+                      vec_id) AS INT) AS rnk,
+           vec_id, adot
+    FROM pscored
+    ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE)) DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@register(
+    "ann_ivfpq_split_search_topk",
+    oracle=_ivfpq_split_oracle(k=10, nprobe=4),
+    doc="the PQ HALF of the list split, VALUE-VERIFIED (the int8 "
+    "roundtrip pins the coarse tier; this pins 'both tiers move "
+    "together'): a PRIVATE variant builds base + PQ layer, the "
+    "incoming bucket appends into BOTH tiers (append_codes — the "
+    "claim-gated insert-entry machinery), split_list splits the hot "
+    "list, and the search serves from the POST-SPLIT PQ tier — probing "
+    "with the split list's OWN smallest vector (its probed lists "
+    "include a child — pytest-pinned), so the result depends on the "
+    "children's INHERITED codebook (child A keeps the parent's id, "
+    "child B duplicates it) and on the split rows' RE-ENCODED codes "
+    "(residual vs their NEW child centroid, argmin over the inherited "
+    "entries — the 'children inherit until the next retrain_pq' move "
+    "that keeps the memory-budget tier servable with zero retraining "
+    "at split time). VALUE-VERIFIED end to end: the oracle replays "
+    "base build + PQ train + frozen assign/encode of the append + the "
+    "2-means split trunk + the inherited-codebook re-encode + the ADC "
+    "search over the post-split centroid table, effective codebook, "
+    "and code union — a wrong child centroid, a non-inherited "
+    "codebook, or a stale un-re-encoded code all surface as value "
+    "mismatches.",
+)
+def ann_ivfpq_split_search_topk(spark: SparkSession, sf: str) -> DataFrame:
+    import json
+
+    from ..pipeline.ann_index import (
+        _CENTROID_CACHE,
+        _pq_dir,
+        _retire_dir,
+        _try_claim,
+        append_codes,
+        assign_new,
+        ensure_pq,
+        search_pq_by_id,
+        split_list,
+    )
+    from .retrieval_queries import _IVF_INCR_BASE
+
+    pred = _IVF_INCR_BASE.format(t="string")
+    not_base = ~F.expr(pred)
+
+    def ensure():
+        return ensure_pq(
+            spark,
+            sf,
+            m=_PQ_M,
+            ks=_PQ_KS,
+            variant=_PQSPLIT_VARIANT,
+            subset_pred=pred,
+        )
+
+    path = ensure()
+    incoming = load(spark, sf, "embeddings").filter(not_base)
+    expected = incoming.filter(
+        F.exists("embedding", lambda x: x != 0)
+    ).count()
+
+    def tier_counts(p: str) -> "tuple[int, int]":
+        return (
+            spark.read.parquet(
+                os.path.join(_pq_dir(p, _PQ_M, _PQ_KS), "codes.parquet")
+            )
+            .filter(not_base)
+            .count(),
+            spark.read.parquet(os.path.join(p, "assignments.parquet"))
+            .filter(not_base)
+            .count(),
+        )
+
+    n_codes, n_assign = tier_counts(path)
+    if n_assign != n_codes or n_assign not in (0, expected):
+        _retire_dir(path)
+        _CENTROID_CACHE.pop(path, None)
+        path = ensure()
+        n_assign = 0
+    if n_assign == 0:
+        if _try_claim(path, "_pq_append_claim"):
+            try:
+                append_codes(
+                    spark,
+                    path,
+                    assign_new(spark, path, incoming),
+                    m=_PQ_M,
+                    ks=_PQ_KS,
+                )
+            finally:
+                try:
+                    os.unlink(os.path.join(path, "_pq_append_claim"))
+                except OSError:
+                    pass
+        else:
+            import time
+
+            deadline = time.time() + 180.0
+            while time.time() < deadline:
+                n_codes, n_assign = tier_counts(path)
+                if n_codes == n_assign == expected:
+                    break
+                time.sleep(1.0)
+            else:
+                raise RuntimeError(
+                    "concurrent append_codes holder did not commit in 180s"
+                )
+
+    def already_split() -> bool:
+        with open(os.path.join(path, "meta.json")) as f:
+            return bool(json.load(f).get("split_history"))
+
+    if not already_split():
+        if _try_claim(path, "_split_claim"):
+            try:
+                if not already_split():
+                    counts = (
+                        spark.read.parquet(
+                            os.path.join(path, "assignments.parquet")
+                        )
+                        .groupBy("centroid_id")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect()
+                    )
+                    hot = min(
+                        int(r["centroid_id"])
+                        for r in counts
+                        if int(r["n"]) == max(int(x["n"]) for x in counts)
+                    )
+                    split_list(spark, path, hot)
+            finally:
+                try:
+                    os.unlink(os.path.join(path, "_split_claim"))
+                except OSError:
+                    pass
+        else:
+            import time
+
+            deadline = time.time() + 180.0
+            while time.time() < deadline:
+                if already_split():
+                    break
+                time.sleep(1.0)
+            else:
+                raise RuntimeError(
+                    "concurrent split_list holder did not commit in 180s"
+                )
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    hot = int(meta["split_history"][-1])
+    new_cid = max(
+        int(r["centroid_id"])
+        for r in spark.read.parquet(os.path.join(path, "centroids.parquet"))
+        .select("centroid_id")
+        .collect()
+    )
+    # the pre-split hot list's rows are exactly those now under the two
+    # children — its smallest vec_id is the oracle's MIN(vec_id) of sl
+    probe_id = int(
+        spark.read.parquet(os.path.join(path, "assignments.parquet"))
+        .filter(F.col("centroid_id").isin([hot, new_cid]))
+        .agg(F.min("vec_id"))
+        .first()[0]
+    )
+    return search_pq_by_id(
+        spark, path, probe_vec_id=probe_id, k=10, nprobe=4, m=_PQ_M, ks=_PQ_KS
     )

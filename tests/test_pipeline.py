@@ -2813,3 +2813,39 @@ def test_split_list_outside_probes_unchanged_and_tiers_consistent(
             tuple(r) for r in ai.search_pq_by_id(spark, path, pid, k=5, nprobe=2).collect()
         ] == pre_pq[pid]
     assert tested > 0, "fixture data left no probe outside the split"
+
+
+def test_pqsplit_probe_touches_split_region(spark, sf_dir):
+    """Round-16: ann_ivfpq_split_search_topk's doc claims the probe
+    (the split list's own smallest vector) serves THROUGH the split —
+    pin that its probed lists include a child, so the entry's value
+    verification really covers the inherited-codebook re-encode."""
+    import json
+    import os
+
+    from news_graph_rag_spark.pipeline import ann_index as ai
+    from news_graph_rag_spark.queries import registry
+    from news_graph_rag_spark.queries.retrieval_queries import _IVF_INCR_BASE
+    from news_graph_rag_spark.queries.round16 import _PQSPLIT_VARIANT
+
+    # run (or reuse) the entry so the variant is appended + split
+    assert len(registry()["ann_ivfpq_split_search_topk"].fn(spark, sf_dir).collect()) == 10
+    path = ai.ensure_pq(
+        spark, sf_dir, m=8, ks=16, variant=_PQSPLIT_VARIANT,
+        subset_pred=_IVF_INCR_BASE.format(t="string"),
+    )
+    meta = json.load(open(os.path.join(path, "meta.json")))
+    hot = int(meta["split_history"][-1])
+    rows = ai._centroid_rows(spark, path)
+    new_cid = max(c for c, *_ in rows)
+    assignments = spark.read.parquet(os.path.join(path, "assignments.parquet"))
+    from pyspark.sql import functions as F
+
+    probe_id = int(
+        assignments.filter(F.col("centroid_id").isin([hot, new_cid]))
+        .agg(F.min("vec_id"))
+        .first()[0]
+    )
+    probes = ai._collect_probes(assignments, [probe_id])
+    lists = ai._rank_probe_lists(probes[probe_id], ai._centroid_arrays(rows), 4)
+    assert {hot, new_cid} & set(lists), (lists, hot, new_cid)
