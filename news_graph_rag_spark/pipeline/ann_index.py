@@ -2747,6 +2747,7 @@ def split_list(
             raise
         shutil.rmtree(retired, ignore_errors=True)
     finally:
+        rows.unpersist()  # release the list's checkpoint blocks
         shutil.rmtree(staging, ignore_errors=True)
         _CENTROID_CACHE.pop(path, None)
         for pqd in list(_PQ_CACHE):

@@ -2760,9 +2760,15 @@ def test_split_list_outside_probes_unchanged_and_tiers_consistent(
         for pid in probes
     }
 
-    if not json.load(open(os.path.join(path, "meta.json"))).get("split_history"):
+    hist = json.load(open(os.path.join(path, "meta.json"))).get(
+        "split_history"
+    )
+    if not hist:
         new_cid = ai.split_list(spark, path, hot)
-    else:  # warm re-run of the suite against a kept variant
+    else:  # warm re-run against a kept variant: the hot list recomputed
+        # from POST-split occupancy is some other list — read the cid
+        # that actually split from the recorded history
+        hot = int(hist[-1])
         new_cid = max(c for c, *_ in ai._centroid_rows(spark, path))
 
     # conservation in BOTH tiers: same vec_ids, exactly once
