@@ -72,6 +72,9 @@ def _index_main(argv: list[str], spark=None) -> int:
                     purge path — gone from every search immediately)
       index compact <index_path>                fold tombstones into the
                     inverted lists (per-list rewrite, atomic swap)
+      index split   <index_path> [centroid_id]  split the hottest (or the
+                    named) inverted list in two (deterministic 2-means,
+                    both tiers, hardlink-staged atomic swap)
     """
     from pyspark.sql import functions as F
 
@@ -91,6 +94,7 @@ def _index_main(argv: list[str], spark=None) -> int:
         "search": (2, 3),
         "delete": (2, 10_000),
         "compact": (1, 1),
+        "split": (1, 2),
     }
     lo_hi = arity.get(cmd)
     if lo_hi is None or not (lo_hi[0] <= len(rest) <= lo_hi[1]):
@@ -133,6 +137,24 @@ def _index_main(argv: list[str], spark=None) -> int:
         (index_path,) = rest
         removed = ann_index.compact_tombstones(spark, index_path)
         print(f"compacted {index_path}: {removed} rows removed")
+        return 0
+    if cmd == "split":
+        index_path = rest[0]
+        if len(rest) > 1:
+            cid = int(rest[1])
+        else:  # the hottest list: max occupancy, ties to the smallest id
+            assignments, _, _ = ann_index.load_index(spark, index_path)
+            counts = (
+                assignments.groupBy("centroid_id")
+                .count()
+                .collect()
+            )
+            top = max(int(r["count"]) for r in counts)
+            cid = min(
+                int(r["centroid_id"]) for r in counts if int(r["count"]) == top
+            )
+        new_cid = ann_index.split_list(spark, index_path, cid)
+        print(f"split list {cid} of {index_path}: new child list {new_cid}")
         return 0
     if cmd == "search":
         index_path, uid = rest[0], rest[1]

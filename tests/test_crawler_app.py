@@ -313,3 +313,43 @@ def test_index_cli_build_stats_search(spark, tmp_path, capsys):
     assert "1 rows removed" in capsys.readouterr().out
     assert _index_main(["search", idx, some_uid, "3"], spark=spark) == 0
     assert capsys.readouterr().out == masked  # identical post-fold
+
+
+def test_index_cli_split(spark, tmp_path, capsys):
+    """Round-16: the ops CLI exposes split_list — 'index split <path>'
+    splits the hottest list (max occupancy, ties to the smallest id),
+    stats then show one more list, every vector still present."""
+    from news_graph_rag_spark.app import _index_main
+    from news_graph_rag_spark.ingest.embedder import HashEmbedder
+    from news_graph_rag_spark.ingest.upserts import ingest_articles
+
+    import fixtures
+
+    store = ingest_articles(
+        GraphStore.empty(spark),
+        fixtures.raw_articles_df(spark),
+        encoder_factory=lambda: HashEmbedder(dim=16),
+    )
+    root = str(tmp_path / "graph")
+    store.save_atomic(root)
+    idx = str(tmp_path / "chunk_idx_split")
+    assert _index_main(["build", root, idx], spark=spark) == 0
+    n_before = int(
+        [w for w in capsys.readouterr().out.split() if w.isdigit()][0]
+    )
+    assert _index_main(["stats", idx], spark=spark) == 0
+    lists_before = capsys.readouterr().out.count("list ")
+
+    assert _index_main(["split", idx], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "new child list" in out
+
+    assert _index_main(["stats", idx], spark=spark) == 0
+    stats = capsys.readouterr().out
+    assert stats.count("list ") == lists_before + 1
+    n_after = sum(
+        int(line.split()[2])  # "list {cid}: {count} vectors"
+        for line in stats.strip().splitlines()
+        if line.startswith("list ")
+    )
+    assert n_after == n_before  # every vector conserved across the split
