@@ -238,6 +238,7 @@ HEADLINE = [
     "gbt_3round_holdout_stats",
     "gdpr_purge_cascade_ann",
     "ann_ivfpq_split_search_topk",
+    "ann_ivf_merge_lists_roundtrip",
 ]
 
 
@@ -396,6 +397,7 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
     )
     from news_graph_rag_spark.queries.round16 import (
         _GDPR_VARIANT,
+        _MERGE_VARIANT,
         _PQSPLIT_VARIANT,
         _SPLIT_VARIANT,
         _staged_gbt3h_model,
@@ -507,6 +509,12 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
                 ks=_PQ_KS,
                 variant=_PQSPLIT_VARIANT,
                 subset_pred=_IVF_INCR_BASE.format(t="string"),
+            ),
+        ),
+        (
+            "ann_ivf_merge_variant",
+            lambda d: ensure_index(
+                spark, d, n_centroids=8, iters=1, variant=_MERGE_VARIANT
             ),
         ),
         ("token_index", lambda d: _staged_token_index(spark, d)),

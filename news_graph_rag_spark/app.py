@@ -75,6 +75,8 @@ def _index_main(argv: list[str], spark=None) -> int:
       index split   <index_path> [centroid_id]  split the hottest (or the
                     named) inverted list in two (deterministic 2-means,
                     both tiers, hardlink-staged atomic swap)
+      index merge   <index_path> [cid_a cid_b]  merge the two coldest (or
+                    the named) inverted lists under the surviving id
     """
     from pyspark.sql import functions as F
 
@@ -95,6 +97,7 @@ def _index_main(argv: list[str], spark=None) -> int:
         "delete": (2, 10_000),
         "compact": (1, 1),
         "split": (1, 2),
+        "merge": (1, 3),
     }
     lo_hi = arity.get(cmd)
     if lo_hi is None or not (lo_hi[0] <= len(rest) <= lo_hi[1]):
@@ -155,6 +158,26 @@ def _index_main(argv: list[str], spark=None) -> int:
             )
         new_cid = ann_index.split_list(spark, index_path, cid)
         print(f"split list {cid} of {index_path}: new child list {new_cid}")
+        return 0
+    if cmd == "merge":
+        index_path = rest[0]
+        if len(rest) == 3:
+            a, b = int(rest[1]), int(rest[2])
+        elif len(rest) == 1:  # the two coldest lists
+            assignments, _, _ = ann_index.load_index(spark, index_path)
+            counts = sorted(
+                (int(r["count"]), int(r["centroid_id"]))
+                for r in assignments.groupBy("centroid_id").count().collect()
+            )
+            if len(counts) < 2:
+                print("need at least two non-empty lists to merge")
+                return 2
+            a, b = counts[0][1], counts[1][1]
+        else:
+            print(_index_main.__doc__)
+            return 2
+        keep = ann_index.merge_lists(spark, index_path, a, b)
+        print(f"merged lists {a}+{b} of {index_path} into list {keep}")
         return 0
     if cmd == "search":
         index_path, uid = rest[0], rest[1]

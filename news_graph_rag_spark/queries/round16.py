@@ -1673,3 +1673,155 @@ def ann_ivfpq_split_search_topk(spark: SparkSession, sf: str) -> DataFrame:
     return search_pq_by_id(
         spark, path, probe_vec_id=probe_id, k=10, nprobe=4, m=_PQ_M, ks=_PQ_KS
     )
+
+
+# ---------------------------------------------------------------------------
+# Coarse-tier rebalance, the other direction: merge two cold lists
+# ---------------------------------------------------------------------------
+
+_MERGE_VARIANT = "mergedemo-v1"
+
+
+def _ivf_merge_oracle(k: int, nprobe: int, probe_id: int) -> str:
+    """Replay the merge lifecycle: full build, coldest-two pick (min
+    occupancy, ties to the smaller cid), the merged centroid as ONE
+    integer Lloyd update over the union (floor(sum/count), the
+    family's exact rule) under the surviving id min(a, b), and a
+    search over the post-merge centroid table + assignments."""
+    from .retrieval_queries import _ivf_int8_build_cte, _IVF_DOT, _IVF_SCORE
+
+    dot, score = _IVF_DOT, _IVF_SCORE
+    return f"""
+    {_ivf_int8_build_cte(8)},
+    cold AS (  -- the two coldest lists: min occupancy, ties to min cid
+      SELECT cid FROM (SELECT cid, COUNT(*) AS n FROM b1 GROUP BY cid)
+      ORDER BY n ASC, cid ASC LIMIT 2
+    ),
+    keepd AS (SELECT MIN(cid) AS keep FROM cold),
+    ml AS MATERIALIZED (
+      SELECT * FROM b1 WHERE cid IN (SELECT cid FROM cold)
+    ),
+    mel AS (  -- merged centroid: ONE integer Lloyd update over the union
+      SELECT u.i AS i, q8[u.i] AS v
+      FROM ml, unnest(range(1, len(q8) + 1)) AS u(i)
+    ),
+    msum AS (
+      SELECT i, CAST(SUM(v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM mel GROUP BY i
+    ),
+    mc AS (
+      SELECT list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS INT)
+                  ORDER BY i) AS c8
+      FROM msum
+    ),
+    mcn AS (
+      SELECT c8, {dot.format(a="c8", b="c8")} AS cnrm FROM mc
+    ),
+    c2 AS (  -- post-merge centroid table
+      SELECT cid, c8, cnrm FROM c1n WHERE cid NOT IN (SELECT cid FROM cold)
+      UNION ALL
+      SELECT (SELECT keep FROM keepd) AS cid, c8, cnrm FROM mcn
+    ),
+    b2 AS (  -- post-merge assignments: the union under the survivor
+      SELECT vec_id, q8, nrm, cid FROM b1
+      WHERE cid NOT IN (SELECT cid FROM cold)
+      UNION ALL
+      SELECT vec_id, q8, nrm, (SELECT keep FROM keepd) AS cid FROM ml
+    ),
+    probe AS (SELECT q8 FROM live WHERE vec_id = {probe_id}),
+    pc AS (
+      SELECT cid FROM (
+        SELECT c.cid, {score.format(a="p.q8", b="c.c8", n="c.cnrm")} AS score
+        FROM c2 c CROSS JOIN probe p
+      ) ORDER BY score DESC, cid LIMIT {nprobe}
+    ),
+    cand AS (
+      SELECT b.vec_id, b.q8, b.nrm FROM b2 b JOIN pc ON b.cid = pc.cid
+      WHERE b.vec_id <> {probe_id}
+    ),
+    mscored AS (
+      SELECT c.vec_id,
+             {dot.format(a="c.q8", b="p.q8")} AS dot,
+             {score.format(a="c.q8", b="p.q8", n="c.nrm")} AS score
+      FROM cand c CROSS JOIN probe p
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INT)
+             AS rnk,
+           vec_id, dot
+    FROM mscored ORDER BY score DESC, vec_id LIMIT {k}
+    """
+
+
+@register(
+    "ann_ivf_merge_lists_roundtrip",
+    oracle=_ivf_merge_oracle(k=10, nprobe=4, probe_id=0),
+    doc="the INVERSE rebalance, completing the coarse tier's "
+    "maintenance pair (split_list handles append-driven hot lists; "
+    "merge_lists handles the cold near-empty lists heavy deletes + "
+    "compaction leave behind, whose per-probe fixed costs no longer "
+    "buy recall): the two COLDEST lists of a private variant (min "
+    "occupancy, ties to the smaller cid — the same occupancy table "
+    "ann_ivf_index_stats serves) MERGE under the surviving id "
+    "min(a, b), with the merged centroid computed as ONE integer "
+    "Lloyd update over the union (floor(sum/count) — the family's "
+    "exact, SQL-replayable rule) and membership the union BY "
+    "CONSTRUCTION (a merge forces it; no assignment decision exists). "
+    "A trained PQ layer re-encodes the union against the merged "
+    "centroid with the SURVIVING list's codebook (pytest-pinned; the "
+    "absorbed codebook retires with its id). Publish is split_list's "
+    "hardlink-staged whole-index atomic swap — IO proportional to the "
+    "two merged lists. The merge is claim-gated and idempotent "
+    "(merge_history in meta). VALUE-VERIFIED: the oracle replays "
+    "build + coldest-two pick + merged-centroid Lloyd update + the "
+    "post-merge 7-centroid search end to end.",
+)
+def ann_ivf_merge_lists_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import json
+
+    from ..pipeline.ann_index import (
+        _try_claim,
+        ensure_index,
+        merge_lists,
+        search_by_id,
+    )
+
+    path = ensure_index(
+        spark, sf, n_centroids=8, iters=1, variant=_MERGE_VARIANT
+    )
+
+    def already_merged() -> bool:
+        with open(os.path.join(path, "meta.json")) as f:
+            return bool(json.load(f).get("merge_history"))
+
+    if not already_merged():
+        if _try_claim(path, "_merge_claim"):
+            try:
+                if not already_merged():
+                    counts = sorted(
+                        (int(r["n"]), int(r["centroid_id"]))
+                        for r in spark.read.parquet(
+                            os.path.join(path, "assignments.parquet")
+                        )
+                        .groupBy("centroid_id")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect()
+                    )
+                    merge_lists(spark, path, counts[0][1], counts[1][1])
+            finally:
+                try:
+                    os.unlink(os.path.join(path, "_merge_claim"))
+                except OSError:
+                    pass
+        else:
+            import time
+
+            deadline = time.time() + 180.0
+            while time.time() < deadline:
+                if already_merged():
+                    break
+                time.sleep(1.0)
+            else:
+                raise RuntimeError(
+                    "concurrent merge_lists holder did not commit in 180s"
+                )
+    return search_by_id(spark, path, probe_vec_id=0, k=10, nprobe=4)

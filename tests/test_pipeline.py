@@ -2855,3 +2855,153 @@ def test_pqsplit_probe_touches_split_region(spark, sf_dir):
     probes = ai._collect_probes(assignments, [probe_id])
     lists = ai._rank_probe_lists(probes[probe_id], ai._centroid_arrays(rows), 4)
     assert {hot, new_cid} & set(lists), (lists, hot, new_cid)
+
+
+def test_split_if_skewed_trigger(spark, sf_dir, tmp_path):
+    """Round-16: the imbalance trigger acts only past the threshold —
+    a balanced index is left alone (None); a skewed one (threshold
+    lowered below its natural max/mean) splits its hottest list and a
+    re-check at the same threshold shows the imbalance reduced."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from news_graph_rag_spark.pipeline import ann_index as ai
+
+    src = ai.ensure_index(spark, sf_dir, n_centroids=8, iters=1)
+    idx = str(tmp_path / "trigger_idx")
+    shutil.copytree(src, idx)
+
+    def occupancy() -> dict:
+        return {
+            int(r["centroid_id"]): int(r["n"])
+            for r in spark.read.parquet(idx + "/assignments.parquet")
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    pre = occupancy()
+    r0 = max(pre.values()) / (sum(pre.values()) / len(pre))
+    hot = min(c for c, n in pre.items() if n == max(pre.values()))
+    # far above the natural imbalance: balanced -> no action
+    assert ai.split_if_skewed(spark, idx, max_over_mean=r0 + 1.0) is None
+    # just below it: the trigger fires, the hottest list splits
+    new_cid = ai.split_if_skewed(spark, idx, max_over_mean=r0 - 0.01)
+    assert new_cid is not None
+    post = occupancy()
+    # the hot list shrank into two children, one more list exists, the
+    # largest probed list (what probe cost scales with) did not grow,
+    # and rows are conserved (note max/MEAN can rise on a near-uniform
+    # index since the mean also shrinks — the SLO quantity is the max)
+    assert len(post) == len(pre) + 1
+    assert post[hot] < pre[hot] and post[new_cid] > 0
+    assert post[hot] + post[new_cid] == pre[hot]
+    assert max(post.values()) <= max(pre.values())
+    assert sum(post.values()) == sum(pre.values())
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_merge_lists_both_tiers_and_outside_probes(spark, sf_dir):
+    """Round-16 merge_lists: rows conserved exactly once across BOTH
+    tiers under the surviving id, the surviving list's codebook
+    carries (absorbed id's entries gone), tiers agree on every row's
+    list, and probes whose probed lists avoid the merge region are
+    bit-unchanged on both tiers."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from news_graph_rag_spark.pipeline import ann_index as ai
+
+    path = ai.ensure_pq(spark, sf_dir, m=8, ks=16, variant="merge-pytest-v1")
+    apath = os.path.join(path, "assignments.parquet")
+    pre_ids = sorted(
+        int(r["vec_id"])
+        for r in spark.read.parquet(apath).select("vec_id").collect()
+    )
+    counts = sorted(
+        (int(r["n"]), int(r["centroid_id"]))
+        for r in spark.read.parquet(apath)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    hist = json.load(open(os.path.join(path, "meta.json"))).get("merge_history")
+    if not hist:
+        keep, drop = counts[0][1], counts[1][1]
+        if keep > drop:
+            keep, drop = drop, keep
+        cb_pre = spark.read.parquet(
+            os.path.join(ai._pq_dir(path, 8, 16), "codebook.parquet")
+        )
+        keep_cb_pre = {
+            (int(r["sub"]), int(r["code"])): list(r["e"])
+            for r in cb_pre.filter(F.col("centroid_id") == keep).collect()
+        }
+        arrays_pre = ai._centroid_arrays(ai._centroid_rows(spark, path))
+        probes = ai._collect_probes(spark.read.parquet(apath), list(range(6)))
+        pre_lists = {
+            pid: ai._rank_probe_lists(p, arrays_pre, 2)
+            for pid, p in probes.items()
+        }
+        pre_int8 = {
+            pid: [tuple(r) for r in ai.search_by_id(spark, path, pid, k=5, nprobe=2).collect()]
+            for pid in probes
+        }
+        pre_pq = {
+            pid: [tuple(r) for r in ai.search_pq_by_id(spark, path, pid, k=5, nprobe=2).collect()]
+            for pid in probes
+        }
+        assert ai.merge_lists(spark, path, keep, drop) == keep
+    else:  # warm re-run against a kept variant
+        keep, drop = (int(x) for x in hist[-1])
+        keep_cb_pre = None
+        probes, pre_lists, pre_int8, pre_pq = {}, {}, {}, {}
+
+    post_ids = sorted(
+        int(r["vec_id"])
+        for r in spark.read.parquet(apath).select("vec_id").collect()
+    )
+    assert post_ids == pre_ids
+    codes = spark.read.parquet(
+        os.path.join(ai._pq_dir(path, 8, 16), "codes.parquet")
+    )
+    assert sorted(int(r["vec_id"]) for r in codes.select("vec_id").collect()) == pre_ids
+    mismatch = (
+        spark.read.parquet(apath)
+        .select("vec_id", F.col("centroid_id").alias("ca"))
+        .join(codes.select("vec_id", F.col("centroid_id").alias("cc")), "vec_id")
+        .filter(F.col("ca") != F.col("cc"))
+        .count()
+    )
+    assert mismatch == 0
+    # the absorbed id is gone from centroids, codes, and codebook
+    cids = {c for c, *_ in ai._centroid_rows(spark, path)}
+    assert drop not in cids and keep in cids
+    cb = spark.read.parquet(
+        os.path.join(ai._pq_dir(path, 8, 16), "codebook.parquet")
+    )
+    assert cb.filter(F.col("centroid_id") == drop).count() == 0
+    if keep_cb_pre is not None:
+        keep_cb_post = {
+            (int(r["sub"]), int(r["code"])): list(r["e"])
+            for r in cb.filter(F.col("centroid_id") == keep).collect()
+        }
+        assert keep_cb_post == keep_cb_pre and keep_cb_post
+        # outside probes bit-unchanged on both tiers
+        arrays_post = ai._centroid_arrays(ai._centroid_rows(spark, path))
+        tested = 0
+        for pid, p in probes.items():
+            post_lists = ai._rank_probe_lists(p, arrays_post, 2)
+            if post_lists != pre_lists[pid] or {keep, drop} & set(post_lists):
+                continue
+            tested += 1
+            assert [
+                tuple(r) for r in ai.search_by_id(spark, path, pid, k=5, nprobe=2).collect()
+            ] == pre_int8[pid]
+            assert [
+                tuple(r) for r in ai.search_pq_by_id(spark, path, pid, k=5, nprobe=2).collect()
+            ] == pre_pq[pid]
+        assert tested > 0, "fixture data left no probe outside the merge"
