@@ -239,6 +239,7 @@ HEADLINE = [
     "gdpr_purge_cascade_ann",
     "ann_ivfpq_split_search_topk",
     "ann_ivf_merge_lists_roundtrip",
+    "ann_ivfpq_merge_search_topk",
 ]
 
 
@@ -398,6 +399,7 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
     from news_graph_rag_spark.queries.round16 import (
         _GDPR_VARIANT,
         _MERGE_VARIANT,
+        _PQMERGE_VARIANT,
         _PQSPLIT_VARIANT,
         _SPLIT_VARIANT,
         _staged_gbt3h_model,
@@ -515,6 +517,12 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
             "ann_ivf_merge_variant",
             lambda d: ensure_index(
                 spark, d, n_centroids=8, iters=1, variant=_MERGE_VARIANT
+            ),
+        ),
+        (
+            "ann_ivfpq_merge_variant",
+            lambda d: ensure_pq(
+                spark, d, m=_PQ_M, ks=_PQ_KS, variant=_PQMERGE_VARIANT
             ),
         ),
         ("token_index", lambda d: _staged_token_index(spark, d)),

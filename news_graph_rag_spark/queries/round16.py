@@ -1682,17 +1682,16 @@ def ann_ivfpq_split_search_topk(spark: SparkSession, sf: str) -> DataFrame:
 _MERGE_VARIANT = "mergedemo-v1"
 
 
-def _ivf_merge_oracle(k: int, nprobe: int, probe_id: int) -> str:
-    """Replay the merge lifecycle: full build, coldest-two pick (min
-    occupancy, ties to the smaller cid), the merged centroid as ONE
-    integer Lloyd update over the union (floor(sum/count), the
-    family's exact rule) under the surviving id min(a, b), and a
-    search over the post-merge centroid table + assignments."""
-    from .retrieval_queries import _ivf_int8_build_cte, _IVF_DOT, _IVF_SCORE
+def _merge_trunk_cte() -> str:
+    """The SHARED merge replay trunk (coldest-two pick → merged
+    centroid as one integer Lloyd update over the union → post-merge
+    centroid table), composed by the int8 roundtrip oracle and the PQ
+    merge oracle. Expects the build CTEs (live, c1n, b1) in scope;
+    defines cold, keepd, ml, mel, msum, mc, mcn, c2."""
+    from .retrieval_queries import _IVF_DOT, _IVF_SCORE
 
     dot, score = _IVF_DOT, _IVF_SCORE
     return f"""
-    {_ivf_int8_build_cte(8)},
     cold AS (  -- the two coldest lists: min occupancy, ties to min cid
       SELECT cid FROM (SELECT cid, COUNT(*) AS n FROM b1 GROUP BY cid)
       ORDER BY n ASC, cid ASC LIMIT 2
@@ -1721,7 +1720,22 @@ def _ivf_merge_oracle(k: int, nprobe: int, probe_id: int) -> str:
       SELECT cid, c8, cnrm FROM c1n WHERE cid NOT IN (SELECT cid FROM cold)
       UNION ALL
       SELECT (SELECT keep FROM keepd) AS cid, c8, cnrm FROM mcn
-    ),
+    )
+    """
+
+
+def _ivf_merge_oracle(k: int, nprobe: int, probe_id: int) -> str:
+    """Replay the merge lifecycle: full build, coldest-two pick (min
+    occupancy, ties to the smaller cid), the merged centroid as ONE
+    integer Lloyd update over the union (floor(sum/count), the
+    family's exact rule) under the surviving id min(a, b), and a
+    search over the post-merge centroid table + assignments."""
+    from .retrieval_queries import _ivf_int8_build_cte, _IVF_DOT, _IVF_SCORE
+
+    dot, score = _IVF_DOT, _IVF_SCORE
+    return f"""
+    {_ivf_int8_build_cte(8)},
+    {_merge_trunk_cte()},
     b2 AS (  -- post-merge assignments: the union under the survivor
       SELECT vec_id, q8, nrm, cid FROM b1
       WHERE cid NOT IN (SELECT cid FROM cold)
@@ -1825,3 +1839,178 @@ def ann_ivf_merge_lists_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                     "concurrent merge_lists holder did not commit in 180s"
                 )
     return search_by_id(spark, path, probe_vec_id=0, k=10, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# PQ-tier merge readout: the survivor-codebook re-encode, value-verified
+# ---------------------------------------------------------------------------
+
+_PQMERGE_VARIANT = "pqmerge-demo-v1"
+
+
+def _ivfpq_merge_oracle(k: int, nprobe: int) -> str:
+    """Replay the both-tiers merge: full build + PQ train (the shared
+    ``_ivfpq_train_cte``), the coldest-two merge trunk, then the PQ
+    tier's post-merge state — untouched lists keep their codes, the
+    union's rows RE-ENCODE against the merged centroid with the
+    SURVIVING list's codebook (the absorbed codebook retires with its
+    id) — and an ADC search probing the merged list's own smallest
+    vector over the post-merge centroid table, effective codebook, and
+    code union."""
+    from .retrieval_queries import _IVF_DOT, _IVF_SCORE
+    from .round13 import _ivfpq_train_cte, _l2_sql, _PQ_SUBD
+
+    dot, score = _IVF_DOT, _IVF_SCORE
+    m, subd = _PQ_M, _PQ_SUBD
+    return f"""
+    {_ivfpq_train_cte()},
+    {_merge_trunk_cte()},
+    mc8 AS (SELECT c8 FROM mcn),
+    mres AS MATERIALIZED (  -- union rows: residual vs the MERGED centroid
+      SELECT l.vec_id,
+             [l.q8[i] - c.c8[i] FOR i IN range(1, len(l.q8) + 1)] AS r
+      FROM ml l CROSS JOIN mc8 c
+    ),
+    mrsub AS MATERIALIZED (
+      SELECT vec_id, s.s AS sub,
+             list_slice(r, s.s * {subd} + 1, (s.s + 1) * {subd}) AS rs
+      FROM mres, unnest(range(0, {m})) AS s(s)
+    ),
+    menc AS (  -- re-encode against the SURVIVOR's codebook
+      SELECT vec_id, sub, code FROM (
+        SELECT r.vec_id, r.sub, c.code, {_l2_sql("r.rs", "c.e")} AS d
+        FROM mrsub r
+        JOIN pcb c ON c.cid = (SELECT keep FROM keepd) AND c.sub = r.sub
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY d ASC, code ASC) = 1
+    ),
+    mcodes2 AS (  -- post-merge codes
+      SELECT vec_id, cid, sub, code FROM penc
+      WHERE cid NOT IN (SELECT cid FROM cold)
+      UNION ALL
+      SELECT vec_id, (SELECT keep FROM keepd) AS cid, sub, code FROM menc
+    ),
+    mcb2 AS (  -- post-merge codebook: the absorbed id's entries retire
+      SELECT cid, sub, code, e FROM pcb
+      WHERE cid NOT IN (SELECT cid FROM cold) OR cid = (SELECT keep FROM keepd)
+    ),
+    mprobe AS (  -- the merged list's own smallest vector
+      SELECT vec_id, q8 FROM ml WHERE vec_id = (SELECT MIN(vec_id) FROM ml)
+    ),
+    mpc AS (
+      SELECT cid FROM (
+        SELECT c.cid, {score.format(a="p.q8", b="c.c8", n="c.cnrm")} AS score
+        FROM c2 c CROSS JOIN mprobe p
+      ) ORDER BY score DESC, cid LIMIT {nprobe}
+    ),
+    mqsub AS (
+      SELECT s.s AS sub,
+             list_slice(p.q8, s.s * {subd} + 1, (s.s + 1) * {subd}) AS qs
+      FROM mprobe p, unnest(range(0, {m})) AS s(s)
+    ),
+    madc AS (
+      SELECT c.cid, c.sub, c.code, {dot.format(a="q.qs", b="c.e")} AS t
+      FROM mcb2 c JOIN mpc ON c.cid = mpc.cid JOIN mqsub q ON q.sub = c.sub
+    ),
+    mbdot AS (
+      SELECT c.cid, {dot.format(a="p.q8", b="c.c8")} AS bd
+      FROM c2 c JOIN mpc ON c.cid = mpc.cid CROSS JOIN mprobe p
+    ),
+    mpscored AS (
+      SELECT e.vec_id, CAST(MIN(bd.bd) + SUM(a.t) AS BIGINT) AS adot,
+             CAST(MIN(l.nrm) AS BIGINT) AS nrm
+      FROM mcodes2 e
+      JOIN madc a ON a.cid = e.cid AND a.sub = e.sub AND a.code = e.code
+      JOIN live l ON l.vec_id = e.vec_id
+      JOIN mbdot bd ON bd.cid = e.cid
+      CROSS JOIN mprobe p
+      WHERE e.vec_id <> p.vec_id
+      GROUP BY e.vec_id
+    )
+    SELECT CAST(row_number() OVER (
+             ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE)) DESC,
+                      vec_id) AS INT) AS rnk,
+           vec_id, adot
+    FROM mpscored
+    ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE)) DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@register(
+    "ann_ivfpq_merge_search_topk",
+    oracle=_ivfpq_merge_oracle(k=10, nprobe=4),
+    doc="the PQ HALF of the list merge, VALUE-VERIFIED — the merge "
+    "twin of ann_ivfpq_split_search_topk, so BOTH coarse-tier "
+    "maintenance actions are hash-verified on BOTH tiers: a PRIVATE "
+    "variant builds the full index + PQ layer, the two COLDEST lists "
+    "merge under the surviving id (merge_lists — the union's rows "
+    "re-encode against the MERGED centroid with the SURVIVING list's "
+    "codebook; the absorbed codebook retires with its id), and the "
+    "search probes the merged list's OWN smallest vector, so the "
+    "result depends on the survivor codebook and the re-encoded "
+    "codes. VALUE-VERIFIED end to end: the oracle replays build + PQ "
+    "train + coldest-two pick + merged-centroid Lloyd update + the "
+    "survivor-codebook re-encode + the post-merge ADC readout — a "
+    "wrong merged centroid, a surviving absorbed codebook, or a stale "
+    "un-re-encoded code all surface as value mismatches.",
+)
+def ann_ivfpq_merge_search_topk(spark: SparkSession, sf: str) -> DataFrame:
+    import json
+
+    from ..pipeline.ann_index import (
+        _try_claim,
+        ensure_pq,
+        merge_lists,
+        search_pq_by_id,
+    )
+
+    path = ensure_pq(
+        spark, sf, m=_PQ_M, ks=_PQ_KS, variant=_PQMERGE_VARIANT
+    )
+
+    def merge_hist():
+        with open(os.path.join(path, "meta.json")) as f:
+            return json.load(f).get("merge_history")
+
+    if not merge_hist():
+        if _try_claim(path, "_merge_claim"):
+            try:
+                if not merge_hist():
+                    counts = sorted(
+                        (int(r["n"]), int(r["centroid_id"]))
+                        for r in spark.read.parquet(
+                            os.path.join(path, "assignments.parquet")
+                        )
+                        .groupBy("centroid_id")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect()
+                    )
+                    merge_lists(spark, path, counts[0][1], counts[1][1])
+            finally:
+                try:
+                    os.unlink(os.path.join(path, "_merge_claim"))
+                except OSError:
+                    pass
+        else:
+            import time
+
+            deadline = time.time() + 180.0
+            while time.time() < deadline:
+                if merge_hist():
+                    break
+                time.sleep(1.0)
+            else:
+                raise RuntimeError(
+                    "concurrent merge_lists holder did not commit in 180s"
+                )
+    keep = int(merge_hist()[-1][0])
+    probe_id = int(
+        spark.read.parquet(os.path.join(path, "assignments.parquet"))
+        .filter(F.col("centroid_id") == keep)
+        .agg(F.min("vec_id"))
+        .first()[0]
+    )
+    return search_pq_by_id(
+        spark, path, probe_vec_id=probe_id, k=10, nprobe=4, m=_PQ_M, ks=_PQ_KS
+    )

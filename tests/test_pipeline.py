@@ -3005,3 +3005,36 @@ def test_merge_lists_both_tiers_and_outside_probes(spark, sf_dir):
                 tuple(r) for r in ai.search_pq_by_id(spark, path, pid, k=5, nprobe=2).collect()
             ] == pre_pq[pid]
         assert tested > 0, "fixture data left no probe outside the merge"
+
+
+def test_pqmerge_probe_touches_merged_list(spark, sf_dir):
+    """Round-16: ann_ivfpq_merge_search_topk's probe (the merged
+    list's own smallest vector) must probe THROUGH the merged list, so
+    the entry's value verification really covers the survivor-codebook
+    re-encode."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from news_graph_rag_spark.pipeline import ann_index as ai
+    from news_graph_rag_spark.queries import registry
+    from news_graph_rag_spark.queries.round16 import _PQMERGE_VARIANT
+
+    assert len(
+        registry()["ann_ivfpq_merge_search_topk"].fn(spark, sf_dir).collect()
+    ) == 10
+    path = ai.ensure_pq(spark, sf_dir, m=8, ks=16, variant=_PQMERGE_VARIANT)
+    keep = int(
+        json.load(open(os.path.join(path, "meta.json")))["merge_history"][-1][0]
+    )
+    assignments = spark.read.parquet(os.path.join(path, "assignments.parquet"))
+    probe_id = int(
+        assignments.filter(F.col("centroid_id") == keep)
+        .agg(F.min("vec_id"))
+        .first()[0]
+    )
+    probes = ai._collect_probes(assignments, [probe_id])
+    rows = ai._centroid_rows(spark, path)
+    lists = ai._rank_probe_lists(probes[probe_id], ai._centroid_arrays(rows), 4)
+    assert keep in lists, (lists, keep)
