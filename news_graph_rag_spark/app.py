@@ -152,6 +152,11 @@ def _index_main(argv: list[str], spark=None) -> int:
                 .count()
                 .collect()
             )
+            if not counts:
+                # an empty assignments table would otherwise raise a
+                # bare ValueError out of max() (round-16 advice)
+                print("index has no assigned vectors; nothing to split")
+                return 2
             top = max(int(r["count"]) for r in counts)
             cid = min(
                 int(r["centroid_id"]) for r in counts if int(r["count"]) == top
@@ -170,6 +175,9 @@ def _index_main(argv: list[str], spark=None) -> int:
                 for r in assignments.groupBy("centroid_id").count().collect()
             )
             if len(counts) < 2:
+                # covers 0 rows (empty assignments) and a single list
+                # alike (round-16 advice: the 0-row state crashed in
+                # min()/sorted() instead of this clean exit)
                 print("need at least two non-empty lists to merge")
                 return 2
             a, b = counts[0][1], counts[1][1]

@@ -236,34 +236,129 @@ def _recover_stranded(path: str) -> None:
 
 def _try_claim(
     path: str, name: str, stale_after: float = _STRANDED_SWEEP_AGE_S
-) -> bool:
+) -> "str | None":
     """Atomic cross-process CLAIM of a non-idempotent mutation on the
     index at ``path`` (round-15 advice: two concurrent invocations of
     an append entry could both observe the not-yet-appended state and
     both run the append — the duplicated rows leave every count
     comparison satisfied forever). O_CREAT|O_EXCL is the one-winner
-    primitive: True means this process owns the claimed section and
-    MUST ``os.unlink`` the claim file when its writes commit (or
-    fail); False means another live process holds it — wait for its
+    primitive: a truthy return is this process's OWNER TOKEN (round-16
+    advice: the token, written into the claim file, lets the release
+    verify it still owns the claim — a stale-swept-and-reclaimed file
+    must never be unlinked by the previous owner's finally block) and
+    the owner MUST ``_release_claim`` when its writes commit (or
+    fail); None means another live process holds it — wait for its
     commit or bail. A claim older than ``stale_after`` belongs to a
     crashed owner and is swept (the staging-dir staleness gate) before
-    one retry."""
+    one retry; long-running owners keep theirs fresh with
+    ``_claim_heartbeat``. A missing INDEX DIR (round-16 advice: the
+    two-rename publish window of split/merge/retrain briefly has no
+    dir at ``path``) is healed by ``_recover_stranded`` and retried
+    instead of propagating FileNotFoundError into the caller."""
     import time
 
+    token = f"{os.getpid()}-{uuid.uuid4().hex}"
     p = os.path.join(path, name)
-    for _ in range(2):
+    deadline = time.time() + 30.0
+    swept = False
+    while time.time() < deadline:
         try:
-            os.close(os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-            return True
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, token.encode())
+            finally:
+                os.close(fd)
+            return token
         except FileExistsError:
             try:
                 if time.time() - os.path.getmtime(p) > stale_after:
+                    if swept:
+                        return None  # second stale sweep — give up
                     os.unlink(p)
+                    swept = True
                     continue
             except OSError:
                 continue  # owner just released it — retry the claim
-            return False
-    return False
+            return None
+        except FileNotFoundError:
+            # the index dir itself is absent — a concurrent
+            # split/merge/retrain is inside its two-rename window (or
+            # a crash stranded the old copy). Heal and retry.
+            _recover_stranded(path)
+            time.sleep(0.1)
+    return None
+
+
+def _release_claim(path: str, name: str, token: str) -> None:
+    """Release a claim taken by ``_try_claim`` — but only if the claim
+    file still carries OUR token (round-16 advice: a live-but-slow
+    owner whose claim was stale-swept and re-claimed by another
+    process must not unlink the new owner's claim from its finally
+    block; ownership is verified, never assumed)."""
+    p = os.path.join(path, name)
+    try:
+        with open(p) as f:
+            if f.read() != token:
+                return  # someone else's claim now — leave it
+        os.unlink(p)
+    except OSError:
+        pass  # already gone (stale-swept) — nothing to release
+
+
+def _claimed(path: str, name: str, fn) -> bool:
+    """Run ``fn()`` under an owned claim: take the token, keep the
+    claim fresh with a heartbeat for the duration (a slow mutation
+    must never be stale-swept mid-write), and release ONLY our own
+    token. Returns False without running ``fn`` when another live
+    process holds the claim — the caller then waits on the committed
+    state. THE one claimed-section shape for every non-idempotent
+    catalog mutation (round-16 advice items 2 and 3 fixed in one
+    place instead of nine call sites)."""
+    token = _try_claim(path, name)
+    if not token:
+        return False
+    try:
+        with _claim_heartbeat(path, name):
+            fn()
+    finally:
+        _release_claim(path, name, token)
+    return True
+
+
+class _claim_heartbeat:
+    """Context manager: touch the claim file's mtime every
+    ``interval`` seconds from a daemon thread, so a legitimately slow
+    owner (a long append/split/retrain) never trips ``_try_claim``'s
+    stale sweep while it is still alive (round-16 advice — the sweep
+    read the claim's CREATION mtime, so any mutation longer than the
+    stale window could go concurrent)."""
+
+    def __init__(self, path: str, name: str, interval: float = 60.0):
+        self._p = os.path.join(path, name)
+        self._interval = interval
+        self._stop = None
+        self._thread = None
+
+    def __enter__(self):
+        import threading
+
+        self._stop = threading.Event()
+
+        def beat():
+            while not self._stop.wait(self._interval):
+                try:
+                    os.utime(self._p)
+                except OSError:
+                    return  # claim gone (released / swept) — stop
+
+        self._thread = threading.Thread(target=beat, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+        return False
 
 
 def _newest_mtime(root: str, max_depth: int = 3) -> float:

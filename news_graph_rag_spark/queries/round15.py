@@ -556,6 +556,57 @@ def tokenize_shard_doc_offsets(spark: SparkSession, sf: str) -> DataFrame:
 _PQINSERT_VARIANT = "pqinsert-demo-v1"
 
 
+_EXPECTED_INCOMING_CACHE: "dict[str, int]" = {}
+
+
+def _expected_incoming(path: str, incoming: DataFrame) -> int:
+    """The committed-append row count the torn/duplicate detection
+    compares against, cached per VARIANT PATH (VERDICT r16 #5: this
+    count job re-ran on every invocation, but it depends only on the
+    source table, and ensure_index's path already fingerprints the
+    source's (path, mtime, size) — a testdata regen changes the path
+    and misses the cache by construction)."""
+    n = _EXPECTED_INCOMING_CACHE.get(path)
+    if n is None:
+        n = incoming.filter(F.exists("embedding", lambda x: x != 0)).count()
+        _EXPECTED_INCOMING_CACHE[path] = n
+    return n
+
+
+def _tier_counts_one_job(spark: SparkSession, not_base, m: int, ks: int):
+    """Both serving tiers' non-base row counts in ONE Spark job
+    (VERDICT r16 #5: the claim-gate's guard paid two separate count
+    jobs per invocation — a tagged union of the two scans folds them
+    into one job; each side is still its own pruned parquet scan).
+    Returns a callable so the heal path and the loser-wait loop both
+    read FRESH counts."""
+    from ..pipeline.ann_index import _pq_dir
+
+    def counts(p: str) -> "tuple[int, int]":
+        codes = (
+            spark.read.parquet(
+                os.path.join(_pq_dir(p, m, ks), "codes.parquet")
+            )
+            .filter(not_base)
+            .select(F.lit("c").alias("t"))
+        )
+        assigns = (
+            spark.read.parquet(os.path.join(p, "assignments.parquet"))
+            .filter(not_base)
+            .select(F.lit("a").alias("t"))
+        )
+        d = {
+            r["t"]: int(r["n"])
+            for r in codes.unionByName(assigns)
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        return d.get("c", 0), d.get("a", 0)
+
+    return counts
+
+
 def _ivfpq_insert_oracle(
     k: int,
     nprobe: int,
@@ -651,9 +702,9 @@ def _ivfpq_insert_oracle(
 def ann_ivfpq_insert_search_topk(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.ann_index import (
         _CENTROID_CACHE,
+        _claimed,
         _pq_dir,
         _retire_dir,
-        _try_claim,
         append_codes,
         assign_new,
         ensure_pq,
@@ -679,18 +730,15 @@ def ann_ivfpq_insert_search_topk(spark: SparkSession, sf: str) -> DataFrame:
     # what a fully-committed append must have landed: one row per
     # non-base source vector with a nonzero embedding (assign_new's
     # nrm > 0 filter — amax > 0 always yields a ±127 component, so
-    # "any nonzero element" ⟺ "nrm > 0" without quantizing here)
-    expected = incoming.filter(
-        F.exists("embedding", lambda x: x != 0)
-    ).count()
+    # "any nonzero element" ⟺ "nrm > 0" without quantizing here).
+    # CACHED per variant path (VERDICT r16 watch item: the claim-gate
+    # era added two tier-count jobs + this expected-count job per
+    # invocation — the expected count depends only on the SOURCE
+    # table, and the variant path already fingerprints the source's
+    # (path, mtime, size), so repeat invocations can skip the job).
+    expected = _expected_incoming(path, incoming)
 
-    def tier_counts(p: str) -> "tuple[int, int]":
-        codes_dir = os.path.join(_pq_dir(p, _PQ_M, _PQ_KS), "codes.parquet")
-        assign_dir = os.path.join(p, "assignments.parquet")
-        return (
-            spark.read.parquet(codes_dir).filter(not_base).count(),
-            spark.read.parquet(assign_dir).filter(not_base).count(),
-        )
+    tier_counts = _tier_counts_one_job(spark, not_base, m=_PQ_M, ks=_PQ_KS)
 
     # COUNT comparison, not an existence probe (round-15 review): a
     # crash mid-commit of either multi-file append can leave a strict
@@ -713,21 +761,17 @@ def ann_ivfpq_insert_search_topk(spark: SparkSession, sf: str) -> DataFrame:
         # concurrent invocations (bench + pytest sharing the tempdir-
         # keyed variant) can never both run it (round-15 advice). The
         # loser waits for the winner's commit instead of appending.
-        if _try_claim(path, "_pq_append_claim"):
-            try:
-                append_codes(
-                    spark,
-                    path,
-                    assign_new(spark, path, incoming),
-                    m=_PQ_M,
-                    ks=_PQ_KS,
-                )
-            finally:
-                try:
-                    os.unlink(os.path.join(path, "_pq_append_claim"))
-                except OSError:
-                    pass
-        else:
+        if not _claimed(
+            path,
+            "_pq_append_claim",
+            lambda: append_codes(
+                spark,
+                path,
+                assign_new(spark, path, incoming),
+                m=_PQ_M,
+                ks=_PQ_KS,
+            ),
+        ):
             import time
 
             deadline = time.time() + 180.0

@@ -291,13 +291,14 @@ def ann_ivf_split_list_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.ann_index import (
         _CENTROID_CACHE,
         _retire_dir,
-        _try_claim,
+        _claimed,
         append_vectors,
         ensure_index,
         search_by_id,
         split_list,
     )
     from .retrieval_queries import _IVF_INCR_BASE
+    from .round15 import _expected_incoming
 
     pred = _IVF_INCR_BASE.format(t="string")
     not_base = ~F.expr(pred)
@@ -310,9 +311,7 @@ def ann_ivf_split_list_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     path = ensure()
     incoming = load(spark, sf, "embeddings").filter(not_base)
-    expected = incoming.filter(
-        F.exists("embedding", lambda x: x != 0)
-    ).count()
+    expected = _expected_incoming(path, incoming)
     assign_dir = os.path.join(path, "assignments.parquet")
     n_appended = spark.read.parquet(assign_dir).filter(not_base).count()
     if n_appended not in (0, expected):
@@ -324,15 +323,9 @@ def ann_ivf_split_list_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         assign_dir = os.path.join(path, "assignments.parquet")
         n_appended = 0
     if n_appended == 0:
-        if _try_claim(path, "_append_claim"):
-            try:
-                append_vectors(spark, path, incoming)
-            finally:
-                try:
-                    os.unlink(os.path.join(path, "_append_claim"))
-                except OSError:
-                    pass
-        else:
+        if not _claimed(
+            path, "_append_claim", lambda: append_vectors(spark, path, incoming)
+        ):
             import time
 
             deadline = time.time() + 180.0
@@ -352,28 +345,24 @@ def ann_ivf_split_list_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         with open(os.path.join(path, "meta.json")) as f:
             return bool(json.load(f).get("split_history"))
 
+    def do_split() -> None:
+        if already_split():  # re-check under the claim
+            return
+        counts = (
+            spark.read.parquet(assign_dir)
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        hot = min(
+            int(r["centroid_id"])
+            for r in counts
+            if int(r["n"]) == max(int(x["n"]) for x in counts)
+        )
+        split_list(spark, path, hot)
+
     if not already_split():
-        if _try_claim(path, "_split_claim"):
-            try:
-                if not already_split():  # re-check under the claim
-                    counts = (
-                        spark.read.parquet(assign_dir)
-                        .groupBy("centroid_id")
-                        .agg(F.count(F.lit(1)).alias("n"))
-                        .collect()
-                    )
-                    hot = min(
-                        int(r["centroid_id"])
-                        for r in counts
-                        if int(r["n"]) == max(int(x["n"]) for x in counts)
-                    )
-                    split_list(spark, path, hot)
-            finally:
-                try:
-                    os.unlink(os.path.join(path, "_split_claim"))
-                except OSError:
-                    pass
-        else:
+        if not _claimed(path, "_split_claim", do_split):
             import time
 
             deadline = time.time() + 180.0
@@ -446,15 +435,15 @@ def _streamins_oracle() -> str:
 def streaming_ann_ingest_search(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.ann_index import (
         _CENTROID_CACHE,
-        _pq_dir,
+        _claimed,
         _retire_dir,
-        _try_claim,
         ensure_pq,
         search_pq_by_id,
     )
     from ..streaming.ingest_stream import streaming_codes_append
     from .python_ops import _replay_shuffle_partitions, _stage_ordered_batches
     from .retrieval_queries import _IVF_INCR_BASE
+    from .round15 import _expected_incoming, _tier_counts_one_job
 
     pred = _IVF_INCR_BASE.format(t="string")
     not_base = ~F.expr(pred)
@@ -471,21 +460,8 @@ def streaming_ann_ingest_search(spark: SparkSession, sf: str) -> DataFrame:
 
     path = ensure()
     incoming = load(spark, sf, "embeddings").filter(not_base)
-    expected = incoming.filter(
-        F.exists("embedding", lambda x: x != 0)
-    ).count()
-
-    def tier_counts(p: str) -> "tuple[int, int]":
-        return (
-            spark.read.parquet(
-                os.path.join(_pq_dir(p, _PQ_M, _PQ_KS), "codes.parquet")
-            )
-            .filter(not_base)
-            .count(),
-            spark.read.parquet(os.path.join(p, "assignments.parquet"))
-            .filter(not_base)
-            .count(),
-        )
+    expected = _expected_incoming(path, incoming)
+    tier_counts = _tier_counts_one_job(spark, not_base, m=_PQ_M, ks=_PQ_KS)
 
     n_codes, n_assign = tier_counts(path)
     if n_assign != n_codes or n_assign not in (0, expected):
@@ -496,39 +472,44 @@ def streaming_ann_ingest_search(spark: SparkSession, sf: str) -> DataFrame:
         _CENTROID_CACHE.pop(path, None)
         path = ensure()
         n_assign = 0
+    def do_stream() -> None:
+        n = _STREAMINS_N_BATCHES
+        src = _stage_ordered_batches(
+            lambda: [
+                incoming.filter(F.pmod(F.col("vec_id"), F.lit(n)) == b)
+                for b in range(n)
+            ],
+            sf,
+            kind=f"annstream_b{n}",
+            src_table="embeddings.parquet",
+        )
+        stream = (
+            spark.readStream.schema(incoming.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        with _replay_shuffle_partitions(spark):
+            q = streaming_codes_append(
+                stream,
+                path,
+                os.path.join(path, "_stream_ckpt"),
+                m=_PQ_M,
+                ks=_PQ_KS,
+            )
+            # the boolean return matters (round-16 advice, medium): on
+            # timeout the availableNow query is still APPENDING in the
+            # background — releasing the claim and reading the index
+            # here would serve a torn read that only the NEXT
+            # invocation's count-heal repairs. Stop it and fail loudly.
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "streaming append did not drain in 300s; index left "
+                    "for the next invocation's torn-state heal"
+                )
+
     if n_assign == 0:
-        if _try_claim(path, "_stream_append_claim"):
-            try:
-                n = _STREAMINS_N_BATCHES
-                src = _stage_ordered_batches(
-                    lambda: [
-                        incoming.filter(F.pmod(F.col("vec_id"), F.lit(n)) == b)
-                        for b in range(n)
-                    ],
-                    sf,
-                    kind=f"annstream_b{n}",
-                    src_table="embeddings.parquet",
-                )
-                stream = (
-                    spark.readStream.schema(incoming.schema)
-                    .option("maxFilesPerTrigger", "1")
-                    .parquet(src)
-                )
-                with _replay_shuffle_partitions(spark):
-                    q = streaming_codes_append(
-                        stream,
-                        path,
-                        os.path.join(path, "_stream_ckpt"),
-                        m=_PQ_M,
-                        ks=_PQ_KS,
-                    )
-                    q.awaitTermination(300)
-            finally:
-                try:
-                    os.unlink(os.path.join(path, "_stream_append_claim"))
-                except OSError:
-                    pass
-        else:
+        if not _claimed(path, "_stream_append_claim", do_stream):
             import time
 
             deadline = time.time() + 300.0
@@ -930,6 +911,7 @@ def _gbt_train_r(
     )
     splits_all: "list[list[DataFrame]]" = []
     state = tr
+    prev_cur: "DataFrame | None" = None
     cell_cols: "list[str]" = []
     for r in range(rounds):
         cur = state.withColumn("node", F.lit(1).cast("bigint"))
@@ -944,6 +926,13 @@ def _gbt_train_r(
         cur = cur.withColumnRenamed("node", f"n{r}").localCheckpoint(
             eager=True
         )
+        # the previous round's pinned frame fed this eager checkpoint
+        # and nothing else — free its blocks now (round-16 advice:
+        # the per-round pins leaked block-manager storage for the
+        # session lifetime on every cold training)
+        if prev_cur is not None:
+            prev_cur.unpersist()
+        prev_cur = cur
         cell_cols.append(f"n{r}")
         if r < rounds - 1:
             cell = cur.groupBy(*cell_cols).agg(
@@ -980,23 +969,33 @@ def _staged_gbt3h_model(spark: SparkSession, sf: str) -> str:
 
     def build(tmp: str) -> None:
         splits_all, final = _gbt_train_r(spark, sf)
-        out = None
-        for r, levels in enumerate(splits_all):
-            for lv in levels:
-                flat = lv.select(
-                    F.lit(r).cast("bigint").alias("rnd"),
-                    F.col("leaf").cast("bigint").alias("node"),
-                    F.col("b.fid").cast("bigint").alias("fid"),
-                    F.col("b.thr").alias("thr"),
-                )
-                out = flat if out is None else out.unionByName(flat)
-        out.coalesce(1).write.parquet(os.path.join(tmp, "splits"))
-        cols = [f"n{r}" for r in range(_GBT3_ROUNDS)]
-        final.groupBy(*cols).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_cell"),
-            F.sum("y0").cast("bigint").alias("p_cell"),
-        ).coalesce(1).write.parquet(os.path.join(tmp, "cells"))
-        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        try:
+            out = None
+            for r, levels in enumerate(splits_all):
+                for lv in levels:
+                    flat = lv.select(
+                        F.lit(r).cast("bigint").alias("rnd"),
+                        F.col("leaf").cast("bigint").alias("node"),
+                        F.col("b.fid").cast("bigint").alias("fid"),
+                        F.col("b.thr").alias("thr"),
+                    )
+                    out = flat if out is None else out.unionByName(flat)
+            out.coalesce(1).write.parquet(os.path.join(tmp, "splits"))
+            cols = [f"n{r}" for r in range(_GBT3_ROUNDS)]
+            final.groupBy(*cols).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_cell"),
+                F.sum("y0").cast("bigint").alias("p_cell"),
+            ).coalesce(1).write.parquet(os.path.join(tmp, "cells"))
+            open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        finally:
+            # the staged parquet IS the model from here on — release
+            # every training pin (round-16 advice: ~9 checkpointed
+            # frames per cold build stayed in the block manager for
+            # the life of the session)
+            for levels in splits_all:
+                for lv in levels:
+                    lv.unpersist()
+            final.unpersist()
 
     return stage_parquet(
         os.path.join(sf, "orders.parquet"),
@@ -1302,7 +1301,7 @@ def _gdpr_oracle() -> str:
 )
 def gdpr_purge_cascade_ann(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.ann_index import (
-        _try_claim,
+        _claimed,
         compact_tombstones,
         delete_vectors,
         ensure_pq,
@@ -1327,18 +1326,13 @@ def gdpr_purge_cascade_ann(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(forget_vec), "vec_id", "left_semi")
         .count()
     )
+    def do_purge() -> None:
+        delete_vectors(spark, path, forget_vec)
+        compact_tombstones(spark, path)
+        train_pq(spark, path, m=_PQ_M, ks=_PQ_KS)
+
     if to_purge:
-        if _try_claim(path, "_gdpr_claim"):
-            try:
-                delete_vectors(spark, path, forget_vec)
-                compact_tombstones(spark, path)
-                train_pq(spark, path, m=_PQ_M, ks=_PQ_KS)
-            finally:
-                try:
-                    os.unlink(os.path.join(path, "_gdpr_claim"))
-                except OSError:
-                    pass
-        else:
+        if not _claimed(path, "_gdpr_claim", do_purge):
             import time
 
             deadline = time.time() + 180.0
@@ -1537,9 +1531,8 @@ def ann_ivfpq_split_search_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..pipeline.ann_index import (
         _CENTROID_CACHE,
-        _pq_dir,
+        _claimed,
         _retire_dir,
-        _try_claim,
         append_codes,
         assign_new,
         ensure_pq,
@@ -1547,6 +1540,7 @@ def ann_ivfpq_split_search_topk(spark: SparkSession, sf: str) -> DataFrame:
         split_list,
     )
     from .retrieval_queries import _IVF_INCR_BASE
+    from .round15 import _expected_incoming, _tier_counts_one_job
 
     pred = _IVF_INCR_BASE.format(t="string")
     not_base = ~F.expr(pred)
@@ -1563,21 +1557,8 @@ def ann_ivfpq_split_search_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     path = ensure()
     incoming = load(spark, sf, "embeddings").filter(not_base)
-    expected = incoming.filter(
-        F.exists("embedding", lambda x: x != 0)
-    ).count()
-
-    def tier_counts(p: str) -> "tuple[int, int]":
-        return (
-            spark.read.parquet(
-                os.path.join(_pq_dir(p, _PQ_M, _PQ_KS), "codes.parquet")
-            )
-            .filter(not_base)
-            .count(),
-            spark.read.parquet(os.path.join(p, "assignments.parquet"))
-            .filter(not_base)
-            .count(),
-        )
+    expected = _expected_incoming(path, incoming)
+    tier_counts = _tier_counts_one_job(spark, not_base, m=_PQ_M, ks=_PQ_KS)
 
     n_codes, n_assign = tier_counts(path)
     if n_assign != n_codes or n_assign not in (0, expected):
@@ -1586,21 +1567,17 @@ def ann_ivfpq_split_search_topk(spark: SparkSession, sf: str) -> DataFrame:
         path = ensure()
         n_assign = 0
     if n_assign == 0:
-        if _try_claim(path, "_pq_append_claim"):
-            try:
-                append_codes(
-                    spark,
-                    path,
-                    assign_new(spark, path, incoming),
-                    m=_PQ_M,
-                    ks=_PQ_KS,
-                )
-            finally:
-                try:
-                    os.unlink(os.path.join(path, "_pq_append_claim"))
-                except OSError:
-                    pass
-        else:
+        if not _claimed(
+            path,
+            "_pq_append_claim",
+            lambda: append_codes(
+                spark,
+                path,
+                assign_new(spark, path, incoming),
+                m=_PQ_M,
+                ks=_PQ_KS,
+            ),
+        ):
             import time
 
             deadline = time.time() + 180.0
@@ -1618,30 +1595,24 @@ def ann_ivfpq_split_search_topk(spark: SparkSession, sf: str) -> DataFrame:
         with open(os.path.join(path, "meta.json")) as f:
             return bool(json.load(f).get("split_history"))
 
+    def do_split() -> None:
+        if already_split():
+            return
+        counts = (
+            spark.read.parquet(os.path.join(path, "assignments.parquet"))
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        hot = min(
+            int(r["centroid_id"])
+            for r in counts
+            if int(r["n"]) == max(int(x["n"]) for x in counts)
+        )
+        split_list(spark, path, hot)
+
     if not already_split():
-        if _try_claim(path, "_split_claim"):
-            try:
-                if not already_split():
-                    counts = (
-                        spark.read.parquet(
-                            os.path.join(path, "assignments.parquet")
-                        )
-                        .groupBy("centroid_id")
-                        .agg(F.count(F.lit(1)).alias("n"))
-                        .collect()
-                    )
-                    hot = min(
-                        int(r["centroid_id"])
-                        for r in counts
-                        if int(r["n"]) == max(int(x["n"]) for x in counts)
-                    )
-                    split_list(spark, path, hot)
-            finally:
-                try:
-                    os.unlink(os.path.join(path, "_split_claim"))
-                except OSError:
-                    pass
-        else:
+        if not _claimed(path, "_split_claim", do_split):
             import time
 
             deadline = time.time() + 180.0
@@ -1793,7 +1764,7 @@ def ann_ivf_merge_lists_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     import json
 
     from ..pipeline.ann_index import (
-        _try_claim,
+        _claimed,
         ensure_index,
         merge_lists,
         search_by_id,
@@ -1807,26 +1778,22 @@ def ann_ivf_merge_lists_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         with open(os.path.join(path, "meta.json")) as f:
             return bool(json.load(f).get("merge_history"))
 
+    def do_merge() -> None:
+        if already_merged():
+            return
+        counts = sorted(
+            (int(r["n"]), int(r["centroid_id"]))
+            for r in spark.read.parquet(
+                os.path.join(path, "assignments.parquet")
+            )
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        merge_lists(spark, path, counts[0][1], counts[1][1])
+
     if not already_merged():
-        if _try_claim(path, "_merge_claim"):
-            try:
-                if not already_merged():
-                    counts = sorted(
-                        (int(r["n"]), int(r["centroid_id"]))
-                        for r in spark.read.parquet(
-                            os.path.join(path, "assignments.parquet")
-                        )
-                        .groupBy("centroid_id")
-                        .agg(F.count(F.lit(1)).alias("n"))
-                        .collect()
-                    )
-                    merge_lists(spark, path, counts[0][1], counts[1][1])
-            finally:
-                try:
-                    os.unlink(os.path.join(path, "_merge_claim"))
-                except OSError:
-                    pass
-        else:
+        if not _claimed(path, "_merge_claim", do_merge):
             import time
 
             deadline = time.time() + 180.0
@@ -1959,7 +1926,7 @@ def ann_ivfpq_merge_search_topk(spark: SparkSession, sf: str) -> DataFrame:
     import json
 
     from ..pipeline.ann_index import (
-        _try_claim,
+        _claimed,
         ensure_pq,
         merge_lists,
         search_pq_by_id,
@@ -1973,26 +1940,22 @@ def ann_ivfpq_merge_search_topk(spark: SparkSession, sf: str) -> DataFrame:
         with open(os.path.join(path, "meta.json")) as f:
             return json.load(f).get("merge_history")
 
+    def do_merge() -> None:
+        if merge_hist():
+            return
+        counts = sorted(
+            (int(r["n"]), int(r["centroid_id"]))
+            for r in spark.read.parquet(
+                os.path.join(path, "assignments.parquet")
+            )
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        merge_lists(spark, path, counts[0][1], counts[1][1])
+
     if not merge_hist():
-        if _try_claim(path, "_merge_claim"):
-            try:
-                if not merge_hist():
-                    counts = sorted(
-                        (int(r["n"]), int(r["centroid_id"]))
-                        for r in spark.read.parquet(
-                            os.path.join(path, "assignments.parquet")
-                        )
-                        .groupBy("centroid_id")
-                        .agg(F.count(F.lit(1)).alias("n"))
-                        .collect()
-                    )
-                    merge_lists(spark, path, counts[0][1], counts[1][1])
-            finally:
-                try:
-                    os.unlink(os.path.join(path, "_merge_claim"))
-                except OSError:
-                    pass
-        else:
+        if not _claimed(path, "_merge_claim", do_merge):
             import time
 
             deadline = time.time() + 180.0

@@ -2697,24 +2697,70 @@ def test_try_claim_one_winner_and_stale_sweep(tmp_path):
     """Round-16 (ADVICE r15 #1): _try_claim is the one-winner primitive
     gating non-idempotent appends — exactly one concurrent claimer
     wins, release reopens the claim, and a crashed owner's stale claim
-    (mtime past the staleness gate) is swept and re-won."""
+    (mtime past the staleness gate) is swept and re-won. Round 17
+    (ADVICE r16 #2): the winner gets an OWNER TOKEN and the release
+    verifies it — a previous owner whose claim was swept and re-won
+    can no longer unlink the new owner's claim."""
     import os
 
-    from news_graph_rag_spark.pipeline.ann_index import _try_claim
+    from news_graph_rag_spark.pipeline.ann_index import (
+        _release_claim,
+        _try_claim,
+    )
 
     d = str(tmp_path)
-    assert _try_claim(d, "_pq_append_claim") is True
+    tok1 = _try_claim(d, "_pq_append_claim")
+    assert tok1
     # a second claimer loses while the first holds it
-    assert _try_claim(d, "_pq_append_claim") is False
+    assert _try_claim(d, "_pq_append_claim") is None
     # release → claimable again
-    os.unlink(os.path.join(d, "_pq_append_claim"))
-    assert _try_claim(d, "_pq_append_claim") is True
+    _release_claim(d, "_pq_append_claim", tok1)
+    tok2 = _try_claim(d, "_pq_append_claim")
+    assert tok2 and tok2 != tok1
     # crashed owner: age the claim past the staleness gate — the next
     # claimer sweeps it and wins
     old = os.path.join(d, "_pq_append_claim")
     past = 1_000_000.0
     os.utime(old, (past, past))
-    assert _try_claim(d, "_pq_append_claim") is True
+    tok3 = _try_claim(d, "_pq_append_claim")
+    assert tok3
+    # the swept owner's release is a NO-OP on the new owner's claim
+    _release_claim(d, "_pq_append_claim", tok2)
+    assert os.path.exists(old)
+    _release_claim(d, "_pq_append_claim", tok3)
+    assert not os.path.exists(old)
+
+
+def test_claimed_runs_under_heartbeat_and_releases(tmp_path):
+    """Round 17 (ADVICE r16 #2): _claimed = claim + heartbeat + verified
+    release in one shape; the heartbeat keeps a slow owner's claim
+    fresh against the stale sweep."""
+    import os
+    import time
+
+    from news_graph_rag_spark.pipeline.ann_index import (
+        _claim_heartbeat,
+        _claimed,
+        _try_claim,
+    )
+
+    d = str(tmp_path)
+    ran = []
+    assert _claimed(d, "_c", lambda: ran.append(1)) is True
+    assert ran == [1]
+    assert not os.path.exists(os.path.join(d, "_c"))
+    # a held claim blocks _claimed without running fn
+    tok = _try_claim(d, "_c")
+    assert tok
+    assert _claimed(d, "_c", lambda: ran.append(2)) is False
+    assert ran == [1]
+    # heartbeat refreshes an aged mtime
+    p = os.path.join(d, "_c")
+    past = time.time() - 10_000.0
+    os.utime(p, (past, past))
+    with _claim_heartbeat(d, "_c", interval=0.05):
+        time.sleep(0.3)
+    assert time.time() - os.path.getmtime(p) < 60.0
 
 
 def test_split_list_outside_probes_unchanged_and_tiers_consistent(
