@@ -559,17 +559,20 @@ _PQINSERT_VARIANT = "pqinsert-demo-v1"
 _EXPECTED_INCOMING_CACHE: "dict[str, int]" = {}
 
 
-def _expected_incoming(path: str, incoming: DataFrame) -> int:
+def _expected_incoming(path: str, incoming: DataFrame, salt: str = "") -> int:
     """The committed-append row count the torn/duplicate detection
     compares against, cached per VARIANT PATH (VERDICT r16 #5: this
     count job re-ran on every invocation, but it depends only on the
     source table, and ensure_index's path already fingerprints the
     source's (path, mtime, size) — a testdata regen changes the path
-    and misses the cache by construction)."""
-    n = _EXPECTED_INCOMING_CACHE.get(path)
+    and misses the cache by construction). ``salt`` separates distinct
+    frames counted against the same path (round 17: the retrain entry
+    needs both the incoming and the total expected counts)."""
+    key = f"{path}|{salt}"
+    n = _EXPECTED_INCOMING_CACHE.get(key)
     if n is None:
         n = incoming.filter(F.exists("embedding", lambda x: x != 0)).count()
-        _EXPECTED_INCOMING_CACHE[path] = n
+        _EXPECTED_INCOMING_CACHE[key] = n
     return n
 
 

@@ -687,6 +687,15 @@ def _hybrid_batch_oracle() -> str:
     "pruning + posting-list generation + per-query fusion end to end.",
 )
 def hybrid_batch_indexed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return _hybrid_batch_fused(spark, sf)
+
+
+def _hybrid_batch_fused(spark: SparkSession, sf: str) -> DataFrame:
+    """The batch-hybrid fusion chain as a reusable kernel — the entry
+    above serves it directly; round-17's batched E3 entry composes it
+    with the expansion map projection (VERDICT r16 #4). Extracted
+    body, byte-identical semantics; the @register block stays on the
+    entry (registration position is load-bearing)."""
     import zlib
 
     from pyspark.sql.window import Window
