@@ -936,7 +936,7 @@ def ann_ivfpq_nprobe_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
         scored.join(levels, F.col("crank") <= F.col("nprobe"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _SWEEP_K)
-        .select("nprobe", "vec_id", F.lit(1).alias("hit"))
+        .select("nprobe", "vec_id")
     )
     exact = search_by_id(
         spark,
@@ -945,10 +945,17 @@ def ann_ivfpq_nprobe_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
         k=_SWEEP_K,
         nprobe=len(cent_rows),
     ).select("vec_id")
-    return (
-        levels.crossJoin(F.broadcast(exact))
-        .join(approx, ["nprobe", "vec_id"], "left")
+    # hit counting as a broadcast SEMI-join of the per-level top-k
+    # against the k-row exact set (a levels×exact left-outer would
+    # plan a SortMergeJoin); levels with zero hits re-enter via the
+    # broadcast left join below
+    counts = (
+        approx.join(F.broadcast(exact), "vec_id", "left_semi")
         .groupBy("nprobe")
-        .agg(F.count("hit").cast("bigint").alias("n_hits"))
-        .withColumn("k", F.lit(_SWEEP_K).cast("bigint"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return levels.join(F.broadcast(counts), "nprobe", "left").select(
+        "nprobe",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.lit(_SWEEP_K).cast("bigint").alias("k"),
     )

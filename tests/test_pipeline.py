@@ -3084,3 +3084,178 @@ def test_pqmerge_probe_touches_merged_list(spark, sf_dir):
     rows = ai._centroid_rows(spark, path)
     lists = ai._rank_probe_lists(probes[probe_id], ai._centroid_arrays(rows), 4)
     assert keep in lists, (lists, keep)
+
+
+# ---------------------------------------------------------------------------
+# Round 17: coarse-quantizer global retrain + list-file compaction
+# ---------------------------------------------------------------------------
+
+import json
+import os
+
+
+
+def test_retrain_quantizer_equals_fresh_build_both_tiers(spark, sf_dir, tmp_path):
+    """Round-17 (VERDICT r16 #1): the retrain ≡ rebuild equivalence the
+    catalog oracles lean on — subset build + PQ + frozen append +
+    retrain_quantizer must equal the from-scratch full build on BOTH
+    tiers bit-for-bit (assignments, centroids, codes, codebooks) and
+    serve identical searches."""
+    import news_graph_rag_spark.pipeline.ann_index as ai
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pred = "substr(md5(CAST(vec_id AS string)), 1, 1) NOT IN ('0','1','2','3')"
+    a, b = str(tmp_path / "rtq_a"), str(tmp_path / "rtq_b")
+    ai.build_and_save(emb.filter(F.expr(pred)), a, n_centroids=8, iters=1)
+    ai.train_pq(spark, a, m=8, ks=16)
+    ai.append_codes(
+        spark, a, ai.assign_new(spark, a, emb.filter(~F.expr(pred))), m=8, ks=16
+    )
+    n = ai.retrain_quantizer(spark, a, n_centroids=8, iters=1)
+    assert n == 8
+    hist = json.load(open(os.path.join(a, "meta.json")))["retrain_history"]
+    assert hist and hist[-1]["n_centroids"] == 8
+
+    ai.build_and_save(emb, b, n_centroids=8, iters=1)
+    ai.train_pq(spark, b, m=8, ks=16)
+
+    def canon(p, tbl):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(os.path.join(p, tbl)).collect()
+        )
+
+    for t in ("assignments.parquet", "centroids.parquet"):
+        assert canon(a, t) == canon(b, t), t
+    pqa, pqb = ai._pq_dir(a, 8, 16), ai._pq_dir(b, 8, 16)
+    for t in ("codes.parquet", "codebook.parquet"):
+        assert canon(pqa, t) == canon(pqb, t), t
+    ra = [tuple(r) for r in ai.search_pq_by_id(spark, a, 1, k=10, nprobe=4).collect()]
+    rb = [tuple(r) for r in ai.search_pq_by_id(spark, b, 1, k=10, nprobe=4).collect()]
+    assert ra == rb and len(ra) == 10
+
+
+def test_retrain_quantizer_after_delete_excludes_tombstoned(spark, sf_dir, tmp_path):
+    """Round-17 done-criterion: retrain-after-delete excludes
+    tombstoned rows from the new centroids AND drops them physically —
+    the retrained index equals the fresh build over the LIVE subset,
+    and the tombstone table retires with the old generation."""
+    import news_graph_rag_spark.pipeline.ann_index as ai
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dead = [0, 1, 2, 3, 4]
+    a, b = str(tmp_path / "rtd_a"), str(tmp_path / "rtd_b")
+    ai.build_and_save(emb, a, n_centroids=6, iters=1)
+    ai.train_pq(spark, a, m=8, ks=16)
+    ai.delete_vectors(spark, a, dead)
+    ai.retrain_quantizer(spark, a)
+    asg = spark.read.parquet(os.path.join(a, "assignments.parquet"))
+    assert asg.filter(F.col("vec_id").isin(dead)).count() == 0
+    assert not os.path.exists(os.path.join(a, "tombstones.parquet"))
+    # equivalence: fresh build over the live subset
+    ai.build_and_save(
+        emb.filter(~F.col("vec_id").isin(dead)), b, n_centroids=6, iters=1
+    )
+    ai.train_pq(spark, b, m=8, ks=16)
+
+    def canon(p, tbl):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(os.path.join(p, tbl)).collect()
+        )
+
+    assert canon(a, "centroids.parquet") == canon(b, "centroids.parquet")
+    assert canon(a, "assignments.parquet") == canon(b, "assignments.parquet")
+    pqa, pqb = ai._pq_dir(a, 8, 16), ai._pq_dir(b, 8, 16)
+    assert canon(pqa, "codebook.parquet") == canon(pqb, "codebook.parquet")
+
+
+def _count_list_files(root):
+    n = 0
+    for dirpath, _dirs, files in os.walk(root):
+        if os.path.basename(dirpath).startswith("centroid_id="):
+            n += sum(1 for f in files if not f.startswith(("_", ".")))
+    return n
+
+
+def test_compact_list_files_reduces_count_values_unchanged(
+    spark, sf_dir, tmp_path
+):
+    """Round-17 (VERDICT r16 #3): after fragmented appends,
+    compact_list_files must reduce the data-file count in BOTH tiers,
+    leave every search value bit-unchanged, record meta history, and
+    be a no-op when re-run."""
+    import news_graph_rag_spark.pipeline.ann_index as ai
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    p = str(tmp_path / "fc_idx")
+    pred = "substr(md5(CAST(vec_id AS string)), 1, 1) NOT IN ('0','1','2','3')"
+    ai.build_and_save(emb.filter(F.expr(pred)), p, n_centroids=6, iters=1)
+    ai.train_pq(spark, p, m=8, ks=16)
+    inc = emb.filter(~F.expr(pred))
+    for b in range(3):
+        ai.append_codes(
+            spark,
+            p,
+            ai.assign_new(spark, p, inc.filter(F.col("vec_id") % 3 == b)),
+            m=8,
+            ks=16,
+        )
+    before = [
+        tuple(r)
+        for r in ai.search_pq_by_id(spark, p, 1, k=10, nprobe=6).collect()
+    ]
+    before_int8 = [
+        tuple(r) for r in ai.search_by_id(spark, p, 1, k=10, nprobe=6).collect()
+    ]
+    f0 = _count_list_files(p)
+    removed = ai.compact_list_files(spark, p, target_file_mb=64.0)
+    f1 = _count_list_files(p)
+    assert removed > 0 and f1 == f0 - removed and f1 < f0
+    meta = json.load(open(os.path.join(p, "meta.json")))
+    assert meta["file_compactions"][-1]["files_removed"] == removed
+    after = [
+        tuple(r)
+        for r in ai.search_pq_by_id(spark, p, 1, k=10, nprobe=6).collect()
+    ]
+    after_int8 = [
+        tuple(r) for r in ai.search_by_id(spark, p, 1, k=10, nprobe=6).collect()
+    ]
+    assert before == after and before_int8 == after_int8
+    # idempotent: already-compact lists are left alone
+    assert ai.compact_list_files(spark, p, target_file_mb=64.0) == 0
+    assert _count_list_files(p) == f1
+
+
+def test_compact_list_files_single_list_hardlinks_rest(spark, sf_dir, tmp_path):
+    """compact_list_files(centroid_id=X) must rewrite only X's
+    partitions; every other list's files carry as HARDLINKS (same
+    inodes — the metadata-only IO discipline of split/merge)."""
+    import news_graph_rag_spark.pipeline.ann_index as ai
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    p = str(tmp_path / "fc_one")
+    pred = "substr(md5(CAST(vec_id AS string)), 1, 1) NOT IN ('0','1','2','3')"
+    ai.build_and_save(emb.filter(F.expr(pred)), p, n_centroids=4, iters=1)
+    inc = emb.filter(~F.expr(pred))
+    for b in range(3):
+        ai.append_vectors(spark, p, inc.filter(F.col("vec_id") % 3 == b))
+    apath = os.path.join(p, "assignments.parquet")
+    lists = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(apath)
+        if d.startswith("centroid_id=")
+    )
+    target = lists[0]
+    others_inodes = {}
+    for d in os.listdir(apath):
+        if d.startswith("centroid_id=") and d != f"centroid_id={target}":
+            for f in os.listdir(os.path.join(apath, d)):
+                if not f.startswith(("_", ".")):
+                    others_inodes[(d, f)] = os.stat(
+                        os.path.join(apath, d, f)
+                    ).st_ino
+    removed = ai.compact_list_files(
+        spark, p, centroid_id=target, target_file_mb=64.0
+    )
+    assert removed > 0
+    for (d, f), ino in others_inodes.items():
+        assert os.stat(os.path.join(apath, d, f)).st_ino == ino, (d, f)

@@ -1185,3 +1185,88 @@ def test_gbt3_holdout_is_broadcast_scoring(spark, sf_dir, reg):
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_nprobe_sweep_one_codes_scan(spark, sf_dir, reg):
+    """Round-17 recall sweep (VERDICT r16 #6's done-criterion): all
+    three nprobe levels must ride ONE partition-pruned codes scan —
+    candidates are ADC-scored once across the widest union and each
+    level is a crank filter over the same rows (3-row broadcast levels
+    relation), with the per-level rank window partitioned on nprobe;
+    no sort-merge join anywhere."""
+    df = reg["ann_ivfpq_nprobe_recall_sweep"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    code_scans = [
+        line
+        for line in plan.splitlines()
+        if "Location" in line and "codes.parquet" in line
+    ]
+    assert len(code_scans) == 1, code_scans
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert any("centroid_id" in line and "IN" in line for line in pf), pf
+    assert "SortMergeJoin" not in plan
+    specs = _window_specs(plan)
+    assert specs and all("nprobe" in s.split(",")[0] for s in specs), specs
+
+
+def test_hybrid_batch_expand_one_scan_each_plus_broadcast_expansion(
+    spark, sf_dir, reg
+):
+    """Round-17 batched E3 (VERDICT r16 #4's done-criterion): the
+    expansion entry must inherit the fused chain's plan — still ONE
+    token-index scan and ONE assignments scan regardless of Q — and
+    add only a BROADCAST join of the Q·k hit set back to documents;
+    windows stay probe_id-partitioned."""
+    df = reg["hybrid_batch_expand_topk"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    tok_scans = [
+        line
+        for line in plan.splitlines()
+        if "Location" in line and "ngr_tokidx2" in line
+    ]
+    assign_scans = [
+        line
+        for line in plan.splitlines()
+        if "Location" in line and "assignments.parquet" in line
+    ]
+    assert len(tok_scans) == 1, tok_scans
+    assert len(assign_scans) == 1, assign_scans
+    assert "documents.parquet" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    specs = _window_specs(plan)
+    assert specs and all("probe_id" in s.split(",")[0] for s in specs), specs
+
+
+def test_keyword_search_is_bucket_pruned(spark, sf_dir):
+    """Round-17 lifecycle token index: search_keywords must serve from
+    a PARTITION-PRUNED scan (tok_bucket IN-list reaches the scan's
+    PartitionFilters, the token IN predicate is pushed within it) —
+    and stay pruned AFTER incremental appends, the done-criterion of
+    VERDICT r16 #2."""
+    from news_graph_rag_spark.retrieval import token_index as ti
+
+    path = ti.ensure_postings(spark, sf_dir, variant="plan-test-v1")
+    df = ti.search_keywords(spark, path, ["spark", "join"], k=5)
+    plan = plan_of(df)
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert any("tok_bucket" in line and "IN" in line for line in pf), pf
+    assert any(
+        "PushedFilters" in line and "token" in line
+        for line in plan.splitlines()
+    ), plan
+    assert "SortMergeJoin" not in plan
+    # append a batch, then re-check: pruning must survive the appends
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ti.append_postings(
+        spark,
+        path,
+        docs.limit(20).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        ),
+    )
+    plan2 = plan_of(ti.search_keywords(spark, path, ["spark", "join"], k=5))
+    pf2 = [line for line in plan2.splitlines() if "PartitionFilters" in line]
+    assert any("tok_bucket" in line and "IN" in line for line in pf2), pf2

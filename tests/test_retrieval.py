@@ -321,3 +321,103 @@ def test_uid_filtered_search_scopes_results(spark, tmp_path):
     for r in got:
         expect = int(np.asarray(q[r["uid"]][0], dtype=np.int64) @ p)
         assert r["dot"] == expect
+
+
+# ---------------------------------------------------------------------------
+# Round 17: the lifecycle token index (I3 as a long-lived object)
+# ---------------------------------------------------------------------------
+
+
+def test_token_index_append_equals_full_build(spark, tmp_path):
+    """Incremental posting appends must be value-equal to one full
+    build over the union (the order-free property the streaming entry's
+    oracle leans on), and serving must mask nothing extra."""
+    import os
+
+    from news_graph_rag_spark.retrieval import token_index as ti
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    pred = "substr(md5(CAST(doc_id AS string)), 1, 1) NOT IN ('0','1','2','3')"
+    a, b = str(tmp_path / "tok_a"), str(tmp_path / "tok_b")
+    ti.build_postings(docs.filter(F.expr(pred)), a)
+    n = ti.append_postings(spark, a, docs.filter(~F.expr(pred)))
+    assert n > 0
+    ti.build_postings(docs, b)
+    ra = sorted(
+        tuple(r)
+        for r in ti.search_keywords(
+            spark, a, ["spark", "join", "stream"], k=15
+        ).collect()
+    )
+    rb = sorted(
+        tuple(r)
+        for r in ti.search_keywords(
+            spark, b, ["spark", "join", "stream"], k=15
+        ).collect()
+    )
+    assert ra == rb and len(ra) == 15
+    # the full posting sets agree row-for-row, not just the readout
+    ca = sorted(tuple(r) for r in ti.postings(spark, a).collect())
+    cb = sorted(tuple(r) for r in ti.postings(spark, b).collect())
+    assert ca == cb
+
+
+def test_token_index_purge_is_bucket_local_and_complete(spark, tmp_path):
+    """delete_doc_postings masks immediately; compact_doc_tombstones
+    removes the rows physically, rewrites ONLY the affected buckets
+    (untouched buckets keep their inodes — hardlink carry), retires the
+    tombstone table, and leaves serving unchanged vs the mask."""
+    import os
+
+    from news_graph_rag_spark.retrieval import token_index as ti
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    p = str(tmp_path / "tok_purge")
+    ti.build_postings(docs, p)
+    top = ti.search_keywords(spark, p, ["spark", "join", "stream"], k=1).first()
+    victim = int(top["doc_id"])
+    ti.delete_doc_postings(spark, p, [victim])
+    masked = sorted(
+        tuple(r)
+        for r in ti.search_keywords(
+            spark, p, ["spark", "join", "stream"], k=15
+        ).collect()
+    )
+    assert victim not in {r[0] for r in masked}
+    pdir = os.path.join(p, "postings.parquet")
+    victim_buckets = {
+        int(r["tok_bucket"])
+        for r in ti.postings(spark, p)
+        .filter(F.col("doc_id") == victim)
+        .select("tok_bucket")
+        .distinct()
+        .collect()
+    }
+    untouched_inodes = {}
+    for d in os.listdir(pdir):
+        if not d.startswith("tok_bucket="):
+            continue
+        if int(d.split("=", 1)[1]) in victim_buckets:
+            continue
+        for f in os.listdir(os.path.join(pdir, d)):
+            if not f.startswith(("_", ".")):
+                untouched_inodes[(d, f)] = os.stat(
+                    os.path.join(pdir, d, f)
+                ).st_ino
+    removed = ti.compact_doc_tombstones(spark, p)
+    assert removed > 0
+    assert ti.postings(spark, p).filter(F.col("doc_id") == victim).count() == 0
+    assert ti.doc_tombstones(spark, p) is None
+    for (d, f), ino in untouched_inodes.items():
+        assert os.stat(os.path.join(pdir, d, f)).st_ino == ino, (d, f)
+    post = sorted(
+        tuple(r)
+        for r in ti.search_keywords(
+            spark, p, ["spark", "join", "stream"], k=15
+        ).collect()
+    )
+    assert post == masked
+    meta = ti._meta(p)
+    assert meta["purge_history"][-1]["rows_removed"] == removed
