@@ -240,6 +240,16 @@ HEADLINE = [
     "ann_ivfpq_split_search_topk",
     "ann_ivf_merge_lists_roundtrip",
     "ann_ivfpq_merge_search_topk",
+    # round 17: coarse-quantizer global retrain, list-file compaction,
+    # token-index lifecycle (streaming append + GDPR postings purge),
+    # batched E3 RAG, nprobe recall sweep
+    "ann_ivf_retrain_quantizer_roundtrip",
+    "ann_ivfpq_retrain_quantizer_search_topk",
+    "ann_ivfpq_compact_files_search_topk",
+    "streaming_fulltext_ingest_search",
+    "gdpr_purge_postings_cascade",
+    "hybrid_batch_expand_topk",
+    "ann_ivfpq_nprobe_recall_sweep",
 ]
 
 
@@ -405,6 +415,14 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
         _staged_gbt3h_model,
         _STREAMINS_VARIANT,
     )
+    from news_graph_rag_spark.queries.round17 import (
+        _FCOMP_VARIANT,
+        _GDPRTOK_VARIANT,
+        _RTQ_VARIANT,
+        _STREAMTOK_VARIANT,
+        _TOK_INCR_BASE,
+    )
+    from news_graph_rag_spark.retrieval.token_index import ensure_postings
 
     builds = [
         ("ann_ivf", lambda d: ensure_index(spark, d, n_centroids=8, iters=1)),
@@ -527,6 +545,45 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
         ),
         ("token_index", lambda d: _staged_token_index(spark, d)),
         ("gbt3h_model", lambda d: _staged_gbt3h_model(spark, d)),
+        # round 17: the mutable-variant BASES again (append/retrain/
+        # compact/stream/purge mutate on first timed invocation; these
+        # are the amortized offline halves) plus the lifecycle token
+        # index's private variants
+        (
+            "ann_ivfpq_retrainq_variant",
+            lambda d: ensure_pq(
+                spark,
+                d,
+                m=_PQ_M,
+                ks=_PQ_KS,
+                variant=_RTQ_VARIANT,
+                subset_pred=_IVF_INCR_BASE.format(t="string"),
+            ),
+        ),
+        (
+            "ann_ivfpq_filecompact_variant",
+            lambda d: ensure_pq(
+                spark,
+                d,
+                m=_PQ_M,
+                ks=_PQ_KS,
+                variant=_FCOMP_VARIANT,
+                subset_pred=_IVF_INCR_BASE.format(t="string"),
+            ),
+        ),
+        (
+            "token_postings_streamtok_variant",
+            lambda d: ensure_postings(
+                spark,
+                d,
+                variant=_STREAMTOK_VARIANT,
+                subset_pred=_TOK_INCR_BASE.format(t="string"),
+            ),
+        ),
+        (
+            "token_postings_gdprtok_variant",
+            lambda d: ensure_postings(spark, d, variant=_GDPRTOK_VARIANT),
+        ),
     ]
     out: dict[str, float] = {}
     for sf_dir in sf_dirs:
