@@ -250,6 +250,7 @@ HEADLINE = [
     "gdpr_purge_postings_cascade",
     "hybrid_batch_expand_topk",
     "ann_ivfpq_nprobe_recall_sweep",
+    "streaming_hybrid_ingest_search",
 ]
 
 
@@ -418,6 +419,8 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
     from news_graph_rag_spark.queries.round17 import (
         _FCOMP_VARIANT,
         _GDPRTOK_VARIANT,
+        _HYBSTREAM_ANN_VARIANT,
+        _HYBSTREAM_TOK_VARIANT,
         _RTQ_VARIANT,
         _STREAMTOK_VARIANT,
         _TOK_INCR_BASE,
@@ -583,6 +586,26 @@ def _prebuild_staged(spark, sf_dirs) -> dict[str, float]:
         (
             "token_postings_gdprtok_variant",
             lambda d: ensure_postings(spark, d, variant=_GDPRTOK_VARIANT),
+        ),
+        (
+            "token_postings_hybstream_variant",
+            lambda d: ensure_postings(
+                spark,
+                d,
+                variant=_HYBSTREAM_TOK_VARIANT,
+                subset_pred=_TOK_INCR_BASE.format(t="string"),
+            ),
+        ),
+        (
+            "ann_ivf_hybstream_variant",
+            lambda d: ensure_index(
+                spark,
+                d,
+                n_centroids=8,
+                iters=1,
+                variant=_HYBSTREAM_ANN_VARIANT,
+                subset_pred=_IVF_INCR_BASE.format(t="string"),
+            ),
         ),
     ]
     out: dict[str, float] = {}

@@ -959,3 +959,334 @@ def ann_ivfpq_nprobe_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
         F.lit(_SWEEP_K).cast("bigint").alias("k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming → HYBRID: one write lands in BOTH indexes (capstone — the
+# round-16 #2 framing completed: streamed docs were ANN-servable in
+# round 16, keyword-servable above; this entry makes them servable by
+# the FUSED hybrid request, the reference's actual serving shape)
+# ---------------------------------------------------------------------------
+
+_HYBSTREAM_TOK_VARIANT = "hybstreamtok-demo-v1"
+_HYBSTREAM_ANN_VARIANT = "hybstreamann-demo-v1"
+_HYBSTREAM_N_BATCHES = 3
+_HYBSTREAM_K = 15
+
+
+def _hybstream_oracle() -> str:
+    from .retrieval_queries import (
+        _HYBRID_IDX_CANDS,
+        _HYBRID_MAX_DF,
+        _IVF_INCR_BASE,
+        _IVF_SCORE,
+        _KEYWORDS,
+        _ivf_int8_build_cte,
+    )
+
+    kw = ", ".join(f"'{k}'" for k in _KEYWORDS)
+    base_v = _IVF_INCR_BASE.format(t="VARCHAR")
+    base_d = _TOK_INCR_BASE.format(t="VARCHAR")
+    score = _IVF_SCORE
+    return f"""
+    {_ivf_int8_build_cte(8, base_where=base_v)},
+    incoming AS (SELECT * FROM live WHERE NOT ({base_v})),
+    nassign AS (  -- frozen-quantizer assignment of the streamed rows
+      SELECT vec_id, q8, nrm, cid FROM (
+        SELECT l.vec_id, l.q8, l.nrm, c.cid,
+               {score.format(a="l.q8", b="c.c8", n="c.cnrm")} AS score
+        FROM incoming l CROSS JOIN c1n c
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY score DESC, cid) = 1
+    ),
+    ball AS (  -- the int8 tier the entry serves: base ∪ streamed
+      SELECT vec_id, q8, nrm, cid FROM b1
+      UNION ALL
+      SELECT vec_id, q8, nrm, cid FROM nassign
+    ),
+    probe AS (SELECT q8, nrm FROM live WHERE vec_id = 0),
+    pc AS (
+      SELECT cid FROM (
+        SELECT c.cid, {score.format(a="p.q8", b="c.c8", n="c.cnrm")} AS score
+        FROM c1n c CROSS JOIN probe p
+      ) ORDER BY score DESC, cid LIMIT 4
+    ),
+    vcand AS (
+      SELECT vec_id FROM (
+        SELECT b.vec_id, {score.format(a="b.q8", b="p.q8", n="b.nrm")} AS score
+        FROM ball b JOIN pc ON b.cid = pc.cid CROSS JOIN probe p
+      ) ORDER BY score DESC, vec_id LIMIT {_HYBRID_IDX_CANDS}
+    ),
+    tok AS (  -- the lifecycle posting table: (doc, token) tf over ALL
+      SELECT doc_id, t.token AS token, CAST(count(*) AS BIGINT) AS tf
+      FROM documents, unnest(string_split(text, ' ')) AS t(token)
+      WHERE t.token <> ''
+      GROUP BY doc_id, t.token
+    ),
+    tdf AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+    kws AS (  -- capped tf-sum keyword signal (search_keywords' score)
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS kw_score
+      FROM tok JOIN tdf USING (token)
+      WHERE token IN ({kw}) AND tdf.df <= {_HYBRID_MAX_DF}
+      GROUP BY doc_id
+    ),
+    candx AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT vec_id AS doc_id FROM vcand
+        UNION ALL
+        SELECT doc_id FROM kws
+      ) WHERE doc_id <> 0
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    vec AS (
+      SELECT vec_id AS doc_id,
+             list_cosine_similarity(embedding, qv) AS vec_score
+      FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+    ),
+    joined AS (
+      SELECT c.doc_id, COALESCE(k.kw_score, 0) AS kw_score, v.vec_score
+      FROM candx c LEFT JOIN kws k USING (doc_id) JOIN vec v USING (doc_id)
+    ),
+    m AS (SELECT max(kw_score) AS kmax, max(vec_score) AS vmax FROM joined),
+    fused AS (
+      SELECT doc_id, kw_score,
+             greatest(
+               CASE WHEN vmax > 0 THEN vec_score / vmax ELSE 0 END,
+               CASE WHEN kmax > 0 THEN CAST(kw_score AS DOUBLE) / kmax
+                    ELSE 0 END
+             ) AS score
+      FROM joined CROSS JOIN m
+    )
+    SELECT doc_id, kw_score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+             AS rnk,
+           CAST(CASE WHEN {base_d} THEN 0 ELSE 1 END AS BIGINT) AS is_streamed
+    FROM fused
+    QUALIFY rnk <= {_HYBSTREAM_K}
+    """
+
+
+@register(
+    "streaming_hybrid_ingest_search",
+    oracle=_hybstream_oracle(),
+    doc="STREAMING → HYBRID integration, the write path composed "
+    "(capstone of VERDICT r16 #2: round 16 made a streamed document "
+    "ANN-servable, streaming_fulltext_ingest_search made it keyword-"
+    "servable — this entry makes ONE streamed write servable by the "
+    "FUSED hybrid request, the reference's actual serving shape: a "
+    "single Neo4j CREATE maintains the fulltext index graph.py:197-209 "
+    "AND the vector index graph.py:211-219 together). Private variants "
+    "of BOTH indexes build over the md5 base split (doc_id = vec_id "
+    "linkage); the remaining (document, embedding) pairs replay as "
+    "THREE ordered micro-batches through streaming_hybrid_append — "
+    "one foreachBatch sink landing each batch's postings in their "
+    "crc32 bucket partitions AND its frozen-assigned int8 rows in "
+    "their inverted-list partitions, nothing rewritten. Serving is "
+    "hybrid_search_indexed's fusion with BOTH signals read from the "
+    "lifecycle indexes: vector candidates from the partition-pruned "
+    "nprobe probe over base ∪ streamed, keyword candidates + capped "
+    "tf-sum scores from the bucket-pruned posting scan (kw_hits "
+    "recomputation from text replaced by the index's stored tf — the "
+    "fully index-served keyword signal), candidate-set max-norm "
+    "fusion, top-15 with an is_streamed marker. Claim-gated with "
+    "BOTH-subsystem count comparison; a torn or duplicated epoch on "
+    "EITHER side retires the PAIR (checkpoint lives inside the index "
+    "dir). VALUE-VERIFIED: the union is order-free, so the oracle "
+    "replays subset build + frozen assign + full tokenize + df cap + "
+    "fusion — a lost or doubled micro-batch in either subsystem "
+    "surfaces as a value mismatch.",
+)
+def streaming_hybrid_ingest_search(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from ..pipeline.ann_index import (
+        _CENTROID_CACHE,
+        _claimed,
+        _retire_dir,
+        ensure_index,
+        search_by_vector,
+    )
+    from ..ranks import top_k_ranked
+    from ..retrieval.token_index import (
+        ensure_postings,
+        keyword_scores,
+        postings,
+    )
+    from ..streaming.ingest_stream import streaming_hybrid_append
+    from .python_ops import _replay_shuffle_partitions, _stage_ordered_batches
+    from .retrieval_queries import (
+        _HYBRID_IDX_CANDS,
+        _HYBRID_MAX_DF,
+        _IVF_INCR_BASE,
+        _KEYWORDS,
+        cosine_col,
+    )
+    from .round15 import _expected_incoming
+
+    pred_v = _IVF_INCR_BASE.format(t="string")
+    pred_d = _TOK_INCR_BASE.format(t="string")
+    not_base_v, not_base_d = ~F.expr(pred_v), ~F.expr(pred_d)
+
+    def ensure_pair() -> "tuple[str, str]":
+        tok = ensure_postings(
+            spark, sf, variant=_HYBSTREAM_TOK_VARIANT, subset_pred=pred_d
+        )
+        ann = ensure_index(
+            spark,
+            sf,
+            widen_reps=None,
+            n_centroids=8,
+            iters=1,
+            variant=_HYBSTREAM_ANN_VARIANT,
+            subset_pred=pred_v,
+        )
+        return tok, ann
+
+    tok_path, ann_path = ensure_pair()
+    docs = load(spark, sf, "documents")
+    emb = load(spark, sf, "embeddings")
+    inc_docs = docs.filter(not_base_d)
+    inc_emb = emb.filter(not_base_v)
+    exp_tok = _expected_postings(tok_path, inc_docs, buckets=16)
+    exp_ann = _expected_incoming(ann_path, inc_emb)
+
+    def streamed_counts() -> "tuple[int, int]":
+        n_tok = postings(spark, tok_path).filter(not_base_d).count()
+        n_ann = (
+            spark.read.parquet(os.path.join(ann_path, "assignments.parquet"))
+            .filter(not_base_v)
+            .count()
+        )
+        return n_tok, n_ann
+
+    state = streamed_counts()
+    if state not in ((0, 0), (exp_tok, exp_ann)):
+        # torn/duplicated epoch in EITHER subsystem: retire the PAIR —
+        # a half-streamed hybrid index serves fused rankings missing
+        # (or double-counting) one signal's rows, which no single-
+        # subsystem heal can see
+        _retire_dir(tok_path)
+        _retire_dir(ann_path)
+        _CENTROID_CACHE.pop(ann_path, None)
+        tok_path, ann_path = ensure_pair()
+        state = (0, 0)
+
+    def do_stream() -> None:
+        if streamed_counts() == (exp_tok, exp_ann):
+            return  # previous owner committed between check and claim
+        n = _HYBSTREAM_N_BATCHES
+        joined_src = inc_docs.select("doc_id", "text").join(
+            inc_emb.select("vec_id", "embedding"),
+            F.col("doc_id") == F.col("vec_id"),
+        )
+        src = _stage_ordered_batches(
+            lambda: [
+                joined_src.filter(F.pmod(F.col("doc_id"), F.lit(n)) == b)
+                for b in range(n)
+            ],
+            sf,
+            kind=f"hybstream_b{n}",
+            src_table="documents.parquet",
+        )
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        with _replay_shuffle_partitions(spark):
+            q = streaming_hybrid_append(
+                stream,
+                tok_path,
+                ann_path,
+                os.path.join(ann_path, "_stream_ckpt"),
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "hybrid stream did not drain in 300s; index pair left "
+                    "for the next invocation's torn-state heal"
+                )
+
+    if state == (0, 0):
+        if not _claimed(ann_path, "_hybstream_claim", do_stream):
+            import time
+
+            deadline = time.time() + 300.0
+            while time.time() < deadline:
+                if streamed_counts() == (exp_tok, exp_ann):
+                    break
+                time.sleep(1.0)
+            else:
+                raise RuntimeError(
+                    "concurrent hybrid-stream holder did not commit in 300s"
+                )
+
+    # ---- serving: hybrid_search_indexed's fusion, both signals from
+    # the lifecycle indexes ----
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    vec_cand = search_by_vector(
+        spark, ann_path, qv, k=_HYBRID_IDX_CANDS, nprobe=4
+    ).select(F.col("vec_id").alias("doc_id"))
+    kws = keyword_scores(
+        spark, tok_path, list(_KEYWORDS), max_df=_HYBRID_MAX_DF
+    )
+    cands = (
+        vec_cand.unionByName(kws.select("doc_id"))
+        .filter(F.col("doc_id") != 0)
+        .distinct()
+    )
+    cand_kw = cands.join(F.broadcast(kws), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("kw_score"), F.lit(0)).cast("bigint").alias(
+            "kw_score"
+        ),
+    )
+    vec_rows = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    joined = (
+        vec_rows.join(F.broadcast(cand_kw), "doc_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            "kw_score",
+            cosine_col(F.col("embedding"), F.col("qv")).alias("vec_score"),
+        )
+    )
+    maxes = joined.agg(
+        F.max("kw_score").alias("kmax"), F.max("vec_score").alias("vmax")
+    )
+    fused = (
+        joined.crossJoin(F.broadcast(maxes))
+        .withColumn(
+            "score",
+            F.greatest(
+                F.when(
+                    F.col("vmax") > 0, F.col("vec_score") / F.col("vmax")
+                ).otherwise(F.lit(0.0)),
+                F.when(
+                    F.col("kmax") > 0,
+                    F.col("kw_score").cast("double") / F.col("kmax"),
+                ).otherwise(F.lit(0.0)),
+            ),
+        )
+        .select("doc_id", "kw_score", "score")
+    )
+    out = top_k_ranked(
+        fused, [F.desc("score"), F.asc("doc_id")], _HYBSTREAM_K
+    )
+    return out.select(
+        "doc_id",
+        "kw_score",
+        "rnk",
+        F.when(F.expr(pred_d), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("is_streamed"),
+    )

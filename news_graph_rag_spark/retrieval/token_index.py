@@ -273,9 +273,27 @@ def search_keywords(
     surviving tokens. Tombstoned docs mask via broadcast anti-join.
     Returns (doc_id, kw_score, rnk) — integers + a totally-ordered
     rank, the family's value-verifiable readout."""
+    from ..ranks import top_k_ranked
+
+    scored = keyword_scores(spark, path, tokens, max_df=max_df)
+    return top_k_ranked(
+        scored, [F.desc("kw_score"), F.asc("doc_id")], k
+    ).select("doc_id", "kw_score", "rnk")
+
+
+def keyword_scores(
+    spark: SparkSession,
+    path: str,
+    tokens: "list[str]",
+    max_df: int = 1000,
+) -> DataFrame:
+    """The UN-RANKED keyword signal ``search_keywords`` ranks: every
+    matching doc's capped tf-sum, (doc_id, kw_score). Split out so the
+    hybrid fusion path can consume the full candidate relation (its
+    top-k happens AFTER fusion with the vector signal, not per
+    signal)."""
     import zlib
 
-    from ..ranks import top_k_ranked
     from pyspark.sql import Window
 
     meta = _meta(path)
@@ -289,15 +307,12 @@ def search_keywords(
     if ts is not None:
         cand = cand.join(F.broadcast(ts), "doc_id", "left_anti")
     w = Window.partitionBy("token")
-    scored = (
+    return (
         cand.withColumn("df", F.count(F.lit(1)).over(w))
         .filter(F.col("df") <= max_df)
         .groupBy("doc_id")
         .agg(F.sum("tf").cast("bigint").alias("kw_score"))
     )
-    return top_k_ranked(
-        scored, [F.desc("kw_score"), F.asc("doc_id")], k
-    ).select("doc_id", "kw_score", "rnk")
 
 
 def ensure_postings(

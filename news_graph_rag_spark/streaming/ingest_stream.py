@@ -371,6 +371,49 @@ def streaming_postings_append(
     return writer.start()
 
 
+def streaming_hybrid_append(
+    doc_emb_stream: DataFrame,
+    tok_index_path: str,
+    ann_index_path: str,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """ONE streamed write lands in BOTH retrieval indexes — the
+    composition of ``streaming_postings_append`` and the int8 half of
+    ``streaming_codes_append``: each micro-batch of (doc_id, text,
+    vec_id, embedding) rows tokenizes map-side into new posting files
+    inside their crc32 bucket partitions AND quantize-assigns against
+    the frozen coarse quantizer into new files inside the inverted-list
+    partitions. This is the reference's write path made streaming —
+    a single Neo4j CREATE updates the fulltext index (graph.py:197-209)
+    and the vector index (graph.py:211-219) together, so a crawled
+    article is HYBRID-servable (keyword + vector fusion) at the next
+    request, not merely servable per-signal. Same at-least-once caveat
+    as both parents: a replayed epoch re-appends to both indexes;
+    exactly-once callers gate on BOTH count comparisons (the catalog
+    entry's pattern) and heal by retiring the pair."""
+    from ..pipeline.ann_index import append_vectors
+    from ..retrieval.token_index import append_postings
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        append_postings(
+            spark, tok_index_path, batch_df.select("doc_id", "text")
+        )
+        append_vectors(
+            spark, ann_index_path, batch_df.select("vec_id", "embedding")
+        )
+
+    writer = doc_emb_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_hll_registers(
     events_stream: DataFrame,
     key_col: str = "event_type",

@@ -1270,3 +1270,19 @@ def test_keyword_search_is_bucket_pruned(spark, sf_dir):
     plan2 = plan_of(ti.search_keywords(spark, path, ["spark", "join"], k=5))
     pf2 = [line for line in plan2.splitlines() if "PartitionFilters" in line]
     assert any("tok_bucket" in line and "IN" in line for line in pf2), pf2
+
+
+def test_hybstream_serving_is_pruned_and_broadcast(spark, sf_dir, reg):
+    """Round-17 capstone (streaming → hybrid): the serving plan must
+    read BOTH lifecycle indexes pruned — the posting scan carries a
+    tok_bucket IN PartitionFilter, the inverted-list scan a
+    centroid_id IN PartitionFilter over base ∪ streamed files — and
+    fuse via broadcast joins only (candidate set, query vector,
+    maxima); no SortMergeJoin anywhere."""
+    df = reg["streaming_hybrid_ingest_search"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert any("tok_bucket" in line and "IN" in line for line in pf), pf
+    assert any("centroid_id" in line and "IN" in line for line in pf), pf
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -421,3 +421,55 @@ def test_token_index_purge_is_bucket_local_and_complete(spark, tmp_path):
     assert post == masked
     meta = ti._meta(p)
     assert meta["purge_history"][-1]["rows_removed"] == removed
+
+
+def test_hybstream_pair_heals_torn_epoch(spark, tmp_path):
+    """The hybrid streaming entry's BOTH-subsystem guard: corrupting
+    one side's streamed rows (delete a streamed posting file) must
+    retire the PAIR on the next invocation and serve values identical
+    to the healthy run — no half-streamed fused ranking can survive."""
+    import os
+
+    from news_graph_rag_spark.queries import registry
+    from news_graph_rag_spark.queries.round17 import _TOK_INCR_BASE
+    from news_graph_rag_spark.retrieval import token_index as ti
+
+    sf = "/root/testdata/sf0.001"
+    reg = registry()
+    fn = reg["streaming_hybrid_ingest_search"].fn
+    healthy = sorted(tuple(r) for r in fn(spark, sf).collect())
+    assert len(healthy) == 15
+    assert any(r[3] == 1 for r in healthy)  # a streamed doc ranked
+
+    # find the pair's token index and delete ONE streamed posting file
+    from news_graph_rag_spark.queries.round17 import _HYBSTREAM_TOK_VARIANT
+    from news_graph_rag_spark.retrieval.token_index import ensure_postings
+
+    pred = _TOK_INCR_BASE.format(t="string")
+    tok_path = ensure_postings(
+        spark, sf, variant=_HYBSTREAM_TOK_VARIANT, subset_pred=pred
+    )
+    pdir = os.path.join(tok_path, "postings.parquet")
+    victim = None
+    for d in sorted(os.listdir(pdir)):
+        if not d.startswith("tok_bucket="):
+            continue
+        for f in sorted(os.listdir(os.path.join(pdir, d))):
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(pdir, d, f)
+            # pick a file that actually holds STREAMED postings, so
+            # the delete makes the streamed count torn (a base-only
+            # file would leave the streamed-count guard blind)
+            if (
+                spark.read.parquet(p).filter(~F.expr(pred)).limit(1).count()
+                > 0
+            ):
+                victim = p
+                break
+        if victim:
+            break
+    assert victim is not None
+    os.remove(victim)
+    healed = sorted(tuple(r) for r in fn(spark, sf).collect())
+    assert healed == healthy
