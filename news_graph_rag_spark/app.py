@@ -77,6 +77,13 @@ def _index_main(argv: list[str], spark=None) -> int:
                     both tiers, hardlink-staged atomic swap)
       index merge   <index_path> [cid_a cid_b]  merge the two coldest (or
                     the named) inverted lists under the surviving id
+      index retrain <index_path> [n_centroids]  GLOBAL quantizer retrain:
+                    k-means over live rows, full re-assign, PQ layers
+                    re-trained, one atomic swap (the slow-cadence action
+                    split/merge only approximate)
+      index compact-files <index_path> [centroid_id]  bin-pack appended
+                    small files in every (or the named) inverted list,
+                    both tiers, values unchanged
     """
     from pyspark.sql import functions as F
 
@@ -98,6 +105,8 @@ def _index_main(argv: list[str], spark=None) -> int:
         "compact": (1, 1),
         "split": (1, 2),
         "merge": (1, 3),
+        "retrain": (1, 2),
+        "compact-files": (1, 2),
     }
     lo_hi = arity.get(cmd)
     if lo_hi is None or not (lo_hi[0] <= len(rest) <= lo_hi[1]):
@@ -186,6 +195,22 @@ def _index_main(argv: list[str], spark=None) -> int:
             return 2
         keep = ann_index.merge_lists(spark, index_path, a, b)
         print(f"merged lists {a}+{b} of {index_path} into list {keep}")
+        return 0
+    if cmd == "retrain":
+        index_path = rest[0]
+        n_centroids = int(rest[1]) if len(rest) > 1 else None
+        n = ann_index.retrain_quantizer(
+            spark, index_path, n_centroids=n_centroids
+        )
+        print(f"retrained {index_path}: {n} lists over live rows")
+        return 0
+    if cmd == "compact-files":
+        index_path = rest[0]
+        cid = int(rest[1]) if len(rest) > 1 else None
+        removed = ann_index.compact_list_files(
+            spark, index_path, centroid_id=cid
+        )
+        print(f"compacted files in {index_path}: {removed} files removed")
         return 0
     if cmd == "search":
         index_path, uid = rest[0], rest[1]

