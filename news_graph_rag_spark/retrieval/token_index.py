@@ -257,6 +257,111 @@ def compact_doc_tombstones(spark: SparkSession, path: str) -> int:
     return int(removed)
 
 
+def compact_bucket_files(
+    spark: SparkSession,
+    path: str,
+    tok_bucket: int | None = None,
+    target_file_mb: float = 32.0,
+) -> int:
+    """Small-file COMPACTION for appended posting buckets — the token
+    index's twin of ``pipeline.ann_index.compact_list_files`` (round
+    17): ``append_postings`` / ``streaming_postings_append`` land
+    every (micro-)batch as NEW files inside their bucket partitions by
+    design, so at streaming cadence a bucket's file count grows
+    linearly. This bin-packs each selected bucket's accumulated files
+    back down to ``ceil(bucket_bytes / target_file_mb)`` files —
+    values bit-unchanged (rows rewritten verbatim), only the layout
+    changes. ``tok_bucket=None`` compacts every bucket; an int
+    compacts one. Already-compact buckets carry as HARDLINKS
+    (metadata-only IO), publish is the staged atomic whole-index swap,
+    and meta records the action under ``file_compactions``. Composes
+    with ``compact_doc_tombstones`` in either order (this janitor
+    never changes row content). Returns the number of files removed."""
+    import math
+
+    _recover_stranded(path)
+    target_bytes = max(1, int(target_file_mb * (1 << 20)))
+    pdir = os.path.join(path, "postings.parquet")
+    todo: "dict[str, int]" = {}
+    removed = 0
+    for entry in sorted(os.listdir(pdir)):
+        if not entry.startswith("tok_bucket="):
+            continue
+        if tok_bucket is not None and entry != f"tok_bucket={tok_bucket}":
+            continue
+        bdir = os.path.join(pdir, entry)
+        files = [
+            os.path.join(bdir, f)
+            for f in os.listdir(bdir)
+            if not f.startswith(("_", "."))
+        ]
+        if not files:
+            continue
+        n_target = max(
+            1,
+            math.ceil(sum(os.path.getsize(f) for f in files) / target_bytes),
+        )
+        if len(files) > n_target:
+            todo[entry] = n_target
+            removed += len(files) - n_target
+    if not todo:
+        return 0
+
+    meta = _meta(path)
+    staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
+    try:
+        os.makedirs(staging)
+        sp = os.path.join(staging, "postings.parquet")
+        os.makedirs(sp)
+        for entry in os.listdir(pdir):
+            p = os.path.join(pdir, entry)
+            if not os.path.isdir(p):
+                continue
+            if entry not in todo:
+                _link_into(p, os.path.join(sp, entry))
+                continue
+            spark.read.parquet(p).coalesce(todo[entry]).write.parquet(
+                os.path.join(sp, entry)
+            )
+        for entry in os.listdir(path):
+            if (
+                entry in {"postings.parquet", "meta.json"}
+                or ".staging-" in entry
+                or ".retired-" in entry
+            ):
+                continue
+            p = os.path.join(path, entry)
+            if os.path.isdir(p):
+                _link_into(p, os.path.join(staging, entry))
+            else:
+                try:
+                    os.link(p, os.path.join(staging, entry))
+                except OSError:
+                    shutil.copy2(p, os.path.join(staging, entry))
+        new_meta = dict(meta)
+        new_meta.setdefault("file_compactions", []).append(
+            {
+                "buckets": sorted(
+                    int(e.split("=", 1)[1]) for e in todo
+                ),
+                "files_removed": int(removed),
+            }
+        )
+        with open(os.path.join(staging, "meta.json"), "w") as f:
+            json.dump(new_meta, f)
+        retired = f"{path}.retired-{uuid.uuid4().hex[:8]}"
+        os.rename(path, retired)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            os.rename(retired, path)
+            raise
+        shutil.rmtree(retired, ignore_errors=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return int(removed)
+
+
 def search_keywords(
     spark: SparkSession,
     path: str,

@@ -473,3 +473,105 @@ def test_hybstream_pair_heals_torn_epoch(spark, tmp_path):
     os.remove(victim)
     healed = sorted(tuple(r) for r in fn(spark, sf).collect())
     assert healed == healthy
+
+
+def test_token_index_compact_bucket_files(spark, tmp_path):
+    """Round-17 janitor symmetry: after fragmented posting appends,
+    compact_bucket_files reduces the data-file count, leaves every
+    search value bit-unchanged, hardlink-carries untouched buckets,
+    records meta history, and is a no-op when re-run."""
+    import os
+
+    from news_graph_rag_spark.retrieval import token_index as ti
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    pred = "substr(md5(CAST(doc_id AS string)), 1, 1) NOT IN ('0','1','2','3')"
+    p = str(tmp_path / "tok_fc")
+    ti.build_postings(docs.filter(F.expr(pred)), p)
+    inc = docs.filter(~F.expr(pred))
+    for b in range(3):
+        ti.append_postings(spark, p, inc.filter(F.col("doc_id") % 3 == b))
+
+    def count_files():
+        pdir = os.path.join(p, "postings.parquet")
+        return sum(
+            1
+            for d in os.listdir(pdir)
+            if d.startswith("tok_bucket=")
+            for f in os.listdir(os.path.join(pdir, d))
+            if not f.startswith(("_", "."))
+        )
+
+    before = sorted(
+        tuple(r)
+        for r in ti.search_keywords(
+            spark, p, ["spark", "join", "stream"], k=15
+        ).collect()
+    )
+    rows_before = sorted(tuple(r) for r in ti.postings(spark, p).collect())
+    f0 = count_files()
+    removed = ti.compact_bucket_files(spark, p, target_file_mb=64.0)
+    f1 = count_files()
+    assert removed > 0 and f1 == f0 - removed and f1 < f0
+    meta = ti._meta(p)
+    assert meta["file_compactions"][-1]["files_removed"] == removed
+    after = sorted(
+        tuple(r)
+        for r in ti.search_keywords(
+            spark, p, ["spark", "join", "stream"], k=15
+        ).collect()
+    )
+    assert after == before
+    # full posting set bit-unchanged, not just the readout
+    rows_after = sorted(tuple(r) for r in ti.postings(spark, p).collect())
+    assert rows_after == rows_before
+    # idempotent
+    assert ti.compact_bucket_files(spark, p, target_file_mb=64.0) == 0
+    assert count_files() == f1
+
+
+def test_token_index_compact_single_bucket_hardlinks_rest(spark, tmp_path):
+    """compact_bucket_files(tok_bucket=X) rewrites only X's files;
+    every other bucket's files carry as hardlinks (same inodes)."""
+    import os
+
+    from news_graph_rag_spark.retrieval import token_index as ti
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    pred = "substr(md5(CAST(doc_id AS string)), 1, 1) NOT IN ('0','1','2','3')"
+    p = str(tmp_path / "tok_fc1")
+    ti.build_postings(docs.filter(F.expr(pred)), p)
+    inc = docs.filter(~F.expr(pred))
+    for b in range(3):
+        ti.append_postings(spark, p, inc.filter(F.col("doc_id") % 3 == b))
+    pdir = os.path.join(p, "postings.parquet")
+    fragmented = [
+        int(d.split("=", 1)[1])
+        for d in sorted(os.listdir(pdir))
+        if d.startswith("tok_bucket=")
+        and sum(
+            1
+            for f in os.listdir(os.path.join(pdir, d))
+            if not f.startswith(("_", "."))
+        )
+        > 1
+    ]
+    assert fragmented
+    target = fragmented[0]
+    others = {}
+    for d in os.listdir(pdir):
+        if not d.startswith("tok_bucket="):
+            continue
+        if int(d.split("=", 1)[1]) == target:
+            continue
+        for f in os.listdir(os.path.join(pdir, d)):
+            if not f.startswith(("_", ".")):
+                others[(d, f)] = os.stat(os.path.join(pdir, d, f)).st_ino
+    removed = ti.compact_bucket_files(
+        spark, p, tok_bucket=target, target_file_mb=64.0
+    )
+    assert removed > 0
+    for (d, f), ino in others.items():
+        assert os.stat(os.path.join(pdir, d, f)).st_ino == ino, (d, f)
