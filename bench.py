@@ -251,6 +251,7 @@ HEADLINE = [
     "hybrid_batch_expand_topk",
     "ann_ivfpq_nprobe_recall_sweep",
     "streaming_hybrid_ingest_search",
+    "ann_ivfpq_recall_sweep_post_retrain",
 ]
 
 

@@ -768,13 +768,12 @@ _SWEEP_LEVELS = (2, 4, 8)
 _SWEEP_K = 10
 
 
-def _nprobe_sweep_oracle() -> str:
+def _nprobe_sweep_oracle(pid: int = _SWEEP_PROBE_ID) -> str:
     from .retrieval_queries import _IVF_DOT, _IVF_SCORE
     from .round13 import _ivfpq_train_cte, _PQ_SUBD
 
     dot, score = _IVF_DOT, _IVF_SCORE
     m, subd, k = _PQ_M, _PQ_SUBD, _SWEEP_K
-    pid = _SWEEP_PROBE_ID
     levels = ", ".join(f"({v})" for v in _SWEEP_LEVELS)
     return f"""
     {_ivfpq_train_cte()},
@@ -863,6 +862,19 @@ def _nprobe_sweep_oracle() -> str:
     "and the per-level HIT COUNTS hash-verify.",
 )
 def ann_ivfpq_nprobe_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline.ann_index import ensure_pq
+
+    path = ensure_pq(spark, sf, m=_PQ_M, ks=_PQ_KS)
+    return _nprobe_sweep_over(spark, path, _SWEEP_PROBE_ID)
+
+
+def _nprobe_sweep_over(
+    spark: SparkSession, path: str, probe_id: int
+) -> DataFrame:
+    """The single-scan nprobe sweep over a GIVEN index — shared by the
+    shared-index telemetry entry above and the post-retrain sweep (the
+    read an operator actually performs after a maintenance action
+    changes list geometry)."""
     import numpy as np
 
     from ..pipeline.ann_index import (
@@ -872,12 +884,10 @@ def ann_ivfpq_nprobe_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
         _pq_dir,
         _pq_tables,
         _rank_probe_lists,
-        ensure_pq,
         search_by_id,
         tombstones,
     )
 
-    path = ensure_pq(spark, sf, m=_PQ_M, ks=_PQ_KS)
     pq = _pq_dir(path, _PQ_M, _PQ_KS)
     meta, cb = _pq_tables(spark, pq)
     m, ks, subd = int(meta["m"]), int(meta["ks"]), int(meta["subd"])
@@ -886,7 +896,7 @@ def ann_ivfpq_nprobe_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
 
     probe_row = (
         spark.read.parquet(os.path.join(path, "assignments.parquet"))
-        .filter(F.col("vec_id") == _SWEEP_PROBE_ID)
+        .filter(F.col("vec_id") == probe_id)
         .select("q8")
         .first()
     )
@@ -906,7 +916,7 @@ def ann_ivfpq_nprobe_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
     cand = (
         spark.read.parquet(os.path.join(pq, "codes.parquet"))
         .filter(F.col("centroid_id").isin(ranked))
-        .filter(F.col("vec_id") != _SWEEP_PROBE_ID)
+        .filter(F.col("vec_id") != probe_id)
     )
     ts = tombstones(spark, path)
     if ts is not None:
@@ -941,7 +951,7 @@ def ann_ivfpq_nprobe_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
     exact = search_by_id(
         spark,
         path,
-        probe_vec_id=_SWEEP_PROBE_ID,
+        probe_vec_id=probe_id,
         k=_SWEEP_K,
         nprobe=len(cent_rows),
     ).select("vec_id")
@@ -1290,3 +1300,38 @@ def streaming_hybrid_ingest_search(
         .cast("bigint")
         .alias("is_streamed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The telemetry loop CLOSED over a maintenance action: the sweep an
+# operator actually reads AFTER a retrain changes list geometry
+# ---------------------------------------------------------------------------
+
+_SWEEP_RTQ_PROBE_ID = 7
+
+
+@register(
+    "ann_ivfpq_recall_sweep_post_retrain",
+    oracle=_nprobe_sweep_oracle(pid=_SWEEP_RTQ_PROBE_ID),
+    doc="the recall sweep read where it operationally matters: OFF the "
+    "RETRAINED index (the round's two telemetry-and-maintenance "
+    "threads composed — ann_ivfpq_nprobe_recall_sweep is the table an "
+    "operator reads to size nprobe after geometry changes, and "
+    "retrain_quantizer is the geometry change). Shares "
+    "_ensure_retrained's variant and state machine with the two "
+    "retrain entries (one retrain serves all three), then runs the "
+    "SAME single-scan sweep: every candidate of the widest union "
+    "ADC-scored once off one partition-pruned codes scan of the "
+    "POST-RETRAIN lists, crank-filtered per level, recall@10 against "
+    "the retrained index's own exhaustive exact-int8 ranking. "
+    "VALUE-VERIFIED via the retrain ≡ rebuild equivalence: the "
+    "oracle is the existing full-build sweep replay at a distinct "
+    "probe — if the retrain left ANY stale artifact (old centroid "
+    "geometry, un-re-encoded code, pre-drift codebook), the "
+    "per-level hit counts diverge.",
+)
+def ann_ivfpq_recall_sweep_post_retrain(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    path = _ensure_retrained(spark, sf)
+    return _nprobe_sweep_over(spark, path, _SWEEP_RTQ_PROBE_ID)

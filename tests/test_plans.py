@@ -1286,3 +1286,20 @@ def test_hybstream_serving_is_pruned_and_broadcast(spark, sf_dir, reg):
     assert any("centroid_id" in line and "IN" in line for line in pf), pf
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_post_retrain_sweep_one_codes_scan(spark, sf_dir, reg):
+    """The post-retrain sweep inherits the shared helper's plan: ONE
+    partition-pruned codes scan of the RETRAINED variant, nprobe-
+    partitioned windows, no sort-merge join."""
+    df = reg["ann_ivfpq_recall_sweep_post_retrain"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    code_scans = [
+        line
+        for line in plan.splitlines()
+        if "Location" in line and "codes.parquet" in line
+    ]
+    assert len(code_scans) == 1, code_scans
+    assert "SortMergeJoin" not in plan
+    specs = _window_specs(plan)
+    assert specs and all("nprobe" in s.split(",")[0] for s in specs), specs
