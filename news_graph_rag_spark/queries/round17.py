@@ -17,7 +17,16 @@ Retrieval: the batched E3 lifecycle composed END TO END
 projection, Q queries in one job; VERDICT r16 #4). Telemetry: the
 recall-driven serving-parameter sweep
 (``ann_ivfpq_nprobe_recall_sweep`` — recall@10 for nprobe ∈ {2,4,8}
-off ONE pruned codes scan; VERDICT r16 #6).
+off ONE pruned codes scan; VERDICT r16 #6) and the same sweep read
+where it operationally matters, off the retrained geometry
+(``ann_ivfpq_recall_sweep_post_retrain``). Capstone:
+``streaming_hybrid_ingest_search`` — ONE streamed write lands in BOTH
+lifecycle indexes through a single foreachBatch sink and is
+immediately servable by the FUSED hybrid request, the reference's
+actual serving shape. The janitor symmetry is complete too:
+``retrieval.token_index.compact_bucket_files`` is the posting-bucket
+twin of ``compact_list_files``, and the ops CLI gained
+``index retrain`` / ``index compact-files``.
 
 Appended as the LAST module in queries/__init__.py's pinned
 ``_ROUND_MODULES`` order (first-50 driver prefix + full-order manifest
