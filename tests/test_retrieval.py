@@ -575,3 +575,100 @@ def test_token_index_compact_single_bucket_hardlinks_rest(spark, tmp_path):
     assert removed > 0
     for (d, f), ino in others.items():
         assert os.stat(os.path.join(pdir, d, f)).st_ino == ino, (d, f)
+
+
+def test_hybstream_concurrent_invocations_stream_once(spark):
+    """The capstone's claim protocol at the entry level: two
+    CONCURRENT invocations on a fresh variant pair must both return
+    the same 15 rows, and the stream must have run exactly once —
+    the streamed posting and assignment counts equal the expectation
+    EXACTLY (a lost race would double-append: 2·N counts)."""
+    import os
+    import threading
+
+    from news_graph_rag_spark.pipeline.ann_index import _retire_dir
+    from news_graph_rag_spark.queries import registry
+    from news_graph_rag_spark.queries.catalog import load
+    from news_graph_rag_spark.queries.round17 import (
+        _HYBSTREAM_ANN_VARIANT,
+        _HYBSTREAM_TOK_VARIANT,
+        _TOK_INCR_BASE,
+        _expected_postings,
+    )
+    from news_graph_rag_spark.queries.retrieval_queries import _IVF_INCR_BASE
+    from news_graph_rag_spark.queries.round15 import _expected_incoming
+    from news_graph_rag_spark.retrieval import token_index as ti
+    from news_graph_rag_spark.pipeline.ann_index import ensure_index
+
+    sf = "/root/testdata/sf0.001"
+    pred_v = _IVF_INCR_BASE.format(t="string")
+    pred_d = _TOK_INCR_BASE.format(t="string")
+    tok = ti.ensure_postings(
+        spark, sf, variant=_HYBSTREAM_TOK_VARIANT, subset_pred=pred_d
+    )
+    ann = ensure_index(
+        spark,
+        sf,
+        widen_reps=None,
+        n_centroids=8,
+        iters=1,
+        variant=_HYBSTREAM_ANN_VARIANT,
+        subset_pred=pred_v,
+    )
+    # fresh pair: force the next invocations to run the stream
+    _retire_dir(tok)
+    _retire_dir(ann)
+
+    fn = registry()["streaming_hybrid_ingest_search"].fn
+    results: "dict[int, list]" = {}
+    errors: "dict[int, Exception]" = {}
+
+    def run(i: int) -> None:
+        try:
+            results[i] = sorted(tuple(r) for r in fn(spark, sf).collect())
+        except Exception as exc:  # pragma: no cover - diagnostic
+            errors[i] = exc
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(600)
+    assert not errors, errors
+    assert results[0] == results[1] and len(results[0]) == 15
+
+    # exactly-once: streamed counts equal the expectation exactly
+    docs = load(spark, sf, "documents")
+    emb = load(spark, sf, "embeddings")
+    inc_pairs = (
+        docs.filter(~F.expr(pred_d))
+        .select("doc_id", "text")
+        .join(
+            emb.filter(~F.expr(pred_v)).select("vec_id", "embedding"),
+            F.col("doc_id") == F.col("vec_id"),
+        )
+    )
+    tok2 = ti.ensure_postings(
+        spark, sf, variant=_HYBSTREAM_TOK_VARIANT, subset_pred=pred_d
+    )
+    ann2 = ensure_index(
+        spark,
+        sf,
+        widen_reps=None,
+        n_centroids=8,
+        iters=1,
+        variant=_HYBSTREAM_ANN_VARIANT,
+        subset_pred=pred_v,
+    )
+    n_tok = ti.postings(spark, tok2).filter(~F.expr(pred_d)).count()
+    n_ann = (
+        spark.read.parquet(os.path.join(ann2, "assignments.parquet"))
+        .filter(~F.expr(pred_v))
+        .count()
+    )
+    assert n_tok == _expected_postings(
+        tok2, inc_pairs.select("doc_id", "text"), buckets=16
+    )
+    assert n_ann == _expected_incoming(
+        ann2, inc_pairs.select("vec_id", "embedding"), salt="racecheck"
+    )
