@@ -792,6 +792,75 @@ def _centroid_rows(spark: SparkSession, path: str) -> list[tuple]:
     return rows
 
 
+#: by-id probe rows, keyed (path, vec_id) and VALIDATED per call
+#: against the serve-visible index state (round-17 optimization): the
+#: stored q8 of a probe id is index data exactly like the centroid
+#: rows and the PQ codebook above — a real serving layer keeps it
+#: resident — but unlike meta.json there is no single publish file to
+#: stat, so the signature walks the assignments dir (appends land as
+#: NEW part files, compaction/retrain replace the dir — both change
+#:  file count or newest mtime) plus the tombstone dir (a tombstoned
+#: probe must go back to raising "not in index"). Saves one point-
+#: lookup Spark job per warm by-id search across the whole serving
+#: surface; a cold or mutated index pays it once.
+_PROBE_CACHE: dict[tuple, tuple] = {}
+
+
+def _probe_state_sig(path: str) -> tuple:
+    import glob
+
+    sig = []
+    for d in (
+        os.path.join(path, "assignments.parquet"),
+        _tombstone_dir(path),
+    ):
+        files = glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        newest = 0
+        for f in files:
+            try:
+                st = os.stat(f)
+            except OSError:
+                continue
+            if st.st_mtime_ns > newest:
+                newest = st.st_mtime_ns
+        sig.append((len(files), newest))
+    return tuple(sig)
+
+
+def _probe_q8(spark: SparkSession, path: str, probe_vec_id: int):
+    """The stored q8 row of ``probe_vec_id`` as an int64 ndarray —
+    THE by-id probe lookup for every search path. Tombstoned or absent
+    probes raise (and are never cached)."""
+    import numpy as np
+
+    key = (path, int(probe_vec_id))
+    sig = _probe_state_sig(path)
+    got = _PROBE_CACHE.get(key)
+    if got is None or got[0] != sig:
+        assignments = _live_only(
+            spark,
+            path,
+            spark.read.parquet(os.path.join(path, "assignments.parquet")),
+        )
+        # column-pruned point lookup: reads only the q8 column, and
+        # the vec_id predicate is pushed to the parquet scan
+        # (row-group stats). A tombstoned probe is "not in index" by
+        # design: deleted vectors neither appear in results nor serve
+        # as probes.
+        probe_row = (
+            assignments.filter(F.col("vec_id") == probe_vec_id)
+            .select("q8")
+            .first()
+        )
+        if probe_row is None:
+            raise ValueError(
+                f"probe vec_id {probe_vec_id} not in index (or zero-norm)"
+            )
+        got = (sig, [int(x) for x in probe_row["q8"]])
+        _PROBE_CACHE[key] = got
+    return np.asarray(got[1], dtype=np.int64)
+
+
 def _centroid_arrays(cent_rows: "list[tuple]"):
     """(C, inv_key, cids) numpy arrays for a centroid table — built
     ONCE per request/batch, since the Python-list → ndarray conversion
@@ -874,16 +943,8 @@ def search_by_id(
     assignments = _live_only(
         spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
     )
-    # column-pruned point lookup: reads only the q8 column, and the
-    # vec_id predicate is pushed to the parquet scan (row-group stats).
-    # A tombstoned probe is "not in index" by design: deleted vectors
-    # neither appear in results nor serve as probes.
-    probe_row = (
-        assignments.filter(F.col("vec_id") == probe_vec_id).select("q8").first()
-    )
-    if probe_row is None:
-        raise ValueError(f"probe vec_id {probe_vec_id} not in index (or zero-norm)")
-    p = np.asarray(probe_row["q8"], dtype=np.int64)
+    # fingerprint-cached column-pruned point lookup (_probe_q8)
+    p = _probe_q8(spark, path, probe_vec_id)
 
     probe_ids = _rank_probe_lists(
         p, _centroid_arrays(_centroid_rows(spark, path)), nprobe
@@ -1922,15 +1983,7 @@ def search_pq_by_id(
     that under-fills k on selective predicates."""
     import numpy as np
 
-    assignments = _live_only(
-        spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
-    )
-    probe_row = (
-        assignments.filter(F.col("vec_id") == probe_vec_id).select("q8").first()
-    )
-    if probe_row is None:
-        raise ValueError(f"probe vec_id {probe_vec_id} not in index (or zero-norm)")
-    p = np.asarray(probe_row["q8"], dtype=np.int64)
+    p = _probe_q8(spark, path, probe_vec_id)
     return _search_pq_core(
         spark,
         path,
@@ -2127,12 +2180,7 @@ def search_pq_rerank_by_id(
     assignments = _live_only(
         spark, path, spark.read.parquet(os.path.join(path, "assignments.parquet"))
     )
-    probe_row = (
-        assignments.filter(F.col("vec_id") == probe_vec_id).select("q8").first()
-    )
-    if probe_row is None:
-        raise ValueError(f"probe vec_id {probe_vec_id} not in index (or zero-norm)")
-    p = np.asarray(probe_row["q8"], dtype=np.int64)
+    p = _probe_q8(spark, path, probe_vec_id)
     probes = _rank_probe_lists(
         p, _centroid_arrays(_centroid_rows(spark, path)), nprobe
     )

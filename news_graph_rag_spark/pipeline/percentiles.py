@@ -4,12 +4,21 @@ sort: iterative histogram refinement, factored out of the
 operators (median/MAD) can reuse the same scale-safe kernel.
 
 Algorithm (classic selection-by-partition, Spark-first): each pass
-buckets every group's live candidate range into ≤1024 equi-width
+buckets every group's live candidate range into ≤``_B`` equi-width
 integer buckets with ONE map-side-combinable aggregate (the
 candidate-range filter pushes to the scan), the driver walks the
-≤1024-row histogram to find the bucket containing the target ceil
-rank, and the range narrows 1024× per pass → O(log₁₀₂₄ range) passes.
+≤``_B``-row histogram to find the bucket containing the target ceil
+rank, and the range narrows ``_B``× per pass → O(log_B range) passes.
 Raw rows never shuffle; the driver only ever sees bucket counts.
+
+``_B`` = 65536 (round-17 optimization, was 1024): each sequential
+pass is a full aggregate job over the (persisted) input, so pass
+count — not per-pass width — dominates wall-clock; 65536² ≈ 4.3e9
+covers every integer-scaled domain in the catalog (micro-scaled
+values ≤ ~1e9, price cents ≤ ~5e7) in TWO passes instead of three.
+The driver-side bound is still groups × _B count rows per pass
+(≈ 8 MB at 5 groups — corpus-size-independent, so the 100 TB story
+is unchanged: raw rows never move, only bounded bucket counts).
 """
 
 from __future__ import annotations
@@ -17,9 +26,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: histogram width per pass (driver sees ≤ groups × _B count rows)
+_B = 65536
+
 
 def exact_group_rank_value(
-    b: DataFrame, key_col: str, val_col: str, pct: int
+    b: DataFrame,
+    key_col: str,
+    val_col: str,
+    pct: int,
+    persisted: bool = False,
 ) -> dict:
     """Exact per-group ceil-rank percentile of an INTEGER column.
 
@@ -27,8 +43,16 @@ def exact_group_rank_value(
     (ties make the rank's VALUE deterministic regardless of tie order).
     ``b`` is persisted for the passes and unpersisted before returning;
     the number of groups must be driver-bounded (each pass collects
-    ≤1024 buckets per group) and the group key must be a STRING column
-    (the per-pass candidate-range table is built with a string key).
+    ≤``_B`` buckets per group, and the per-pass candidate ranges are
+    compiled into literal CASE expressions sized by the group count)
+    and the group key must be a STRING column.
+
+    ``persisted=True`` (round-17 optimization): the caller has already
+    persisted ``b`` (e.g. to share ONE materialization across a
+    median pass, a MAD pass, and a final readout — mad_outlier_events'
+    shape); the kernel then skips its own persist/unpersist so the
+    caller's cache survives the call and every pass still reads
+    memory, not the source scan.
     """
     spark = b.sparkSession
     # NULL discipline (round-11 review): a NULL value must not count
@@ -41,7 +65,8 @@ def exact_group_rank_value(
     b = b.select(F.col(key_col).alias("k"), F.col(val_col).alias("x")).filter(
         F.col("k").isNotNull() & F.col("x").isNotNull()
     )
-    b = b.persist()
+    if not persisted:
+        b = b.persist()
     try:
         init = (
             b.groupBy("k")
@@ -69,22 +94,31 @@ def exact_group_rank_value(
                     del live[p]
             if not live:
                 break
-            ranges = spark.createDataFrame(
-                [
-                    (
-                        p,
-                        s["lo"],
-                        s["hi"],
-                        max(1, (s["hi"] - s["lo"] + 1 + 1023) // 1024),
-                    )
-                    for p, s in live.items()
-                ],
-                "k string, lo long, hi long, w long",
-            )
+            # per-pass candidate ranges as LITERAL expressions (round-17
+            # optimization: the broadcast-joined ranges table cost a
+            # broadcast-build sub-job per pass; the group count is
+            # driver-bounded by contract, so a CASE chain is small) —
+            # one filter predicate plus one bucket expression per group
+            pred = None
+            bucket_expr = None
+            for p, s in live.items():
+                w = max(1, (s["hi"] - s["lo"] + 1 + _B - 1) // _B)
+                cond = (
+                    (F.col("k") == F.lit(p))
+                    & F.col("x").between(F.lit(s["lo"]), F.lit(s["hi"]))
+                )
+                pred = cond if pred is None else (pred | cond)
+                # integer div, never float: an IEEE quotient landing on
+                # a bucket boundary could floor off by one
+                bexpr = F.expr(f"(x - {s['lo']}L) div {w}L")
+                bucket_expr = (
+                    F.when(F.col("k") == F.lit(p), bexpr)
+                    if bucket_expr is None
+                    else bucket_expr.when(F.col("k") == F.lit(p), bexpr)
+                )
             counts = (
-                b.join(F.broadcast(ranges), "k")
-                .filter(F.col("x").between(F.col("lo"), F.col("hi")))
-                .select("k", F.expr("(x - lo) div w").alias("bucket"))
+                b.filter(pred)
+                .select("k", bucket_expr.cast("long").alias("bucket"))
                 .groupBy("k", "bucket")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
@@ -93,7 +127,7 @@ def exact_group_rank_value(
             for r in counts:
                 per_key.setdefault(r["k"], {})[int(r["bucket"])] = int(r["n"])
             for p, s in live.items():
-                w = max(1, (s["hi"] - s["lo"] + 1 + 1023) // 1024)
+                w = max(1, (s["hi"] - s["lo"] + 1 + _B - 1) // _B)
                 k = s["k"]
                 for bkt in sorted(per_key.get(p, {})):
                     n = per_key[p][bkt]
@@ -108,5 +142,6 @@ def exact_group_rank_value(
                 else:  # pragma: no cover — rank beyond range is impossible
                     raise AssertionError("target rank not found in any bucket")
     finally:
-        b.unpersist()
+        if not persisted:
+            b.unpersist()
     return answers

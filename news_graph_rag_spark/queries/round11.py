@@ -690,47 +690,84 @@ def scc_condensation_parts(spark: SparkSession, sf: str) -> DataFrame:
 def mad_outlier_events(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline.percentiles import exact_group_rank_value
 
+    # ONE materialization of the (k, x) projection feeds every pass
+    # (round-17 optimization; the kernel used to persist per call, so
+    # the MAD call and the final readout each re-derived their input
+    # from the parquet scan — three scans of events per invocation).
+    # The medians/MADs come back as driver dicts either way, so the
+    # broadcast-join lookup is replaced by a literal CASE (same inner
+    # join semantics: keys are exactly b's non-null groups) and the
+    # ≤|event_type| result rows are computed eagerly so the caches can
+    # be dropped before returning — no block-manager leak per call.
     b = (
         load(spark, sf, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
         .select(
             F.col("event_type").alias("k"),
             F.floor(F.col("value") * 1000000).cast("bigint").alias("x"),
         )
+        .persist()
     )
-    med = exact_group_rank_value(b, "k", "x", 50)
-    med_df = F.broadcast(
-        spark.createDataFrame(
-            sorted(med.items()), "k string, med long"
-        )
-    )
-    d = b.join(med_df, "k").select(
-        "k", "med", F.abs(F.col("x") - F.col("med")).alias("dev")
-    )
-    mad = exact_group_rank_value(d, "k", "dev", 50)
-    mad_df = F.broadcast(
-        spark.createDataFrame(
-            sorted(mad.items()), "k string, mad long"
-        )
-    )
-    return (
-        d.join(mad_df, "k")
-        .groupBy("k")
-        .agg(
-            F.min("med").cast("bigint").alias("median_micros"),
-            F.min("mad").cast("bigint").alias("mad_micros"),
-            F.sum(
-                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+    try:
+        med = exact_group_rank_value(b, "k", "x", 50, persisted=True)
+        if not med:  # no non-null rows: same empty frame the join gave
+            return spark.createDataFrame(
+                [],
+                "event_type string, median_micros bigint, "
+                "mad_micros bigint, n_outliers bigint",
             )
-            .cast("bigint")
-            .alias("n_outliers"),
+
+        def lookup(mapping: dict) -> F.Column:
+            expr = None
+            for key, val in sorted(mapping.items()):
+                cond = F.col("k") == F.lit(key)
+                expr = (
+                    F.when(cond, F.lit(val))
+                    if expr is None
+                    else expr.when(cond, F.lit(val))
+                )
+            return expr.cast("bigint")
+
+        d = b.filter(
+            F.col("k").isin([k for k in sorted(med)])
+        ).select(
+            "k",
+            lookup(med).alias("med"),
+            F.abs(F.col("x") - lookup(med)).alias("dev"),
+        ).persist()
+        try:
+            mad = exact_group_rank_value(d, "k", "dev", 50, persisted=True)
+            rows = (
+                d.select("k", "med", "dev", lookup(mad).alias("mad"))
+                .groupBy("k")
+                .agg(
+                    F.min("med").cast("bigint").alias("median_micros"),
+                    F.min("mad").cast("bigint").alias("mad_micros"),
+                    F.sum(
+                        F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+                    )
+                    .cast("bigint")
+                    .alias("n_outliers"),
+                )
+                .collect()
+            )
+        finally:
+            d.unpersist()
+    finally:
+        b.unpersist()
+    out = sorted(
+        (
+            r["k"],
+            int(r["median_micros"]),
+            int(r["mad_micros"]),
+            int(r["n_outliers"]),
         )
-        .select(
-            F.col("k").alias("event_type"),
-            "median_micros",
-            "mad_micros",
-            "n_outliers",
-        )
+        for r in rows
+    )
+    return spark.createDataFrame(
+        out,
+        "event_type string, median_micros bigint, mad_micros bigint, "
+        "n_outliers bigint",
     )
 
 

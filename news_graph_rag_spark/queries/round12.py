@@ -120,7 +120,7 @@ def _level_sql(pts: str, key: str, prefix: str) -> str:
     )"""
 
 
-def _split_counts(rows: DataFrame, leaf_col) -> DataFrame:
+def _split_counts(rows: DataFrame, leaf_col, pin: bool = True) -> DataFrame:
     """One split-search level over ``rows`` (f0..f{D-1}, y), returning
     per candidate threshold the raw prefix counts
     (leaf, fid, thr, cp, cn, p, n) — cp/cn = positives/negatives at
@@ -133,7 +133,15 @@ def _split_counts(rows: DataFrame, leaf_col) -> DataFrame:
     many leaves — costs ONE map-side melt, one (kf, x) groupBy pinned
     ONCE (round-12 review: checkpointing only the totals left the
     scan+melt running twice per level), one shared two-phase cumsum,
-    and a broadcast of per-kf exclusive offsets."""
+    and a broadcast of per-kf exclusive offsets.
+
+    ``pin=False`` exists for PLAN INSPECTION ONLY (the ranks._pin
+    convention): round-17 measured the unpinned shape end to end and
+    the duplicated histogram/range subtrees are NOT deduplicated by
+    exchange reuse (6 independent rangepartitioning executions in the
+    executed plan, each with its own boundary sampling — the round-11
+    wrong-offsets hazard ranks._pin documents, plus a slowdown).
+    Every value-producing caller must keep the default pin=True."""
     from ..ranks import exclusive_sum_offsets, global_cumsums
 
     m = rows.select(
@@ -157,14 +165,12 @@ def _split_counts(rows: DataFrame, leaf_col) -> DataFrame:
     )
     # pin the per-value histogram ONCE: totals, offsets, and the
     # cumsum all derive from it, and it is distinct-values-sized
-    g = (
-        m.groupBy("kf", "x")
-        .agg(
-            F.sum("y").cast("bigint").alias("np"),
-            (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("nn"),
-        )
-        .localCheckpoint(eager=True)
+    g = m.groupBy("kf", "x").agg(
+        F.sum("y").cast("bigint").alias("np"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("nn"),
     )
+    if pin:
+        g = g.localCheckpoint(eager=True)
     tot = g.groupBy("kf").agg(
         F.sum("np").cast("bigint").alias("p"),
         F.sum("nn").cast("bigint").alias("n"),
@@ -173,6 +179,7 @@ def _split_counts(rows: DataFrame, leaf_col) -> DataFrame:
         g,
         [F.col("kf"), F.col("x")],
         {"cp_g": F.col("np"), "cn_g": F.col("nn")},
+        pin=pin,
     )
     off = exclusive_sum_offsets(
         tot, "kf", {"p": "off_p", "n": "off_n"}
