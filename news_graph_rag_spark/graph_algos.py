@@ -56,7 +56,6 @@ def connected_components(
     # produced `edges` (possibly an expensive pipeline) re-executes per
     # round. localCheckpoint also cuts the returned DataFrame's lineage.
     sym = _sym(edges).localCheckpoint(eager=True)
-    nodes = sym.select(F.col("src").alias("id")).distinct()
     # neighbor-min initialization: parent(v) = min(v, min(neighbors))
     parent = (
         sym.groupBy(F.col("src").alias("id"))
@@ -102,9 +101,11 @@ def connected_components(
         parent = new_parent.select("id", "parent")
         if changed == 0:
             break
-    return nodes.join(parent, nodes.id == parent.id).select(
-        nodes.id.alias("id"), F.col("parent").alias("component")
-    )
+    # parent's id set IS the node set: it is initialized from sym's
+    # distinct srcs and every round preserves it, so the former
+    # nodes⋈parent readout was an identity self-join costing one
+    # shuffle join per invocation (round-17)
+    return parent.select("id", F.col("parent").alias("component"))
 
 
 def pagerank(
@@ -351,7 +352,7 @@ def strongly_connected_components(
 
 
 def temporal_earliest_arrival(
-    edges: DataFrame, seeds: DataFrame, rounds: int = 4
+    edges: DataFrame, seeds: DataFrame, rounds: int = 4, pinned: bool = False
 ) -> DataFrame:
     """Earliest-arrival reachability over a TEMPORAL edge list
     (src, dst, t): a time-respecting path may only traverse an edge
@@ -369,7 +370,15 @@ def temporal_earliest_arrival(
     replaced by the earliest-arrival semiring, which is why a SQL
     oracle can unroll it round-for-round.
     """
-    e = edges.select("src", "dst", "t").distinct().localCheckpoint(eager=True)
+    # ``pinned=True``: the caller already holds a DISTINCT,
+    # materialized (src, dst, t) edge set (temporal_reach_parts
+    # checkpoints it to derive seeds) — skip the kernel's defensive
+    # distinct+checkpoint, which would otherwise re-shuffle and
+    # re-materialize the identical set once per invocation (round-17).
+    if pinned:
+        e = edges.select("src", "dst", "t")
+    else:
+        e = edges.select("src", "dst", "t").distinct().localCheckpoint(eager=True)
     arr = seeds.select(
         F.col("id").alias("node"), F.lit(0).cast("bigint").alias("arr")
     )

@@ -76,6 +76,18 @@ def ingest_articles(
     # unpersisted by GraphStore.localized()/save_atomic()
     pending_caches = list(store.pending_caches)
 
+    # Fan the batch out to the session's parallelism BEFORE the cache
+    # when the source arrives under-partitioned (a single small parquet
+    # file or one crawler batch plans as 1-2 scan partitions): every
+    # downstream Python stage (L1-L4 chunker, L7 embedder, L5-L6 NER)
+    # is map-only and inherits this partitioning, so without the fan-out
+    # the whole per-row pipeline runs on one task while the rest of the
+    # cluster idles (guide §2.5 input parallelism). Scale-adaptive: a
+    # production-sized batch already exceeds defaultParallelism and is
+    # left untouched — no payload shuffle at scale.
+    target = spark.sparkContext.defaultParallelism
+    if raw_articles.rdd.getNumPartitions() < target:
+        raw_articles = raw_articles.repartition(target)
     raw = raw_articles.cache()
     pending_caches.append(raw)
 

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..ranks import global_row_number, top_k_ranked
-from .catalog import load, register
+from .catalog import load, register, spread
 
 # ---------------------------------------------------------------------------
 # R1 — fuzzy entity lookup over nation names
@@ -450,7 +450,10 @@ def hybrid_search_maxnorm(spark: SparkSession, sf: str) -> DataFrame:
     doc="similarity-search: 5-NN cosine majority-vote classification",
 )
 def knn_classify(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load(spark, sf, "embeddings")
+    # spread: the per-pair cosine HOF below evaluates |base|x|probes|
+    # interpreted folds — on the scan's single small-file split that
+    # whole product ran on one task (no-op once splits >= cores)
+    emb = spread(load(spark, sf, "embeddings"))
     probes = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
     )
@@ -1533,17 +1536,24 @@ def ann_ivf_incremental_assign(spark: SparkSession, sf: str) -> DataFrame:
     "banding so the degenerate all-equal bucket cannot hot-spot.",
 )
 def near_dup_lsh_banded(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load(spark, sf, "embeddings")
+    # spread: the q8 quantization HOF + band kernel otherwise run on
+    # the scan's single small-file split (no-op once splits >= cores)
+    emb = spread(load(spark, sf, "embeddings"))
     quant = emb.select("vec_id", _q8_expr().alias("q8"))
-    quant = quant.withColumn("nrm", _int_dot(F.col("q8"), F.col("q8"))).filter(
-        F.col("nrm") > 0
-    )
 
     # Band keys via ONE exact int64 matmul per Arrow batch: 24
     # interpreted-HOF dot folds per row cost ~8s at sf0.1 (higher-order
     # functions run outside wholestage codegen); the numpy form is the
     # same integer arithmetic (products <= 2^15, sums <= 2^22 — exact in
-    # int64), so band values are bit-identical to the oracle's.
+    # int64), so band values are bit-identical to the oracle's. The
+    # nrm > 0 pre-banding filter (zero-norm vectors never band) lives in
+    # the same kernel — the self-dot is (q*q).sum over rows numpy
+    # already holds — and the kernel emits vec_id + band keys ONLY, so
+    # the banded self-join below moves THREE LONGS per exploded row
+    # (round-17, guide §3.3/§8: the previous shape carried every
+    # vector's q8 array + norm through the band exchange 24x and
+    # re-evaluated the interpreted verify dot once per band COLLISION;
+    # payloads now re-attach once per DISTINCT pair).
     w_rows = [list(p) for p in _LSH_W]
     n_bands, band_bits = _LSH_BANDS, _LSH_BAND_BITS
 
@@ -1557,12 +1567,12 @@ def near_dup_lsh_banded(spark: SparkSession, sf: str) -> DataFrame:
             if pdf.empty:
                 continue
             q = np.asarray(pdf["q8"].tolist(), dtype=np.int64)  # n x d
+            live = (q * q).sum(axis=1) > 0  # exact: products <= 2^14
+            if not live.any():
+                continue
+            q = q[live]
             bits = (q @ w_full[:, : q.shape[1]].T >= 0).astype(np.int64)
-            out = {
-                "vec_id": pdf["vec_id"],
-                "q8": pdf["q8"],
-                "nrm": pdf["nrm"],
-            }
+            out = {"vec_id": pdf["vec_id"].to_numpy()[live]}
             for b in range(n_bands):
                 seg = bits[:, b * band_bits : (b + 1) * band_bits]
                 out[f"b{b}"] = seg @ pow2
@@ -1570,47 +1580,47 @@ def near_dup_lsh_banded(spark: SparkSession, sf: str) -> DataFrame:
 
     keyed = quant.mapInPandas(
         band_keys,
-        "vec_id long, q8 array<int>, nrm bigint, "
-        + ", ".join(f"b{b} long" for b in range(n_bands)),
+        "vec_id long, " + ", ".join(f"b{b} long" for b in range(n_bands)),
     )
     banded = keyed.select(
         "vec_id",
-        "q8",
-        "nrm",
         F.posexplode(F.array(*[F.col(f"b{b}") for b in range(n_bands)])).alias(
             "band_idx", "band_val"
         ),
     )
-    a = banded.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("q8").alias("qa"),
-        F.col("nrm").alias("na"),
-        "band_idx",
-        "band_val",
-    )
-    b = banded.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("q8").alias("qb"),
-        F.col("nrm").alias("nb"),
-        "band_idx",
-        "band_val",
-    )
-    # compute the verification dot IN the join projection so the distinct
-    # dedupes scalar columns only — the q8 arrays never shuffle
-    dot = _int_dot(F.col("qa"), F.col("qb"))
-    pairs = (
+    a = banded.select(F.col("vec_id").alias("vec_a"), "band_idx", "band_val")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "band_idx", "band_val")
+    pair_ids = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", dot.alias("_dot"), "na", "nb")
+        .select("vec_a", "vec_b")
         .distinct()
     )
-    return pairs.filter(
-        (F.col("_dot") > 0)
-        & (
-            F.lit(_LSH_TAU_INV_SQ) * F.col("_dot") * F.col("_dot")
-            > F.col("na") * F.col("nb")
+    # re-attach the q8 payloads from the un-exploded quant: two
+    # map-only scans of embeddings instead of arrays riding a
+    # 24x-exploded exchange, and the exact integer verify runs once per
+    # distinct pair. Pairs exist only for nrm > 0 rows (filtered in the
+    # kernel), so joining the unfiltered quant resurrects nothing.
+    qa = quant.select(F.col("vec_id").alias("vec_a"), F.col("q8").alias("qa"))
+    qb = quant.select(F.col("vec_id").alias("vec_b"), F.col("q8").alias("qb"))
+    dot = _int_dot(F.col("qa"), F.col("qb"))
+    na = _int_dot(F.col("qa"), F.col("qa"))
+    nb = _int_dot(F.col("qb"), F.col("qb"))
+    return (
+        pair_ids.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .select(
+            "vec_a", "vec_b", dot.alias("_dot"), na.alias("na"), nb.alias("nb")
         )
-    ).select("vec_a", "vec_b")
+        .filter(
+            (F.col("_dot") > 0)
+            & (
+                F.lit(_LSH_TAU_INV_SQ) * F.col("_dot") * F.col("_dot")
+                > F.col("na") * F.col("nb")
+            )
+        )
+        .select("vec_a", "vec_b")
+    )
 
 
 @register(

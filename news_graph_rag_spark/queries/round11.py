@@ -1425,7 +1425,7 @@ def temporal_reach_parts(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .filter(F.col("id") % 7 == 0)
     )
-    return temporal_earliest_arrival(edges, seeds, rounds=4).select(
+    return temporal_earliest_arrival(edges, seeds, rounds=4, pinned=True).select(
         F.col("node").cast("bigint").alias("id"),
         F.col("arr").cast("bigint").alias("earliest_arrival"),
     )
