@@ -76,18 +76,16 @@ def ingest_articles(
     # unpersisted by GraphStore.localized()/save_atomic()
     pending_caches = list(store.pending_caches)
 
-    # Fan the batch out to the session's parallelism BEFORE the cache
-    # when the source arrives under-partitioned (a single small parquet
-    # file or one crawler batch plans as 1-2 scan partitions): every
-    # downstream Python stage (L1-L4 chunker, L7 embedder, L5-L6 NER)
-    # is map-only and inherits this partitioning, so without the fan-out
-    # the whole per-row pipeline runs on one task while the rest of the
-    # cluster idles (guide §2.5 input parallelism). Scale-adaptive: a
-    # production-sized batch already exceeds defaultParallelism and is
-    # left untouched — no payload shuffle at scale.
-    target = spark.sparkContext.defaultParallelism
-    if raw_articles.rdd.getNumPartitions() < target:
-        raw_articles = raw_articles.repartition(target)
+    # NOTE (round-17): a blanket fan-out (repartition to
+    # defaultParallelism when the batch arrives under-partitioned) was
+    # tried here and MEASURED AS A REGRESSION at bench scale
+    # (graph_ingest_roundtrip 5.1s -> 7.2s, sf0.1 local[32]): the
+    # shuffle plus 32-task overhead across every downstream stage and
+    # the 32-file table writes cost more than the single-task Python
+    # stages save on a small batch. A size-proportional fan-out needs
+    # input bytes, which an opaque in-memory batch does not expose
+    # without running a job; under-partitioned FILE sources are
+    # handled where the width is knowable (catalog.spread on scans).
     raw = raw_articles.cache()
     pending_caches.append(raw)
 

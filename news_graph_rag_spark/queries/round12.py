@@ -120,7 +120,12 @@ def _level_sql(pts: str, key: str, prefix: str) -> str:
     )"""
 
 
-def _split_counts(rows: DataFrame, leaf_col, pin: bool = True) -> DataFrame:
+def _split_counts(
+    rows: DataFrame,
+    leaf_col,
+    pin: bool = True,
+    pins: "list[DataFrame] | None" = None,
+) -> DataFrame:
     """One split-search level over ``rows`` (f0..f{D-1}, y), returning
     per candidate threshold the raw prefix counts
     (leaf, fid, thr, cp, cn, p, n) — cp/cn = positives/negatives at
@@ -132,17 +137,23 @@ def _split_counts(rows: DataFrame, leaf_col, pin: bool = True) -> DataFrame:
     into the group key kf = leaf·D + fid, so a whole level — however
     many leaves — costs ONE map-side melt, one (kf, x) groupBy pinned
     ONCE (round-12 review: checkpointing only the totals left the
-    scan+melt running twice per level), one shared two-phase cumsum,
-    and a broadcast of per-kf exclusive offsets.
+    scan+melt running twice per level), and one per-kf bucketed
+    cumsum (ranks.grouped_cumsums — round-17: the former two-phase
+    range cumsum paid a boundary-sampling job plus a second eager
+    checkpoint PER LEVEL, the dominant cost of a level at bench
+    scale; the bucketed form is one lazy plan over the pinned
+    histogram with every window partition ≤ 2^16 rows by
+    construction, deterministic hash partitioning only, and it
+    already works per-kf so the per-kf exclusive-offsets
+    broadcast machinery disappears entirely).
 
     ``pin=False`` exists for PLAN INSPECTION ONLY (the ranks._pin
     convention): round-17 measured the unpinned shape end to end and
-    the duplicated histogram/range subtrees are NOT deduplicated by
-    exchange reuse (6 independent rangepartitioning executions in the
-    executed plan, each with its own boundary sampling — the round-11
-    wrong-offsets hazard ranks._pin documents, plus a slowdown).
-    Every value-producing caller must keep the default pin=True."""
-    from ..ranks import exclusive_sum_offsets, global_cumsums
+    the duplicated histogram subtrees are NOT deduplicated by
+    exchange reuse (independent executions of the melt+groupBy per
+    consumer, plus a slowdown). Every value-producing caller must
+    keep the default pin=True."""
+    from ..ranks import grouped_cumsums
 
     m = rows.select(
         leaf_col.cast("bigint").alias("leaf"),
@@ -163,44 +174,51 @@ def _split_counts(rows: DataFrame, leaf_col, pin: bool = True) -> DataFrame:
         F.col("fx.x").alias("x"),
         "y",
     )
-    # pin the per-value histogram ONCE: totals, offsets, and the
-    # cumsum all derive from it, and it is distinct-values-sized
+    # pin the per-value histogram ONCE: totals and the cumsum both
+    # derive from it, and it is distinct-values-sized. ``pins``
+    # collects the pinned frame so multi-level callers can release
+    # its blocks once a downstream eager checkpoint (the level's best
+    # splits) has cut every dependency on it (round-16 advice: the
+    # per-level pins leaked block-manager storage per cold training).
     g = m.groupBy("kf", "x").agg(
         F.sum("y").cast("bigint").alias("np"),
         (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("nn"),
     )
     if pin:
         g = g.localCheckpoint(eager=True)
+        if pins is not None:
+            pins.append(g)
     tot = g.groupBy("kf").agg(
         F.sum("np").cast("bigint").alias("p"),
         F.sum("nn").cast("bigint").alias("n"),
     )
-    c = global_cumsums(
+    # per-kf running counts directly (grouped_cumsums partitions by
+    # kf), so cp/cn need no concatenated-order offset subtraction
+    c = grouped_cumsums(
         g,
-        [F.col("kf"), F.col("x")],
-        {"cp_g": F.col("np"), "cn_g": F.col("nn")},
-        pin=pin,
+        ["kf"],
+        "x",
+        {"cp": F.col("np"), "cn": F.col("nn")},
     )
-    off = exclusive_sum_offsets(
-        tot, "kf", {"p": "off_p", "n": "off_n"}
-    ).join(tot, "kf")
-    return c.join(F.broadcast(off), "kf").select(
+    return c.join(F.broadcast(tot), "kf").select(
         F.expr(f"kf div {_N_FEATURES}").alias("leaf"),
         (F.col("kf") % _N_FEATURES).alias("fid"),
         F.col("x").alias("thr"),
-        (F.col("cp_g") - F.col("off_p")).alias("cp"),
-        (F.col("cn_g") - F.col("off_n")).alias("cn"),
+        "cp",
+        "cn",
         "p",
         "n",
     )
 
 
-def _split_candidates(rows: DataFrame, leaf_col) -> DataFrame:
+def _split_candidates(
+    rows: DataFrame, leaf_col, pins: "list[DataFrame] | None" = None
+) -> DataFrame:
     """Accuracy candidates (leaf, fid, thr, polarity, n_correct,
     n_node) derived from _split_counts' prefix counts — both
     polarities from ONE pass (a unionByName of two selects would
     duplicate the whole cumsum subtree)."""
-    c = _split_counts(rows, leaf_col)
+    c = _split_counts(rows, leaf_col, pins=pins)
     return c.select(
         "leaf",
         "fid",
@@ -660,8 +678,12 @@ def tree_depth2_orders(spark: SparkSession, sf: str) -> DataFrame:
     pts = _split_pts(spark, sf)
     # level 0: global best across features (1 row, pinned so the leaf
     # assignment and the output row read ONE materialization)
+    root_pins: "list[DataFrame]" = []
     root = (
-        _split_best(_split_candidates(pts, F.lit(0)), per_feature=False)
+        _split_best(
+            _split_candidates(pts, F.lit(0), pins=root_pins),
+            per_feature=False,
+        )
         .select(
             F.lit(0).cast("bigint").alias("node"),
             F.col("b.fid").alias("fid"),
@@ -672,6 +694,11 @@ def tree_depth2_orders(spark: SparkSession, sf: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # the root checkpoint cut every dependency on level 0's pinned
+    # histogram — release its blocks (level 1 stays lazy in the
+    # returned plan, so ITS histogram pin must live)
+    for p in root_pins:
+        p.unpersist()
     # partition by the root split: map-side CASE against the broadcast
     # 1-row root — leaf 1 = split-feature value <= thr, leaf 2 = above
     root_b = F.broadcast(

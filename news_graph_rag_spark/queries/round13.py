@@ -208,12 +208,17 @@ def tree_depth3_orders(spark: SparkSession, sf: str) -> DataFrame:
     outs: list[DataFrame] = []
     for level in range(_TREE_DEPTH):
         # ONE shared level pass, however many leaves
-        best = _gini_best(_split_counts(cur, F.col("node")))
+        pins: "list[DataFrame]" = []
+        best = _gini_best(_split_counts(cur, F.col("node"), pins=pins))
         if level < _TREE_DEPTH - 1:
             # pinned so the next level's assignment and the output row
             # read one materialization (tiny: ≤ 2^level rows); the LAST
             # level has a single consumer and stays live in the plan
             best = best.localCheckpoint(eager=True)
+            # best's checkpoint cut the dependency on this level's
+            # pinned histogram — free its blocks (round-16 advice)
+            for p in pins:
+                p.unpersist()
         outs.append(_gini_rows(best))
         if level < _TREE_DEPTH - 1:
             cur = _tree_assign(cur, best)
@@ -746,10 +751,17 @@ def _staged_tree3_splits(spark: SparkSession, sf: str) -> DataFrame:
             "node", F.lit(1).cast("bigint")
         )
         levels: list[DataFrame] = []
+        bests: list[DataFrame] = []
         for _ in range(_TREE_DEPTH):
+            pins: "list[DataFrame]" = []
             best = _gini_best(
-                _split_counts(cur, F.col("node"))
+                _split_counts(cur, F.col("node"), pins=pins)
             ).localCheckpoint(eager=True)
+            # best's checkpoint cut the dependency on the level's
+            # pinned histogram (round-16 advice: free the blocks)
+            for p in pins:
+                p.unpersist()
+            bests.append(best)
             levels.append(
                 best.select(
                     F.col("leaf").cast("bigint").alias("node"),
@@ -762,6 +774,10 @@ def _staged_tree3_splits(spark: SparkSession, sf: str) -> DataFrame:
         for lv in levels[1:]:
             out = out.unionByName(lv)
         out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # the staged parquet is the artifact — nothing reads the
+        # pinned splits after the write; free them
+        for b in bests:
+            b.unpersist()
 
     stage = stage_parquet(
         os.path.join(sf, "orders.parquet"), "tree3gini_v1", build

@@ -651,9 +651,15 @@ def _gbt_train(
     cur = _split_pts(spark, sf).withColumn("node", F.lit(1).cast("bigint"))
     splits_a: "list[DataFrame]" = []
     for _ in range(_GBT_DEPTH):
-        best = _gini_best(_split_counts(cur, F.col("node"))).localCheckpoint(
-            eager=True
-        )
+        pins: "list[DataFrame]" = []
+        best = _gini_best(
+            _split_counts(cur, F.col("node"), pins=pins)
+        ).localCheckpoint(eager=True)
+        # best's checkpoint cut the dependency on the level's pinned
+        # histogram — free its blocks (round-16 advice: these leaked
+        # per cold training for the session lifetime)
+        for p in pins:
+            p.unpersist()
         splits_a.append(best)
         cur = _tree_assign(cur, best)
     # pin the scored frame ONCE: the leaf-stats agg and the residual
@@ -687,9 +693,12 @@ def _gbt_train(
     curb = ptsb.withColumn("node", F.lit(1).cast("bigint"))
     splits_b: "list[DataFrame]" = []
     for _ in range(_GBT_DEPTH):
-        bestb = _gini_best(_split_counts(curb, F.col("node"))).localCheckpoint(
-            eager=True
-        )
+        pins_b: "list[DataFrame]" = []
+        bestb = _gini_best(
+            _split_counts(curb, F.col("node"), pins=pins_b)
+        ).localCheckpoint(eager=True)
+        for p in pins_b:
+            p.unpersist()
         splits_b.append(bestb)
         curb = _tree_assign(curb, bestb)
     return splits_a, splits_b, leaf, curb

@@ -926,9 +926,14 @@ def _gbt_train_r(
         cur = state.withColumn("node", F.lit(1).cast("bigint"))
         splits: "list[DataFrame]" = []
         for _ in range(_GBT_DEPTH):
+            pins: "list[DataFrame]" = []
             best = _gini_best(
-                _split_counts(cur, F.col("node"))
+                _split_counts(cur, F.col("node"), pins=pins)
             ).localCheckpoint(eager=True)
+            # best's checkpoint cut the dependency on the level's
+            # pinned histogram — free its blocks (round-16 advice)
+            for p in pins:
+                p.unpersist()
             splits.append(best)
             cur = _tree_assign(cur, best)
         splits_all.append(splits)

@@ -180,6 +180,111 @@ def global_cumsums(
     return out.drop(*drop)
 
 
+def grouped_cumsums(
+    df: DataFrame,
+    group_cols: "list[str]",
+    order_col: str,
+    values: "dict[str, Column]",
+    shift: int = 16,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Exact per-group running sums of several value columns over an
+    INTEGRAL order column using only DETERMINISTIC hash partitioning —
+    no range-boundary sampling, no checkpoint, safe to leave lazy
+    inside a larger plan with multiple consumers (the range-based
+    helpers must pin their exchange because boundary sampling is
+    nondeterministic over nondeterministically-ordered input; see
+    ``_pin``). Round-17: built for the tree-trainer level pass, where
+    the two blocking jobs the range helper costs (sample + pin)
+    dominated each level at bench scale.
+
+    Requirements: ``(group, order)`` pairs are UNIQUE (the
+    histogram/distinct-value shape) and ``order_col`` is an integral
+    column (bucketing uses arithmetic shifts, so negatives order
+    correctly).
+
+    Shape: every window partition is bounded by 2^shift rows BY
+    CONSTRUCTION — level 0 ranks rows within (group, x >> shift);
+    each bucket level ranks bucket totals within the next coarser
+    bucket; the top level ranks the ≤ 2^shift coarsest buckets per
+    group. The input pays ONE hash exchange on (group, x >> shift),
+    which the level-0 window, the bucket aggregation, and the final
+    offsets join all share; bucket tables shrink 2^shift-fold per
+    level, so the pyramid's shuffles are asymptotically free.
+    """
+    assert group_cols, "grouped_cumsums needs >=1 group column"
+    vals = list(values.items())
+    nv = len(vals)
+    x = F.col(order_col)
+    # bucket levels to cover a 64-bit order domain; the top level's
+    # per-group window then holds <= 2^shift rows for ANY input
+    n_lev = max(1, -(-64 // shift) - 1)
+    cur = df
+    for i, (_, col) in enumerate(vals):
+        cur = cur.withColumn(f"_gcv{i}", col.cast("long"))
+    cur = cur.withColumn("_gb1", F.shiftright(x, shift))
+    w0 = (
+        Window.partitionBy(*group_cols, "_gb1")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for i in range(nv):
+        cur = cur.withColumn(f"_gcl{i}", F.sum(f"_gcv{i}").over(w0))
+    # bucket-total pyramid: frames[l] holds one row per (group, b_l)
+    # with that bucket's sums, its parent bucket id, and the EXCLUSIVE
+    # prefix of sibling buckets under the same parent
+    t = cur.groupBy(*group_cols, "_gb1").agg(
+        *[F.sum(f"_gcv{i}").alias(f"_gcs{i}") for i in range(nv)]
+    )
+    frames: "list[DataFrame]" = []
+    for lev in range(1, n_lev + 1):
+        top = lev == n_lev
+        bcol, parent = f"_gb{lev}", f"_gb{lev + 1}"
+        if not top:
+            t = t.withColumn(parent, F.shiftright(F.col(bcol), shift))
+        w = (
+            Window.partitionBy(*(group_cols if top else [*group_cols, parent]))
+            .orderBy(bcol)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        for i in range(nv):
+            t = t.withColumn(
+                f"_gco{i}", F.coalesce(F.sum(f"_gcs{i}").over(w), F.lit(0))
+            )
+        frames.append(t)
+        if not top:
+            t = t.groupBy(*group_cols, parent).agg(
+                *[F.sum(f"_gcs{i}").alias(f"_gcs{i}") for i in range(nv)]
+            )
+    # merge the pyramid down to ONE offsets row per (group, b_1):
+    # off(b_1) = excl-prefix within parent + parent's own merged offset
+    acc = frames[-1].select(
+        *group_cols,
+        f"_gb{n_lev}",
+        *[F.col(f"_gco{i}").alias(f"_gcm{i}") for i in range(nv)],
+    )
+    for lev in range(n_lev - 1, 0, -1):
+        fr = frames[lev - 1]
+        acc = fr.join(acc, [*group_cols, f"_gb{lev + 1}"]).select(
+            *group_cols,
+            f"_gb{lev}",
+            *[
+                (F.col(f"_gco{i}") + F.col(f"_gcm{i}")).alias(f"_gcm{i}")
+                for i in range(nv)
+            ],
+        )
+    out = cur.join(acc, [*group_cols, "_gb1"])
+    drop = ["_gb1"]
+    for i, (name, _) in enumerate(vals):
+        out = out.withColumn(
+            name,
+            (F.col(f"_gcl{i}") + F.col(f"_gcm{i}"))
+            - (F.lit(0) if inclusive else F.col(f"_gcv{i}")),
+        )
+        drop += [f"_gcl{i}", f"_gcm{i}", f"_gcv{i}"]
+    return out.drop(*drop)
+
+
 def global_cumsum(
     df: DataFrame,
     order_by: list[Column],

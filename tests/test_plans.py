@@ -653,15 +653,20 @@ def test_rank_helpers_range_exchange_shape(spark):
         assert "Exchange rangepartitioning" in plan
 
 
-def test_tree_level_split_windows_are_range_partitioned(spark, sf_dir, reg):
+def test_tree_level_split_windows_are_kf_partitioned(spark, sf_dir, reg):
     """Round-12 multi-feature split finding: the only windows in the
-    plan are the two-phase cumsum's _pid-partitioned locals (never a
-    single-partition ORDER BY over the distinct-value tables), and the
-    per-feature argmax is a plain aggregation, not a ranked window."""
+    plan are the bucketed per-kf cumsum's locals — every window
+    partitions on kf (+ a bounded bucket key), never a
+    single-partition ORDER BY over the distinct-value tables — and
+    the per-feature argmax is a plain aggregation, not a ranked
+    window (round-17: ranks.grouped_cumsums replaced the sampled
+    range-exchange two-phase cumsum)."""
     plan = plan_of(reg["tree_level_split_orders"].fn(spark, sf_dir), "simple")
     specs = _window_specs(plan)
     assert specs, "expected the cumsum windows in the plan"
-    assert all("_pid" in s.split(",")[0] for s in specs), specs
+    for s in specs:
+        head = s.split(",")[0]
+        assert "kf" in head and "ASC" not in head, specs
 
 
 def test_epoch_shuffle_has_no_global_sort(spark, sf_dir, reg):
@@ -685,27 +690,32 @@ def test_image_resize_is_map_only_python_stage(spark, sf_dir, reg):
     assert plan.count("MapInPandas") == 1
 
 
-def test_tree_depth2_windows_are_range_partitioned(spark, sf_dir, reg):
+def test_tree_depth2_windows_are_kf_partitioned(spark, sf_dir, reg):
     """Round-12 depth-2 tree: BOTH levels' prefix sums ride the shared
-    two-phase cumsum — every window in the plan is _pid-partitioned,
-    no single-partition ORDER BY at either level."""
+    bucketed per-kf cumsum — every window partitions on kf (+ a
+    bounded bucket key), no single-partition ORDER BY at either
+    level."""
     plan = plan_of(reg["tree_depth2_orders"].fn(spark, sf_dir), "simple")
     specs = _window_specs(plan)
     assert specs, "expected the level cumsum windows in the plan"
-    assert all("_pid" in s.split(",")[0] for s in specs), specs
+    for s in specs:
+        head = s.split(",")[0]
+        assert "kf" in head and "ASC" not in head, specs
 
 
-def test_tree_depth3_windows_are_range_partitioned(spark, sf_dir, reg):
+def test_tree_depth3_windows_are_kf_partitioned(spark, sf_dir, reg):
     """Round-13 depth-3 Gini tree: the deepest level's live subtree
     (levels 0-1 are pinned broadcasts) must show exactly ONE melt
     (Generate/explode) for the whole 4-leaf level — the 'one pass per
     level regardless of leaf count' claim — and every window must be
-    the two-phase cumsum's _pid-partitioned local, never a
-    single-partition ORDER BY."""
+    the bucketed per-kf cumsum's local (partitioned on kf + a bounded
+    bucket key), never a single-partition ORDER BY."""
     plan = plan_of(reg["tree_depth3_orders"].fn(spark, sf_dir), "simple")
     specs = _window_specs(plan)
     assert specs, "expected the level cumsum windows in the plan"
-    assert all("_pid" in s.split(",")[0] for s in specs), specs
+    for s in specs:
+        head = s.split(",")[0]
+        assert "kf" in head and "ASC" not in head, specs
     # the melt itself runs inside _split_counts' pinned histogram (the
     # explode executes at checkpoint time), so the live plan reads ONE
     # (kf, x, np, nn) histogram scan per level — assert the level's

@@ -123,3 +123,67 @@ def test_chained_cumsum_over_hash_agg_upstream_is_deterministic(spark):
         c = global_cumsum(c, [F.col("x")], F.col("nn"), cumsum_col="cn")
         last = c.orderBy(F.desc("x")).limit(1).first()
         assert (last["cp"], last["cn"]) == (p, n)
+
+
+def test_grouped_cumsums_matches_naive_windows(spark):
+    """Round-17 bucketed per-group cumsum: exact vs the naive per-group
+    window on negative/large/small order values, both frames, and
+    multi-column values — plus determinism across repeated runs over a
+    hash-aggregated upstream (the hazard that forces the range-based
+    helpers to pin; grouped_cumsums must not need a pin)."""
+    import random
+
+    from news_graph_rag_spark.ranks import grouped_cumsums
+
+    random.seed(41)
+    seen, rows = set(), []
+    for _ in range(3000):
+        g = random.randint(0, 4)
+        x = random.choice(
+            [
+                random.randint(-(10**6), 10**6),
+                random.randint(-(2**40), 2**40),
+                random.randint(0, 70000),
+            ]
+        )
+        if (g, x) in seen:
+            continue
+        seen.add((g, x))
+        rows.append((g, x, random.randint(-5, 50), random.randint(0, 3)))
+    df = spark.createDataFrame(rows, "g long, x long, a long, b long")
+    w = (
+        Window.partitionBy("g")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    exp = {
+        (r["g"], r["x"]): (r["ca"], r["cb"])
+        for r in df.withColumn("ca", F.sum("a").over(w))
+        .withColumn("cb", F.sum("b").over(w))
+        .collect()
+    }
+    out = grouped_cumsums(
+        df, ["g"], "x", {"ca": F.col("a"), "cb": F.col("b")}
+    )
+    got = {(r["g"], r["x"]): (r["ca"], r["cb"]) for r in out.collect()}
+    assert got == exp
+    # exclusive frame
+    exc = grouped_cumsums(
+        df, ["g"], "x", {"ca": F.col("a")}, inclusive=False
+    )
+    vals = {(r["g"], r["x"]): r["a"] for r in df.collect()}
+    got_exc = {(r["g"], r["x"]): r["ca"] for r in exc.collect()}
+    assert got_exc == {k: exp[k][0] - vals[k] for k in exp}
+    # determinism over a nondeterministically-ordered (hash-agg)
+    # upstream, WITHOUT any checkpoint: three runs must agree
+    agg = df.groupBy("g", "x").agg(F.sum("a").alias("a"))
+    runs = [
+        {
+            (r["g"], r["x"]): r["ca"]
+            for r in grouped_cumsums(
+                agg, ["g"], "x", {"ca": F.col("a")}
+            ).collect()
+        }
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
