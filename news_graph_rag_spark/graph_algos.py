@@ -169,10 +169,16 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
 
 def bfs_distances(
-    edges: DataFrame, source: int, max_hops: int = 10
+    edges: DataFrame, source: int | None, max_hops: int = 10
 ) -> DataFrame:
     """Hop distances from ``source`` over an undirected edge list:
     (id, dist) for every node reachable within ``max_hops``.
+    ``source=None`` means "the smallest node id", derived from the
+    checkpointed edge list — callers that were computing it themselves
+    with ``edges.agg(min(src))`` paid the WHOLE upstream edge pipeline
+    a second time for one scalar (round-17: the bfs entry's edge
+    pipeline is a lineitem self-join, so the scalar cost as much as
+    the traversal); a min over the pinned symmetric list reads blocks.
 
     Frontier-expansion BFS: each round joins only the CURRENT frontier
     (not the whole visited set) against the edge list, anti-joins away
@@ -188,6 +194,11 @@ def bfs_distances(
         .select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .localCheckpoint(eager=True)
     )
+    if source is None:
+        # min(src) over the SYMMETRIC list = smallest node id (every
+        # node appears as a src); equals min(src) over the directed
+        # input whenever the smallest node has any edge at all
+        source = e.agg(F.min("src")).first()[0]
     frontier = spark.createDataFrame([(int(source),)], "id: bigint").localCheckpoint(
         eager=True
     )

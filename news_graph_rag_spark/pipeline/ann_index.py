@@ -64,6 +64,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localrel import local_rel
+
 INDEX_FORMAT_VERSION = "ivf-int8-v2"  # v2: one file per inverted list
 
 _ASSIGN_SCHEMA = "vec_id long, q8 array<int>, nrm bigint"
@@ -1278,7 +1280,8 @@ def _batch_search_core(
     # (probe_id, centroid_id, probe_q8) relation — a broadcast-sized
     # constant; the join fans each candidate out only to the probes
     # actually probing its list
-    probe_rel = spark.createDataFrame(
+    probe_rel = local_rel(
+        spark,
         [
             (pid, cid, [int(x) for x in probes[pid]])
             for pid, lists in probe_lists.items()
@@ -2024,7 +2027,8 @@ def _search_pq_core(
     probes = _rank_probe_lists(p, _centroid_arrays(cent_rows), nprobe)
     cmap = {cid: np.asarray(c8, dtype=np.int64) for cid, c8, _ in cent_rows}
 
-    adc_df = spark.createDataFrame(
+    adc_df = local_rel(
+        spark,
         _adc_rows(p, probes, cmap, cb, m, ks, subd),
         "centroid_id int, bd bigint, adc array<array<bigint>>",
     )
@@ -2239,7 +2243,8 @@ def _search_pq_batch_core(
     cent_rows = _centroid_rows(spark, path)
     cmap = {cid: np.asarray(c8, dtype=np.int64) for cid, c8, _ in cent_rows}
 
-    adc_rel = spark.createDataFrame(
+    adc_rel = local_rel(
+        spark,
         [
             (pid, cid, bd, adc)
             for pid, lists in probe_lists.items()
@@ -2450,7 +2455,8 @@ def _rerank_exact_core(
             spark.read.parquet(os.path.join(path, "assignments.parquet")),
         )
     _, all_lists = _batch_probe_lists(spark, path, probes, nprobe)
-    probe_rel = spark.createDataFrame(
+    probe_rel = local_rel(
+        spark,
         [(pid, [int(x) for x in q]) for pid, q in probes.items()],
         "probe_id long, pq8 array<int>",
     )
@@ -2539,11 +2545,17 @@ def encode_new(
     meta, cb = _pq_tables(spark, pq)
     m, ks, subd = int(meta["m"]), int(meta["ks"]), int(meta["subd"])
     cent_rows = _centroid_rows(spark, path)
-    cents_df = spark.createDataFrame(
-        [(cid, c8) for cid, c8, _ in cent_rows], "centroid_id int, c8 array<int>"
+    cents_df = local_rel(
+        spark,
+        [(cid, [int(x) for x in c8]) for cid, c8, _ in cent_rows],
+        "centroid_id int, c8 array<int>",
     )
-    cb_df = spark.createDataFrame(
-        [(cid, sub, code, e) for (cid, sub, code), e in sorted(cb.items())],
+    cb_df = local_rel(
+        spark,
+        [
+            (cid, sub, code, [int(x) for x in e])
+            for (cid, sub, code), e in sorted(cb.items())
+        ],
         "centroid_id int, sub int, code int, e array<int>",
     )
     return _encode_rows(assigned, cents_df, cb_df, m, subd)

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..localrel import local_rel
 from .catalog import load, register
 from .relational import dsum
 
@@ -648,10 +649,11 @@ def bfs_hop_distance_parts(spark: SparkSession, sf: str) -> DataFrame:
     from ..graph_algos import bfs_distances
 
     edges = _copurchase_edges(spark, sf)
-    # scalar source id: a 1-value aggregate collect (driver-side scalar,
-    # same pattern as every convergence check — not a data collect)
-    source = edges.agg(F.min("src")).first()[0]
-    return bfs_distances(edges, int(source), max_hops=10).select(
+    # source = smallest node id, derived INSIDE the kernel from the
+    # checkpointed symmetric list — a separate edges.agg(min) here
+    # re-ran the whole lineitem self-join pipeline for one scalar
+    # (round-17; the kernel's min reads pinned blocks instead)
+    return bfs_distances(edges, None, max_hops=10).select(
         F.col("id").cast("bigint").alias("id"),
         F.col("dist").cast("bigint").alias("dist"),
     )
@@ -2790,7 +2792,7 @@ def histogram_quantiles_priority(spark: SparkSession, sf: str) -> DataFrame:
         "cum", F.sum("n").over(Window.partitionBy("prio").orderBy("bucket"))
     )
     t = h.groupBy("prio").agg(F.sum("n").cast("bigint").alias("total"))
-    p = spark.createDataFrame([(50,), (95,), (99,)], "pct int")
+    p = local_rel(spark, [(50,), (95,), (99,)], "pct int")
     j = (
         c.join(F.broadcast(t), "prio")
         .crossJoin(F.broadcast(p))
@@ -2855,7 +2857,8 @@ def exact_percentile_multipass(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("o_orderpriority").alias("prio"), cents.alias("cents"))
     )
     answers = exact_group_rank_value(b, "prio", "cents", 95)
-    return spark.createDataFrame(
+    return local_rel(
+        spark,
         sorted((p, v) for p, v in answers.items()),
         "o_orderpriority string, p95_cents long",
     )

@@ -19,6 +19,7 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localrel import local_rel
 from .catalog import load, register
 
 
@@ -941,9 +942,10 @@ def retrieval_ppr_expand(spark: SparkSession, sf: str) -> DataFrame:
         .limit(2)
         .collect()
     ]
-    seeds = spark.createDataFrame(
+    seeds = local_rel(
+        spark,
         [(u, s) for u, s in zip(seed_uids, (2.0, 1.0))],
-        "uid: string, score: double",
+        "uid string, score double",
     )
     return ppr_expand(store, seeds, k=12)
 
@@ -985,13 +987,14 @@ def _ppr_store_build(spark: SparkSession, sf: str) -> "GraphStore":
     # MENTIONS from an exact-token gazetteer (relational, so the oracle
     # can replay it verbatim; the NER surface-form path is verified by
     # ner_documents). Edge = chunk contains the vocabulary token.
-    vocab = spark.createDataFrame(
+    vocab = local_rel(
+        spark,
         [
             ("spark", "Organization"),
             ("window", "Organization"),
             ("customer", "Person"),
         ],
-        "term: string, entity_label: string",
+        "term string, entity_label string",
     )
     toks = store["chunk"].select(
         F.col("uid").alias("src_uid"),

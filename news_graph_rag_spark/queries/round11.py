@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..localrel import local_rel
 from .catalog import load, register, spread
 
 # ---------------------------------------------------------------------------
@@ -711,7 +712,8 @@ def mad_outlier_events(spark: SparkSession, sf: str) -> DataFrame:
     try:
         med = exact_group_rank_value(b, "k", "x", 50, persisted=True)
         if not med:  # no non-null rows: same empty frame the join gave
-            return spark.createDataFrame(
+            return local_rel(
+                spark,
                 [],
                 "event_type string, median_micros bigint, "
                 "mad_micros bigint, n_outliers bigint",
@@ -764,7 +766,8 @@ def mad_outlier_events(spark: SparkSession, sf: str) -> DataFrame:
         )
         for r in rows
     )
-    return spark.createDataFrame(
+    return local_rel(
+        spark,
         out,
         "event_type string, median_micros bigint, mad_micros bigint, "
         "n_outliers bigint",

@@ -38,6 +38,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localrel import local_rel
 from .catalog import load, register, stage_parquet
 from .round13 import _PQ_KS, _PQ_M
 from .round14 import _ivfpq_batch_rerank_oracle, _ivfpq_incr_cte
@@ -726,7 +727,8 @@ def _hybrid_batch_fused(spark: SparkSession, sf: str) -> DataFrame:
     toki = spark.read.parquet(_staged_token_index(spark, sf))
     all_toks = sorted({t for _, toks in _BH_QUERIES for t in toks})
     buckets = sorted({zlib.crc32(t.encode()) % _TOK_BUCKETS for t in all_toks})
-    qtok = spark.createDataFrame(
+    qtok = local_rel(
+        spark,
         [(i, t) for i, (_, toks) in enumerate(_BH_QUERIES) for t in toks],
         "probe_id long, token string",
     )
@@ -741,7 +743,8 @@ def _hybrid_batch_fused(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     src_rel = F.broadcast(
-        spark.createDataFrame(
+        local_rel(
+            spark,
             [(i, v) for i, (v, _) in enumerate(_BH_QUERIES)],
             "probe_id long, src_id long",
         )
@@ -755,7 +758,8 @@ def _hybrid_batch_fused(spark: SparkSession, sf: str) -> DataFrame:
     )
     # candidate-only scoring: kw_hits against each query's token set...
     qtok_arr = F.broadcast(
-        spark.createDataFrame(
+        local_rel(
+            spark,
             [(i, list(toks)) for i, (_, toks) in enumerate(_BH_QUERIES)],
             "probe_id long, qtoks array<string>",
         )
@@ -780,7 +784,8 @@ def _hybrid_batch_fused(spark: SparkSession, sf: str) -> DataFrame:
     )
     # ...and float cosine vs each query's raw embedding (broadcast)
     qv_rel = F.broadcast(
-        spark.createDataFrame(
+        local_rel(
+            spark,
             [(i, raw[v]) for i, (v, _) in enumerate(_BH_QUERIES)],
             "probe_id long, qv array<float>",
         )

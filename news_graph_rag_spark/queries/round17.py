@@ -45,6 +45,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localrel import local_rel
 from .catalog import load, register
 from .round13 import _PQ_KS, _PQ_M
 
@@ -913,7 +914,8 @@ def _nprobe_sweep_over(
     ranked = _rank_probe_lists(p, _centroid_arrays(cent_rows), max_np)
     cmap = {cid: np.asarray(c8, dtype=np.int64) for cid, c8, _ in cent_rows}
     # one ADC relation for the widest union, carrying each list's rank
-    adc_df = spark.createDataFrame(
+    adc_df = local_rel(
+        spark,
         [
             (cid, rank + 1, bd, adc)
             for rank, (cid, bd, adc) in enumerate(
@@ -941,9 +943,7 @@ def _nprobe_sweep_over(
         (F.col("nrm").cast("double")).alias("nrmd"),
     )
     levels = F.broadcast(
-        spark.createDataFrame(
-            [(v,) for v in _SWEEP_LEVELS], "nprobe long"
-        )
+        local_rel(spark, [(v,) for v in _SWEEP_LEVELS], "nprobe long")
     )
     from pyspark.sql import Window
 

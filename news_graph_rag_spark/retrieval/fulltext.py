@@ -26,6 +26,8 @@ import re
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..localrel import local_rel
+
 from ..graph_store import GraphStore
 
 LUCENE_SPECIAL = r'[-+&|!(){}\[\]\^"~*?:\\\\]'  # reference utils.py:8
@@ -133,6 +135,6 @@ def lookup_entities(
     per_entity_limit: int = PER_ENTITY_LIMIT,
 ) -> DataFrame:
     """graph.py:140-146 analog: link a list of entity names."""
-    probes = store.spark.createDataFrame([(n,) for n in names], "probe string")
+    probes = local_rel(store.spark, [(n,) for n in names], "probe string")
     idx = build_token_index(store)
     return fuzzy_entity_candidates(idx, probes, threshold, per_entity_limit)

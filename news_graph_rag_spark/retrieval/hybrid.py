@@ -23,6 +23,8 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..localrel import local_rel
+
 from ..graph_store import GraphStore
 from .fulltext import LUCENE_SPECIAL
 from .vector import cosine
@@ -167,7 +169,7 @@ def hybrid_top_k_indexed(
     ).select("uid")
     qtoks = [t for t in re.sub(LUCENE_SPECIAL, " ", query_text.lower()).split() if t]
     if qtoks:
-        qdf = spark.createDataFrame([(t,) for t in set(qtoks)], "token string")
+        qdf = local_rel(spark, [(t,) for t in sorted(set(qtoks))], "token string")
         kw_cand = (
             token_index.join(F.broadcast(qdf), "token")
             .filter(F.col("df") <= max_df)

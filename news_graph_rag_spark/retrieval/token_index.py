@@ -49,6 +49,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localrel import local_rel
+
 from ..pipeline.ann_index import _link_into, _recover_stranded
 
 TOKIDX_FORMAT_VERSION = "tokidx-life-v1"
@@ -161,8 +163,8 @@ def delete_doc_postings(spark: SparkSession, path: str, doc_ids) -> int:
     if isinstance(doc_ids, DataFrame):
         ids = doc_ids.select(F.col("doc_id").cast("long")).distinct()
     else:
-        ids = spark.createDataFrame(
-            [(int(v),) for v in doc_ids], "doc_id long"
+        ids = local_rel(
+            spark, [(int(v),) for v in doc_ids], "doc_id long"
         ).distinct()
     n = ids.count()
     if n:
