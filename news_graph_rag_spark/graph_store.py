@@ -25,6 +25,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .localrel import local_rel
 from .schemas import EDGE_SCHEMAS, NATURAL_KEYS, NODE_SCHEMAS
 
 ALL_TABLES = {**NODE_SCHEMAS, **EDGE_SCHEMAS}
@@ -106,8 +107,15 @@ class GraphStore:
 
     @classmethod
     def empty(cls, spark: SparkSession) -> "GraphStore":
+        # empty LocalRelations, NOT createDataFrame([]): the RDD path
+        # gives every empty table defaultParallelism EMPTY partitions,
+        # and since merge_into unions each batch onto these, every
+        # store table's plan carried a 32-empty-task scan per core for
+        # the life of the store (round-17: five of graph_ingest's
+        # broadcast-build jobs were scans of empty tables)
         tables = {
-            name: spark.createDataFrame([], schema) for name, schema in ALL_TABLES.items()
+            name: local_rel(spark, [], schema)
+            for name, schema in ALL_TABLES.items()
         }
         return cls(spark, tables)
 
@@ -424,8 +432,8 @@ class GraphStore:
                 F.col("uid").cast("string").alias("_fuid")
             ).distinct()
         else:
-            forget = self.spark.createDataFrame(
-                [(str(u),) for u in uids], "_fuid string"
+            forget = local_rel(
+                self.spark, [(str(u),) for u in uids], "_fuid string"
             ).distinct()
         out: dict[str, DataFrame] = {}
         for name, df in self.tables.items():

@@ -90,13 +90,19 @@ def _lit(v) -> str:
     raise TypeError(f"local_rel cannot render a literal for {type(v)!r}")
 
 
-def local_rel(spark: SparkSession, rows, schema: str) -> DataFrame:
+def local_rel(spark: SparkSession, rows, schema) -> DataFrame:
     """A small driver-side relation as a constant-folded VALUES plan
     (LocalTableScan — broadcasts without a build job; see module doc).
     ``rows`` is a sequence of tuples/lists, ``schema`` the same DDL
-    string createDataFrame takes. Falls back to createDataFrame for
-    row counts past MAX_LOCAL_REL_ROWS."""
+    string createDataFrame takes (or a StructType, rendered to DDL;
+    note VALUES columns are always nullable — don't use this where a
+    not-null constraint must survive in the schema). Falls back to
+    createDataFrame for row counts past MAX_LOCAL_REL_ROWS."""
     rows = list(rows)
+    if not isinstance(schema, str):  # StructType
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        )
     cols = _split_schema(schema)
     if len(rows) > MAX_LOCAL_REL_ROWS:
         return spark.createDataFrame(rows, schema)
