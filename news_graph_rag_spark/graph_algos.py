@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .localrel import local_rel
+
 
 def _sym(edges: DataFrame) -> DataFrame:
     """Undirected view: both orientations, no self-loops, distinct."""
@@ -199,9 +201,7 @@ def bfs_distances(
         # node appears as a src); equals min(src) over the directed
         # input whenever the smallest node has any edge at all
         source = e.agg(F.min("src")).first()[0]
-    frontier = spark.createDataFrame([(int(source),)], "id: bigint").localCheckpoint(
-        eager=True
-    )
+    frontier = local_rel(spark, [(int(source),)], "id bigint")
     visited = frontier.withColumn("dist", F.lit(0).cast("bigint"))
     for d in range(1, max_hops + 1):
         nxt = (
@@ -234,7 +234,12 @@ def k_core(edges: DataFrame, k: int = 3, max_iter: int = 50) -> DataFrame:
     """
     sym = _sym(edges).localCheckpoint(eager=True)
     for _ in range(max_iter):
-        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        # pin the degree table: the convergence check (isEmpty) and
+        # the peel's two anti-joins both read it — unpinned, the
+        # degree aggregation ran twice per round (round-17)
+        deg = sym.groupBy("src").agg(
+            F.count(F.lit(1)).alias("degree")
+        ).localCheckpoint(eager=True)
         low = deg.filter(F.col("degree") < k)
         if low.isEmpty():
             return deg.select(F.col("src").alias("id"), "degree")
@@ -272,7 +277,10 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = _sym(edges)
+    # pin the symmetric list once: the label-init distinct and every
+    # round's neighbor join re-read it (round-17 — unpinned, the whole
+    # upstream edge pipeline re-executed per consumer, rounds+1 times)
+    e = _sym(edges).localCheckpoint(eager=True)
     labels = (
         e.select(F.col("src").alias("id"))
         .distinct()
@@ -737,8 +745,8 @@ def strongly_connected_components_fbtrim(
                 f"fbtrim SCC did not converge in {max_rounds} rounds "
                 "(adversarial chain-of-cycles topology?); raise max_rounds"
             )
-    out = done_parts[0] if done_parts else spark.createDataFrame(
-        [], "id long, scc_id long"
+    out = done_parts[0] if done_parts else local_rel(
+        spark, [], "id long, scc_id long"
     )
     for p in done_parts[1:]:
         out = out.unionByName(p)

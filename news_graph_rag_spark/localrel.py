@@ -66,13 +66,16 @@ def _split_schema(schema: str) -> "list[tuple[str, str]]":
 
 
 def _lit(v) -> str:
+    import numbers
+
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, int):
-        return str(v)
-    if isinstance(v, float):
+    if isinstance(v, numbers.Integral):  # int and numpy integer scalars
+        return str(int(v))
+    if isinstance(v, numbers.Real):
+        v = float(v)
         if math.isnan(v):
             return "CAST('NaN' AS DOUBLE)"
         if math.isinf(v):
@@ -87,6 +90,8 @@ def _lit(v) -> str:
         return f"DATE '{v.isoformat()}'"
     if isinstance(v, (list, tuple)):
         return "array(" + ", ".join(_lit(x) for x in v) + ")"
+    if hasattr(v, "tolist"):  # numpy arrays
+        return _lit(v.tolist())
     raise TypeError(f"local_rel cannot render a literal for {type(v)!r}")
 
 

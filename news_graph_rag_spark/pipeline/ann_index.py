@@ -467,7 +467,8 @@ def build_and_save(
                     for cid, n in counts.items()
                 }
                 if any(s > 1 for s in shards.values()):
-                    shard_rel = spark.createDataFrame(
+                    shard_rel = local_rel(
+                        spark,
                         [(cid, s) for cid, s in shards.items()],
                         "centroid_id int, _shards int",
                     )
@@ -492,8 +493,8 @@ def build_and_save(
             finally:
                 if max_rows_per_file:
                     assigned.unpersist()
-            spark.createDataFrame(
-                cents, "centroid_id int, c8 array<int>, cnrm bigint"
+            local_rel(
+                spark, cents, "centroid_id int, c8 array<int>, cnrm bigint"
             ).coalesce(1).write.parquet(os.path.join(staging, "centroids.parquet"))
             for tname, tdf in (extra_tables or {}).items():
                 tdf.write.parquet(os.path.join(staging, f"{tname}.parquet"))
@@ -607,8 +608,8 @@ def delete_vectors(spark: SparkSession, path: str, vec_ids) -> int:
     if isinstance(vec_ids, DataFrame):
         df = vec_ids.select(F.col("vec_id").cast("long")).distinct()
     else:
-        df = spark.createDataFrame(
-            [(int(v),) for v in vec_ids], "vec_id long"
+        df = local_rel(
+            spark, [(int(v),) for v in vec_ids], "vec_id long"
         ).distinct()
     df = df.persist()
     try:
@@ -635,8 +636,8 @@ def delete_uids(spark: SparkSession, path: str, uids) -> int:
             F.xxhash64(F.col("uid")).alias("vec_id")
         )
     else:
-        df = spark.createDataFrame(
-            [(str(u),) for u in uids if u is not None], "uid string"
+        df = local_rel(
+            spark, [(str(u),) for u in uids if u is not None], "uid string"
         ).select(F.xxhash64(F.col("uid")).alias("vec_id"))
     return delete_vectors(spark, path, df)
 
@@ -1630,8 +1631,10 @@ def _train_pq_into(
     subd = dim // m
 
     cent_rows = _centroid_rows(spark, path)
-    cents_df = spark.createDataFrame(
-        [(cid, c8) for cid, c8, _ in cent_rows], "centroid_id int, c8 array<int>"
+    cents_df = local_rel(
+        spark,
+        [(cid, [int(x) for x in c8]) for cid, c8, _ in cent_rows],
+        "centroid_id int, c8 array<int>",
     )
     res = assignments.join(F.broadcast(cents_df), "centroid_id").select(
         "vec_id",
@@ -1674,8 +1677,8 @@ def _train_pq_into(
     ]
 
     def _assign_codes(cb_rows):
-        cb_df = spark.createDataFrame(
-            cb_rows, "centroid_id int, sub int, code int, e array<int>"
+        cb_df = local_rel(
+            spark, cb_rows, "centroid_id int, sub int, code int, e array<int>"
         )
         d = F.aggregate(
             F.zip_with("rs", "e", lambda a, b: (a - b) * (a - b)),
@@ -1763,8 +1766,8 @@ def _train_pq_into(
         )
     )
 
-    spark.createDataFrame(
-        codebook2, "centroid_id int, sub int, code int, e array<int>"
+    local_rel(
+        spark, codebook2, "centroid_id int, sub int, code int, e array<int>"
     ).coalesce(1).write.parquet(os.path.join(staging, "codebook.parquet"))
     enc.repartition(len(cent_rows), "centroid_id").write.partitionBy(
         "centroid_id"
@@ -2820,8 +2823,8 @@ def split_list(
             [r for k, r in by_id.items() if k != cid] + real_children,
             key=lambda t: t[0],
         )
-        spark.createDataFrame(
-            new_cents, "centroid_id int, c8 array<int>, cnrm bigint"
+        local_rel(
+            spark, new_cents, "centroid_id int, c8 array<int>, cnrm bigint"
         ).coalesce(1).write.parquet(os.path.join(staging, "centroids.parquet"))
         # ---- PQ tiers: inherited codebook, split rows re-encoded
         import glob as _glob
@@ -2845,8 +2848,8 @@ def split_list(
                 for (c, s, k), e in sorted(cb.items())
                 if c == cid
             ]
-            cb_df = spark.createDataFrame(
-                cb_rows, "centroid_id int, sub int, code int, e array<int>"
+            cb_df = local_rel(
+                spark, cb_rows, "centroid_id int, sub int, code int, e array<int>"
             )
             cb_df.coalesce(1).write.parquet(os.path.join(spq, "codebook.parquet"))
             # codes: untouched lists linked, split rows re-encoded
@@ -2858,7 +2861,8 @@ def split_list(
                 p = os.path.join(cpath, entry)
                 if os.path.isdir(p) and entry != f"centroid_id={cid}":
                     _link_into(p, os.path.join(sc, entry))
-            cents_df = spark.createDataFrame(
+            cents_df = local_rel(
+                spark,
                 [(c, c8) for c, c8, _ in real_children],
                 "centroid_id int, c8 array<int>",
             )
@@ -3026,8 +3030,8 @@ def merge_lists(
                 + [(keep, c8, cnrm)],
                 key=lambda t: t[0],
             )
-            spark.createDataFrame(
-                new_cents, "centroid_id int, c8 array<int>, cnrm bigint"
+            local_rel(
+                spark, new_cents, "centroid_id int, c8 array<int>, cnrm bigint"
             ).coalesce(1).write.parquet(
                 os.path.join(staging, "centroids.parquet")
             )
@@ -3050,8 +3054,8 @@ def merge_lists(
                     for (c, s, k), e in sorted(cb.items())
                     if c != drop
                 ]
-                cb_df = spark.createDataFrame(
-                    cb_rows, "centroid_id int, sub int, code int, e array<int>"
+                cb_df = local_rel(
+                    spark, cb_rows, "centroid_id int, sub int, code int, e array<int>"
                 )
                 cb_df.coalesce(1).write.parquet(
                     os.path.join(spq, "codebook.parquet")
@@ -3063,8 +3067,8 @@ def merge_lists(
                     p = os.path.join(cpath, entry)
                     if os.path.isdir(p) and entry not in gone:
                         _link_into(p, os.path.join(sc, entry))
-                cents_df = spark.createDataFrame(
-                    [(keep, c8)], "centroid_id int, c8 array<int>"
+                cents_df = local_rel(
+                    spark, [(keep, c8)], "centroid_id int, c8 array<int>"
                 )
                 _encode_rows(merged, cents_df, cb_df, pm, psub).select(
                     "vec_id", "nrm", "codes", "centroid_id"
@@ -3198,8 +3202,8 @@ def retrain_quantizer(
         assigned.repartition(len(cents), "centroid_id").write.partitionBy(
             "centroid_id"
         ).parquet(os.path.join(staging, "assignments.parquet"))
-        spark.createDataFrame(
-            cents, "centroid_id int, c8 array<int>, cnrm bigint"
+        local_rel(
+            spark, cents, "centroid_id int, c8 array<int>, cnrm bigint"
         ).coalesce(1).write.parquet(os.path.join(staging, "centroids.parquet"))
         new_meta = dict(meta)
         new_meta["n_centroids"] = n

@@ -20,6 +20,8 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..localrel import local_rel
+
 from ..retrieval.vector import cosine
 
 
@@ -123,9 +125,7 @@ def _localize(spark, rows) -> DataFrame:
     them per ivf_build call were most of the ann_ivf_topk bench
     regression."""
     data = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
-    return spark.createDataFrame(
-        data, "centroid_id int, centroid array<float>"
-    )
+    return local_rel(spark, data, "centroid_id int, centroid array<float>")
 
 
 def ivf_build(

@@ -988,15 +988,18 @@ def scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
 )
 def personalized_pagerank_parts(spark: SparkSession, sf: str) -> DataFrame:
     pairs = _copurchase_edges(spark, sf)
+    # pin the symmetric edge list ONCE: deg, the source scalar, and
+    # both power-iteration rounds all read it (round-17 — unpinned,
+    # the lineitem self-join pipeline re-executed per consumer)
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     source = int(edges.agg(F.min("src")).first()[0])
-    teleport = spark.createDataFrame([(source,)], "id: bigint").select(
+    teleport = local_rel(spark, [(source,)], "id bigint").select(
         "id", F.lit(0.15).cast("decimal(30,12)").alias("v")
     )
-    ranks = spark.createDataFrame([(source, 1.0)], "id: bigint, rank: double")
+    ranks = local_rel(spark, [(source, 1.0)], "id bigint, rank double")
     for _ in range(2):
         contrib = (
             edges.join(ranks, edges["src"] == ranks["id"])
