@@ -188,17 +188,22 @@ def _split_counts(
         g = g.localCheckpoint(eager=True)
         if pins is not None:
             pins.append(g)
-    tot = g.groupBy("kf").agg(
-        F.sum("np").cast("bigint").alias("p"),
-        F.sum("nn").cast("bigint").alias("n"),
-    )
     # per-kf running counts directly (grouped_cumsums partitions by
-    # kf), so cp/cn need no concatenated-order offset subtraction
-    c = grouped_cumsums(
+    # kf), so cp/cn need no concatenated-order offset subtraction.
+    # order_bits=32: every catalog feature is an integer < 2^31
+    # (price cents ≤ ~5e7, key residues, month indexes, micro-scaled
+    # values ≤ ~1e9), so the bucket pyramid collapses to ONE level —
+    # round-17 measured the 3-level pyramid costing ~0.65s of pure
+    # driver PLANNING per level pass. The per-kf totals (p, n) come
+    # off the pyramid's bucket frame (≤ 2^16 rows per kf), not a
+    # second aggregation over the full histogram.
+    c, tot = grouped_cumsums(
         g,
         ["kf"],
         "x",
         {"cp": F.col("np"), "cn": F.col("nn")},
+        order_bits=32,
+        totals={"p": "cp", "n": "cn"},
     )
     return c.join(F.broadcast(tot), "kf").select(
         F.expr(f"kf div {_N_FEATURES}").alias("leaf"),

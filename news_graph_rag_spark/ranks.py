@@ -187,7 +187,9 @@ def grouped_cumsums(
     values: "dict[str, Column]",
     shift: int = 16,
     inclusive: bool = True,
-) -> DataFrame:
+    order_bits: int = 64,
+    totals: "dict[str, str] | None" = None,
+):
     """Exact per-group running sums of several value columns over an
     INTEGRAL order column using only DETERMINISTIC hash partitioning —
     no range-boundary sampling, no checkpoint, safe to leave lazy
@@ -211,14 +213,33 @@ def grouped_cumsums(
     which the level-0 window, the bucket aggregation, and the final
     offsets join all share; bucket tables shrink 2^shift-fold per
     level, so the pyramid's shuffles are asymptotically free.
+
+    ``order_bits`` (round-17): a caller that KNOWS its order domain is
+    narrower than 64 bits (e.g. integer feature values < 2^31) may
+    declare it and get a correspondingly shallower pyramid — the
+    level count exists only to cap the top window at 2^shift rows, so
+    ceil(order_bits/shift)-1 levels suffice for a 2^order_bits
+    domain. At the tree-trainer's 32-bit features this collapses the
+    pyramid to ONE bucket level, and — the measured point — shrinks
+    the logical plan the optimizer has to chew per level pass (the
+    3-level pyramid cost ~0.65s of pure driver planning per level at
+    bench scale). The 2^shift-row window bound is UNCHANGED; declare
+    bits honestly or the top window grows past it.
+
+    ``totals`` (round-17): optional {total_name: value_name} — also
+    return per-group TOTALS of the named value columns, computed from
+    the first bucket-total frame (≤ 2^(order_bits-shift) rows per
+    group), never by re-aggregating the full input; callers that used
+    to groupBy the whole histogram for totals read them off the
+    pyramid instead. With ``totals`` the return is (cumsums, totals_df).
     """
     assert group_cols, "grouped_cumsums needs >=1 group column"
     vals = list(values.items())
     nv = len(vals)
     x = F.col(order_col)
-    # bucket levels to cover a 64-bit order domain; the top level's
+    # bucket levels to cover a 2^order_bits domain; the top level's
     # per-group window then holds <= 2^shift rows for ANY input
-    n_lev = max(1, -(-64 // shift) - 1)
+    n_lev = max(1, -(-order_bits // shift) - 1)
     cur = df
     for i, (_, col) in enumerate(vals):
         cur = cur.withColumn(f"_gcv{i}", col.cast("long"))
@@ -236,6 +257,15 @@ def grouped_cumsums(
     t = cur.groupBy(*group_cols, "_gb1").agg(
         *[F.sum(f"_gcv{i}").alias(f"_gcs{i}") for i in range(nv)]
     )
+    totals_df = None
+    if totals:
+        idx_of = {name: i for i, (name, _) in enumerate(vals)}
+        totals_df = t.groupBy(*group_cols).agg(
+            *[
+                F.sum(f"_gcs{idx_of[vname]}").alias(tname)
+                for tname, vname in totals.items()
+            ]
+        )
     frames: "list[DataFrame]" = []
     for lev in range(1, n_lev + 1):
         top = lev == n_lev
@@ -282,7 +312,8 @@ def grouped_cumsums(
             - (F.lit(0) if inclusive else F.col(f"_gcv{i}")),
         )
         drop += [f"_gcl{i}", f"_gcm{i}", f"_gcv{i}"]
-    return out.drop(*drop)
+    out = out.drop(*drop)
+    return (out, totals_df) if totals else out
 
 
 def global_cumsum(

@@ -187,3 +187,51 @@ def test_grouped_cumsums_matches_naive_windows(spark):
         for _ in range(3)
     ]
     assert runs[0] == runs[1] == runs[2]
+
+
+def test_grouped_cumsums_order_bits_and_totals(spark):
+    """Round-17 options: a declared 32-bit order domain (shallow
+    pyramid) must give the SAME cumsums as the 64-bit default, and the
+    pyramid-derived per-group totals must equal a direct groupBy."""
+    import random
+
+    from news_graph_rag_spark.ranks import grouped_cumsums
+
+    random.seed(43)
+    seen, rows = set(), []
+    for _ in range(2000):
+        g = random.randint(0, 3)
+        x = random.choice(
+            [
+                random.randint(-(2**31), 2**31 - 1),
+                random.randint(0, 70000),
+            ]
+        )
+        if (g, x) in seen:
+            continue
+        seen.add((g, x))
+        rows.append((g, x, random.randint(-5, 50), random.randint(0, 3)))
+    df = spark.createDataFrame(rows, "g long, x long, a long, b long")
+    base = {
+        (r["g"], r["x"]): (r["ca"], r["cb"])
+        for r in grouped_cumsums(
+            df, ["g"], "x", {"ca": F.col("a"), "cb": F.col("b")}
+        ).collect()
+    }
+    out, tot = grouped_cumsums(
+        df,
+        ["g"],
+        "x",
+        {"ca": F.col("a"), "cb": F.col("b")},
+        order_bits=32,
+        totals={"ta": "ca", "tb": "cb"},
+    )
+    got = {(r["g"], r["x"]): (r["ca"], r["cb"]) for r in out.collect()}
+    assert got == base
+    exp_tot = {
+        r["g"]: (r["ta"], r["tb"])
+        for r in df.groupBy("g")
+        .agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+        .collect()
+    }
+    assert {r["g"]: (r["ta"], r["tb"]) for r in tot.collect()} == exp_tot
