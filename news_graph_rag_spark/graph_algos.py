@@ -401,7 +401,7 @@ def temporal_earliest_arrival(
     arr = seeds.select(
         F.col("id").alias("node"), F.lit(0).cast("bigint").alias("arr")
     )
-    for _ in range(rounds):
+    for i in range(rounds):
         dd, ee = arr.alias("d"), e.alias("e")
         grown = dd.join(
             ee,
@@ -413,6 +413,15 @@ def temporal_earliest_arrival(
             .groupBy("node")
             .agg(F.min("arr").alias("arr"))
         )
+        # flatten the plan between rounds: ``arr`` is referenced TWICE
+        # per round (frontier join + union), so left lazy the logical
+        # tree doubles per round and Catalyst planning time goes
+        # exponential in ``rounds`` (round-17 event-log measurement:
+        # ~0.9s of the entry's 2.5s was driver planning gaps). The
+        # LAZY checkpoint cuts lineage without a blocking per-round
+        # job — materialization rides the next consumer.
+        if i < rounds - 1:
+            arr = arr.localCheckpoint(eager=False)
     return arr
 
 

@@ -1739,13 +1739,18 @@ def bellman_ford_4relax(spark: SparkSession, sf: str) -> DataFrame:
         "node", F.lit(0).cast("bigint").alias("dist")
     )
     d = src
-    for _ in range(4):
+    for i in range(4):
         dd, ee = d.alias("d"), edges.alias("e")
         grown = dd.join(ee, F.col("d.node") == F.col("e.src")).select(
             F.col("e.dst").alias("node"),
             (F.col("d.dist") + F.col("e.w")).alias("dist"),
         )
         d = d.unionAll(grown).groupBy("node").agg(F.min("dist").alias("dist"))
+        # d is referenced twice per relaxation — flatten the doubling
+        # plan between rounds without a blocking job (the
+        # temporal_earliest_arrival treatment, round-17)
+        if i < 3:
+            d = d.localCheckpoint(eager=False)
     return d
 
 
