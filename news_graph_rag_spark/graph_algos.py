@@ -513,7 +513,12 @@ def dag_longest_paths(edges: DataFrame, doublings: int = 6) -> DataFrame:
             rel.unionByName(composed)
             .groupBy("u", "w")
             .agg(F.max("len").alias("len"))
-            .localCheckpoint(eager=True)
+            # LAZY: rel is referenced three times per doubling (a, b,
+            # union), so lineage must be cut — but there is no
+            # per-round driver decision here, so the cut needs no
+            # blocking job either (the bellman/temporal treatment,
+            # round-17); the final readout materializes the chain
+            .localCheckpoint(eager=False)
         )
     return rel.groupBy(F.col("w").alias("id")).agg(
         F.max("len").alias("layer")
