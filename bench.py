@@ -799,20 +799,32 @@ def _run_parent() -> None:
     # spread/data/sf suffix pushed them out. Last-key placement keeps
     # the per-query seconds in any suffix truncation, and the scrape
     # fallback in _previous_round_times keys off the '"queries"' marker.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "spread": spreads,
-                "staged_builds": staged_builds,
-                "data": _data_stats(SF_DIR),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "queries": times,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "spread": spreads,
+            "staged_builds": staged_builds,
+            "data": _data_stats(SF_DIR),
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "queries": times,
+        }
     )
+    print(line)
+    # durability (round-18, VERDICT r17 #8 — harness ADDITION only, no
+    # timing or metric change): BENCH_r16.json was lost to a truncated
+    # stdout capture, which cost round 17 its entire round-over-round
+    # PERF table. Also write the one JSON line to a file next to the
+    # harness so a truncated stdout can never lose a round again.
+    try:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+        )
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    except OSError as e:  # diagnostics only — never fail the bench
+        print(f"# bench_out.json not written: {e}", file=sys.stderr)
 
 
 def main() -> None:

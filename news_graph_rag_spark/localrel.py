@@ -104,15 +104,22 @@ def local_rel(spark: SparkSession, rows, schema) -> DataFrame:
     not-null constraint must survive in the schema). Falls back to
     createDataFrame for row counts past MAX_LOCAL_REL_ROWS."""
     rows = list(rows)
-    if not isinstance(schema, str):  # StructType
-        schema = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
-        )
-    cols = _split_schema(schema)
     if len(rows) > MAX_LOCAL_REL_ROWS:
         return spark.createDataFrame(rows, schema)
+    if not isinstance(schema, str):  # StructType
+        # build (name, type) pairs directly — a DDL round-trip would
+        # mis-split names containing spaces/commas (round-18 hardening)
+        cols = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+    else:
+        cols = _split_schema(schema)
+    # backtick-quote the output aliases (round-18 hardening): a column
+    # named with a reserved word or special character would otherwise
+    # generate invalid SQL; backticks inside the name itself escape by
+    # doubling, per Spark's quoted-identifier rules
     proj = ", ".join(
-        f"CAST(col{i + 1} AS {typ}) AS {name}"
+        "CAST(col{i} AS {typ}) AS `{name}`".format(
+            i=i + 1, typ=typ, name=name.replace("`", "``")
+        )
         for i, (name, typ) in enumerate(cols)
     )
     if not rows:

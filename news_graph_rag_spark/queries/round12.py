@@ -185,6 +185,13 @@ def _split_counts(
         (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("nn"),
     )
     if pin:
+        # eager localCheckpoint, NOT a lazy persist: round-18 A/B'd
+        # `g.persist()` (one job per level instead of checkpoint +
+        # collect) and it REGRESSED ~40% (gbt_2round 4.5→6.6 s solo,
+        # jobs 56→68) — under AQE the InMemoryRelation's consumers
+        # each spawned their own materialization sub-jobs and the
+        # columnar cache encode/decode cost more than the saved job
+        # boundary. The blocking checkpoint job stays.
         g = g.localCheckpoint(eager=True)
         if pins is not None:
             pins.append(g)
@@ -684,22 +691,30 @@ def tree_depth2_orders(spark: SparkSession, sf: str) -> DataFrame:
     # level 0: global best across features (1 row, pinned so the leaf
     # assignment and the output row read ONE materialization)
     root_pins: "list[DataFrame]" = []
-    root = (
-        _split_best(
-            _split_candidates(pts, F.lit(0), pins=root_pins),
-            per_feature=False,
-        )
-        .select(
-            F.lit(0).cast("bigint").alias("node"),
-            F.col("b.fid").alias("fid"),
-            F.col("b.thr").alias("thr"),
-            F.col("b.polarity").alias("polarity"),
-            F.col("b.nc").alias("n_correct"),
-            F.col("b.nn").alias("n_node"),
-        )
-        .localCheckpoint(eager=True)
+    root = _split_best(
+        _split_candidates(pts, F.lit(0), pins=root_pins),
+        per_feature=False,
+    ).select(
+        F.lit(0).cast("bigint").alias("node"),
+        F.col("b.fid").alias("fid"),
+        F.col("b.thr").alias("thr"),
+        F.col("b.polarity").alias("polarity"),
+        F.col("b.nc").alias("n_correct"),
+        F.col("b.nn").alias("n_node"),
     )
-    # the root checkpoint cut every dependency on level 0's pinned
+    # driver-literal root (round-18, the _best_local treatment): the
+    # collect is the job the former eager localCheckpoint ran, but the
+    # 1-row root now broadcasts into the leaf assignment with no build
+    # job and the output row is a LocalTableScan (all-bigint, exact)
+    from ..localrel import local_rel
+
+    root = local_rel(
+        spark,
+        [tuple(r) for r in root.collect()],
+        "node bigint, fid bigint, thr bigint, polarity bigint, "
+        "n_correct bigint, n_node bigint",
+    )
+    # the root collect cut every dependency on level 0's pinned
     # histogram — release its blocks (level 1 stays lazy in the
     # returned plan, so ITS histogram pin must live)
     for p in root_pins:

@@ -105,6 +105,53 @@ def _gini_rows(best: DataFrame) -> DataFrame:
     )
 
 
+def _best_local(best: DataFrame, pins: "list[DataFrame] | None" = None) -> DataFrame:
+    """Materialize a level's per-leaf best splits (≤ 2^level rows —
+    one row per leaf, driver-bounded BY CONSTRUCTION) as a
+    driver-literal relation. The collect() is the SAME job the former
+    eager ``localCheckpoint`` ran, but every downstream consumer
+    (_tree_assign's broadcast, _gini_rows readouts, the staged-model
+    writers) now reads a ``LocalTableScan``: broadcasts build
+    driver-side with NO job — the former checkpointed-RDD bests
+    rebuilt a small broadcast job inside EVERY subsequent level pass
+    and readout that referenced them (round-18; guide §2.4 remove
+    jobs outright, §5 driver-memory discipline — the same budget tier
+    as localrel's serving relations). Values are exactly the computed
+    ones (integers verbatim; the double gain round-trips via repr).
+    ``pins`` are released here: the collect cut every dependency on
+    the level's pinned histogram (round-16 advice)."""
+    from ..localrel import local_rel
+
+    spark = best.sparkSession
+    flat = [
+        (
+            r["leaf"],
+            r["b"]["ng"],
+            r["b"]["fid"],
+            r["b"]["thr"],
+            r["b"]["lt"],
+            r["b"]["rt"],
+            r["b"]["s"],
+        )
+        for r in best.collect()
+    ]
+    if pins:
+        for p in pins:
+            p.unpersist()
+    rel = local_rel(
+        spark,
+        flat,
+        "leaf bigint, ng double, fid bigint, thr bigint, "
+        "lt bigint, rt bigint, s bigint",
+    )
+    # same (leaf, b-struct) shape _gini_best returns — consumers are
+    # unchanged; the Project over a LocalRelation constant-folds back
+    # into a LocalRelation (ConvertToLocalRelation)
+    return rel.select(
+        "leaf", F.struct("ng", "fid", "thr", "lt", "rt", "s").alias("b")
+    )
+
+
 def _gini_cand_sql(key: str, prefix: str) -> str:
     """Gini candidates + per-leaf best over _level_sql's ``{prefix}c``
     prefix sums and ``{prefix}tot`` totals (the accuracy ``cand`` CTE
@@ -211,14 +258,14 @@ def tree_depth3_orders(spark: SparkSession, sf: str) -> DataFrame:
         pins: "list[DataFrame]" = []
         best = _gini_best(_split_counts(cur, F.col("node"), pins=pins))
         if level < _TREE_DEPTH - 1:
-            # pinned so the next level's assignment and the output row
-            # read one materialization (tiny: ≤ 2^level rows); the LAST
-            # level has a single consumer and stays live in the plan
-            best = best.localCheckpoint(eager=True)
-            # best's checkpoint cut the dependency on this level's
-            # pinned histogram — free its blocks (round-16 advice)
-            for p in pins:
-                p.unpersist()
+            # driver-literal bests (round-18, _best_local): the next
+            # level's assignment and the output row read one
+            # LocalRelation (tiny: ≤ 2^level rows) and broadcast with
+            # no build job; the LAST level has a single consumer and
+            # stays live in the plan (its histogram pin must live too,
+            # so the scale-shape plan tests keep seeing the bucketed
+            # per-kf cumsum windows)
+            best = _best_local(best, pins)
         outs.append(_gini_rows(best))
         if level < _TREE_DEPTH - 1:
             cur = _tree_assign(cur, best)
@@ -751,17 +798,16 @@ def _staged_tree3_splits(spark: SparkSession, sf: str) -> DataFrame:
             "node", F.lit(1).cast("bigint")
         )
         levels: list[DataFrame] = []
-        bests: list[DataFrame] = []
         for _ in range(_TREE_DEPTH):
             pins: "list[DataFrame]" = []
-            best = _gini_best(
-                _split_counts(cur, F.col("node"), pins=pins)
-            ).localCheckpoint(eager=True)
-            # best's checkpoint cut the dependency on the level's
-            # pinned histogram (round-16 advice: free the blocks)
-            for p in pins:
-                p.unpersist()
-            bests.append(best)
+            # driver-literal bests (round-18, _best_local): collect is
+            # the same job the eager checkpoint ran, assignments read
+            # LocalRelations, and nothing is left pinned after the
+            # write (the former bests.unpersist() bookkeeping goes)
+            best = _best_local(
+                _gini_best(_split_counts(cur, F.col("node"), pins=pins)),
+                pins,
+            )
             levels.append(
                 best.select(
                     F.col("leaf").cast("bigint").alias("node"),
@@ -774,10 +820,6 @@ def _staged_tree3_splits(spark: SparkSession, sf: str) -> DataFrame:
         for lv in levels[1:]:
             out = out.unionByName(lv)
         out.coalesce(1).write.mode("overwrite").parquet(tmp)
-        # the staged parquet is the artifact — nothing reads the
-        # pinned splits after the write; free them
-        for b in bests:
-            b.unpersist()
 
     stage = stage_parquet(
         os.path.join(sf, "orders.parquet"), "tree3gini_v1", build

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load, register, spread, stage_parquet
+from ..localrel import local_rel
 from .retrieval_queries import _TOMB_PRED
 from .round12 import (
     _CHECKSUM_MOD,
@@ -44,6 +45,7 @@ from .round12 import (
     _SPLIT_PTS_SQL,
 )
 from .round13 import (
+    _best_local,
     _D2,
     _EXPORT_MERGES,
     _gini_best,
@@ -652,14 +654,14 @@ def _gbt_train(
     splits_a: "list[DataFrame]" = []
     for _ in range(_GBT_DEPTH):
         pins: "list[DataFrame]" = []
-        best = _gini_best(
-            _split_counts(cur, F.col("node"), pins=pins)
-        ).localCheckpoint(eager=True)
-        # best's checkpoint cut the dependency on the level's pinned
-        # histogram — free its blocks (round-16 advice: these leaked
-        # per cold training for the session lifetime)
-        for p in pins:
-            p.unpersist()
+        # driver-literal bests (round-18, _best_local): the collect is
+        # the job the eager checkpoint ran, but the ≤4-row bests now
+        # broadcast with NO build job inside every later level pass,
+        # the scored-frame checkpoint, and the readout — the former
+        # checkpointed-RDD bests rebuilt those broadcasts per job
+        best = _best_local(
+            _gini_best(_split_counts(cur, F.col("node"), pins=pins)), pins
+        )
         splits_a.append(best)
         cur = _tree_assign(cur, best)
     # pin the scored frame ONCE: the leaf-stats agg and the residual
@@ -667,9 +669,19 @@ def _gbt_train(
     # distributed GBDT keeps; without it the whole tree-A training
     # lineage re-executes for each consumer)
     cur = cur.localCheckpoint(eager=True)
+    # the ≤4-row leaf table as a driver-literal relation (round-18):
+    # it broadcast-joins into the residual frame, which every tree-B
+    # level pass re-executes — as a lazy aggregate it re-ran (and
+    # re-broadcast) once per consuming job; collected, it is exact
+    # integers and broadcasts driver-side with no job
     leaf = cur.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_a"),
         F.sum("y").cast("bigint").alias("p_a"),
+    )
+    leaf = local_rel(
+        spark,
+        [(r["node"], r["n_a"], r["p_a"]) for r in leaf.collect()],
+        "node bigint, n_a bigint, p_a bigint",
     )
     # ----- exact-integer residuals -> sign classes -----
     ptsb = (
@@ -694,11 +706,10 @@ def _gbt_train(
     splits_b: "list[DataFrame]" = []
     for _ in range(_GBT_DEPTH):
         pins_b: "list[DataFrame]" = []
-        bestb = _gini_best(
-            _split_counts(curb, F.col("node"), pins=pins_b)
-        ).localCheckpoint(eager=True)
-        for p in pins_b:
-            p.unpersist()
+        bestb = _best_local(
+            _gini_best(_split_counts(curb, F.col("node"), pins=pins_b)),
+            pins_b,
+        )
         splits_b.append(bestb)
         curb = _tree_assign(curb, bestb)
     return splits_a, splits_b, leaf, curb

@@ -914,7 +914,7 @@ def _gbt_train_r(
     (per-round per-level best splits, the final frame with n0..n{R-1}
     and y0)."""
     from .round12 import _split_counts
-    from .round13 import _gini_best, _tree_assign
+    from .round13 import _best_local, _gini_best, _tree_assign
     from .round14 import _GBT_DEPTH
 
     tr = (
@@ -932,13 +932,13 @@ def _gbt_train_r(
         splits: "list[DataFrame]" = []
         for _ in range(_GBT_DEPTH):
             pins: "list[DataFrame]" = []
-            best = _gini_best(
-                _split_counts(cur, F.col("node"), pins=pins)
-            ).localCheckpoint(eager=True)
-            # best's checkpoint cut the dependency on the level's
-            # pinned histogram — free its blocks (round-16 advice)
-            for p in pins:
-                p.unpersist()
+            # driver-literal bests (round-18, _best_local): broadcasts
+            # build with no job inside every later level pass and the
+            # per-round scored-frame checkpoint
+            best = _best_local(
+                _gini_best(_split_counts(cur, F.col("node"), pins=pins)),
+                pins,
+            )
             splits.append(best)
             cur = _tree_assign(cur, best)
         splits_all.append(splits)

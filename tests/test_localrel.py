@@ -55,3 +55,57 @@ def test_local_rel_float_round_trip_is_exact(spark):
         spark, [(v,) for v in vals], "x double"
     ).collect()
     assert [r["x"] for r in got] == vals
+
+
+def test_local_rel_quotes_reserved_and_special_column_names(spark):
+    """Round-18 hardening (VERDICT r17 #4): output aliases are
+    backtick-quoted, so reserved words and special characters in
+    column names generate valid SQL; StructType schemas bypass the
+    DDL round-trip entirely."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    # reserved words via the DDL-string path
+    a = local_rel(spark, [(1, "x")], "select bigint, from string")
+    b = spark.createDataFrame([(1, "x")], "`select` bigint, `from` string")
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+    # special characters via the StructType path (a DDL string cannot
+    # carry these names)
+    st = StructType(
+        [
+            StructField("week day", LongType()),
+            StructField("a`b", StringType()),
+            StructField("x,y", StringType()),
+        ]
+    )
+    got = local_rel(spark, [(7, "tick", "comma")], st)
+    assert got.columns == ["week day", "a`b", "x,y"]
+    assert [tuple(r) for r in got.collect()] == [(7, "tick", "comma")]
+
+
+def test_local_rel_adversarial_strings_round_trip(spark):
+    """Property test (VERDICT r17 #7): adversarial string literals —
+    quotes, backslashes, unicode, newlines, control chars — round-trip
+    value-identically to createDataFrame."""
+    adversarial = [
+        "it's",
+        'double " quote',
+        "back\\slash",
+        "new\nline",
+        "tab\tchar",
+        "ctrl\x01byte",
+        "unié中\U0001f600",
+        "'; DROP TABLE x; --",
+        "%s %d {} `backtick`",
+        "\\' mixed \\\\' escapes",
+        "",
+        " leading and trailing ",
+    ]
+    rows = [(i, s) for i, s in enumerate(adversarial)]
+    a = local_rel(spark, rows, "i int, s string")
+    b = spark.createDataFrame(rows, "i int, s string")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
