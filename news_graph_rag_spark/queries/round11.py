@@ -1490,7 +1490,7 @@ def temporal_reach_parts(spark: SparkSession, sf: str) -> DataFrame:
     "a full tree level fans out trivially.",
 )
 def decision_stump_orders(spark: SparkSession, sf: str) -> DataFrame:
-    from ..ranks import global_cumsums
+    from ..ranks import grouped_cumsums
 
     pts = (
         load(spark, sf, "orders")
@@ -1509,33 +1509,51 @@ def decision_stump_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("y").cast("bigint").alias("np"),
         (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("nn"),
     )
-    tot = g.agg(
-        F.sum("np").cast("bigint").alias("p"),
-        F.sum("nn").cast("bigint").alias("n"),
+    # bucketed deterministic-hash cumsum, the _split_counts shape
+    # (round-18; was ranks.global_cumsums): the range form paid a
+    # boundary-sampling job plus an eager pin job per invocation and a
+    # SECOND full aggregation for the totals — the bucketed form is
+    # one lazy plan (order_bits=32: price cents ≤ ~5·10⁷ <
+    # 2^31 at any tested SF — same declared-narrow domain as the tree
+    # features) with the (p, n) totals read off its bucket frame. The
+    # per-value histogram g has a single downstream consumer chain
+    # here (one action), so no pin is needed at all.
+    c, tot = grouped_cumsums(
+        g.withColumn("_g", F.lit(0)),
+        ["_g"],
+        "x",
+        {"cp": F.col("np"), "cn": F.col("nn")},
+        order_bits=32,
+        totals={"p": "cp", "n": "cn"},
     )
-    # one shared two-phase pass for both prefix columns (round-12
-    # review: chaining global_cumsum per column paid the range
-    # exchange + pin + window twice)
-    c = global_cumsums(
-        g, [F.col("x")], {"cp": F.col("np"), "cn": F.col("nn")}
-    )
-    c = c.crossJoin(F.broadcast(tot))
+    c = c.join(F.broadcast(tot), "_g")
+    # both polarities from ONE pass via explode (the _split_candidates
+    # trick — a unionByName of two selects over c would duplicate the
+    # whole cumsum subtree in the lazy plan)
     cand = c.select(
         F.col("x").alias("thr"),
-        F.lit(0).cast("bigint").alias("polarity"),
-        (F.col("cp") + (F.col("n") - F.col("cn")))
-        .cast("bigint")
-        .alias("n_correct"),
         (F.col("p") + F.col("n")).cast("bigint").alias("n_total"),
-    ).unionByName(
-        c.select(
-            F.col("x").alias("thr"),
-            F.lit(1).cast("bigint").alias("polarity"),
-            ((F.col("p") - F.col("cp")) + F.col("cn"))
-            .cast("bigint")
-            .alias("n_correct"),
-            (F.col("p") + F.col("n")).cast("bigint").alias("n_total"),
-        )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("bigint").alias("polarity"),
+                    (F.col("cp") + (F.col("n") - F.col("cn")))
+                    .cast("bigint")
+                    .alias("n_correct"),
+                ),
+                F.struct(
+                    F.lit(1).cast("bigint").alias("polarity"),
+                    ((F.col("p") - F.col("cp")) + F.col("cn"))
+                    .cast("bigint")
+                    .alias("n_correct"),
+                ),
+            )
+        ).alias("cd"),
+    ).select(
+        "thr",
+        F.col("cd.polarity").alias("polarity"),
+        F.col("cd.n_correct").alias("n_correct"),
+        "n_total",
     )
     return (
         cand.orderBy(
