@@ -774,6 +774,13 @@ def bm25_keyword_topk(spark: SparkSession, sf: str) -> DataFrame:
             for i, t in enumerate(_BM25_TERMS)
         ],
     )
+    # ONE 1-row global-stats broadcast (round-18): n/df and avgdl were
+    # two separate tf.agg broadcasts, and each broadcast build is its
+    # own job that re-runs tokenize + the per-doc aggregation end to
+    # end (exchange reuse never crosses a broadcast build's job
+    # boundary) — the token stream was scanned three times per call.
+    # avgdl = sum(dl)/n computed from the same row is bit-identical
+    # (exact integer sum, then one double divide).
     stats = tf.agg(
         F.count(F.lit(1)).alias("n"),
         *[
@@ -782,9 +789,9 @@ def bm25_keyword_topk(spark: SparkSession, sf: str) -> DataFrame:
             .alias(f"df{i}")
             for i in range(len(_BM25_TERMS))
         ],
-    )
-    avgdl = tf.agg(
-        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl")
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
     )
 
     def term(i: int) -> F.Column:
@@ -800,10 +807,8 @@ def bm25_keyword_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     # fixed-order sum (term0 + term1 + term2): bit-reproducible, unlike
     # an aggregation whose addition order floats with partitioning
-    scored = (
-        tf.crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(avgdl))
-        .withColumn("score", term(0) + term(1) + term(2))
+    scored = tf.crossJoin(F.broadcast(stats)).withColumn(
+        "score", term(0) + term(1) + term(2)
     )
     return top_k_ranked(scored, [F.desc("score"), F.asc("doc_id")], 15).select(
         "doc_id", "tf0", "tf1", "tf2", "rnk"
@@ -1149,10 +1154,18 @@ def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    # df as a per-token window over the tf table (round-18; was a
+    # broadcast of a token-level aggregate): the broadcast build was a
+    # SEPARATE job whose plan re-ran tokenize + the (doc, token)
+    # aggregation end to end (exchange reuse never crosses a broadcast
+    # build's job boundary), and at 100 TB it would broadcast the FULL
+    # VOCABULARY. One whole-partition count window on the token key is
+    # the same exact integer, costs one hash exchange of the compact
+    # (doc_id, token, tf) table, and tokenizes once.
+    w_df = Window.partitionBy("token")
     nn = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     scored = (
-        tf.join(F.broadcast(df), "token")
+        tf.withColumn("df", F.count(F.lit(1)).over(w_df).cast("bigint"))
         .crossJoin(F.broadcast(nn))
         .withColumn(
             "_score",

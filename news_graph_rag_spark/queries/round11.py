@@ -1278,19 +1278,24 @@ def perceptron_priority_orders(spark: SparkSession, sf: str) -> DataFrame:
             .alias("y"),
         )
     )
-    w = spark.range(1).select(
-        F.lit(0).cast("bigint").alias("a"),
-        F.lit(0).cast("bigint").alias("b"),
-        F.lit(0).cast("bigint").alias("c"),
-    )
-    rows = []
+    # round-18 (_best_local discipline): the weight vector is THREE
+    # EXACT INTEGERS — keep it as driver literals instead of a 1-row
+    # frame threaded through crossJoin broadcasts. Each round is still
+    # ONE full-scan Spark aggregation (the computation), but its 1-row
+    # result is collected (the same job the former eager checkpoint
+    # ran) and the next round's misclassification predicate compiles
+    # the weights in as literals — the per-round broadcast-build jobs
+    # and the checkpointed-RDD readout plan disappear; the readout is
+    # a LocalRelation of exactly the computed integers.
+    a = b = c = 0
+    out_rows: "list[tuple[int, int, int, int, int]]" = []
     for rnd in (1, 2, 3):
         mis = F.col("y") * (
-            F.col("a") * F.col("x0")
-            + F.col("b") * F.col("x1")
-            + F.col("c") * F.col("x2")
+            F.lit(a) * F.col("x0")
+            + F.lit(b) * F.col("x1")
+            + F.lit(c) * F.col("x2")
         ) <= 0
-        g = pts.crossJoin(F.broadcast(w)).agg(
+        g = pts.agg(
             F.coalesce(F.sum(F.when(mis, F.col("y") * F.col("x0"))), F.lit(0))
             .cast("bigint")
             .alias("sa"),
@@ -1305,30 +1310,15 @@ def perceptron_priority_orders(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(F.sum(F.when(mis, 1).otherwise(0)), F.lit(0))
             .cast("bigint")
             .alias("n"),
-        )
-        # materialize each round's 1-row update: without this, round r's
-        # lazy plan re-runs every earlier round's full-scan aggregation
-        # (O(rounds²) scans); with it, training is rounds × one scan —
-        # the same per-round checkpoint discipline as the graph loops
-        g = g.localCheckpoint(eager=True)
-        w = w.crossJoin(F.broadcast(g)).select(
-            (F.col("a") + F.col("sa")).alias("a"),
-            (F.col("b") + F.col("sb")).alias("b"),
-            (F.col("c") + F.col("sc")).alias("c"),
-        )
-        rows.append(
-            w.crossJoin(g.select("n")).select(
-                F.lit(rnd).cast("bigint").alias("round"),
-                F.col("a").alias("w_bias"),
-                F.col("b").alias("w_price"),
-                F.col("c").alias("w_cust"),
-                F.col("n").alias("n_misclassified"),
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+        ).collect()[0]
+        a, b, c = a + g["sa"], b + g["sb"], c + g["sc"]
+        out_rows.append((rnd, a, b, c, g["n"]))
+    return local_rel(
+        spark,
+        out_rows,
+        "round bigint, w_bias bigint, w_price bigint, w_cust bigint, "
+        "n_misclassified bigint",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -213,10 +213,16 @@ def test_decontaminate_broadcasts_test_shingles(spark, sf_dir, reg):
 
 
 def test_tfidf_broadcasts_df_and_partitions_window(spark, sf_dir, reg):
-    """tfidf_top_terms: vocabulary (df) joins must broadcast, and the
-    rank window must be partitioned by doc_id, never global."""
+    """tfidf_top_terms: the corpus-count (n) join must broadcast, df
+    must come from a token-partitioned window over the tf table
+    (round-18 — the former token-level broadcast aggregate re-ran
+    tokenize inside its build job and would broadcast the full
+    vocabulary at scale), and every window must be key-partitioned,
+    never global."""
     plan = plan_of(reg["tfidf_top_terms"].fn(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # tokenize exactly once: one explode generator in the whole plan
+    assert plan.count("Generate explode") == 1
     specs = _window_specs(plan)
     assert specs and all(
         "ASC" not in s.split(",")[0] and "DESC" not in s.split(",")[0]
